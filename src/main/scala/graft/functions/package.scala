@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column-level helpers shared by all operators.
+  *
+  * == Floating-point parity with the DuckDB oracle ==
+  *
+  * The source tables store money/rate values as `double` (nearest double to
+  * a 2-decimal value). Summing doubles is order-dependent, so a Spark sum
+  * and a DuckDB sum of the same column can differ in the last ULP and fail
+  * a hash compare. The parity recipe used throughout:
+  *
+  *   1. cast each operand to a narrow decimal (`DECIMAL(12,2)` for money,
+  *      `DECIMAL(4,2)` for rates) — double→decimal rounding is
+  *      shortest-representation based and identical in both engines;
+  *   2. do all arithmetic in decimal (exact; operand precisions are kept
+  *      small enough that products never exceed precision 38, which would
+  *      trigger Spark's lossy precision-adjustment);
+  *   3. `round(sum, 2)` — both engines round decimals half-away-from-zero;
+  *   4. cast to double — exact for |value| < 2^53/100, so bitwise equal.
+  *
+  * Verified empirically against DuckDB 1.0 (decimal→decimal CAST in DuckDB
+  * *truncates*, so step 3 must be `round`, never a bare cast).
+  */
+package object functions {
+  /** Money / quantity operand: exact cents, small enough to keep products ≤ p38. */
+  def money(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rate operand (discount/tax ∈ [0,1]). */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** Decimal literal 1.00 — avoids int-literal promotion inflating decimal widths. */
+  val oneD: Column = lit(1).cast(DecimalType(3, 2))
+
+  /** Exact decimal sum → round(2, half-up) → exact double. See package doc. */
+  def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
+
+  /** `extendedprice * (1 - discount)` in exact decimal — DECIMAL(18,4). */
+  def discPrice(price: Column, disc: Column): Column =
+    money(price) * (oneD - rate(disc))
+
+  /** Word tokens of a whitespace-separated text column (no empty tokens). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles of a text column: array of space-joined n-grams.
+    * Built from built-ins only (codegen-friendly): transform over index range.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    transform(sequence(lit(0), count - 1), i =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+  }
+
+  /** Cross-engine 16-bit hash of a string: first 4 hex chars of md5, parsed
+    * via `instr` arithmetic (both Spark and DuckDB lack a shared numeric
+    * hash; md5 hex is identical in both, and `instr` parses it portably).
+    */
+  def md5Bits16(c: Column): Column = {
+    val h = md5(c)
+    def nib(k: Int): Column = instr(lit("0123456789abcdef"), substring(h, k, 1)) - 1
+    nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
+  }
+
+  /** Dot product of two float-array columns, accumulated in index order as
+    * doubles — deterministic and engine-portable (same fp op sequence).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (double). */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** Cosine similarity of two float-array columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Core relational surface over the star schema.
+  *
+  * The reference's pipelines are scan→project→filter→join→aggregate chains
+  * (SURVEY §3); these queries exercise the same operator classes on the
+  * driver-provided TPC-H-ish testdata, expressed declaratively so Catalyst
+  * does pruning/pushdown/join-selection (SURVEY §4).
+  *
+  * Scale notes (100 TB):
+  *  - every query starts from a column-pruned, filter-pushed scan;
+  *  - dimension joins (`region`, `nation`, `supplier`, small `part`
+  *    subsets) are explicitly `broadcast` — zero shuffle on the fact side;
+  *  - aggregations are partial (map-side combine) by construction since
+  *    they use hash aggregates over groupBy keys;
+  *  - sort-before-limit is a TakeOrderedAndProject (no global sort).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary over `lineitem`.
+    * Decimal-exact arithmetic for oracle parity (see graft.functions doc).
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        moneySum(money($"l_quantity")).as("sum_qty"),
+        moneySum(money($"l_extendedprice")).as("sum_base_price"),
+        moneySum(discPrice($"l_extendedprice", $"l_discount")).as("sum_disc_price"),
+        moneySum(discPrice($"l_extendedprice", $"l_discount") * (oneD + rate($"l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem,
+    * revenue per order, top 10. Join order: filtered dims first; the
+    * lineitem side never widens past 4 columns.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
+      .select($"l_orderkey", $"revenue",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        $"o_orderpriority")
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style volume by nation: full dimension chain
+    * region→nation→customer/supplier with the co-located-nation condition.
+    * All dims broadcast; single shuffle for the final aggregate.
+    */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = Tables.nation(spark, dir)
+    val region = Tables.region(spark, dir).filter($"r_name" === "ASIA")
+    val nr = nation.join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
+                             $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Top-3 orders per customer by total price — ranking window (the
+    * reference's only window op is keep-first dedup, SURVEY §2.6 O2; this is
+    * its ranking generalization). Partition-local after one shuffle on
+    * o_custkey; ties broken by orderkey for determinism.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", money($"o_totalprice").as("price_d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"o_custkey").orderBy($"price_d".desc, $"o_orderkey")))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"price_d".cast("double").as("o_totalprice"), $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** Left-semi join (SURVEY §2.4 J1 shape): orders having at least one
+    * high-quantity line. Semi-join keeps the probe side narrow and
+    * deduplicates for free.
+    */
+  def semiJoinOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter($"l_quantity" >= 48).select($"l_orderkey")
+    Tables.orders(spark, dir)
+      .join(bigLines, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left-anti join: customers with no urgent orders. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Union-all of two filtered branches then re-aggregate (SURVEY §2.6 O3:
+    * per-session frames rbind'd). Single scan per branch; Catalyst merges
+    * the union into one exchange before the aggregate.
+    */
+  def unionBranches(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+    val hi = ord.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey", lit("urgent").as("bucket"))
+    val lo = ord.filter($"o_orderpriority" === "5-LOW")
+      .select($"o_custkey", lit("low").as("bucket"))
+    hi.unionByName(lo)
+      .groupBy($"bucket")
+      .agg(countDistinct($"o_custkey").as("n_cust"), count(lit(1)).as("n_orders"))
+      .orderBy($"bucket")
+  }
+
+  /** Grouped pivot (SURVEY §2.5 A1): order counts per status × year, as
+    * explicit conditional aggregates so the output schema is static (a
+    * dynamic `.pivot()` would need a values scan first; at 100 TB the
+    * two-pass inference is the wrong default).
+    */
+  def pivotStatusYear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val years = 1995 to 2001
+    val yr = year($"o_orderdate")
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus")
+      .agg(
+        count(lit(1)).as("total"),
+        years.map(y => sum(when(yr === y, 1).otherwise(0)).as(s"y$y")): _*)
+      .orderBy($"o_orderstatus")
+  }
+}

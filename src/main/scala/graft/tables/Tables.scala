@@ -1,0 +1,41 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical table loaders for the star schema + corpus tables.
+  *
+  * The reference (`/root/reference/src/legiscan_search_all_bills.R:71-78`)
+  * reads one JSON file per record in a session-partitioned directory tree;
+  * here the landed, compacted form is Parquet — one columnar file (or
+  * hive-partitioned directory) per logical table. All scans go through
+  * these loaders so that scan-level concerns (schema pinning, partition
+  * pruning, column pruning via downstream `select`) live in one place.
+  *
+  * Scale note (100 TB design): loaders return the raw scan; callers are
+  * expected to `select`/`filter` immediately so Catalyst pushes projection
+  * and predicates into the Parquet reader (verify via
+  * `df.explain("formatted")` → `PushedFilters`/`ReadSchema`). At cluster
+  * scale the big tables (`lineitem`, `orders`, `events`, `documents`)
+  * would be written partitioned (e.g. by ship-month / event-date) and
+  * bucketed on their join keys; the loaders are path-based so the same
+  * code reads either layout.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

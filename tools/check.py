@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness compare.
+
+Runs `graft.Verify` output (parquet per query) against the DuckDB oracle
+SQL (oracle_sql.json) on the same sf dir, sorting columns by name and
+rows canonically, then value-compares. Dev tool only — not part of the
+Scala library.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, math, sys
+
+import duckdb
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = "NaN" if math.isnan(v) else repr(v)
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            gcols = [d[0] for d in got.description]
+            grows = got.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            ecols = [d[0] for d in exp.description]
+            erows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        gc, gr = canon(grows, gcols)
+        ec, er = canon(erows, ecols)
+        if gc != ec:
+            print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gr != er:
+            diffs = [(a, b) for a, b in zip(gr, er) if a != b]
+            print(f"FAIL {name}: {len(gr)} vs {len(er)} rows; "
+                  f"first diffs: {diffs[:3]}"
+                  + (f" extra_spark={gr[len(er):][:2]}" if len(gr) > len(er) else "")
+                  + (f" extra_oracle={er[len(gr):][:2]}" if len(er) > len(gr) else ""))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
