@@ -1,24 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract: ONE JSON line
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * printed to stdout AND written to the file named by SPARK_GRAFT_BENCH_OUT
+  * (default `bench_out.json` in the cwd) — sbt interleaves [info] noise
+  * into stdout, so the driver should read the file.
+  *
+  * Methodology:
+  *  - queries run in deterministic (sorted-name) order, so per-query
+  *    numbers are comparable across rounds;
+  *  - one warmup pass (q1) first, so JVM/codegen/first-scan startup cost
+  *    is not attributed to whichever query happens to run first;
+  *  - a failing query records `"errors":{name:msg}` and a wall-time of
+  *    its failure point — never silently recorded as fast/-1.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: JVM + codegen + parquet footer reads, not timed.
+    try SparkEntry.queries.head._2(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+    println(line)
+    Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

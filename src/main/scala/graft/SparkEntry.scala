@@ -106,15 +106,18 @@ object SparkEntry {
            SELECT o_custkey, 'low' AS bucket FROM orders WHERE o_orderpriority = '5-LOW')
          GROUP BY bucket
          ORDER BY bucket""",
+    // NB each sum is CAST AS BIGINT: DuckDB types sum(CASE..) as HUGEINT
+    // (decimal128) while Spark's sum(when(..)) is BIGINT — identical values,
+    // different typed hash. Same trick as the CAST-to-DOUBLE money sums.
     "q_pivot_status_year" ->
       """SELECT o_orderstatus, count(*) AS total,
-         sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y1995,
-         sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y1996,
-         sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS y1997,
-         sum(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS y1998,
-         sum(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS y1999,
-         sum(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS y2000,
-         sum(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS y2001
+         CAST(sum(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS y1995,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS y1996,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS y1997,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS y1998,
+         CAST(sum(CASE WHEN year(o_orderdate) = 1999 THEN 1 ELSE 0 END) AS BIGINT) AS y1999,
+         CAST(sum(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END) AS BIGINT) AS y2000,
+         CAST(sum(CASE WHEN year(o_orderdate) = 2001 THEN 1 ELSE 0 END) AS BIGINT) AS y2001
          FROM orders
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",

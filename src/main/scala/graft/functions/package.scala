@@ -42,17 +42,24 @@ package object functions {
   def discPrice(price: Column, disc: Column): Column =
     money(price) * (oneD - rate(disc))
 
-  /** Word tokens of a whitespace-separated text column (no empty tokens). */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Word tokens of a text column: split on whitespace runs, drop empties
+    * (leading/trailing/consecutive whitespace would otherwise emit ""). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Word n-gram shingles of a text column: array of space-joined n-grams.
-    * Built from built-ins only (codegen-friendly): transform over index range.
+    * Built from built-ins only (codegen-friendly): transform over an index
+    * range. Texts with fewer than `n` tokens yield an empty array — the
+    * `when` guard matters because `sequence(0, -1)` in Spark is [0,-1]
+    * (negative step inferred), which would index element 0 and throw.
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    transform(sequence(lit(0), count - 1), i =>
-      concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))
+    val cnt = size(toks) - (n - 1)
+    when(cnt > 0,
+      transform(sequence(lit(0), cnt - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Cross-engine 16-bit hash of a string: first 4 hex chars of md5, parsed

@@ -14,8 +14,11 @@ import graft.tables.Tables
   *
   * Scale notes (100 TB):
   *  - every query starts from a column-pruned, filter-pushed scan;
-  *  - dimension joins (`region`, `nation`, `supplier`, small `part`
-  *    subsets) are explicitly `broadcast` — zero shuffle on the fact side;
+  *  - only genuinely bounded dimensions (`region`, `nation` — fixed-size
+  *    lookup tables) are ever `broadcast`-hinted. `customer` / `supplier` /
+  *    `part` grow linearly with scale factor, so they are never hinted:
+  *    AQE picks broadcast at small SF and shuffle/sort-merge at cluster
+  *    scale from actual runtime sizes;
   *  - aggregations are partial (map-side combine) by construction since
   *    they use hash aggregates over groupBy keys;
   *  - sort-before-limit is a TakeOrderedAndProject (no global sort).
@@ -40,8 +43,14 @@ object Relational {
   }
 
   /** TPC-H Q3-style shipping priority: customer ⋈ orders ⋈ lineitem,
-    * revenue per order, top 10. Join order: filtered dims first; the
-    * lineitem side never widens past 4 columns.
+    * revenue per order, top 10.
+    *
+    * Join order matters (the DataFrame API executes joins as written — no
+    * CBO reorder by default): the selective customer-segment filter join
+    * runs FIRST, shrinking orders ~5× before the expensive lineitem
+    * shuffle. No broadcast hint on `customer` — it is scale-proportional
+    * (a forced broadcast OOMs at 100 TB); AQE broadcasts it at small SF
+    * on its own from runtime stats.
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -54,8 +63,8 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    ord.join(cust, $"o_custkey" === $"c_custkey")
+      .join(li, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
       .select($"l_orderkey", $"revenue",
@@ -67,7 +76,9 @@ object Relational {
 
   /** TPC-H Q5-style volume by nation: full dimension chain
     * region→nation→customer/supplier with the co-located-nation condition.
-    * All dims broadcast; single shuffle for the final aggregate.
+    * Only the bounded `nation⋈region` dim is broadcast-hinted;
+    * `customer`/`supplier` are scale-proportional, so their join strategy
+    * is left to AQE (broadcast at test SF, shuffle join at cluster scale).
     */
   def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -84,9 +95,9 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey" &&
-                             $"c_nationkey" === $"s_nationkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey" &&
+                  $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
@@ -106,7 +117,8 @@ object Relational {
       .withColumn("rk", row_number().over(
         Window.partitionBy($"o_custkey").orderBy($"price_d".desc, $"o_orderkey")))
       .filter($"rk" <= 3)
-      .select($"o_custkey", $"o_orderkey", $"price_d".cast("double").as("o_totalprice"), $"rk")
+      .select($"o_custkey", $"o_orderkey", $"price_d".cast("double").as("o_totalprice"),
+        $"rk".cast("long").as("rk")) // row_number is int32 in Spark, int64 in DuckDB
       .orderBy($"o_custkey", $"rk")
   }
 

@@ -46,6 +46,9 @@ def main():
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             gcols = [d[0] for d in got.description]
+            gtypes = [str(t) for t in got.fetch_arrow_table().schema.types]
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             grows = got.fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
@@ -54,6 +57,8 @@ def main():
         try:
             exp = con.execute(sql)
             ecols = [d[0] for d in exp.description]
+            etypes = [str(t) for t in exp.fetch_arrow_table().schema.types]
+            exp = con.execute(sql)
             erows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
@@ -61,8 +66,17 @@ def main():
             continue
         gc, gr = canon(grows, gcols)
         ec, er = canon(erows, ecols)
+        # The driver hash-compares TYPED values — a BIGINT/HUGEINT mismatch
+        # fails there even when stringified values agree, so compare arrow
+        # types (sorted by column name) too.
+        gt = [t for _, t in sorted(zip(gcols, gtypes))]
+        et = [t for _, t in sorted(zip(ecols, etypes))]
         if gc != ec:
             print(f"FAIL {name}: columns differ spark={gc} oracle={ec}")
+            n_fail += 1
+        elif gt != et:
+            print(f"FAIL {name}: arrow types differ spark={list(zip(gc, gt))} "
+                  f"oracle={list(zip(ec, et))}")
             n_fail += 1
         elif gr != er:
             diffs = [(a, b) for a, b in zip(gr, er) if a != b]
