@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Fixtures
+
+/** Entry point C — budget-bill full-text search + the budget-PDF feeder
+  * (reference: `legiscan_main.R`, traced in SURVEY §3.3).
+  *
+  * Components:
+  *  - F11 HTML→text as pure built-in expressions (tag strip + entity
+  *    decode + whitespace collapse). The reference shells out to libxml2
+  *    (`legiscan_main.R:212`); this container has no jsoup, and for
+  *    search semantics a codegen-friendly regex strip is both sufficient
+  *    and faster (stays inside WholeStageCodegen — no UDF boundary);
+  *  - J3 cross join of a tiny literal terms dimension (S11) against the
+  *    corpus, broadcast so it is a BroadcastNestedLoopJoin, never a
+  *    shuffle (`legiscan_main.R:205-215`);
+  *  - F1 CASE-INSENSITIVE contains (this pipeline's `grepl` passes
+  *    `ignore.case=TRUE`, unlike entry point A — asymmetry preserved);
+  *  - F3/F8/F9 regex-derived Bill / FiscalYear / Link columns
+  *    (`legiscan_main.R:220-233`);
+  *  - P10/F6 PDF line filter + bill-number extract over the SBUD text
+  *    (`legiscan_main.R:84-98`; PDF decode itself is stubbed — the
+  *    committed fixture is the extracted text, see FixtureGen);
+  *  - J1 semi join restricting bills to the budget list (`:126-132`).
+  *
+  * Scale: the corpus scan is the big side and stays narrow (path + text);
+  * terms are O(10) rows broadcast everywhere; per-term output uses
+  * `partitionBy("term")` on write, not a driver loop.
+  */
+object FullText {
+
+  val defaultTerms: Seq[String] = Seq("appropriation", "education", "water")
+
+  /** F11: HTML → searchable text with built-ins only. */
+  def htmlToText(html: Column): Column = {
+    val noTags = regexp_replace(html, "<[^>]+>", " ")
+    val entities = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&nbsp;" -> " ", "&quot;" -> "\"", "&#39;" -> "'")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** S11: the terms dimension as a static literal table. */
+  def termsTable(spark: SparkSession, terms: Seq[String]): DataFrame = {
+    import spark.implicits._
+    terms.toDF("term")
+  }
+
+  /** Corpus (file, text) from the binary HTML tree — S7 binaryFile source;
+    * the filename is recovered from path metadata. */
+  def corpusFromBinary(spark: SparkSession): DataFrame =
+    Fixtures.billTextsBinary(spark)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        htmlToText(decode(col("content"), "UTF-8")).as("text"))
+
+  /** J3 × F1: every term against every document, keep case-insensitive
+    * matches, derive the reference's output columns. */
+  def search(corpus: DataFrame, terms: DataFrame): DataFrame = {
+    val matched = corpus.crossJoin(broadcast(terms))
+      .filter(contains(lower(col("text")), lower(col("term"))))
+    val year = regexp_extract(col("file"), "^(20[0-9]{2})_", 1).cast("int")
+    // F9 parity arithmetic: odd year opens the biennium, even closes it.
+    val fiscalYear = when(year % 2 === 1,
+        concat(year.cast("string"), lit("-"), (year + 1).cast("string")))
+      .otherwise(concat((year - 1).cast("string"), lit("-"), year.cast("string")))
+    matched
+      .withColumn("bill",
+        regexp_replace(col("file"), "^20[0-9]{2}_([A-Z]+)([0-9]+)\\.html$", "$1 $2"))
+      .withColumn("fiscal_year", fiscalYear)
+      // F8: leginfo bill id = <years-no-dash> + '0' + <bill-no-space>
+      .withColumn("link", concat(
+        lit("https://leginfo.legislature.ca.gov/faces/billNavClient.xhtml?bill_id="),
+        regexp_replace(col("fiscal_year"), "-", ""), lit("0"),
+        regexp_replace(col("bill"), " ", "")))
+      .select(col("term"), col("file"), col("bill"), col("fiscal_year"), col("link"))
+  }
+
+  def qFullTextSearch(spark: SparkSession, dir: String): DataFrame =
+    search(corpusFromBinary(spark), termsTable(spark, defaultTerms))
+      .orderBy(col("term"), col("file"))
+
+  /** Per-term partitioned CSV out — the reference's one-file-per-term
+    * convention (`legiscan_main.R:237`) without a driver loop. */
+  def writePerTerm(results: DataFrame, outDir: String, runId: String): String = {
+    val path = s"$outDir/${runId}_fulltext"
+    results.write.mode("overwrite").partitionBy("term")
+      .option("header", "true").csv(path)
+    path
+  }
+
+  /** P10/F6/F3/F4: SBUD budget text → (year, bill_number) list.
+    * Line order inside a document is not semantic (the reference collects
+    * the matches into an unordered vector), so output is sorted. */
+  def budgetBills(sbud: DataFrame): DataFrame =
+    sbud.select(col("year"), explode(split(col("text"), "\n")).as("line"))
+      .withColumn("line", ltrim(col("line")))
+      .filter(col("line").rlike("^[AS][BC]A? [0-9]"))
+      .withColumn("bill_number",
+        regexp_replace(regexp_replace(col("line"), "^([AS][BC]A? [0-9]+).*$", "$1"),
+          " ", ""))
+      .select(col("year"), col("bill_number"))
+
+  def qBudgetBills(spark: SparkSession, dir: String): DataFrame =
+    budgetBills(Fixtures.sbud(spark)).orderBy(col("year"), col("bill_number"))
+
+  /** J1: bills ∩ budget list, matched on (session-of-year, bill_number).
+    * The year→session mapping is the F9 parity rule. */
+  def qBudgetSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val budget = budgetBills(Fixtures.sbud(spark))
+      .withColumn("sess", when(col("year") % 2 === 1,
+          concat(col("year").cast("string"), lit("-"), (col("year") + 1).cast("string")))
+        .otherwise(concat((col("year") - 1).cast("string"), lit("-"), col("year").cast("string"))))
+      .select(col("sess"), col("bill_number"))
+    Fixtures.bills(spark)
+      .withColumn("sess", concat(col("session.year_start").cast("string"),
+        lit("-"), col("session.year_end").cast("string")))
+      .join(broadcast(budget), Seq("sess", "bill_number"), "left_semi")
+      .select(col("sess").as("session"), col("bill_number"), col("status"))
+      .orderBy(col("session"), col("bill_number"))
+  }
+
+  /** P6/P3: chaptered bills with their final (chaptered) doc id — the
+    * reference's "last text version is the chaptered one" invariant
+    * (`legiscan_main.R:150,167-168`). */
+  def qChapteredTexts(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.bills(spark)
+      .filter(array_contains(col("texts.type"), "Chaptered"))
+      .select(
+        concat(col("session.year_start").cast("string"), lit("-"),
+          col("session.year_end").cast("string")).as("session"),
+        col("bill_number"),
+        element_at(col("texts.doc_id"), -1).as("last_doc_id"),
+        size(col("texts")).as("n_texts"))
+      .orderBy(col("session"), col("bill_number"))
+
+  /** F10: base64 API payload → text (the in-query half of S2/S8 ingest,
+    * `legiscan_data_pull.R:61`, `legiscan_main.R:175`). */
+  def qDecodePayloads(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.docPayloads(spark)
+      .select(col("doc_id"), col("file"),
+        decode(unbase64(col("payload_b64")), "UTF-8").as("html"))
+      .select(col("doc_id"), col("file"),
+        length(col("html")).as("n_chars"),
+        contains(col("html"), lit("appropriated")).as("has_appropriation"))
+      .orderBy(col("file"))
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** LegiScan-shaped record types — the de-facto schema the reference
+  * consumes (SURVEY §1.3; field set per `legiscan_search_all_bills.R:81-86`,
+  * `legislator_bill_counts_run.R:77-81,108-134`, `legiscan_main.R:150-175`).
+  *
+  * One JSON document per bill / per person, wrapped in a `bill` / `person`
+  * envelope exactly like the LegiScan API payloads the reference reads.
+  */
+object LegiScanModel {
+  case class SessionRef(session_id: Long, session_name: String,
+                        year_start: Int, year_end: Int)
+  case class BillText(doc_id: Long, date: String, `type`: String,
+                      state_link: String)
+  case class Sponsor(people_id: Long, sponsor_type_id: Int, name: String)
+  case class BillRec(bill_id: Long, bill_number: String, bill_type: String,
+                     status: Int, status_date: java.sql.Date, title: String,
+                     description: String, session: SessionRef,
+                     texts: Seq[BillText], sponsors: Seq[Sponsor])
+  case class BillDoc(bill: BillRec)
+  case class PersonRec(people_id: Long, name: String, role: String,
+                       district: String, committee_id: Long)
+  case class PersonDoc(person: PersonRec)
+
+  /** Pinned schemas — schema inference over a one-file-per-record tree is
+    * a full extra scan at 100 TB (SURVEY §1.2), so readers always pass
+    * these explicitly. */
+  val billSchema: StructType = Encoders.product[BillDoc].schema
+  val personSchema: StructType = Encoders.product[PersonDoc].schema
+}
+
+/** Committed LegiScan-shaped fixture corpus + canonical readers.
+  *
+  * Layout under [[Fixtures.root]] (generated once by [[FixtureGen]],
+  * committed to git, never regenerated at query time):
+  *
+  * {{{
+  *   raw/<years>/bill/<bill_number>.json    one single-line JSON per bill
+  *   raw/<years>/people/<people_id>.json    one single-line JSON per person
+  *   html/<year>_<bill>.html                chaptered bill full text (HTML)
+  *   sbud/<year>.txt                        budget-summary text (PDF stub)
+  *   bills.parquet/ people.parquet/ ...     compacted landing-zone copies
+  * }}}
+  *
+  * The `raw/` tree mirrors the reference's session-partitioned directory
+  * layout (`legiscan_search_all_bills.R:71-78`); the parquet dirs are the
+  * compacted landing zone the 100-TB design ingests into (one distributed
+  * json scan → columnar store; solves the small-files problem, SURVEY §7.4).
+  * The DuckDB oracle reads the parquet copies by absolute path, so Spark
+  * queries and oracle SQL see byte-identical data.
+  */
+object Fixtures {
+  import LegiScanModel._
+
+  val root: String =
+    sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/fixtures/legiscan")
+
+  def billsJsonGlob: String = s"$root/raw/*/bill/*.json"
+  def peopleJsonGlob: String = s"$root/raw/*/people/*.json"
+
+  /** S4: one distributed JSON scan over the whole bill tree (replaces the
+    * reference's per-file fromJSON loop). Files are single-line JSON, so
+    * the default (line-mode, splittable) reader applies. */
+  def billsJson(spark: SparkSession): DataFrame =
+    spark.read.schema(billSchema).json(billsJsonGlob).select(col("bill.*"))
+
+  /** S5: people scan with the session recovered from the directory path
+    * (the reference's only session marker for people files,
+    * `legislator_bill_counts_run.R:54-60`). */
+  def peopleJson(spark: SparkSession): DataFrame =
+    spark.read.schema(personSchema).json(peopleJsonGlob)
+      .withColumn("session",
+        regexp_extract(input_file_name(), "/raw/([0-9]{4}-[0-9]{4})/", 1))
+      .select(col("person.*"), col("session"))
+
+  // Compacted landing-zone copies (and what the DuckDB oracle reads).
+  def bills(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/bills.parquet")
+  def people(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/people.parquet")
+  def sbud(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/sbud.parquet")
+  def billTexts(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/bill_texts.parquet")
+  def docPayloads(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/doc_payloads.parquet")
+
+  /** S7: binaryFile scan of the HTML corpus — the scale path for opaque
+    * document blobs (content arrives as `BinaryType` + path metadata). */
+  def billTextsBinary(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.html")
+      .load(s"$root/html")
+}
