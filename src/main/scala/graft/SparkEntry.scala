@@ -36,6 +36,20 @@ object SparkEntry {
     "q_budget_semi_join"   -> (FullText.qBudgetSemiJoin _),
     "q_chaptered_texts"    -> (FullText.qChapteredTexts _),
     "q_decode_payloads"    -> (FullText.qDecodePayloads _),
+    // LLM-data-pipeline operators over documents/embeddings/events
+    "q_dedup_exact"        -> (TextDedup.qDedupExact _),
+    "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
+    "q_simhash"            -> (TextDedup.qSimhash _),
+    "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
+    "q_fingerprint"        -> (TextStats.qFingerprint _),
+    "q_text_stats"         -> (TextStats.qTextStats _),
+    "q_lang_id"            -> (TextStats.qLangId _),
+    "q_quality_score"      -> (TextStats.qQualityScore _),
+    "q_similar_topk"       -> (Similarity.qSimilarTopK _),
+    "q_similar_ann"        -> (Similarity.qSimilarAnn _),
+    "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
+    "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
+    "q_media_meta"         -> (Multimodal.qMediaMeta _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -43,6 +57,97 @@ object SparkEntry {
     * by absolute parquet path, same bytes both engines). */
   private val FX = "/root/repo/fixtures/legiscan"
   private def fx(name: String): String = s"read_parquet('$FX/$name.parquet/*.parquet')"
+
+  // --- generated DuckDB expression builders mirroring graft.functions ---
+
+  /** DuckDB twin of [[graft.functions.md5Bits16]] (same instr arithmetic). */
+  private def md5b16Sql(x: String): String = {
+    val nibs = (1 to 4).map(k =>
+      s"(instr('0123456789abcdef', substring(md5($x), $k, 1)) - 1)")
+    s"(${nibs(0)} * 4096 + ${nibs(1)} * 256 + ${nibs(2)} * 16 + ${nibs(3)})"
+  }
+
+  /** DuckDB twin of [[graft.functions.tokens]]. */
+  private def toksSql(text: String): String =
+    s"list_filter(regexp_split_to_array($text, '\\s+'), x -> x <> '')"
+
+  /** DuckDB twin of [[graft.functions.shingles]] (distinct set). */
+  private def shinglesSql(n: Int): String = {
+    val hi = n - 1
+    s"list_distinct([array_to_string(toks[i:i+$hi], ' ') for i in range(1, len(toks) - ${hi - 1})])"
+  }
+
+  /** Left-fold with init via list_prepend + list_reduce. */
+  private def foldSql(list: String, init: String, lambda: String): String =
+    s"list_reduce(list_prepend($init, $list), $lambda)"
+
+  private def dotSql(a: String, b: String): String =
+    foldSql(s"list_transform($a, (x, i) -> CAST(x AS DOUBLE) * CAST($b[i] AS DOUBLE))",
+      "CAST(0 AS DOUBLE)", "(acc, x) -> acc + x")
+  private def normSql(a: String): String =
+    s"sqrt(${foldSql(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
+      "CAST(0 AS DOUBLE)", "(acc, x) -> acc + x")})"
+  private def cosineSql(q: String, e: String): String =
+    s"${dotSql(q, e)} / (${normSql(q)} * ${normSql(e)})"
+
+  private val stopsSqlEn = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+  private def hitsSql(lang: String): String = {
+    val words = TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, w -> list_contains($words, w)))"
+  }
+
+  /** Oracle for the MinHash-LSH dedup — the same K minhashes, band
+    * signatures, bucket join and Jaccard verify, generated so the hash
+    * arithmetic is literally identical to the Scala side. */
+  private def minhashOracle: String = {
+    import TextDedup._
+    val mhCols = (0 until NumHashes).map(k =>
+      s"list_min(list_transform(sh, s -> ${md5b16Sql(s"'$k:' || s")})) AS mh$k")
+      .mkString(",\n             ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('-', $sig) AS sig FROM mh"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       shs AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS sh FROM t),
+       mh AS (SELECT doc_id, sh,
+             $mhCols
+             FROM shs),
+       bands AS ($bandSelects),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+           AND a.doc_id < b.doc_id),
+       scored AS (
+         SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
+           CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS sz
+         FROM cand
+         JOIN shs sa ON sa.doc_id = doc_a
+         JOIN shs sb ON sb.doc_id = doc_b)
+       SELECT doc_a, doc_b,
+         CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
+       FROM scored
+       WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold
+       ORDER BY doc_a, doc_b"""
+  }
+
+  /** Oracle for the 16-bit simhash, generated bit by bit. */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 16).map { j =>
+      val p = 1 << j
+      s"list_sum(list_transform(toks, t -> CASE WHEN ${md5b16Sql("t")} % ${2 * p} >= $p THEN 1 ELSE -1 END)) AS s$j"
+    }.mkString(",\n           ")
+    val assemble = (0 until 16).map { j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       b AS (SELECT doc_id,
+           $bitSums
+           FROM t)
+       SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
+       FROM b ORDER BY doc_id"""
+  }
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -256,5 +361,108 @@ object SparkEntry {
          SELECT doc_id, file, CAST(length(html) AS INTEGER) AS n_chars,
                 contains(html, 'appropriated') AS has_appropriation
          FROM d ORDER BY file""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+         CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+    "q_dedup_minhash" -> minhashOracle,
+    "q_simhash" -> simhashOracle,
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, source, ${shinglesSql(2)} AS sh FROM t),
+         scored AS (
+           SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+           FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id)
+         SELECT source, doc_a, doc_b,
+           CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
+         FROM scored
+         WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= 0.7
+         ORDER BY source, doc_a, doc_b""",
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+         SELECT doc_id,
+           ${foldSql(s"list_transform(toks, t -> CAST(${md5b16Sql("t")} AS BIGINT))",
+             "CAST(0 AS BIGINT)", "(acc, x) -> (acc * 31 + x) % 2147483648")} AS fingerprint
+         FROM t ORDER BY doc_id""",
+    "q_text_stats" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(len(${toksSql("text")})) AS BIGINT) AS sum_tokens,
+         CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+         h AS (SELECT doc_id, lang, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+               ${hitsSql("fr")} AS h_fr FROM t)
+         SELECT doc_id, lang,
+           CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
+                WHEN h_en > h_de THEN 'en' ELSE 'de' END AS predicted,
+           lang = (CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
+                WHEN h_en > h_de THEN 'en' ELSE 'de' END) AS correct
+         FROM h ORDER BY doc_id""",
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS INTEGER) AS n_tokens,
+             CAST(len(toks) AS DOUBLE) AS n_tok_d,
+             CAST(${foldSql("list_transform(toks, x -> length(x))",
+               "CAST(0 AS BIGINT)", "(acc, x) -> acc + x")} AS DOUBLE) AS sum_len,
+             CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CASE WHEN n_tok_d = 0 THEN 0.0 ELSE sum_len / n_tok_d END AS mean_token_len,
+           CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END AS stopword_ratio,
+           CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END AS punct_ratio,
+           (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+             + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+             - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
+         FROM f ORDER BY doc_id""",
+    "q_similar_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 5
+         ORDER BY query_id, rk""",
+    "q_similar_ann" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+             ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+         scored AS (
+           SELECT q.query_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS cosine
+           FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, count(*) AS n_events,
+         CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_props" ->
+      """SELECT event_type,
+         CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER)) AS BIGINT) AS sum_k,
+         CAST(count(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER)) AS BIGINT) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_media_meta" ->
+      s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
+         SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,
+           CAST(octet_length(blob) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(blob) * 7 % 480 + 1 AS INTEGER) AS height,
+           3 AS channels
+         FROM b ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Fixtures
+
+/** Multimodal-column plumbing: opaque `binary` media blobs + typed
+  * metadata, processed per-partition in batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB — this
+  * container has no image/audio codecs — but everything Spark-side is
+  * real: the binary column flows through a typed `Dataset`,
+  * `mapPartitions` processes each partition as one batch (the Scala
+  * analogue of `mapInPandas`' batch shape: decoder state is initialized
+  * once per partition, amortized over its rows, never per row), and the
+  * output schema is a pinned case class. Swapping [[decodeStub]] for a
+  * real codec changes no plumbing.
+  *
+  * Scale: per-partition batching is the only viable shape for
+  * codec-heavy work at 100 TB (vectorized handoff, bounded memory per
+  * task); blobs never hit the driver; partition count controls batch
+  * size.
+  */
+object Multimodal {
+
+  case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                       channels: Int)
+
+  /** STUB decoder: deterministic pseudo-metadata derived only from blob
+    * length — stands in for a real image decode (`???` would be the
+    * honest alternative; a deterministic fake keeps the pipeline
+    * testable end-to-end). */
+  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length
+    MediaMeta(docId, n, n % 640 + 1, n * 7 % 480 + 1, 3)
+  }
+
+  /** Batch feature extraction over (id, blob) rows. The partition
+    * iterator is the batch: real decoders hoist codec init here. */
+  def extractMeta(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      // per-partition decoder init would go here (once, not per row)
+      batch.map { case (id, bytes) => decodeStub(id, bytes) }
+    }
+  }
+
+  /** Driver-contract query: metadata over the fixture payload blobs
+    * (base64 API payloads decoded to binary — the S2/S8 landing shape). */
+  def qMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.docPayloads(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    extractMeta(blobs).toDF().orderBy(col("doc_id"))
+  }
+}

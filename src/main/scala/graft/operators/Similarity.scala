@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * vectors).
+  *
+  * Two paths, same contract:
+  *  - '''brute-force top-k''' ([[topK]]): the exact baseline. The query
+  *    side is tiny and broadcast; the corpus streams past it in one
+  *    narrow pass (cosine is a codegen'd higher-order-function
+  *    expression, no UDF), then a per-query window takes k. Cost is
+  *    O(|Q|·N) — correct at any scale where |Q| is bounded.
+  *  - '''sign-LSH bucketed''' ([[annTopK]]): the approximate scale path.
+  *    Every vector gets an 8-bit bucket from the signs of its first 8
+  *    dimensions (a fixed random-hyperplane sketch with axis-aligned
+  *    planes — deterministic, engine-portable); candidates are only the
+  *    query's own bucket, turning the scan into an equi-join that
+  *    partitions/prunes like any key join. Recall is traded for a ~256×
+  *    candidate cut; a production variant would multi-probe neighboring
+  *    buckets and use more planes.
+  *
+  * Float math parity: cosine is accumulated index-ascending in double
+  * precision starting from 0.0 (`aggregate(zip_with(...))`), the exact
+  * op sequence the DuckDB oracle's `list_reduce(list_transform(...))`
+  * performs — results are bitwise equal, no rounding slop needed.
+  */
+object Similarity {
+
+  /** Deterministic query subset: every 100th vector. */
+  def queryVectors(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+
+  def topK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
+  def qSimilarTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    topK(emb, queryVectors(emb), k = 5).orderBy(col("query_id"), col("rk"))
+  }
+
+  /** 8-bit sign bucket of a vector's first 8 dimensions. */
+  def signBucket(v: Column): Column =
+    (0 until 8).map { j =>
+      when(element_at(v, j + 1) > 0f, 1 << j).otherwise(0)
+    }.reduce(_ + _)
+
+  def annTopK(emb: DataFrame, k: Int): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    val queries = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("bucket"))
+    val scored = bucketed.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q"), col("embedding")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
+  def qSimilarAnn(spark: SparkSession, dir: String): DataFrame =
+    annTopK(Tables.embeddings(spark, dir), k = 3)
+      .orderBy(col("query_id"), col("rk"))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Text analysis over the `documents` corpus: corpus statistics,
+  * heuristic language ID, and quality scoring — the per-document
+  * featurization stage of a training-data pipeline.
+  *
+  * Everything is a per-row expression (one narrow pass, stays inside
+  * WholeStageCodegen) followed by at most one aggregate shuffle. All
+  * divisions carry explicit zero guards (Spark 4 ANSI mode) and are
+  * expressed as CAST(x AS DOUBLE)/CAST(y AS DOUBLE) so the DuckDB oracle
+  * performs the identical IEEE operation.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Deterministic, data-independent. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens belonging to a profile (multiset semantics). */
+  def hitCount(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
+
+  /** Per-(lang, source) corpus stats. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_chars"))
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(spark, dir)).orderBy(col("lang"), col("source"))
+
+  /** Heuristic language ID: argmax of stopword hits (ties broken by
+    * language code order — pinned, both engines). */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val hits = langs.map(l => hitCount(text, stopwords(l)))
+    // fold: keep the first language with the strictly-highest hit count
+    langs.zip(hits).foldLeft((lit("und"), lit(-1))) {
+      case ((bestLang, bestHits), (l, h)) =>
+        (when(h > bestHits, lit(l)).otherwise(bestLang),
+          when(h > bestHits, h).otherwise(bestHits))
+    }._1
+  }
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted"))
+      .withColumn("correct", col("lang") === col("predicted"))
+      .orderBy(col("doc_id"))
+
+  /** Quality features + a composite score:
+    *  - token count, mean token length, stopword ratio, punctuation
+    *    ratio (chars outside [a-z0-9 ]);
+    *  - score = stopword_ratio-weighted length signal, the usual
+    *    "plausible natural text" heuristic shape.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
+    val meanTokLen = when(nTok === 0, 0.0).otherwise(sumLen / nTok)
+    val enStops = stopwords("en")
+    val stopRatio = when(nTok === 0, 0.0)
+      .otherwise(hitCount(col("text"), enStops).cast("double") / nTok)
+    val nChars = length(col("text")).cast("double")
+    val punct = (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+      .cast("double"))
+    val punctRatio = when(nChars === 0, 0.0).otherwise(punct / nChars)
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      stopRatio.as("stopword_ratio"),
+      punctRatio.as("punct_ratio"),
+      (stopRatio * 2.0 + when(nTok >= 20, 0.5).otherwise(0.0)
+        - punctRatio).as("quality_score"))
+  }
+
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityFeatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Rolling-hash document fingerprint (token-order sensitive, unlike the
+    * set-based dedup sketches): h = fold(h * 31 + tokenHash) mod 2^31.
+    * Integer arithmetic — engine-exact. */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * 31L + md5Bits16(t).cast("long"), lit(2147483648L)))
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+}

@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Canonical table loaders for the star schema + corpus tables.
   *
@@ -35,7 +37,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`, and
+    * this loader converts the long nanos back to a timestamp. The ns→µs
+    * step is integer division (`div`) — 2024-epoch nanos exceed 2^53, so
+    * any double-precision path would corrupt low bits. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = eventsRaw(spark, dir)
+    normalizeEvents(raw)
+  }
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def normalizeEvents(df: DataFrame): DataFrame =
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }
