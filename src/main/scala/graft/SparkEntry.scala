@@ -96,21 +96,27 @@ object SparkEntry {
     s"len(list_filter(toks, w -> list_contains($words, w)))"
   }
 
-  /** Oracle for the MinHash-LSH dedup — the same K minhashes, band
-    * signatures, bucket join and Jaccard verify, generated so the hash
-    * arithmetic is literally identical to the Scala side. */
+  /** DuckDB twin of [[TextDedup.hashedShingles]]: distinct int base
+    * hashes of n-gram shingles (`toks` must be in scope). */
+  private def hashedShinglesSql(n: Int): String =
+    s"list_distinct(list_transform(${shinglesSql(n)}, s -> ${md5b16Sql("s")}))"
+
+  /** Oracle for the MinHash-LSH dedup — the same base hash, linear
+    * permutations, band signatures, bucket join and Jaccard verify,
+    * generated so the arithmetic is literally identical to the Scala
+    * side. */
   private def minhashOracle: String = {
     import TextDedup._
     val mhCols = (0 until NumHashes).map(k =>
-      s"list_min(list_transform(sh, s -> ${md5b16Sql(s"'$k:' || s")})) AS mh$k")
+      s"list_min(list_transform(hs, h -> (h * ${permA(k)} + ${permB(k)}) % $MinhashMod)) AS mh$k")
       .mkString(",\n             ")
     val bandSelects = (0 until Bands).map { b =>
       val sig = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('-', $sig) AS sig FROM mh"
     }.mkString("\n           UNION ALL ")
     s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-       shs AS (SELECT doc_id, ${shinglesSql(ShingleN)} AS sh FROM t),
-       mh AS (SELECT doc_id, sh,
+       shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+       mh AS (SELECT doc_id,
              $mhCols
              FROM shs),
        bands AS ($bandSelects),
@@ -120,8 +126,8 @@ object SparkEntry {
            AND a.doc_id < b.doc_id),
        scored AS (
          SELECT doc_a, doc_b,
-           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS inter,
-           CAST(len(sa.sh) + len(sb.sh) AS DOUBLE) AS sz
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS inter,
+           CAST(len(sa.hs) + len(sb.hs) AS DOUBLE) AS sz
          FROM cand
          JOIN shs sa ON sa.doc_id = doc_a
          JOIN shs sb ON sb.doc_id = doc_b)
@@ -132,19 +138,21 @@ object SparkEntry {
        ORDER BY doc_a, doc_b"""
   }
 
-  /** Oracle for the 16-bit simhash, generated bit by bit. */
+  /** Oracle for the 16-bit simhash, generated bit by bit over the
+    * once-hashed token multiset. */
   private def simhashOracle: String = {
     val bitSums = (0 until 16).map { j =>
       val p = 1 << j
-      s"list_sum(list_transform(toks, t -> CASE WHEN ${md5b16Sql("t")} % ${2 * p} >= $p THEN 1 ELSE -1 END)) AS s$j"
+      s"list_sum(list_transform(hs, h -> CASE WHEN h % ${2 * p} >= $p THEN 1 ELSE -1 END)) AS s$j"
     }.mkString(",\n           ")
     val assemble = (0 until 16).map { j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       th AS (SELECT doc_id, list_transform(toks, t -> ${md5b16Sql("t")}) AS hs FROM t),
        b AS (SELECT doc_id,
            $bitSums
-           FROM t)
+           FROM th)
        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
        FROM b ORDER BY doc_id"""
   }
@@ -369,11 +377,11 @@ object SparkEntry {
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
-         shs AS (SELECT doc_id, source, ${shinglesSql(2)} AS sh FROM t),
+         shs AS (SELECT doc_id, source, ${hashedShinglesSql(2)} AS hs FROM t),
          scored AS (
            SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-             CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS sz
+             CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE) AS inter,
+             CAST(len(a.hs) + len(b.hs) AS DOUBLE) AS sz
            FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id)
          SELECT source, doc_a, doc_b,
            CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard

@@ -50,35 +50,54 @@ object TextDedup {
   val ShingleN = 3
   val JaccardThreshold = 0.8
 
-  /** K portable minhashes of a distinct-shingle set: hash k of shingle s
-    * is md5Bits16("k:" + s); the minhash is the array minimum. */
-  def minhashCols(sh: Column): Seq[Column] =
-    (0 until NumHashes).map { k =>
-      array_min(transform(sh, s => md5Bits16(concat(lit(s"$k:"), s))))
-        .as(s"mh$k")
-    }
+  /** Linear-permutation coefficients for hash k — the standard
+    * "one base hash + K cheap permutations" minhash family:
+    * hash_k(s) = (a_k · h(s) + b_k) mod 65521 (largest prime < 2^16).
+    * One md5 per shingle total, instead of K. */
+  def permA(k: Int): Int = 37 * k + 11
+  def permB(k: Int): Int = 101 * k + 7
+  val MinhashMod = 65521
 
-  /** (doc_id, distinct shingle set). */
-  def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      array_distinct(shingles(col("text"), ShingleN)).as("sh"))
+  /** K minhashes over an int base-hash set — one native pass
+    * ([[graft.expressions.MinHashSignature]]); the built-in spelling
+    * (K × `array_min(transform(...))`) evaluates interpreted and was the
+    * dominant cost of the LSH index. */
+  def minhashSig(hs: Column): Column = call_function("minhash_signature", hs)
+
+  /** (doc_id, source, sorted distinct base-hash set of n-gram shingles).
+    *
+    * Hashing before distinct keeps all downstream set ops (min,
+    * intersect) on ints — string shingles never leave the first
+    * projection. The set is sorted once here so every pairwise
+    * comparison can use the linear-merge [[SortedIntersectSize]].
+    *
+    * The trailing `repartition(doc_id)` is load-bearing: higher-order
+    * functions run interpreted (CodegenFallback), so without a
+    * materialization boundary every downstream consumer (both LSH join
+    * sides, both verify joins) would re-evaluate the whole
+    * tokenize→shingle→md5 tree; the exchange is computed once and reused
+    * (ReuseExchange) by all consumers. */
+  def hashedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      call_function("hashed_shingle_set", col("text"), lit(n)).as("hs"))
+      .repartition(col("doc_id"))
 
   /** (doc_id, band, sig) — the LSH index: one row per document per band. */
-  def minhashIndex(shSets: DataFrame): DataFrame = {
-    val withMh = shSets.select(col("doc_id") +: minhashCols(col("sh")): _*)
+  def minhashIndex(hsSets: DataFrame): DataFrame = {
+    val withMh = hsSets.select(col("doc_id"), minhashSig(col("hs")).as("mhs"))
     val bandSigs = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("-", (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
-          .as("sig"))
+        concat_ws("-", (0 until RowsPerBand).map(r =>
+          element_at(col("mhs"), b * RowsPerBand + r + 1)): _*).as("sig"))
     }
     withMh.select(col("doc_id"), explode(array(bandSigs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band"), col("bs.sig"))
   }
 
-  /** Exact Jaccard of two distinct-element array columns (set semantics),
-    * zero-guarded for ANSI mode. */
+  /** Exact Jaccard of two SORTED distinct int-array columns via the
+    * native merge expression, zero-guarded for ANSI mode. */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
+    val inter = call_function("sorted_intersect_size", a, b).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, 0.0).otherwise(inter / union)
   }
@@ -86,34 +105,36 @@ object TextDedup {
   /** Candidate pairs from band-bucket equality, verified by exact Jaccard.
     * Output: (doc_a, doc_b, jaccard) above threshold. */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val sh = shingleSets(docs)
-    val idx = minhashIndex(sh)
+    val hs = hashedShingles(docs, ShingleN)
+    val idx = minhashIndex(hs)
     val a = idx.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = idx.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     val candidates = a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     minhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
+  }
 
   // --- SimHash ---
 
-  /** 16-bit simhash of the token multiset, as one per-row expression:
-    * bit j is set when sum over tokens of ±1 (sign of token-hash bit j)
-    * is positive. Integer sums — order-independent, engine-exact. */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
+  /** 16-bit simhash over a token-hash multiset (one md5 per token —
+    * callers project the hash array once): bit j is set when the sum of
+    * ±1 over tokens (sign of hash bit j) is positive. Integer sums —
+    * order-independent, engine-exact. */
+  def simhashFromHashes(hs: Column): Column = {
     val bitSums = (0 until 16).map { j =>
       val p = 1 << j
-      aggregate(toks, lit(0), (acc, t) =>
-        acc + when(md5Bits16(t) % (2 * p) >= p, 1).otherwise(-1))
+      aggregate(hs, lit(0), (acc, h) =>
+        acc + when(h % (2 * p) >= p, 1).otherwise(-1))
     }
     bitSums.zipWithIndex.map { case (s, j) =>
       when(s > 0, 1L << j).otherwise(0L)
@@ -122,28 +143,60 @@ object TextDedup {
 
   def qSimhash(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .select(col("doc_id"),
+        transform(tokens(col("text")), t => md5Bits16(t)).as("hs"))
+      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
       .orderBy(col("doc_id"))
 
   // --- n-gram Jaccard within a grouping key ---
 
   /** Exact pairwise 2-gram Jaccard, but only for pairs sharing `source` —
-    * the within-group comparison pattern (group count scales out;
-    * quadratic cost is bounded by group size, and a skewed group would be
-    * salted or sampled). */
+    * the within-group (blocking) comparison pattern: group count scales
+    * out, quadratic cost is bounded by group size, and a skewed group
+    * would be salted or sampled.
+    *
+    * Pairing runs inside `flatMapGroups` rather than a self-join: a join
+    * materializes |group|² rows each carrying BOTH hash arrays (~GBs of
+    * unsafe-row copies at bench scale) before the filter can drop them;
+    * per-group in-memory pairing touches each array once and emits only
+    * survivors. This is the documented "genuine per-partition imperative
+    * logic" exception — the group is the unit of work and is bounded by
+    * construction. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), col("source"),
-      array_distinct(shingles(col("text"), 2)).as("sh"))
-    val a = sh.select(col("source"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("source"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("source"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("source"), col("doc_a"), col("doc_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    import docs.sparkSession.implicits._
+    val hs = hashedShingles(docs, 2)
+      .select(col("source"), col("doc_id"), col("hs"))
+      .as[(String, Long, Array[Int])]
+    hs.groupByKey(_._1)
+      .flatMapGroups { (source, rows) =>
+        val ds = rows.map { case (_, id, h) => (id, h) }.toArray.sortBy(_._1)
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1) until ds.length
+          inter = sortedIntersectCount(ds(i)._2, ds(j)._2)
+          union = (ds(i)._2.length + ds(j)._2.length).toDouble - inter
+          jac = if (union == 0) 0.0 else inter / union
+          if jac >= threshold
+        } yield (source, ds(i)._1, ds(j)._1, jac)
+      }
+      .toDF("source", "doc_a", "doc_b", "jaccard")
   }
 
-  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+  /** JVM twin of [[graft.expressions.SortedIntersectSize]] for the
+    * in-group path. */
+  def sortedIntersectCount(a: Array[Int], b: Array[Int]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     ngramJaccardPairs(Tables.documents(spark, dir), 0.7)
       .orderBy(col("source"), col("doc_a"), col("doc_b"))
+  }
 }
