@@ -36,6 +36,8 @@ object SparkEntry {
     "q_budget_semi_join"   -> (FullText.qBudgetSemiJoin _),
     "q_chaptered_texts"    -> (FullText.qChapteredTexts _),
     "q_decode_payloads"    -> (FullText.qDecodePayloads _),
+    "q_texts_per_session"  -> (FullText.qTextsPerSession _),
+    "q_appropriations"     -> (FullText.qAppropriations _),
     // LLM-data-pipeline operators over documents/embeddings/events
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
@@ -369,6 +371,25 @@ object SparkEntry {
          SELECT doc_id, file, CAST(length(html) AS INTEGER) AS n_chars,
                 contains(html, 'appropriated') AS has_appropriation
          FROM d ORDER BY file""",
+    "q_texts_per_session" ->
+      s"""SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS session,
+         CAST(sum(len(texts)) AS BIGINT) AS n_texts_total,
+         CAST(sum(CASE WHEN list_contains([x.type for x in texts], 'Chaptered')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_chaptered
+         FROM ${fx("bills")} GROUP BY 1 ORDER BY session""",
+    "q_appropriations" ->
+      s"""WITH corpus AS (
+           SELECT file, trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html, '<[^>]+>', ' ', 'g'),
+               '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+               '&nbsp;', ' ', 'g'), '&quot;', '"', 'g'), '&#39;', chr(39), 'g'),
+             '\\s+', ' ', 'g')) AS text
+           FROM ${fx("bill_texts")}),
+         m AS (SELECT file, unnest(regexp_extract_all(text, 'sum of \\$$([0-9,]+)', 1)) AS amount_str
+               FROM corpus)
+         SELECT file, CAST(replace(amount_str, ',', '') AS BIGINT) AS amount
+         FROM m ORDER BY file, amount""",
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
          CAST(count(*) AS BIGINT) AS n_copies

@@ -137,6 +137,32 @@ object FullText {
         size(col("texts")).as("n_texts"))
       .orderBy(col("session"), col("bill_number"))
 
+  /** A6: aggregation over nested arrays — total text versions and
+    * chaptered count per session (the reference's download-guard count,
+    * `legiscan_main.R:163`, generalized to a per-session rollup). */
+  def qTextsPerSession(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.bills(spark)
+      .groupBy(concat(col("session.year_start").cast("string"), lit("-"),
+        col("session.year_end").cast("string")).as("session"))
+      .agg(
+        sum(size(col("texts")).cast("long")).as("n_texts_total"),
+        sum(when(array_contains(col("texts.type"), "Chaptered"), 1L)
+          .otherwise(0L)).as("n_chaptered"))
+      .orderBy(col("session"))
+
+  /** Generator-shaped extraction (SURVEY §2.7): appropriation amounts
+    * pulled out of bill text with `regexp_extract_all` + `explode` — the
+    * reference's scrap-code line-itemizer revived
+    * (`legiscan_main.R:338-370`). */
+  def qAppropriations(spark: SparkSession, dir: String): DataFrame =
+    Fixtures.billTexts(spark)
+      .select(col("file"),
+        explode(regexp_extract_all(htmlToText(col("html")),
+          lit("sum of \\$([0-9,]+)"), lit(1))).as("amount_str"))
+      .select(col("file"),
+        regexp_replace(col("amount_str"), ",", "").cast("long").as("amount"))
+      .orderBy(col("file"), col("amount"))
+
   /** F10: base64 API payload → text (the in-query half of S2/S8 ingest,
     * `legiscan_data_pull.R:61`, `legiscan_main.R:175`). */
   def qDecodePayloads(spark: SparkSession, dir: String): DataFrame =

@@ -55,9 +55,12 @@ object Events {
     * watermark (exercised by the streaming spec; not an oracle query —
     * the oracle sees the batch twin above). */
   def streamingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(spark, dir).schema
+    // file-stream sources watch a DIRECTORY; select the events file by
+    // glob (raw schema: ts arrives as long nanos and is normalized the
+    // same way as the batch path)
+    val schema = Tables.eventsRaw(spark, dir).schema
     val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
-    windowedCounts(stream.withWatermark("ts", "2 hours"))
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    windowedCounts(Tables.normalizeEvents(stream).withWatermark("ts", "2 hours"))
   }
 }

@@ -1,0 +1,27 @@
+package graft
+
+/** t1 smoke: every declared query executes and returns rows on the
+  * sf0.001 testdata (column-level correctness is the DuckDB oracle's
+  * job; this catches schema/runtime regressions fast). */
+class SmokeSpec extends SparkSpec {
+
+  test("entry point returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly exempt") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty,
+      s"queries without oracle SQL: ${noOracle.mkString(", ")}")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs on sf0.001") {
+      val df = fn(spark, sfSmoke)
+      assert(df.columns.nonEmpty)
+      // count() not rows>0: legitimately-empty results (e.g. near-dup
+      // pairs on a tiny corpus) are fine, runtime errors are not.
+      df.count()
+    }
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity, TextDedup, TextStats}
+
+/** LLM-data-pipeline operators on small planted fixtures. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // base is long enough that a one-token change keeps Jaccard ~0.95 —
+  // comfortably above the 4x4-band LSH threshold (~0.71), so candidate
+  // recall is deterministic-by-margin, not luck.
+  private val base = "the quick brown fox jumps over the lazy dog and runs away " +
+    "while the farmer watches from the old wooden gate near the quiet river bank"
+  private val docs = Seq(
+    (1L, base + " today", "en", "s1"),
+    (2L, base + " yesterday", "en", "s1"), // near-dup of 1
+    (3L, "completely different text about spark shuffles and partitions here", "en", "s1"),
+    (4L, base + " today", "en", "s2"),     // exact dup of 1
+    (5L, "der hund und die katze und das haus und der baum sind da", "de", "s2"))
+    .toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("exact dedup groups identical texts and keeps the minimum id") {
+    val groups = TextDedup.exactDedup(docs).collect()
+    val dup = groups.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) === 1L) // keep_id = min(1, 4)
+    assert(groups.length === 4)   // 5 docs, one merged pair
+  }
+
+  test("minhash LSH finds the planted near-dup pair and nothing else") {
+    val pairs = TextDedup.minhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup is trivially a near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical texts agree; near-dups are hamming-close; unrelated are not") {
+    val sh = docs.select(col("doc_id"),
+      transform(graft.functions.tokens(col("text")), t => graft.functions.md5Bits16(t)).as("h"))
+      .select(col("doc_id"), TextDedup.simhashFromHashes(col("h")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(4L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) <= 4)
+    assert(hamming(sh(1L), sh(3L)) > 4)
+  }
+
+  test("ngram jaccard only compares within the blocking group") {
+    // docs 1 and 4 are identical but in different sources -> never compared
+    val pairs = TextDedup.ngramJaccardPairs(docs, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("language id picks the stopword profile; quality guards zero division") {
+    val out = docs.select(col("doc_id"), col("lang"),
+        TextStats.langId(col("text")).as("p"))
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) === "en" && out(5L) === "de")
+    val empty = Seq((9L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val q = TextStats.qualityFeatures(empty).collect().head
+    assert(q.getDouble(2) === 0.0 && q.getDouble(4) === 0.0) // no NaN/err on empty
+  }
+
+  test("fingerprint is token-order sensitive (unlike the set sketches)") {
+    val a = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val b = Seq((1L, "gamma beta alpha")).toDF("doc_id", "text")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.select(TextStats.fingerprint(col("text"))).as[Long].head()
+    assert(fp(a) !== fp(b))
+  }
+
+  test("cosine top-k: self-similar vector ranks first with cosine 1.0") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f), 0),   // identical to query 0
+      (2L, Array(0f, 1f, 0f), 1),
+      (3L, Array(0.9f, 0.1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.topK(emb, Similarity.queryVectors(emb), 2)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(top(0)._2 === 1L && top(0)._4 === 1.0)
+    assert(top(1)._2 === 3L)
+  }
+
+  test("ann restricts candidates to the query's sign bucket") {
+    val emb = Seq(
+      (0L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),   // same bucket
+      (2L, Array(-1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0))  // different bucket
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.annTopK(emb, 5).select("vec_id").as[Long].collect()
+    assert(out.toSet === Set(1L))
+  }
+
+  test("multimodal meta extraction is deterministic over binary blobs") {
+    val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
+      .toDS()
+    val metas = Multimodal.extractMeta(blobs).collect().sortBy(_.doc_id)
+    assert(metas(0) === Multimodal.MediaMeta(1L, 3, 4, 22, 3))
+    assert(metas(1) === Multimodal.MediaMeta(2L, 700, 61, 101, 3))
+  }
+}
