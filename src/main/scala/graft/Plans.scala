@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the declared queries so
+  * scan pruning (PushedFilters / ReadSchema), join strategies, and
+  * WholeStageCodegen spans can be audited per round.
+  *
+  * Usage: `sbt "runMain graft.Plans [queryName ...]"` (default: a
+  * representative headline set).
+  */
+object Plans {
+  val headline = Seq("q3_shipping_priority", "q5_region_volume",
+    "q_legislator_counts", "q_dedup_minhash", "q_similar_topk",
+    "q_bill_search", "q_events_window")
+
+  def main(args: Array[String]): Unit = {
+    val names = if (args.nonEmpty) args.toSeq else headline
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -49,6 +49,7 @@ object SparkEntry {
     "q_quality_score"      -> (TextStats.qQualityScore _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
+    "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
@@ -476,6 +477,17 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
+    "q_embed_neardup" ->
+      s"""WITH b AS (
+           SELECT vec_id, embedding,
+             ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS bucket
+           FROM embeddings),
+         scored AS (
+           SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+             ${cosineSql("a.embedding", "bb.embedding")} AS cosine
+           FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+         SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+         ORDER BY vec_a, vec_b""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n_events,

@@ -81,4 +81,31 @@ object Similarity {
   def qSimilarAnn(spark: SparkSession, dir: String): DataFrame =
     annTopK(Tables.embeddings(spark, dir), k = 3)
       .orderBy(col("query_id"), col("rk"))
+
+  /** Embedding-cosine near-duplicate pairs: same sign-bucket equi-join
+    * (never all-pairs), cosine above a high threshold. The bucket join
+    * is the blocking step — identical/near-identical vectors share all
+    * leading signs, so recall at high thresholds is near-total while the
+    * candidate set shrinks ~2^planes-fold. */
+  def embedNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      signBucket(col("embedding")).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosineSim(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Query entry runs at 0.4: the synthetic embeddings carry no true
+    * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), so a production
+    * threshold (≥0.9) would verify only the empty set; 0.4 exercises the
+    * full bucket-join + cosine + filter path with real output. */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    embedNearDup(Tables.embeddings(spark, dir), 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
 }
