@@ -52,6 +52,7 @@ object SparkEntry {
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
+    "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
   )
 
@@ -498,6 +499,26 @@ object SparkEntry {
          CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER)) AS BIGINT) AS sum_k,
          CAST(count(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER)) AS BIGINT) AS n_with_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_user_sessions" ->
+      """WITH x AS (
+           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         y AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM y)
+         SELECT user_id, session_seq,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+           count(*) AS n_events
+         FROM z GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "q_media_meta" ->
       s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
          SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,

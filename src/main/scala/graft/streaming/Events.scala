@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import graft.functions._
 import graft.tables.Tables
@@ -50,6 +52,76 @@ object Events {
       .agg(sum(col("k")).cast("long").as("sum_k"),
         count(col("k")).as("n_with_k"))
       .orderBy(col("event_type"))
+
+  // --- sessionization: gap-based user sessions, batch + stateful stream ---
+
+  val SessionGapMinutes = 30
+  private val gapMicros = SessionGapMinutes * 60L * 1000000L
+
+  /** Batch sessionization: a new session opens after a >30-minute gap.
+    * Classic lag + running-sum-of-boundaries windows — one shuffle on
+    * user_id, both windows share it. Session bounds are epoch
+    * microseconds (exact; no timestamp-rendering parity risk). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col("ts")) - unix_micros(prev) > gapMicros, 1).otherwise(0)
+    Tables.normalizeEvents(events)
+      .withColumn("session_seq", sum(isNew).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        unix_micros(min(col("ts"))).as("session_start_us"),
+        unix_micros(max(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def qUserSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  case class UserSession(user_id: Long, session_seq: Long,
+                         session_start_us: Long, session_end_us: Long,
+                         n_events: Long)
+  case class SessionState(seq: Long, startUs: Long, lastUs: Long, n: Long)
+
+  /** Stateful streaming twin: per-user open session kept in
+    * `GroupState`; a batch's events close every session followed by an
+    * in-batch gap and leave the last one open. Within one micro-batch
+    * this emits exactly the batch twin's CLOSED sessions (the streaming
+    * spec asserts that); production would add a watermark +
+    * `EventTimeTimeout` to flush the open session when event time
+    * passes the gap. */
+  def sessionizeGroup(userId: Long, batch: Iterator[(Long, Long)],
+                      state: GroupState[SessionState]): Iterator[UserSession] = {
+    val ts = batch.map(_._2).toArray.sorted
+    var st = state.getOption.getOrElse(SessionState(0L, -1L, Long.MinValue, 0L))
+    val closed = Seq.newBuilder[UserSession]
+    ts.foreach { t =>
+      if (st.startUs < 0) st = SessionState(st.seq + 1, t, t, 1)
+      else if (t - st.lastUs > gapMicros) {
+        closed += UserSession(userId, st.seq, st.startUs, st.lastUs, st.n)
+        st = SessionState(st.seq + 1, t, t, 1)
+      } else st = st.copy(lastUs = t, n = st.n + 1)
+    }
+    state.update(st)
+    closed.result().iterator
+  }
+
+  /** flatMapGroupsWithState over the event file stream. */
+  def streamingSessions(spark: SparkSession, dir: String): Dataset[UserSession] = {
+    import spark.implicits._
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEvents(stream)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sessionizeGroup)
+  }
 
   /** The streaming twin: same transform over a file stream with a
     * watermark (exercised by the streaming spec; not an oracle query —

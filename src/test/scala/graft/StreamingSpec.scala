@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("EventTimeWatermark"))
   }
 
+  test("stateful sessionization: streamed closed sessions == batch closed sessions") {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft-ckpt-sess").toString
+    val q = Events.streamingSessions(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_sessions")
+      .orderBy("user_id", "session_seq").collect().toSeq
+    // in a single micro-batch the stream emits every session except each
+    // user's final (still-open) one
+    val batch = Events.qUserSessions(spark, sfSmoke)
+    val lastSeq = batch.groupBy($"user_id".as("u"))
+      .agg(max($"session_seq").as("last_seq"))
+    val closedBatch = batch
+      .join(lastSeq, $"user_id" === $"u" && $"session_seq" === $"last_seq", "left_anti")
+      .orderBy("user_id", "session_seq").collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === closedBatch)
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
