@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-shaping utilities for cluster scale: key salting for skew and
+  * bucketed layouts for shuffle-free co-located joins. Local runs are
+  * the correctness harness; the payoff is at 100 TB where one hot key
+  * or one avoidable fact-fact shuffle dominates a job.
+  */
+object ScaleJoins {
+
+  /** Skew-safe equi-join: the left (large, possibly skewed) side gets a
+    * deterministic salt in [0, numSalts); the right side is replicated
+    * once per salt value, so a hot key's rows spread over `numSalts`
+    * tasks instead of one straggler.
+    *
+    * `saltSrc` must be a left-side column that varies within a key
+    * (e.g. the fact table's line number) — hashing it spreads rows
+    * without RNG, keeping runs reproducible. AQE's skew-join handles
+    * moderate skew on its own; explicit salting is for the pathological
+    * keys AQE can't split (e.g. a single key bigger than an executor).
+    *
+    * Cost model: right side is replicated numSalts×, so this fits
+    * small-to-medium build sides; for skewed fact-fact joins, salt only
+    * the hot keys (split-union) instead.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 numSalts: Int, saltSrc: Column): DataFrame = {
+    require(numSalts > 0)
+    val salted = left.withColumn("_salt", pmod(hash(saltSrc), lit(numSalts)))
+    val replicated = right.withColumn("_salt",
+      explode(array((0 until numSalts).map(lit): _*)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Bucketed layout write: pre-shuffles once at write time so every
+    * future equi-join/aggregation on `key` between identically-bucketed tables
+    * runs shuffle-free (bucket-local sort-merge). The write is the one
+    * shuffle you pay; repeated joins amortize it. */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+                    key: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, key).sortBy(key)
+      .option("path", path)
+      .saveAsTable(table)
+}

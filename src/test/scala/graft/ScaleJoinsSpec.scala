@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.ScaleJoins
+
+/** Scale-join utilities: salting preserves join semantics; bucketing
+  * actually removes the shuffle (asserted on the physical plan, not
+  * just claimed in a comment). */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join's rows") {
+    // one pathologically hot key (90% of rows) + normal keys
+    val left = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i)))
+      .toDF("k", "payload")
+    val right = (1 to 50).map(i => (i.toLong, s"dim$i")).toDF("k", "attr")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "payload", "attr").collect().sortBy(_.toString)
+    val salted = ScaleJoins.saltedJoin(left, right, "k", 8, col("payload"))
+      .select("k", "payload", "attr").collect().sortBy(_.toString)
+    assert(salted === plain)
+    assert(salted.length === 949) // 900 hot-key rows + keys 2..50 from the tail
+  }
+
+  test("salt values spread a hot key across the full salt range") {
+    val left = (1 to 1000).map(i => (1L, i)).toDF("k", "payload")
+    val spread = left.select(pmod(hash(col("payload")), lit(8)).as("s"))
+      .distinct().count()
+    assert(spread === 8)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val base = Files.createTempDirectory("graft-bucket").toString
+    val orders = spark.read.parquet(s"$sfSmoke/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    val lineitem = spark.read.parquet(s"$sfSmoke/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    ScaleJoins.writeBucketed(orders, s"$base/orders_b", "orders_b", "o_orderkey", 4)
+    ScaleJoins.writeBucketed(lineitem, s"$base/lineitem_b", "lineitem_b", "l_orderkey", 4)
+    // force a non-broadcast join so the shuffle question is real
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      val plan = joined.queryExecution.executedPlan
+      val inner = plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = inner.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"expected bucket-local join, found shuffles:\n${inner.treeString}")
+      // and it still computes the right thing
+      assert(joined.count() ===
+        orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
