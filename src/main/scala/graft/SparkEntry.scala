@@ -54,6 +54,7 @@ object SparkEntry {
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
+    "q_media_frames"       -> (Multimodal.qMediaFrames _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -526,5 +527,15 @@ object SparkEntry {
            CAST(octet_length(blob) * 7 % 480 + 1 AS INTEGER) AS height,
            3 AS channels
          FROM b ORDER BY doc_id""",
+    "q_media_frames" ->
+      s"""WITH b AS (SELECT doc_id, octet_length(from_base64(payload_b64)) AS n
+                     FROM ${fx("doc_payloads")}),
+         f AS (SELECT doc_id, n,
+                 unnest(range(0, CAST(ceil(n / 1024.0) AS BIGINT))) AS frame_idx
+               FROM b)
+         SELECT doc_id, frame_idx,
+           CAST(least(1024, n - frame_idx * 1024) AS BIGINT) AS frame_len
+         FROM f WHERE frame_idx % 3 = 0
+         ORDER BY doc_id, frame_idx""",
   )
 }

@@ -54,4 +54,40 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     extractMeta(blobs).toDF().orderBy(col("doc_id"))
   }
+
+  case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long)
+
+  val FrameChunkBytes = 1024
+  val FrameEvery = 3
+
+  /** Frame sampling: split each blob into fixed-size chunks and keep
+    * every k-th — the video-frame-sampling batch shape (one input row →
+    * many frame rows, emitted from the partition iterator, so a real
+    * decoder would stream frames without materializing the whole medium
+    * per row). The chunking is real byte-slicing; only the notion that
+    * a chunk IS a frame is the stub. */
+  def frameSample(media: Dataset[(Long, Array[Byte])],
+                  chunk: Int = FrameChunkBytes,
+                  every: Int = FrameEvery): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val nChunks = (bytes.length + chunk - 1) / chunk
+        (0 until nChunks).iterator
+          .filter(_ % every == 0)
+          .map { i =>
+            val len = math.min(chunk, bytes.length - i * chunk)
+            Frame(id, i.toLong, len.toLong)
+          }
+      }
+    }
+  }
+
+  def qMediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.docPayloads(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    frameSample(blobs).toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

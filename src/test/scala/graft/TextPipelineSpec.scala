@@ -103,4 +103,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(metas(0) === Multimodal.MediaMeta(1L, 3, 4, 22, 3))
     assert(metas(1) === Multimodal.MediaMeta(2L, 700, 61, 101, 3))
   }
+
+  test("frame sampling keeps every k-th chunk with a short final frame") {
+    val blobs = Seq((7L, new Array[Byte](4200))).toDS() // 5 chunks of 1024 (last 104)
+    val frames = Multimodal.frameSample(blobs, chunk = 1024, every = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.frame_len)).toSeq ===
+      Seq((0L, 1024L), (3L, 1024L)))
+    val tail = Multimodal.frameSample(Seq((8L, new Array[Byte](3100))).toDS(),
+      chunk = 1024, every = 3).collect()
+    assert(tail.map(f => (f.frame_idx, f.frame_len)).toSeq === Seq((0L, 1024L), (3L, 28L)))
+  }
 }
