@@ -87,6 +87,18 @@ class PipelineSpec extends SparkSpec {
     assert(terms === Array("term=education", "term=water"))
   }
 
+  test("pipeline A end-to-end CSV matches the committed golden file") {
+    val dir = Files.createTempDirectory("graft-golden").toString
+    val path = BillSearch.writeCsv(
+      BillSearch.qBillSearch(spark, sfSmoke), dir, "rid", "bill_search")
+    val produced = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val got = scala.io.Source.fromFile(produced).getLines().toSeq
+    val golden = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden/bill_search.csv")).getLines().toSeq
+    assert(got === golden)
+  }
+
   test("binaryFile corpus equals the parquet landing copy") {
     val fromBinary = FullText.corpusFromBinary(spark)
       .orderBy("file").as[(String, String)].collect()

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape guards for the scale properties the engine claims:
+  * pushdown reaches the scan, no forced broadcasts of
+  * scale-proportional tables, top-k compiles to bounded operators.
+  * These are the regressions a refactor would silently reintroduce. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  private def planString(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q1: ship-date filter and column pruning reach the parquet scan") {
+    val s = planString("q1_pricing_summary")
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    // pruned scan: the 16-column lineitem schema shrinks to the 7 used
+    assert(s.contains("FileScan parquet [l_quantity#"))
+    assert(!s.contains("l_orderkey"), "scan reads columns the query never uses")
+  }
+
+  test("q3/q5: no forced broadcast hints on scale-proportional tables") {
+    Seq("q3_shipping_priority", "q5_region_volume").foreach { q =>
+      val analyzed = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.analyzed
+      val hinted = analyzed.collect {
+        case h: ResolvedHint => h.child.toString()
+      }
+      // only the bounded nation-region dimension may carry a hint
+      hinted.foreach { h =>
+        assert(!h.contains("customer.parquet") && !h.contains("supplier.parquet")
+          && !h.contains("orders.parquet") && !h.contains("lineitem.parquet"),
+          s"$q forces a broadcast of a scale-proportional table:\n$h")
+      }
+    }
+  }
+
+  test("q3: sort+limit compiles to TakeOrderedAndProject, not a global sort") {
+    assert(planString("q3_shipping_priority").contains("TakeOrderedAndProject"))
+  }
+
+  test("ranked top-k queries use WindowGroupLimit (rank pushdown)") {
+    Seq("q_top_orders_per_cust", "q_similar_topk").foreach { q =>
+      assert(planString(q).contains("WindowGroupLimit"), s"$q lost rank pushdown")
+    }
+  }
+
+  test("bill search stays narrow: no exchange before the final sort") {
+    val s = planString("q_bill_search")
+    val exchanges = "Exchange".r.findAllIn(s).length
+    // exactly the one range-partitioning exchange for the deterministic sort
+    assert(exchanges <= 2, s"unexpected shuffles in a scan->filter->project chain:\n$s")
+  }
+
+  test("minhash verify joins reuse the hashed-shingle exchange at runtime") {
+    val df = SparkEntry.queries("q_dedup_minhash")(spark, sf("sf0.001"))
+    df.collect() // materialize THIS queryExecution so AQE finalizes it
+    val s = df.queryExecution.executedPlan.toString()
+    assert(s.contains("ReusedExchange"),
+      s"expected the repartition(doc_id) exchange to be reused across consumers:\n$s")
+  }
+}
