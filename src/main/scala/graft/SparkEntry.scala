@@ -27,6 +27,7 @@ object SparkEntry {
     "q_anti_join"          -> (Relational.antiJoinCustomers _),
     "q_union_branches"     -> (Relational.unionBranches _),
     "q_pivot_status_year"  -> (Relational.pivotStatusYear _),
+    "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     // LegiScan reference pipelines (SURVEY §3) over the committed fixtures
     "q_bill_search"        -> (BillSearch.qBillSearch _),
     "q_legislator_counts"  -> (LegislatorCounts.qLegislatorCounts _),
@@ -254,6 +255,24 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
+    "q14_promo_revenue" ->
+      """WITH j AS (
+           SELECT p_type,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+               (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+             AND l_shipdate < TIMESTAMP '1997-07-01'),
+         s AS (
+           SELECT
+             CAST(round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS promo_revenue,
+             CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+           FROM j)
+         SELECT promo_revenue, total_revenue,
+           CASE WHEN total_revenue = 0.0 THEN 0.0
+                ELSE promo_revenue * 100.0 / total_revenue END AS promo_pct
+         FROM s""",
     "q_bill_search" ->
       s"""SELECT bill_number, session.session_name AS session, status,
          regexp_replace(texts[1].state_link, '#.+$$', '') AS link,

@@ -166,6 +166,33 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** TPC-H Q14-style promo revenue share: lineitem ⋈ part with a
+    * one-month date window, ratio of promo-part revenue to total.
+    * `part` is scale-proportional — no broadcast hint; the pushed
+    * shipdate filter shrinks lineitem before the join. The 100·x/y
+    * ratio divides two decimal-exact sums as doubles (identical IEEE op
+    * both engines), guarded for the empty-window case.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-07-01").cast("timestamp"))
+      .select($"l_partkey", $"l_extendedprice", $"l_discount")
+    val part = Tables.part(spark, dir).select($"p_partkey", $"p_type")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .agg(
+        moneySum(when($"p_type".startsWith("PROMO"),
+            discPrice($"l_extendedprice", $"l_discount"))
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("promo_revenue"),
+        moneySum(discPrice($"l_extendedprice", $"l_discount")).as("total_revenue"))
+      .select(
+        $"promo_revenue", $"total_revenue",
+        when($"total_revenue" === 0.0, 0.0)
+          .otherwise($"promo_revenue" * 100.0 / $"total_revenue")
+          .as("promo_pct"))
+  }
+
   /** Grouped pivot (SURVEY §2.5 A1): order counts per status × year, as
     * explicit conditional aggregates so the output schema is static (a
     * dynamic `.pivot()` would need a values scan first; at 100 TB the

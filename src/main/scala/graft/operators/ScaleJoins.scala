@@ -34,6 +34,13 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Hive-style partitioned landing write — the reference's
+    * directory-per-session layout (SURVEY §1.1) kept as REAL partition
+    * columns, so session-scoped queries prune at the file index and
+    * never list, let alone read, other sessions' data. */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
   /** Bucketed layout write: pre-shuffles once at write time so every
     * future equi-join/aggregation on `key` between identically-bucketed tables
     * runs shuffle-free (bucket-local sort-merge). The write is the one

@@ -123,6 +123,49 @@ object Events {
         sessionizeGroup)
   }
 
+  /** Production-shaped variant: event-time timeout flushes a user's open
+    * session once the WATERMARK passes its gap deadline — late data
+    * within the watermark still extends the session; state is bounded.
+    * (The NoTimeout variant above never emits each user's final
+    * session.) */
+  def sessionizeGroupTimeout(userId: Long,
+                             batch: Iterator[(Long, java.sql.Timestamp)],
+                             state: GroupState[SessionState]): Iterator[UserSession] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(UserSession(userId, st.seq, st.startUs, st.lastUs, st.n))
+    } else {
+      val micros = batch.map { case (u, t) =>
+        (u, t.getTime * 1000L + t.getNanos / 1000 % 1000)
+      }
+      val out = sessionizeGroup(userId, micros, state)
+      // deadline in epoch-millis: gap after the open session's last event
+      state.setTimeoutTimestamp(state.get.lastUs / 1000 + SessionGapMinutes * 60L * 1000)
+      out
+    }
+  }
+
+  /** Watermarked stream of (user_id, ts) from a directory of event
+    * parquet files (each file = one micro-batch when the caller sets
+    * maxFilesPerTrigger=1). The watermarked `ts` column itself flows
+    * into the stateful operator — Spark requires the event-time column
+    * to survive to the [flatMap]GroupsWithState input for event-time
+    * timeouts. */
+  def streamingSessionsEventTime(spark: SparkSession, watchDir: String,
+                                 schema: StructType): Dataset[UserSession] = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watchDir)
+    Tables.normalizeEvents(stream)
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        sessionizeGroupTimeout)
+  }
+
   /** The streaming twin: same transform over a file stream with a
     * watermark (exercised by the streaming spec; not an oracle query —
     * the oracle sees the batch twin above). */

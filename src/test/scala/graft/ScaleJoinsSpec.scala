@@ -33,6 +33,22 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(spread === 8)
   }
 
+  test("session-partitioned landing prunes partitions at the scan") {
+    val base = Files.createTempDirectory("graft-part").toString + "/bills"
+    val bills = spark.read.parquet("/root/repo/fixtures/legiscan/bills.parquet")
+      .withColumn("sess", concat(col("session.year_start").cast("string"),
+        lit("-"), col("session.year_end").cast("string")))
+    ScaleJoins.writePartitioned(bills, base, "sess")
+    val dirs = new java.io.File(base).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs === Array("sess=2017-2018", "sess=2019-2020", "sess=2021-2022"))
+    val pruned = spark.read.parquet(base).filter(col("sess") === "2019-2020")
+    val s = pruned.queryExecution.executedPlan.toString()
+    assert(s.contains("PartitionFilters: [isnotnull(sess"),
+      s"partition filter did not reach the scan:\n$s")
+    assert(pruned.count() ===
+      bills.filter(col("sess") === "2019-2020").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val base = Files.createTempDirectory("graft-bucket").toString
     val orders = spark.read.parquet(s"$sfSmoke/orders.parquet")

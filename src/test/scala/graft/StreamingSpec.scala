@@ -59,6 +59,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === closedBatch)
   }
 
+  test("event-time timeout flushes open sessions as the watermark advances") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val watch = Files.createTempDirectory("graft-ev-files")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-ev-tmp").toString
+      rows.toDF("user_id", "ts").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, watch.resolve(name))
+    }
+    // batch1: user1 + user2 open sessions; batch2: user2 returns after a
+    // 5h gap (closes their s1 in-batch), user1 goes silent; batch3: a
+    // third user's late traffic advances the watermark past user1's
+    // 30-min deadline -> user1's open session flushes BY TIMEOUT.
+    writeBatch("b1.parquet", Seq((1L, ts(0)), (1L, ts(5)), (2L, ts(0)), (2L, ts(10))))
+    writeBatch("b2.parquet", Seq((2L, ts(300))))
+    writeBatch("b3.parquet", Seq((3L, ts(600))))
+    val schema = spark.read.parquet(watch.toString).schema
+
+    val checkpoint = Files.createTempDirectory("graft-ckpt-et").toString
+    val q = Events.streamingSessionsEventTime(spark, watch.toString, schema)
+      .writeStream.format("memory").queryName("ev_sessions_et")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_sessions_et")
+      .as[Events.UserSession].collect().toSet
+    def us(min: Long) = ts(min).getTime * 1000L
+    assert(streamed === Set(
+      // closed in-batch when user2 reappeared after the gap
+      Events.UserSession(2L, 1L, us(0), us(10), 2L),
+      // flushed by EventTimeTimeout (user1 never returned; watermark
+      // passed their deadline) — the path the NoTimeout variant lacks
+      Events.UserSession(1L, 1L, us(0), us(5), 2L),
+      // user2's second session also times out once batch3's traffic
+      // advances the watermark past its deadline
+      Events.UserSession(2L, 2L, us(300), us(300), 1L)))
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
