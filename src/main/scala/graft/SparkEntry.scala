@@ -51,6 +51,7 @@ object SparkEntry {
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
+    "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
@@ -509,6 +510,25 @@ object SparkEntry {
            FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
          ORDER BY vec_a, vec_b""",
+    "q_similar_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                     WHERE vec_id % ${Similarity.IvfCentroidEvery} = 0),
+         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${cosineSql("e.embedding", "c.cv")} AS dist
+               FROM embeddings e CROSS JOIN c),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist DESC, centroid_id) AS rk FROM d)
+               WHERE rk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM a
+               WHERE vec_id % 100 = 0),
+         s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
+               FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+               FROM s)
+         SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
+         ORDER BY query_id, rk""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n_events,

@@ -82,6 +82,48 @@ object Similarity {
     annTopK(Tables.embeddings(spark, dir), k = 3)
       .orderBy(col("query_id"), col("rk"))
 
+  /** IVF (inverted-file) coarse quantizer: a fixed, deterministic set of
+    * centroid vectors (every `N/K`-th row — a production system would
+    * k-means these; the partition/probe mechanics are identical), each
+    * vector assigned to its nearest centroid by cosine, queries probing
+    * only their own cell. Complements the sign-LSH path: LSH buckets by
+    * random-ish hyperplanes, IVF by data-located centroids. nprobe=1
+    * here; more probes = join on an array of nearest cells. */
+  val IvfCentroidEvery = 137
+
+  def ivfCells(emb: DataFrame): DataFrame = {
+    val centroids = emb.filter(col("vec_id") % IvfCentroidEvery === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").desc, col("centroid_id"))
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosineSim(col("embedding"), col("c")).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
+    val cells = ivfCells(emb)
+    val queries = cells.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cells.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
+  def qSimilarIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir), k = 3)
+      .orderBy(col("query_id"), col("rk"))
+
   /** Embedding-cosine near-duplicate pairs: same sign-bucket equi-join
     * (never all-pairs), cosine above a high threshold. The bucket join
     * is the blocking step — identical/near-identical vectors share all

@@ -96,6 +96,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSet === Set(1L))
   }
 
+  test("ivf assigns vectors to the nearest centroid and probes one cell") {
+    // centroid 0 ~ x-axis, centroid 137 ~ y-axis (ids chosen to be centroids)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (137L, Array(0f, 1f, 0f), 0),
+      (5L, Array(0.9f, 0.1f, 0f), 0),   // x-cell
+      (6L, Array(0.1f, 0.9f, 0f), 0),   // y-cell
+      (100L, Array(0.8f, 0.2f, 0f), 0)) // query, x-cell
+      .toDF("vec_id", "embedding", "label")
+    val cells = Similarity.ivfCells(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells(5L) === 0L && cells(6L) === 137L && cells(100L) === 0L)
+    val top = Similarity.ivfTopK(emb, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(top(100L) === Set(0L, 5L)) // x-cell only; y-cell never probed
+    assert(top.values.flatten.toSet.intersect(Set(137L, 6L)).isEmpty)
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
