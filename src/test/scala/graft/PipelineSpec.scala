@@ -87,16 +87,26 @@ class PipelineSpec extends SparkSpec {
     assert(terms === Array("term=education", "term=water"))
   }
 
-  test("pipeline A end-to-end CSV matches the committed golden file") {
+  private def assertGolden(queryName: String, goldenFile: String): Unit = {
     val dir = Files.createTempDirectory("graft-golden").toString
     val path = BillSearch.writeCsv(
-      BillSearch.qBillSearch(spark, sfSmoke), dir, "rid", "bill_search")
+      SparkEntry.queries(queryName)(spark, sfSmoke), dir, "rid", queryName)
     val produced = new java.io.File(path).listFiles()
       .filter(_.getName.endsWith(".csv")).head
     val got = scala.io.Source.fromFile(produced).getLines().toSeq
     val golden = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/golden/bill_search.csv")).getLines().toSeq
+      getClass.getResourceAsStream(s"/golden/$goldenFile")).getLines().toSeq
     assert(got === golden)
+  }
+
+  test("pipeline A end-to-end CSV matches the committed golden file") {
+    assertGolden("q_bill_search", "bill_search.csv")
+  }
+  test("pipeline B end-to-end CSV matches the committed golden file") {
+    assertGolden("q_legislator_counts", "q_legislator_counts.csv")
+  }
+  test("pipeline C end-to-end CSV matches the committed golden file") {
+    assertGolden("q_fulltext_search", "q_fulltext_search.csv")
   }
 
   test("binaryFile corpus equals the parquet landing copy") {
