@@ -31,6 +31,7 @@ object SparkEntry {
     // LegiScan reference pipelines (SURVEY §3) over the committed fixtures
     "q_bill_search"        -> (BillSearch.qBillSearch _),
     "q_legislator_counts"  -> (LegislatorCounts.qLegislatorCounts _),
+    "q_latest_people"      -> (LegislatorCounts.qLatestPeople _),
     "q_dodd_side_branch"   -> (LegislatorCounts.qDoddSideBranch _),
     "q_fulltext_search"    -> (FullText.qFullTextSearch _),
     "q_budget_bills"       -> (FullText.qBudgetBills _),
@@ -318,6 +319,11 @@ object SparkEntry {
          FROM latest LEFT JOIN counts USING (people_id)
          WHERE committee_id = 0
          ORDER BY name, district, chamber, total""",
+    "q_latest_people" ->
+      s"""SELECT people_id, name, role, district, committee_id, session FROM (
+           SELECT *, row_number() OVER (PARTITION BY people_id ORDER BY session DESC) AS rk
+           FROM ${fx("people")})
+         WHERE rk = 1 ORDER BY people_id""",
     "q_dodd_side_branch" ->
       s"""WITH credits AS (
            SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS session,

@@ -86,6 +86,14 @@ object LegislatorCounts {
         Seq("total", "years_in_data", "bills_per_year")).map(col): _*)
   }
 
+  /** Dedicated O2 entry: the deduped one-row-per-person frame itself
+    * (most-recent session wins — `legislator_bill_counts_run.R:65-67`). */
+  def qLatestPeople(spark: SparkSession, dir: String): DataFrame =
+    latestPeople(Fixtures.people(spark))
+      .select(col("people_id"), col("name"), col("role"), col("district"),
+        col("committee_id"), col("session"))
+      .orderBy(col("people_id"))
+
   /** Driver-contract query (all_bills = false, the reference default). */
   def qLegislatorCounts(spark: SparkSession, dir: String): DataFrame =
     counts(Fixtures.people(spark), Fixtures.bills(spark), allBills = false)
