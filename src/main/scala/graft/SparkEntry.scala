@@ -62,8 +62,9 @@ object SparkEntry {
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
     * only creates views for the testdata tables; fixture tables are read
-    * by absolute parquet path, same bytes both engines). */
-  private val FX = "/root/repo/fixtures/legiscan"
+    * by absolute parquet path, same bytes both engines). Derived from
+    * Fixtures.root so a GRAFT_FIXTURES override moves both engines. */
+  private val FX = graft.sources.Fixtures.root
   private def fx(name: String): String = s"read_parquet('$FX/$name.parquet/*.parquet')"
 
   // --- generated DuckDB expression builders mirroring graft.functions ---

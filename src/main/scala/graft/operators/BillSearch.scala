@@ -33,7 +33,10 @@ object BillSearch {
       col("bill_number"),
       col("session.session_name").as("session"),
       col("status"),
-      element_at(col("texts.state_link"), 1).as("link"),
+      // try_element_at: a bill with no text versions yet (real in landed
+      // LegiScan data) yields a null link; plain element_at would abort
+      // the whole query under ANSI mode
+      try_element_at(col("texts.state_link"), lit(1)).as("link"),
       col("title"),
       col("description"))
     val anyTerm = terms

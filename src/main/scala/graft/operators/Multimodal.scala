@@ -32,7 +32,9 @@ object Multimodal {
     * testable end-to-end). */
   def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val n = bytes.length
-    MediaMeta(docId, n, n % 640 + 1, n * 7 % 480 + 1, 3)
+    // n*7 in Long: an Int multiply overflows (negative height) for
+    // blobs over ~306 MB, diverging from the oracle's BIGINT arithmetic
+    MediaMeta(docId, n, n % 640 + 1, (n.toLong * 7 % 480 + 1).toInt, 3)
   }
 
   /** Batch feature extraction over (id, blob) rows. The partition

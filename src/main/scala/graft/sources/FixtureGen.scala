@@ -91,6 +91,11 @@ object FixtureGen {
 
   case class GenBill(doc: BillDoc, sessDir: String)
 
+  /** Cached corpus — each generator seeds its own Rng, so per-call
+    * output is identical and caching is purely a cost saving (genSbud
+    * alone would otherwise rebuild all bills once per year). */
+  lazy val allBills: Seq[GenBill] = genBills()
+
   def genBills(): Seq[GenBill] = {
     val rng = new Rng(42)
     sessions.zipWithIndex.flatMap { case ((dir, sid, sname, y0, y1), si) =>
@@ -160,7 +165,7 @@ object FixtureGen {
   def genSbud(): Seq[(Int, String)] = {
     val rng = new Rng(4242)
     (2017 to 2022).map { year =>
-      val bills = genBills().filter { gb =>
+      val bills = allBills.filter { gb =>
         gb.doc.bill.status_date.toString.startsWith(year.toString) &&
           gb.doc.bill.texts.exists(_.`type` == "Chaptered") && rng.chance(70)
       }.take(12)
@@ -183,7 +188,7 @@ object FixtureGen {
   /** Chaptered-bill HTML corpus (S7/F11 input). */
   def genHtml(): Seq[(String, String)] = {
     val rng = new Rng(777)
-    genBills().filter(_.doc.bill.texts.exists(_.`type` == "Chaptered"))
+    allBills.filter(_.doc.bill.texts.exists(_.`type` == "Chaptered"))
       .map { gb =>
         val b = gb.doc.bill
         val year = b.status_date.toString.take(4)
@@ -239,7 +244,7 @@ object FixtureGen {
   def main(args: Array[String]): Unit = {
     val root = Paths.get(Fixtures.root)
     // 1. raw JSON tree
-    genBills().foreach { gb =>
+    allBills.foreach { gb =>
       write(root.resolve(s"raw/${gb.sessDir}/bill/${gb.doc.bill.bill_number}.json"),
         billJson(gb.doc) + "\n")
     }
@@ -277,7 +282,7 @@ object FixtureGen {
     }
     land(payloads.toDF("doc_id", "payload_b64", "file"), "doc_payloads")
     spark.stop()
-    println(s"[fixturegen] wrote ${genBills().size} bills, " +
+    println(s"[fixturegen] wrote ${allBills.size} bills, " +
       s"${genPeople().size} people, ${genHtml().size} html docs under $root")
   }
 }

@@ -103,7 +103,12 @@ object Events {
       else if (t - st.lastUs > gapMicros) {
         closed += UserSession(userId, st.seq, st.startUs, st.lastUs, st.n)
         st = SessionState(st.seq + 1, t, t, 1)
-      } else st = st.copy(lastUs = t, n = st.n + 1)
+      } else {
+        // a cross-batch late event (allowed inside the watermark) may
+        // precede the open session's bounds — extend, never regress
+        st = st.copy(startUs = math.min(st.startUs, t),
+          lastUs = math.max(st.lastUs, t), n = st.n + 1)
+      }
     }
     state.update(st)
     closed.result().iterator
@@ -133,8 +138,12 @@ object Events {
                              state: GroupState[SessionState]): Iterator[UserSession] = {
     if (state.hasTimedOut) {
       val st = state.get
-      state.remove()
-      Iterator.single(UserSession(userId, st.seq, st.startUs, st.lastUs, st.n))
+      // keep the session counter (an idle marker, startUs < 0): a
+      // returning user must continue seq numbering, not restart at 1.
+      state.update(SessionState(st.seq, -1L, Long.MinValue, 0L))
+      // a stale timeout on an already-idle state has nothing to emit
+      if (st.startUs < 0) Iterator.empty
+      else Iterator.single(UserSession(userId, st.seq, st.startUs, st.lastUs, st.n))
     } else {
       val micros = batch.map { case (u, t) =>
         (u, t.getTime * 1000L + t.getNanos / 1000 % 1000)

@@ -102,6 +102,44 @@ class StreamingSpec extends SparkSpec {
       Events.UserSession(2L, 2L, us(300), us(300), 1L)))
   }
 
+  test("late in-watermark event never regresses an open session's bounds") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val us = (min: Long) => min * 60L * 1000000L
+    val state = TestGroupState.create[Events.SessionState](
+      org.apache.spark.api.java.Optional.of(Events.SessionState(1L, us(0), us(5), 2L)),
+      GroupStateTimeout.NoTimeout(), 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 2 carries a LATE event (min 2) plus one at min 33: gap must
+    // be measured from min 5, keeping the session open (28 < 30)
+    val closed = Events.sessionizeGroup(1L,
+      Iterator((1L, us(2)), (1L, us(33))), state).toSeq
+    assert(closed.isEmpty)
+    assert(state.get === Events.SessionState(1L, us(0), us(33), 4L))
+  }
+
+  test("timeout flush preserves the session counter for returning users") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val us = (min: Long) => min * 60L * 1000000L
+    val state = TestGroupState.create[Events.SessionState](
+      org.apache.spark.api.java.Optional.of(Events.SessionState(3L, us(0), us(5), 2L)),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(us(500) / 1000),
+      hasTimedOut = true)
+    val flushed = Events.sessionizeGroupTimeout(1L, Iterator.empty, state).toSeq
+    assert(flushed === Seq(Events.UserSession(1L, 3L, us(0), us(5), 2L)))
+    // the idle state keeps seq=3, so the user's next session numbers 4
+    // (fresh TestGroupState: hasTimedOut is fixed at construction)
+    val state2 = TestGroupState.create[Events.SessionState](
+      org.apache.spark.api.java.Optional.of(state.get),
+      GroupStateTimeout.EventTimeTimeout(), 0L,
+      org.apache.spark.api.java.Optional.of(us(500) / 1000),
+      hasTimedOut = false)
+    val later = new java.sql.Timestamp(us(1000) / 1000)
+    val next = Events.sessionizeGroupTimeout(1L, Iterator((1L, later)), state2).toSeq
+    assert(next.isEmpty && state2.get.seq === 4L)
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")

@@ -42,24 +42,25 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        def run(sql_text):
+            # one execution: rows AND arrow types both come from the
+            # same fetched table (fetchall after fetch_arrow_table would
+            # need a second, full re-execution of the query)
+            cur = con.execute(sql_text)
+            cols = [d[0] for d in cur.description]
+            tbl = cur.fetch_arrow_table()
+            types = [str(t) for t in tbl.schema.types]
+            rows = list(zip(*[c.to_pylist() for c in tbl.columns])) \
+                if tbl.num_columns else []
+            return cols, types, rows
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols = [d[0] for d in got.description]
-            gtypes = [str(t) for t in got.fetch_arrow_table().schema.types]
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            grows = got.fetchall()
+            gcols, gtypes, grows = run(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
             continue
         try:
-            exp = con.execute(sql)
-            ecols = [d[0] for d in exp.description]
-            etypes = [str(t) for t in exp.fetch_arrow_table().schema.types]
-            exp = con.execute(sql)
-            erows = exp.fetchall()
+            ecols, etypes, erows = run(sql)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
