@@ -14,8 +14,9 @@ import java.nio.file.{Files, Paths}
   * Methodology:
   *  - queries run in deterministic (sorted-name) order, so per-query
   *    numbers are comparable across rounds;
-  *  - one warmup pass (q1) first, so JVM/codegen/first-scan startup cost
-  *    is not attributed to whichever query happens to run first;
+  *  - one warmup pass (the first query in sorted-name order) first, so
+  *    JVM/codegen/first-scan startup cost is not attributed to whichever
+  *    query happens to run first;
   *  - a failing query records `"errors":{name:msg}` and a wall-time of
   *    its failure point — never silently recorded as fast/-1.
   */
@@ -32,6 +33,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Benign glob-path WARN (full stack) otherwise lands in the driver's
+    // captured output tail — see Verify for the rationale.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Warmup, not timed: JVM/codegen via the first timed query, plus a
     // column-materializing pass over every input table so no timed query

@@ -289,12 +289,17 @@ object SparkEntry {
            SELECT people_id, name, role, district, committee_id FROM (
              SELECT *, row_number() OVER (PARTITION BY people_id ORDER BY session DESC) AS rk
              FROM ${fx("people")}) WHERE rk = 1),
+         known AS (SELECT list(people_id) AS ids FROM latest),
+         -- credit ids resolve against the known-legislator table; fall back
+         -- to the first listed sponsor only when no primary id resolves
+         -- (legislator_bill_counts_run.R:114-122)
          credits AS (
-           SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS sess,
-                  unnest(CASE WHEN len(list_filter(sponsors, s -> s.sponsor_type_id = 1)) > 0
-                         THEN list_transform(list_filter(sponsors, s -> s.sponsor_type_id = 1), s -> s.people_id)
-                         ELSE list_transform(sponsors[1:1], s -> s.people_id) END) AS people_id
-           FROM ${fx("bills")} WHERE bill_type = 'B' AND status = 4),
+           SELECT sess, unnest(
+             CASE WHEN len(list_intersect(list_transform(list_filter(sponsors, s -> s.sponsor_type_id = 1), s -> s.people_id), known.ids)) > 0
+                  THEN list_intersect(list_transform(list_filter(sponsors, s -> s.sponsor_type_id = 1), s -> s.people_id), known.ids)
+                  ELSE list_intersect(list_transform(sponsors[1:1], s -> s.people_id), known.ids) END) AS people_id
+           FROM (SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS sess, sponsors
+                 FROM ${fx("bills")} WHERE bill_type = 'B' AND status = 4) CROSS JOIN known),
          counts AS (
            SELECT people_id,
              CAST(sum(CASE WHEN sess = '2017-2018' THEN 1 ELSE 0 END) AS BIGINT) AS s2017_2018,
@@ -326,13 +331,21 @@ object SparkEntry {
            FROM ${fx("people")})
          WHERE rk = 1 ORDER BY people_id""",
     "q_dodd_side_branch" ->
-      s"""WITH credits AS (
-           SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS session,
-                  bill_number, status_date, title, description,
-                  CASE WHEN len(list_filter(sponsors, s -> s.sponsor_type_id = 1)) > 0
-                       THEN list_transform(list_filter(sponsors, s -> s.sponsor_type_id = 1), s -> s.people_id)
-                       ELSE list_transform(sponsors[1:1], s -> s.people_id) END AS ids
-           FROM ${fx("bills")} WHERE bill_type = 'B' AND status = 4)
+      s"""WITH latest AS (
+           SELECT people_id FROM (
+             SELECT people_id, row_number() OVER (PARTITION BY people_id ORDER BY session DESC) AS rk
+             FROM ${fx("people")}) WHERE rk = 1),
+         known AS (SELECT list(people_id) AS ids FROM latest),
+         credits AS (
+           SELECT session, bill_number, status_date, title, description,
+             CASE WHEN len(list_intersect(prim_ids, known.ids)) > 0
+                  THEN list_intersect(prim_ids, known.ids)
+                  ELSE list_intersect(first_ids, known.ids) END AS ids
+           FROM (SELECT CAST(session.year_start AS VARCHAR) || '-' || CAST(session.year_end AS VARCHAR) AS session,
+                   bill_number, status_date, title, description,
+                   list_transform(list_filter(sponsors, s -> s.sponsor_type_id = 1), s -> s.people_id) AS prim_ids,
+                   list_transform(sponsors[1:1], s -> s.people_id) AS first_ids
+                 FROM ${fx("bills")} WHERE bill_type = 'B' AND status = 4) CROSS JOIN known)
          SELECT session, bill_number, status_date, title, description
          FROM credits WHERE list_contains(ids, 9007)
          ORDER BY session, bill_number""",
@@ -356,7 +369,7 @@ object SparkEntry {
                      CAST(CAST(regexp_extract(file, '^(20[0-9]{2})_', 1) AS INTEGER) + 1 AS VARCHAR)
                 ELSE CAST(CAST(regexp_extract(file, '^(20[0-9]{2})_', 1) AS INTEGER) - 1 AS VARCHAR)
                      || '-' || regexp_extract(file, '^(20[0-9]{2})_', 1) END AS fiscal_year,
-           'https://leginfo.legislature.ca.gov/faces/billNavClient.xhtml?bill_id=' ||
+           'https://leginfo.legislature.ca.gov/faces/billTextClient.xhtml?bill_id=' ||
              replace(fiscal_year, '-', '') || '0' || replace(bill, ' ', '') AS link
          FROM matched
          ORDER BY term, file""",

@@ -30,8 +30,12 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
   override def prettyName: String = "minhash_signature"
 
-  private lazy val as: Array[Int] = Array.tabulate(numHashes)(k => 37 * k + 11)
-  private lazy val bs: Array[Int] = Array.tabulate(numHashes)(k => 101 * k + 7)
+  // Same coefficient family as the oracle generator — sourced from the
+  // one shared definition so they cannot desynchronize.
+  private lazy val as: Array[Int] =
+    Array.tabulate(numHashes)(graft.operators.TextDedup.permA)
+  private lazy val bs: Array[Int] =
+    Array.tabulate(numHashes)(graft.operators.TextDedup.permB)
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
@@ -48,7 +52,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val h = hs.getInt(i)
       var k = 0
       while (k < numHashes) {
-        val v = (h * as(k) + bs(k)) % 65521
+        val v = (h * as(k) + bs(k)) % graft.operators.TextDedup.MinhashMod
         if (v < out(k)) out(k) = v
         k += 1
       }

@@ -55,12 +55,13 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int x = $a.getInt($i), y = $b.getInt($j);
-         |  if (x == y) { $c++; $i++; $j++; }
-         |  else if (x < y) $i++;
+         |  int $x = $a.getInt($i), $y = $b.getInt($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) $i++;
          |  else $j++;
          |}
          |${ev.value} = $c;

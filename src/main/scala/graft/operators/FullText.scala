@@ -72,8 +72,9 @@ object FullText {
         regexp_replace(col("file"), "^20[0-9]{2}_([A-Z]+)([0-9]+)\\.html$", "$1 $2"))
       .withColumn("fiscal_year", fiscalYear)
       // F8: leginfo bill id = <years-no-dash> + '0' + <bill-no-space>
+      // (billTextClient.xhtml — the reference's base URL, legiscan_main.R:233)
       .withColumn("link", concat(
-        lit("https://leginfo.legislature.ca.gov/faces/billNavClient.xhtml?bill_id="),
+        lit("https://leginfo.legislature.ca.gov/faces/billTextClient.xhtml?bill_id="),
         regexp_replace(col("fiscal_year"), "-", ""), lit("0"),
         regexp_replace(col("bill"), " ", "")))
       .select(col("term"), col("file"), col("bill"), col("fiscal_year"), col("link"))

@@ -12,11 +12,13 @@ import graft.sources.Fixtures
   *  - keep-latest dedup: people sorted session-desc, first occurrence per
   *    person wins (O2, `:65-67`) — a `row_number` window, NOT
   *    `dropDuplicates` (which has no ordering guarantee);
-  *  - sponsor resolution with fallback (J2, `:114-122`): every PRIMARY
-  *    sponsor (`sponsor_type_id == 1`) of a passed bill gets credit (a
-  *    multi-primary bill counts for each); bills with no primary fall
-  *    back to the FIRST listed sponsor only; bills with no sponsors at
-  *    all are dropped;
+  *  - sponsor resolution with fallback (J2, `:114-122`): every KNOWN
+  *    primary sponsor (`sponsor_type_id == 1`, resolved against the
+  *    deduped legislators table) of a passed bill gets credit (a
+  *    multi-primary bill counts for each matched legislator, once); when
+  *    NO primary id resolves — no primaries at all, or none of them
+  *    known — the bill falls back to its FIRST listed sponsor; bills
+  *    whose fallback is also unknown are dropped;
   *  - session pivot as static conditional aggregates (A1, `:124` — static
   *    schema: no two-pass `.pivot()` value scan at 100 TB);
   *  - Total / YearsInData / BillsPerYear with the R `0/0 → NaN` edge
@@ -43,25 +45,51 @@ object LegislatorCounts {
       .filter(col("rk") === 1).drop("rk")
   }
 
-  /** J2: resolved (sponsor person, session, bill) credit rows. */
-  def sponsorCredits(bills: DataFrame, allBills: Boolean): DataFrame = {
+  /** J2: resolved (sponsor person, session, bill) credit rows.
+    *
+    * The reference's match rule (`legislator_bill_counts_run.R:114-122`)
+    * is `matched <- legislators$id %in% primary_ids`, falling back to
+    * `%in% sponsors$people_id[1]` when `sum(matched) == 0` — i.e. credit
+    * every primary sponsor that RESOLVES against the known-legislator
+    * table; if none resolves (no primaries, or all of them unknown ids),
+    * fall back to the first listed sponsor, and drop the bill if that is
+    * unknown too. `%in%` is a per-legislator boolean, so a duplicated
+    * primary id credits once — `array_intersect` reproduces both the
+    * resolve filter and that dedup.
+    *
+    * Scale: the known-id set is the bounded legislators dimension
+    * (~10² rows/state) collapsed to ONE single-row array and broadcast —
+    * a BroadcastNestedLoopJoin of 1 row, no shuffle, no driver collect.
+    */
+  def sponsorCredits(bills: DataFrame, people: DataFrame,
+                     allBills: Boolean): DataFrame = {
+    val known = broadcast(
+      latestPeople(people).agg(collect_set(col("people_id")).as("known_ids")))
     val sess = concat(
       col("session.year_start").cast("string"), lit("-"),
       col("session.year_end").cast("string")).as("sess")
     val primaries = filter(col("sponsors"), s => s("sponsor_type_id") === 1)
-    val creditIds = when(size(primaries) > 0,
-        transform(primaries, s => s("people_id")))
-      .otherwise(transform(slice(col("sponsors"), 1, 1), s => s("people_id")))
+    val matchedPrim = array_intersect(
+      transform(primaries, s => s("people_id")), col("known_ids"))
+    val fallback = array_intersect(
+      transform(slice(col("sponsors"), 1, 1), s => s("people_id")), col("known_ids"))
+    val creditIds = when(size(matchedPrim) > 0, matchedPrim).otherwise(fallback)
     bills
       // P4 parameterized type filter + P5 passed filter
       .filter((lit(allBills) || col("bill_type") === "B") && col("status") === 4)
+      // nested-struct fields are extracted BEFORE the join: keeps the scan
+      // projection narrow (and sidesteps Catalyst's nested-column aliasing
+      // mishandling extraction through a BroadcastNestedLoopJoin)
       .select(sess, col("bill_number"), col("status_date"), col("title"),
+        col("description"), col("sponsors"))
+      .crossJoin(known)
+      .select(col("sess"), col("bill_number"), col("status_date"), col("title"),
         col("description"), explode(creditIds).as("people_id"))
   }
 
   /** Full pipeline: wide per-legislator productivity frame. */
   def counts(people: DataFrame, bills: DataFrame, allBills: Boolean): DataFrame = {
-    val credits = sponsorCredits(bills, allBills)
+    val credits = sponsorCredits(bills, people, allBills)
     val pivots: Seq[Column] = sessionLabels.map(l =>
       sum(when(col("sess") === l, 1L).otherwise(0L)).as(sessionCol(l)))
     val perPerson = credits.groupBy(col("people_id")).agg(pivots.head, pivots.tail: _*)
@@ -102,7 +130,7 @@ object LegislatorCounts {
   /** P8: the special-legislator side branch (`:127-134`) — the bill list
     * behind one legislator's counts, from the same credit rows. */
   def qDoddSideBranch(spark: SparkSession, dir: String): DataFrame =
-    sponsorCredits(Fixtures.bills(spark), allBills = false)
+    sponsorCredits(Fixtures.bills(spark), Fixtures.people(spark), allBills = false)
       .filter(col("people_id") === graft.sources.FixtureGen.specialPersonId)
       .select(col("sess").as("session"), col("bill_number"), col("status_date"),
         col("title"), col("description"))

@@ -40,7 +40,16 @@ class LegislatorCountsSpec extends SparkSpec {
     bill("AB4", 2019, Seq(Sponsor(1, 1, "P1")), status = 2),
     bill("AB5", 2019, Seq(Sponsor(1, 1, "P1")), billType = "R"),
     // earlier session credit for person 1
-    bill("AB6", 2017, Seq(Sponsor(1, 1, "P1")))
+    bill("AB6", 2017, Seq(Sponsor(1, 1, "P1"))),
+    // all primaries UNKNOWN: falls back to first listed sponsor (P2)
+    // even though the bill HAS primaries (legislator_bill_counts_run.R:117-119)
+    bill("AB7", 2019, Seq(Sponsor(2, 2, "P2"), Sponsor(50, 1, "P50"))),
+    // primary unknown AND first sponsor unknown: dropped entirely
+    bill("AB8", 2019, Seq(Sponsor(50, 1, "P50"), Sponsor(1, 2, "P1"))),
+    // duplicated primary id: credits P1 once (R's %in% is a per-person bool)
+    bill("AB9", 2019, Seq(Sponsor(1, 1, "P1"), Sponsor(1, 1, "P1"))),
+    // one known + one unknown primary: known credited, NO fallback
+    bill("AB10", 2019, Seq(Sponsor(2, 1, "P2"), Sponsor(50, 1, "P50")))
   ).map(b => Tuple1(b)).toDF("bill").select("bill.*")
 
   private lazy val out = LegislatorCounts
@@ -51,19 +60,21 @@ class LegislatorCountsSpec extends SparkSpec {
     assert(out("P1").getString(2) === "AD-02") // HD-02 recoded, not HD-01
   }
 
-  test("multi-primary bills credit every primary; fallback credits first sponsor only") {
-    // P1: AB1 (primary) + AB6 (2017) = 2; NOT AB2 (fallback goes to P2)
+  test("multi-primary bills credit every KNOWN primary; fallback when none resolves") {
+    // P1: AB1 (co-primary) + AB6 (2017) + AB9 (dup primary, once) = 3;
+    // NOT AB2/AB7 (fallbacks go to P2), NOT AB8 (dropped: nothing resolves)
     val p1 = out("P1")
-    assert(p1.getLong(3) === 1L && p1.getLong(4) === 1L) // s2017_2018, s2019_2020
-    assert(p1.getLong(6) === 2L)                          // total
-    // P2: AB1 (co-primary) + AB2 (first-sponsor fallback) = 2
-    assert(out("P2").getLong(6) === 2L)
+    assert(p1.getLong(3) === 1L && p1.getLong(4) === 2L) // s2017_2018, s2019_2020
+    assert(p1.getLong(6) === 3L)                          // total
+    // P2: AB1 (co-primary) + AB2 (no-primary fallback) + AB7 (unknown-primary
+    // fallback) + AB10 (known primary beside an unknown one) = 4
+    assert(out("P2").getLong(6) === 4L)
   }
 
   test("years in data = 2 x sessions with bills; 0/0 -> NaN") {
     assert(out("P1").getInt(7) === 4)
     assert(out("P2").getInt(7) === 2)
-    assert(out("P1").getDouble(8) === 0.5)
+    assert(out("P1").getDouble(8) === 0.75)
     assert(out("P3").getLong(6) === 0L && out("P3").getDouble(8).isNaN)
   }
 
@@ -75,14 +86,14 @@ class LegislatorCountsSpec extends SparkSpec {
   }
 
   test("side branch lists exactly the credited bills of one person") {
-    val credits = LegislatorCounts.sponsorCredits(billsDf, allBills = false)
+    val credits = LegislatorCounts.sponsorCredits(billsDf, peopleDf, allBills = false)
     val p2Bills = credits.filter(col("people_id") === 2)
       .select("bill_number").as[String].collect().sorted
-    assert(p2Bills === Array("AB1", "AB2"))
+    assert(p2Bills === Array("AB1", "AB10", "AB2", "AB7"))
   }
 
   test("allBills flag admits resolutions") {
-    val credits = LegislatorCounts.sponsorCredits(billsDf, allBills = true)
+    val credits = LegislatorCounts.sponsorCredits(billsDf, peopleDf, allBills = true)
     assert(credits.filter(col("bill_number") === "AB5").count() === 1)
   }
 }
