@@ -49,13 +49,17 @@ object SparkEntry {
     "q_text_stats"         -> (TextStats.qTextStats _),
     "q_lang_id"            -> (TextStats.qLangId _),
     "q_quality_score"      -> (TextStats.qQualityScore _),
+    "q_token_bpe"          -> (TextStats.qTokenBpe _),
+    "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
+    "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
+    "q_asof_join"          -> (AsofJoin.qAsofJoin _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
   )
@@ -493,6 +497,32 @@ object SparkEntry {
              + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
              - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
          FROM f ORDER BY doc_id""",
+    // BpePattern contains a single quote — doubled for the SQL literal;
+    // backslashes pass through verbatim (DuckDB strings have no escapes).
+    "q_token_bpe" -> {
+      val pat = TextStats.BpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         CAST(len(${toksSql("text")}) AS INTEGER) AS n_tokens_ws,
+         CAST(len(regexp_extract_all(text, '$pat')) AS INTEGER) AS n_tokens_bpe,
+         CAST(len(list_distinct(regexp_extract_all(text, '$pat'))) AS INTEGER) AS n_unique_bpe
+         FROM documents ORDER BY doc_id"""
+    },
+    // score keeps idf rational (tf * N / df, no log) so both engines
+    // compute bit-identical doubles; ln is monotone so ranks are the
+    // same as log-idf.
+    "q_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+         s AS (SELECT doc_id, term, tf, df,
+                 CAST(tf AS DOUBLE) * n_docs / CAST(df AS DOUBLE) AS score
+               FROM tf JOIN df USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+               FROM s)
+         SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
+         ORDER BY doc_id, rk""",
     "q_similar_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
          scored AS (
@@ -549,6 +579,26 @@ object SparkEntry {
                FROM s)
          SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
          ORDER BY query_id, rk""",
+    "q_similar_ivf2" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                     WHERE vec_id % ${Similarity.IvfCentroidEvery} = 0),
+         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${cosineSql("e.embedding", "c.cv")} AS dist
+               FROM embeddings e CROSS JOIN c),
+         ranked AS (SELECT vec_id, embedding, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist DESC, centroid_id) AS crk
+               FROM d),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crk = 1),
+         q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
+               FROM ranked WHERE vec_id % 100 = 0 AND crk <= 2),
+         s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
+               FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+               FROM s)
+         SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
+         ORDER BY query_id, rk""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n_events,
@@ -579,6 +629,20 @@ object SparkEntry {
            count(*) AS n_events
          FROM z GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    // DuckDB's native ASOF JOIN is the oracle for graft's union+window
+    // spelling; >= makes the match inclusive on both sides.
+    "q_asof_join" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT user_id, ts, max(value) AS click_value,
+                  CAST(epoch_us(ts) AS BIGINT) AS click_ts_us
+           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                p.value, c.click_ts_us, c.click_value
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         ORDER BY event_id""",
     "q_media_meta" ->
       s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
          SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** As-of (point-in-time) join — for every left row, attach the right row
+  * with the greatest timestamp ≤ the left row's timestamp within the same
+  * key. Spark has no native operator for this; the idiomatic scalable
+  * spelling is union-tag + window forward-fill:
+  *
+  *   1. tag both sides and union them into one (key, ts, …, _side) frame;
+  *   2. one hash shuffle on `key`, partition-local sort on (ts, _side)
+  *      with right rows ordered BEFORE left rows at equal ts (that makes
+  *      the match inclusive, ts_right ≤ ts_left);
+  *   3. running `last(payload, ignoreNulls)` forward-fills each left row
+  *      with the most recent right payload;
+  *   4. keep only left rows.
+  *
+  * Why not a range join: `l JOIN r ON l.key = r.key AND r.ts <= l.ts`
+  * + keep-max-per-left explodes to |matches| intermediate rows (quadratic
+  * per key in the worst case) before the window prunes them. The
+  * union-fill plan is one shuffle + one sort over |L| + |R| rows — the
+  * same asymptotics as a sort-merge join, no blow-up, AQE-skew-splittable.
+  *
+  * The right payload is carried as ONE struct and filled atomically, so
+  * all attached columns come from the same right row even when payload
+  * fields are legitimately null.
+  *
+  * Contract: at most one right row per (key, ts) — pre-aggregate the
+  * right side otherwise (ties would be resolved by sort instability).
+  */
+object AsofJoin {
+
+  /** Generic backward as-of join. `rightPayload` names the right-side
+    * columns to attach; they appear in the output as `asof_<name>`.
+    * Left rows with no matching right row get nulls. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val payloadStruct = struct(rightPayload.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
+
+    val lt = left.select(
+      Seq(col(key), col(ts)) ++ leftCols.map(col) :+
+        lit(null).cast(payloadType).as("_p") :+ lit(1).as("_side"): _*)
+    val rt = right.select(
+      Seq(col(key), col(ts)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        payloadStruct.as("_p") :+ lit(0).as("_side"): _*)
+
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lt.unionByName(rt)
+      .withColumn("_p", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        rightPayload.map(c => col(s"_p.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Attribution query over `events`: each purchase joined as-of to the
+    * user's most recent preceding (or simultaneous) click. The click side
+    * is pre-aggregated to one row per (user, ts) per the tie contract.
+    * Timestamps are emitted as epoch micros (exact; no tz-annotation
+    * parity risk). */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("click_value"))
+      .withColumn("click_ts_us", unix_micros(col("ts")))
+    asofJoin(purchases, clicks, "user_id", "ts",
+        Seq("click_ts_us", "click_value"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"),
+        col("asof_click_ts_us").as("click_ts_us"),
+        col("asof_click_value").as("click_value"))
+      .orderBy(col("event_id"))
+  }
+}

@@ -91,7 +91,10 @@ object Similarity {
     * here; more probes = join on an array of nearest cells. */
   val IvfCentroidEvery = 137
 
-  def ivfCells(emb: DataFrame): DataFrame = {
+  /** Every vector's centroids ranked by cosine (rank 1 = its cell;
+    * ranks ≤ nprobe = the cells a query probes). One broadcast of the
+    * bounded centroid set, one narrow pass over the corpus. */
+  def ivfAssignments(emb: DataFrame): DataFrame = {
     val centroids = emb.filter(col("vec_id") % IvfCentroidEvery === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c"))
     val w = Window.partitionBy(col("vec_id"))
@@ -99,10 +102,13 @@ object Similarity {
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cosineSim(col("embedding"), col("c")).as("dist"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+      .withColumn("crk", row_number().over(w))
   }
+
+  def ivfCells(emb: DataFrame): DataFrame =
+    ivfAssignments(emb)
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
 
   def ivfTopK(emb: DataFrame, k: Int): DataFrame = {
     val cells = ivfCells(emb)
@@ -122,6 +128,35 @@ object Similarity {
 
   def qSimilarIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir), k = 3)
+      .orderBy(col("query_id"), col("rk"))
+
+  /** Multi-probe IVF: each query probes its `nprobe` nearest cells, the
+    * recall lever nprobe=1 lacks (a query near a cell boundary misses
+    * neighbors across it). Candidates stay an equi-join on cell — the
+    * query side just carries nprobe rows per query; cells partition the
+    * corpus, so no candidate is scored twice. */
+  def ivfTopKProbed(emb: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val asg = ivfAssignments(emb)
+    val cells = asg.filter(col("crk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("cell"))
+    val queries = asg
+      .filter(col("vec_id") % 100 === 0 && col("crk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"),
+        col("centroid_id").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cells.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("q"), col("embedding")).as("cosine"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
+        col("cosine"))
+  }
+
+  def qSimilarIvf2(spark: SparkSession, dir: String): DataFrame =
+    ivfTopKProbed(Tables.embeddings(spark, dir), k = 3, nprobe = 2)
       .orderBy(col("query_id"), col("rk"))
 
   /** Embedding-cosine near-duplicate pairs: same sign-bucket equi-join

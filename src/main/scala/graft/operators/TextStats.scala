@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.tables.Tables
@@ -92,6 +93,62 @@ object TextStats {
 
   def qQualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityFeatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // --- BPE-style regex tokenization ---
+
+  /** GPT-2-shaped pretokenizer pattern, restricted to constructs with
+    * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+    * lookahead, leftmost-first alternation only. Contraction suffixes
+    * split off; letter runs, digit runs, and punctuation runs each form
+    * one token with an optional leading space (the BPE convention that
+    * makes " word" and "word" distinct vocabulary entries). */
+  val BpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+
+  /** All BPE pretokens of a text — a codegen'd `regexp_extract_all`,
+    * no UDF, no per-row vocabulary state. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  /** Token accounting per document: whitespace tokens vs BPE pretokens
+    * vs distinct BPE pretokens — the sizing pass a training-data
+    * pipeline runs before tokenizer-budget decisions. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens_ws"),
+        size(bpeTokens(col("text"))).as("n_tokens_bpe"),
+        size(array_distinct(bpeTokens(col("text")))).as("n_unique_bpe"))
+      .orderBy(col("doc_id"))
+
+  // --- TF-IDF salient terms ---
+
+  /** Top-k salient terms per document, scored tf · N / df. The idf is
+    * kept RATIONAL (no log): both engines then compute bit-identical
+    * doubles, and the ranking is the same as with log-idf because
+    * x ↦ ln(x) is monotone. Shape: explode → (doc, term) count with
+    * map-side partial agg, a second agg on term for df, one join back
+    * (df table ≪ corpus; AQE broadcasts when it fits), top-k window. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rk").cast("long").as("rk"))
+  }
+
+  def qTfidfTopTerms(spark: SparkSession, dir: String): DataFrame =
+    tfidfTopTerms(Tables.documents(spark, dir), k = 3)
+      .orderBy(col("doc_id"), col("rk"))
 
   /** Rolling-hash document fingerprint (token-order sensitive, unlike the
     * set-based dedup sketches): h = fold(h * 31 + tokenHash) mod 2^31.

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Semantics of the union+window as-of join on hand-computed fixtures. */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // right: key 1 has rows at t=5 and t=20; key 2 has none
+  private val rightDf = Seq(
+    (1L, 5L, "a", Some(10)),
+    (1L, 20L, "b", None)
+  ).toDF("k", "t", "v", "extra")
+
+  private val leftDf = Seq(
+    (1L, 4L, "before-any"),
+    (1L, 5L, "at-first"),
+    (1L, 19L, "between"),
+    (1L, 20L, "at-second"),
+    (1L, 25L, "after"),
+    (2L, 10L, "no-right-side")
+  ).toDF("k", "t", "tag")
+
+  private lazy val out = AsofJoin
+    .asofJoin(leftDf, rightDf, "k", "t", Seq("v", "extra"))
+    .collect().map(r => r.getString(2) -> r).toMap
+
+  test("each left row attaches the greatest right ts <= its own ts") {
+    assert(out("before-any").getString(3) === null)  // no right row yet
+    assert(out("between").getString(3) === "a")
+    assert(out("after").getString(3) === "b")
+  }
+
+  test("equality is inclusive: a right row at the same ts matches") {
+    assert(out("at-first").getString(3) === "a")
+    assert(out("at-second").getString(3) === "b")
+  }
+
+  test("keys with no right rows yield nulls, rows are preserved") {
+    val r = out("no-right-side")
+    assert(r.getString(3) === null && r.isNullAt(4))
+  }
+
+  test("payload attaches atomically: a null field rides its own row") {
+    // t=25 matches the t=20 right row whose extra IS null; the fill must
+    // not mix in t=5's extra=10
+    val r = out("after")
+    assert(r.getString(3) === "b" && r.isNullAt(4))
+    // and t=19 matches t=5 where extra=10
+    assert(out("between").getInt(4) === 10)
+  }
+
+  test("smoke: purchase->click attribution runs and is click-consistent") {
+    val res = AsofJoin.qAsofJoin(spark, sfSmoke).cache()
+    assert(res.count() > 0)
+    // every attached click precedes (or equals) its purchase
+    assert(res.filter(col("click_ts_us") > col("ts_us")).count() === 0)
+    res.unpersist()
+  }
+}

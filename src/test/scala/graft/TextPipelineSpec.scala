@@ -115,6 +115,41 @@ class TextPipelineSpec extends SparkSpec {
     assert(top.values.flatten.toSet.intersect(Set(137L, 6L)).isEmpty)
   }
 
+  test("multi-probe ivf reaches across the cell boundary nprobe=1 misses") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (137L, Array(0f, 1f, 0f), 0),
+      (5L, Array(0.9f, 0.1f, 0f), 0),   // x-cell
+      (6L, Array(0.1f, 0.9f, 0f), 0),   // y-cell
+      (100L, Array(0.8f, 0.2f, 0f), 0)) // query, x-cell
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.ivfTopKProbed(emb, k = 5, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // with the second probe the y-cell candidates appear too
+    assert(top(100L) === Set(0L, 5L, 137L, 6L))
+  }
+
+  test("bpe pretokenizer splits contractions, digit runs and punctuation") {
+    val toks = Seq(Tuple1("I'll pay $1,234 now."))
+      .toDF("text")
+      .select(TextStats.bpeTokens(col("text")).as("t"))
+      .as[Seq[String]].head()
+    assert(toks === Seq("I", "'ll", " pay", " $", "1", ",", "234", " now", "."))
+  }
+
+  test("tfidf ranks a document's unique term above corpus-wide terms") {
+    val d = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common")).toDF("doc_id", "text")
+    val top = TextStats.tfidfTopTerms(d, k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    assert(top(1L) === "rare1" && top(2L) === "rare2")
+    // doc 3 has only the ubiquitous term left
+    assert(top(3L) === "common")
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
