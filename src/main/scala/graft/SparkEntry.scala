@@ -60,6 +60,10 @@ object SparkEntry {
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
     "q_asof_join"          -> (AsofJoin.qAsofJoin _),
+    "q_events_sliding"     -> (graft.streaming.Events.qEventsSliding _),
+    // no oracle entry (HLL sketch is engine-specific): rows-only gate
+    "q_approx_users"       -> (graft.streaming.Events.qApproxUsers _),
+    "q_salted_join"        -> (ScaleJoins.qSaltedJoin _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
   )
@@ -604,6 +608,22 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // each event belongs to exactly two 1h/30m sliding windows; both
+    // engines :00/:30-align (Spark: epoch origin; DuckDB: time_bucket's
+    // 2000-01-01 origin — same 30-minute phase)
+    "q_events_sliding" ->
+      """WITH w AS (
+           SELECT event_type,
+             unnest([time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE,
+                     time_bucket(INTERVAL '30 minutes', ts)]) AS ws
+           FROM events)
+         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           count(*) AS n_events
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_events_props" ->
       """SELECT event_type,
          CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS INTEGER)) AS BIGINT) AS sum_k,

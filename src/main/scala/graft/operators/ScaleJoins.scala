@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.Tables
 
 /** Join-shaping utilities for cluster scale: key salting for skew and
   * bucketed layouts for shuffle-free co-located joins. Local runs are
@@ -32,6 +33,20 @@ object ScaleJoins {
     val replicated = right.withColumn("_salt",
       explode(array((0 until numSalts).map(lit): _*)))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Oracle-checked salted-join entry: per-segment order counts computed
+    * THROUGH [[saltedJoin]] (orders salted 4 ways on the line key,
+    * customer replicated per salt) — the oracle runs the plain join, so
+    * the gate proves salting is result-invariant, not just plausible. */
+  def qSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    saltedJoin(ord, cust, "custkey", numSalts = 4, saltSrc = col("o_orderkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Hive-style partitioned landing write — the reference's

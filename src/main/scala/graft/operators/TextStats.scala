@@ -131,7 +131,12 @@ object TextStats {
     * (df table ≪ corpus; AQE broadcasts when it fits), top-k window. */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    // explode(split) + WHERE, not explode(tokens(...)): the same multiset,
+    // but the empty-string drop is a codegen'd predicate instead of an
+    // interpreted higher-order filter over every row's array
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))

@@ -43,6 +43,45 @@ object Events {
     windowedCounts(Tables.events(spark, dir))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding 1-hour / 30-minute counts — every event lands in exactly
+    * two overlapping windows. Spark's `window()` and DuckDB's
+    * `time_bucket` are both :00/:30-aligned for a 30-minute slide, so
+    * the batch twin is oracle-checkable. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  def qEventsSliding(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Streaming twin of the sliding counts (same transform + watermark). */
+  def streamingSlidingCounts(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    slidingCounts(Tables.normalizeEvents(stream).withWatermark("ts", "2 hours"))
+  }
+
+  /** HLL approximate distinct users per event type, alongside the exact
+    * count. The sketch is what a 100-TB cardinality readout uses —
+    * mergeable, fixed memory per group, map-side partial — where exact
+    * countDistinct must shuffle every distinct (type, user) pair. The
+    * HLL encoding is engine-specific, so this entry has NO portable
+    * oracle (rows-only gate); StreamingSpec pins the error envelope
+    * against the exact count instead. */
+  val ApproxRsd = 0.05
+  def qApproxUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), ApproxRsd).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   /** F13: JSON props decode with a pinned schema + aggregate. */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

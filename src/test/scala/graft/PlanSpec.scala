@@ -62,6 +62,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"unexpected shuffles in a scan->filter->project chain:\n$s")
   }
 
+  test("as-of join plans as one shuffle, never a nested-loop range join") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val s = graft.operators.AsofJoin.asofJoin(l, r, "k", "t", Seq("v"))
+      .queryExecution.executedPlan.toString()
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(hashEx === 1, s"expected exactly the one window shuffle on k:\n$s")
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"as-of join must not plan as a join at all:\n$s")
+  }
+
   test("minhash verify joins reuse the hashed-shingle exchange at runtime") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf("sf0.001"))
     df.collect() // materialize THIS queryExecution so AQE finalizes it

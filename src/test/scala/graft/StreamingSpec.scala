@@ -28,6 +28,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("streaming sliding counts equal the batch query; events land in 2 windows") {
+    val checkpoint = Files.createTempDirectory("graft-ckpt-slide").toString
+    val q = Events.streamingSlidingCounts(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_sliding")
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_sliding")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Events.qEventsSliding(spark, sfSmoke).collect()
+    assert(streamed.toSeq === batch.toSeq)
+    // overlap invariant: total sliding mass = 2x the event count
+    val nEvents = graft.tables.Tables.events(spark, sfSmoke).count()
+    assert(batch.map(_.getLong(2)).sum === 2 * nEvents)
+  }
+
+  test("approx distinct users stays inside the HLL error envelope") {
+    val rows = Events.qApproxUsers(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 3 * Events.ApproxRsd,
+        s"${r.getString(0)}: approx=$approx exact=$exact drifts beyond 3·rsd")
+    }
+  }
+
   test("watermark bounds state: late rows beyond 2h are not re-opened in append mode") {
     // structural check: the streaming plan carries an event-time watermark
     val plan = Events.streamingCounts(spark, sfSmoke)
