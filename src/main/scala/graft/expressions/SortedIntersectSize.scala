@@ -103,8 +103,13 @@ object GraftFunctions {
       HashedShingleSet(children.head, n)
     })
 
+  val cosineSim: Registration = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
   val all: Seq[Registration] =
-    Seq(sortedIntersectSize, minhashSignature, hashedShingleSet)
+    Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

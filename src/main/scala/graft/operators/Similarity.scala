@@ -12,8 +12,8 @@ import graft.tables.Tables
   * Two paths, same contract:
   *  - '''brute-force top-k''' ([[topK]]): the exact baseline. The query
   *    side is tiny and broadcast; the corpus streams past it in one
-  *    narrow pass (cosine is a codegen'd higher-order-function
-  *    expression, no UDF), then a per-query window takes k. Cost is
+  *    narrow pass (cosine is a native codegen'd expression, no UDF,
+  *    no interpreted lambdas), then a per-query window takes k. Cost is
   *    O(|Q|·N) — correct at any scale where |Q| is bounded.
   *  - '''sign-LSH bucketed''' ([[annTopK]]): the approximate scale path.
   *    Every vector gets an 8-bit bucket from the signs of its first 8
@@ -25,11 +25,22 @@ import graft.tables.Tables
   *    buckets and use more planes.
   *
   * Float math parity: cosine is accumulated index-ascending in double
-  * precision starting from 0.0 (`aggregate(zip_with(...))`), the exact
-  * op sequence the DuckDB oracle's `list_reduce(list_transform(...))`
-  * performs — results are bitwise equal, no rounding slop needed.
+  * precision starting from 0.0, the exact op sequence the DuckDB
+  * oracle's `list_reduce(list_transform(...))` performs — results are
+  * bitwise equal, no rounding slop needed. The accumulation runs in the
+  * native [[graft.expressions.CosineSim]] expression (codegen'd, one
+  * array pass) rather than the interpreted `aggregate(zip_with(...))`
+  * spelling; ExpressionsSpec proves the two bit-identical.
   */
 object Similarity {
+
+  /** Native cosine — see [[graft.expressions.CosineSim]]. Callers outside
+    * a GraftExtensions session must register via [[ensureRegistered]]. */
+  private def cos(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+
+  private def ensureRegistered(spark: SparkSession): Unit =
+    graft.expressions.GraftFunctions.register(spark)
 
   /** Deterministic query subset: every 100th vector. */
   def queryVectors(emb: DataFrame): DataFrame =
@@ -40,7 +51,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineSim(col("q"), col("embedding")).as("cosine"))
+        cos(col("q"), col("embedding")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -50,6 +61,7 @@ object Similarity {
   }
 
   def qSimilarTopK(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     val emb = Tables.embeddings(spark, dir)
     topK(emb, queryVectors(emb), k = 5).orderBy(col("query_id"), col("rk"))
   }
@@ -69,7 +81,7 @@ object Similarity {
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineSim(col("q"), col("embedding")).as("cosine"))
+        cos(col("q"), col("embedding")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
@@ -78,9 +90,11 @@ object Similarity {
         col("cosine"))
   }
 
-  def qSimilarAnn(spark: SparkSession, dir: String): DataFrame =
+  def qSimilarAnn(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     annTopK(Tables.embeddings(spark, dir), k = 3)
       .orderBy(col("query_id"), col("rk"))
+  }
 
   /** IVF (inverted-file) coarse quantizer: a fixed, deterministic set of
     * centroid vectors (every `N/K`-th row — a production system would
@@ -101,7 +115,7 @@ object Similarity {
       .orderBy(col("dist").desc, col("centroid_id"))
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosineSim(col("embedding"), col("c")).as("dist"))
+        cos(col("embedding"), col("c")).as("dist"))
       .withColumn("crk", row_number().over(w))
   }
 
@@ -119,16 +133,18 @@ object Similarity {
     cells.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineSim(col("q"), col("embedding")).as("cosine"))
+        cos(col("q"), col("embedding")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
         col("cosine"))
   }
 
-  def qSimilarIvf(spark: SparkSession, dir: String): DataFrame =
+  def qSimilarIvf(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     ivfTopK(Tables.embeddings(spark, dir), k = 3)
       .orderBy(col("query_id"), col("rk"))
+  }
 
   /** Multi-probe IVF: each query probes its `nprobe` nearest cells, the
     * recall lever nprobe=1 lacks (a query near a cell boundary misses
@@ -148,16 +164,18 @@ object Similarity {
     cells.join(broadcast(queries), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        cosineSim(col("q"), col("embedding")).as("cosine"))
+        cos(col("q"), col("embedding")).as("cosine"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("vec_id"), col("rk").cast("long").as("rk"),
         col("cosine"))
   }
 
-  def qSimilarIvf2(spark: SparkSession, dir: String): DataFrame =
+  def qSimilarIvf2(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     ivfTopKProbed(Tables.embeddings(spark, dir), k = 3, nprobe = 2)
       .orderBy(col("query_id"), col("rk"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: same sign-bucket equi-join
     * (never all-pairs), cosine above a high threshold. The bucket join
@@ -174,7 +192,7 @@ object Similarity {
     a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        cosineSim(col("ea"), col("eb")).as("cosine"))
+        cos(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 
@@ -182,7 +200,9 @@ object Similarity {
     * near-dups (max pairwise cosine ≈ 0.51 at sf0.01), so a production
     * threshold (≥0.9) would verify only the empty set; 0.4 exercises the
     * full bucket-join + cosine + filter path with real output. */
-  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    ensureRegistered(spark)
     embedNearDup(Tables.embeddings(spark, dir), 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
 }

@@ -48,6 +48,40 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim is bitwise-identical to the aggregate(zip_with) spelling") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
+    val pairs = samples(Gen.zip(vec, vec), 50)
+    val rows = pairs.toDF("a", "b")
+      .select(
+        call_function("cosine_sim", col("a"), col("b")).as("native"),
+        (aggregate(zip_with(col("a"), col("b"),
+            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
+          (sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), _ + _)) *
+           sqrt(aggregate(transform(col("b"), x => x.cast("double") * x.cast("double")),
+            lit(0.0), _ + _)))).as("builtin"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (native, builtin) =>
+      assert(java.lang.Double.doubleToLongBits(native) ===
+        java.lang.Double.doubleToLongBits(builtin))
+    }
+  }
+
+  test("cosine_sim nulls on length mismatch or null elements; codegen runs") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f, 0f)),           // length mismatch
+      (Seq(1f, 0f), Seq(1f, 0f))                 // fine
+    ).toDF("a", "b")
+    val out = df.select(call_function("cosine_sim", col("a"), col("b")))
+      .as[Option[Double]].collect()
+    assert(out(0).isEmpty && out(1).contains(1.0))
+    // null element propagates (matches zip_with's null product)
+    val withNull = spark.sql(
+      "SELECT cosine_sim(array(CAST(1 AS FLOAT), NULL), array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) v")
+      .as[Option[Double]].collect()
+    assert(withNull(0).isEmpty)
+  }
+
   test("sorted_intersect_size participates in codegen (no fallback failure)") {
     val df = (1 to 100).map(i => (Seq(i, i + 1, i + 2), Seq(i + 1, i + 2, i + 3)))
       .toDF("a", "b")
