@@ -60,6 +60,7 @@ object SparkEntry {
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),
     "q_asof_join"          -> (AsofJoin.qAsofJoin _),
+    "q_range_join"         -> (AsofJoin.qRangeJoin _),
     "q_events_sliding"     -> (graft.streaming.Events.qEventsSliding _),
     // no oracle entry (HLL sketch is engine-specific): rows-only gate
     "q_approx_users"       -> (graft.streaming.Events.qApproxUsers _),
@@ -608,6 +609,20 @@ object SparkEntry {
          event_type, count(*) AS n_events,
          CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // range bounds compared in epoch MICROS on both sides: the parquet
+    // timestamps carry nanos, and a ns-precision interval compare in
+    // DuckDB would disagree with Spark's us-truncated arithmetic at the
+    // boundary
+    "q_range_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click')
+         SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           count(c.click_id) AS n_clicks_30m
+         FROM p LEFT JOIN c ON p.user_id = c.user_id
+           AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+           AND epoch_us(c.ts) <= epoch_us(p.ts)
+         GROUP BY p.event_id, p.user_id, p.ts
+         ORDER BY event_id""",
     // each event belongs to exactly two 1h/30m sliding windows; both
     // engines :00/:30-align (Spark: epoch origin; DuckDB: time_bucket's
     // 2000-01-01 origin — same 30-minute phase)

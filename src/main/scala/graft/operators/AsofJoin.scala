@@ -59,6 +59,64 @@ object AsofJoin {
         rightPayload.map(c => col(s"_p.$c").as(s"asof_$c")): _*)
   }
 
+  /** Range (interval) join: pairs each left row with every right row of
+    * the same key whose timestamp falls in `[l.ts - windowUs, l.ts]`,
+    * as a LEFT join (left rows with no match survive with null right
+    * columns).
+    *
+    * Scale spelling: bucket time by the window length; a right row in
+    * bucket b can only match left rows in buckets {b, b+1}, so the right
+    * side is replicated twice, the join is a plain equi-join on
+    * (key, bucket) — partitioned, AQE-splittable, never a
+    * BroadcastNestedLoopJoin — and the exact inequality runs as a
+    * post-join filter. Each true pair matches exactly one replica
+    * (the one whose bucket equals the left row's), so no dedup is
+    * needed. Cost: 2|R| + |L| rows through one shuffle.
+    *
+    * `rightPayload` columns appear as `range_<name>`, non-null iff the
+    * row matched. */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+                windowUs: Long, rightPayload: Seq[String]): DataFrame = {
+    require(windowUs > 0)
+    // integer `div` keeps micros exact — no double path
+    val lb = left
+      .withColumn("_lts_us", unix_micros(col(ts)))
+      .withColumn("_lbucket", expr(s"_lts_us div ${windowUs}L"))
+    val rb = right.select(
+      col(key).as("_rkey") +:
+        unix_micros(col(ts)).as("_rts_us") +:
+        rightPayload.map(c => col(c).as(s"range_$c")): _*)
+      .withColumn("_rbucket", explode(array(
+        expr(s"_rts_us div ${windowUs}L"),
+        expr(s"_rts_us div ${windowUs}L + 1L"))))
+    // the equi part (key, bucket) drives the shuffle; the range bounds
+    // ride along as a join residual, keeping LEFT semantics intact
+    lb.join(rb,
+        col(key) === col("_rkey") && col("_lbucket") === col("_rbucket") &&
+          col("_rts_us") >= col("_lts_us") - windowUs &&
+          col("_rts_us") <= col("_lts_us"),
+        "left")
+      .drop("_lts_us", "_lbucket", "_rkey", "_rbucket")
+  }
+
+  /** Range-join query: per purchase, the number of clicks by the same
+    * user in the preceding 30 minutes (inclusive both ends). Unmatched
+    * purchases count 0 — `count(payload)` skips the left-join nulls. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    rangeJoin(purchases, clicks, "user_id", "ts",
+        windowUs = 30L * 60 * 1000000, rightPayload = Seq("click_id"))
+      .groupBy(col("event_id"), col("user_id"), col("ts"))
+      .agg(count(col("range_click_id")).as("n_clicks_30m"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("n_clicks_30m"))
+      .orderBy(col("event_id"))
+  }
+
   /** Attribution query over `events`: each purchase joined as-of to the
     * user's most recent preceding (or simultaneous) click. The click side
     * is pre-aggregated to one row per (user, ts) per the tie contract.

@@ -52,6 +52,30 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("between").getInt(4) === 10)
   }
 
+  test("range join: inclusive bounds, cross-bucket matches, zero-match rows kept") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def withTs(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val l = withTs(Seq((1L, 1000L, "p1"), (2L, 500L, "p2"))
+      .toDF("k", "t_us", "ltag"))
+    val r = withTs(Seq(
+      (1L, 900L, "exact-lower"),   // == t-W: inclusive (prev bucket replica)
+      (1L, 1000L, "exact-upper"),  // == t: inclusive (same bucket)
+      (1L, 950L, "inside"),        // prev bucket, in range
+      (1L, 899L, "too-old"),       // just below lower bound
+      (1L, 1001L, "future")        // after the left row
+    ).toDF("k", "t_us", "rtag"))
+    val out = AsofJoin.rangeJoin(l, r, "k", "ts", windowUs = 100L, Seq("rtag"))
+    val matches = out.filter(col("ltag") === "p1")
+      .select("range_rtag").as[String].collect().sorted
+    assert(matches === Array("exact-lower", "exact-upper", "inside"))
+    // each pair appears exactly once despite the 2x bucket replication
+    assert(matches.distinct.length === matches.length)
+    // the no-match left row survives with a null payload
+    val p2 = out.filter(col("ltag") === "p2").collect()
+    assert(p2.length === 1 && p2(0).getString(p2(0).fieldIndex("range_rtag")) == null)
+  }
+
   test("smoke: purchase->click attribution runs and is click-consistent") {
     val res = AsofJoin.qAsofJoin(spark, sfSmoke).cache()
     assert(res.count() > 0)

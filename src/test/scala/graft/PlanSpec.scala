@@ -74,6 +74,19 @@ class PlanSpec extends SparkSpec {
       s"as-of join must not plan as a join at all:\n$s")
   }
 
+  test("range join plans as an equi-join on (key, bucket), not a nested loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.timestamp_micros
+    val l = Seq((1L, 1000L)).toDF("k", "t_us")
+      .withColumn("ts", timestamp_micros($"t_us")).drop("t_us")
+    val r = Seq((1L, 950L, "c")).toDF("k", "t_us", "v")
+      .withColumn("ts", timestamp_micros($"t_us")).drop("t_us")
+    val s = graft.operators.AsofJoin.rangeJoin(l, r, "k", "ts", 100L, Seq("v"))
+      .queryExecution.executedPlan.toString()
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"range join degenerated to a non-equi join:\n$s")
+  }
+
   test("minhash verify joins reuse the hashed-shingle exchange at runtime") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf("sf0.001"))
     df.collect() // materialize THIS queryExecution so AQE finalizes it
