@@ -43,6 +43,8 @@ object SparkEntry {
     // LLM-data-pipeline operators over documents/embeddings/events
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
+    "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
+    "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
@@ -119,11 +121,11 @@ object SparkEntry {
   private def hashedShinglesSql(n: Int): String =
     s"list_distinct(list_transform(${shinglesSql(n)}, s -> ${md5b16Sql("s")}))"
 
-  /** Oracle for the MinHash-LSH dedup — the same base hash, linear
-    * permutations, band signatures, bucket join and Jaccard verify,
-    * generated so the arithmetic is literally identical to the Scala
-    * side. */
-  private def minhashOracle: String = {
+  /** Shared CTE chain for the MinHash-LSH dedup — the same base hash,
+    * linear permutations, band signatures, bucket join and Jaccard
+    * verify, generated so the arithmetic is literally identical to the
+    * Scala side. Ends with `scored(doc_a, doc_b, inter, sz)`. */
+  private def minhashCtes: String = {
     import TextDedup._
     val mhCols = (0 until NumHashes).map(k =>
       s"list_min(list_transform(hs, h -> (h * ${permA(k)} + ${permB(k)}) % $MinhashMod)) AS mh$k")
@@ -132,7 +134,7 @@ object SparkEntry {
       val sig = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, concat_ws('-', $sig) AS sig FROM mh"
     }.mkString("\n           UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
        shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
        mh AS (SELECT doc_id,
              $mhCols
@@ -148,12 +150,37 @@ object SparkEntry {
            CAST(len(sa.hs) + len(sb.hs) AS DOUBLE) AS sz
          FROM cand
          JOIN shs sa ON sa.doc_id = doc_a
-         JOIN shs sb ON sb.doc_id = doc_b)
+         JOIN shs sb ON sb.doc_id = doc_b)"""
+  }
+
+  private def minhashOracle: String = {
+    import TextDedup._
+    s"""WITH $minhashCtes
        SELECT doc_a, doc_b,
          CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
        FROM scored
        WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold
        ORDER BY doc_a, doc_b"""
+  }
+
+  /** Connected components of the near-dup pair graph as a recursive CTE:
+    * reach(node, r) = ids reachable over undirected pair edges; the
+    * cluster id is the minimum reachable id — exactly the fixpoint the
+    * Spark side's min-label propagation converges to. */
+  private def dedupClustersOracle: String = {
+    import TextDedup._
+    s"""WITH RECURSIVE $minhashCtes,
+       pairs AS (
+         SELECT doc_a, doc_b FROM scored
+         WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT src AS node, src AS r FROM edges
+         UNION
+         SELECT e.src AS node, re.r FROM edges e JOIN reach re ON e.dst = re.node)
+       SELECT node AS doc_id, min(r) AS cluster_id
+       FROM reach GROUP BY node ORDER BY doc_id"""
   }
 
   /** Oracle for the 16-bit simhash, generated bit by bit over the
@@ -447,6 +474,18 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_clusters" -> dedupClustersOracle,
+    "q_hash_split" -> {
+      val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
+      s"""SELECT split, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM (SELECT lang, n_chars,
+                 CASE WHEN $b % 100 < 80 THEN 'train'
+                      WHEN $b % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents)
+         GROUP BY split, lang ORDER BY split, lang"""
+    },
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),

@@ -124,6 +124,60 @@ object TextDedup {
     minhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- dedup clustering (connected components) ---
+
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise hits into dedup groups (keep the min-id doc per
+    * group; transitivity matters: A~B and B~C must land A, B, C in one
+    * group even when A~C was never emitted).
+    *
+    * Min-label propagation: every node starts labeled with itself; each
+    * round a node takes the minimum label among itself and its
+    * neighbors; at fixpoint every node carries its component's minimum
+    * id. Near-dup components are short chains, so few rounds suffice;
+    * the loop is a driver loop over per-round ACTIONS (one aggregate to
+    * test the fixpoint), never over rows — each round is one distributed
+    * join + groupBy. Adversarially long chains would call for
+    * large-star/small-star contraction (O(log n) rounds); dedup graphs
+    * don't need it. The per-round cache keeps lineage bounded (round k
+    * would otherwise recompute rounds 1..k-1).
+    */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache the PAIRS, not the symmetrized edges: the union's two
+    // branches would each materialize the full upstream pair pipeline
+    // (LSH index + verify joins) — the expensive part — while the
+    // symmetrization itself is two selects over the tiny cached frame
+    val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+      // min-label sums decrease monotonically; equal sum == fixpoint
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    p.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    dedupClusters(minhashPairs(Tables.documents(spark, dir)))
+      .orderBy(col("doc_id"))
+  }
+
   // --- SimHash ---
 
   /** 16-bit simhash over a token-hash multiset (one md5 per token —

@@ -94,6 +94,26 @@ object TextStats {
   def qQualityScore(spark: SparkSession, dir: String): DataFrame =
     qualityFeatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // --- deterministic corpus split ---
+
+  /** Train/val/test assignment as a portable md5 bucket in [0,100) over
+    * the doc id — stable across engines, runs, repartitions, and cluster
+    * sizes (never `rand()`: a reshuffled corpus must keep every doc's
+    * split). The "split:" salt decouples this hash from other id-derived
+    * hashes in the pipeline. */
+  def splitBucket(id: Column): Column =
+    md5Bits16(concat(lit("split:"), id.cast("string"))) % 100
+
+  def qHashSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(splitBucket(col("doc_id")) < 80, "train")
+          .when(splitBucket(col("doc_id")) < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+
   // --- BPE-style regex tokenization ---
 
   /** GPT-2-shaped pretokenizer pattern, restricted to constructs with

@@ -9,8 +9,13 @@ class SmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Rows-only entries: results are engine-specific sketches with no
+    * portable oracle; their accuracy is pinned by dedicated specs. */
+  val oracleExempt: Set[String] = Set("q_approx_users")
+
   test("every query has an oracle or is explicitly exempt") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- oracleExempt
     assert(noOracle.isEmpty,
       s"queries without oracle SQL: ${noOracle.mkString(", ")}")
   }

@@ -115,6 +115,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(top.values.flatten.toSet.intersect(Set(137L, 6L)).isEmpty)
   }
 
+  test("dedup clustering is transitive: chains collapse to one min-id group") {
+    // path graph 1-2-3-4-5 plus an isolated pair 7-8: transitivity must
+    // propagate the min label across hops never directly paired
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L))
+      .toDF("doc_a", "doc_b")
+    val clusters = TextDedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(clusters(_) == 1L))
+    assert(clusters(7L) === 7L && clusters(8L) === 7L)
+  }
+
+  test("hash split is deterministic, exhaustive, and id-stable") {
+    val out = TextStats.qHashSplit(spark, sfSmoke).collect()
+    val total = graft.tables.Tables.documents(spark, sfSmoke).count()
+    assert(out.map(_.getLong(2)).sum === total)        // every doc assigned
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // rerun == same assignment (no rand() anywhere)
+    assert(TextStats.qHashSplit(spark, sfSmoke).collect().toSeq === out.toSeq)
+  }
+
   test("multi-probe ivf reaches across the cell boundary nprobe=1 misses") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
