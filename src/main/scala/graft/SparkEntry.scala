@@ -52,6 +52,7 @@ object SparkEntry {
     "q_lang_id"            -> (TextStats.qLangId _),
     "q_quality_score"      -> (TextStats.qQualityScore _),
     "q_token_bpe"          -> (TextStats.qTokenBpe _),
+    "q_length_quantiles"   -> (TextStats.qLengthQuantiles _),
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
@@ -541,6 +542,10 @@ object SparkEntry {
              + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
              - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
          FROM f ORDER BY doc_id""",
+    "q_length_quantiles" ->
+      """SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars,
+         quantile_cont(n_chars, 0.9) AS p90_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     // BpePattern contains a single quote — doubled for the SQL literal;
     // backslashes pass through verbatim (DuckDB strings have no escapes).
     "q_token_bpe" -> {

@@ -114,6 +114,23 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  // --- distribution readouts ---
+
+  /** Exact interpolated length quantiles per language — the corpus
+    * length-distribution readout (truncation budgets, outlier cuts).
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * lower + (upper−lower)·frac definition at index p·(n−1); the
+    * typed-hash oracle gate holds bit-for-bit. Exact percentile sorts
+    * per group; at 100 TB swap in `approx_percentile` (t-digest,
+    * mergeable) the same way the HLL entry does for distincts. */
+  def qLengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        expr("percentile(n_chars, 0.5D)").as("median_chars"),
+        expr("percentile(n_chars, 0.9D)").as("p90_chars"))
+      .orderBy(col("lang"))
+
   // --- BPE-style regex tokenization ---
 
   /** GPT-2-shaped pretokenizer pattern, restricted to constructs with

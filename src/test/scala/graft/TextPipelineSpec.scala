@@ -126,6 +126,14 @@ class TextPipelineSpec extends SparkSpec {
     assert(clusters(7L) === 7L && clusters(8L) === 7L)
   }
 
+  test("length quantiles interpolate: median of {1,2,3,4} is 2.5") {
+    val d = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L))
+      .toDF("doc_id", "lang", "n_chars")
+    val r = d.groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, 0.5D)").as("m")).collect()
+    assert(r.head.getDouble(1) === 2.5)
+  }
+
   test("hash split is deterministic, exhaustive, and id-stable") {
     val out = TextStats.qHashSplit(spark, sfSmoke).collect()
     val total = graft.tables.Tables.documents(spark, sfSmoke).count()
