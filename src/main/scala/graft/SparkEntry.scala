@@ -28,6 +28,8 @@ object SparkEntry {
     "q_union_branches"     -> (Relational.unionBranches _),
     "q_pivot_status_year"  -> (Relational.pivotStatusYear _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
+    "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
+    "q18_large_orders"     -> (Relational.q18LargeOrders _),
     // LegiScan reference pipelines (SURVEY §3) over the committed fixtures
     "q_bill_search"        -> (BillSearch.qBillSearch _),
     "q_legislator_counts"  -> (LegislatorCounts.qLegislatorCounts _),
@@ -313,6 +315,36 @@ object SparkEntry {
            CASE WHEN total_revenue = 0.0 THEN 0.0
                 ELSE promo_revenue * 100.0 / total_revenue END AS promo_pct
          FROM s""",
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+         FROM (
+           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                  l_extendedprice, l_discount
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31')
+         GROUP BY supp_nation, cust_nation, l_year
+         ORDER BY supp_nation, cust_nation, l_year""",
+    "q18_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+         SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+           CAST(round(qty, 2) AS DOUBLE) AS total_qty
+         FROM orders JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_qty DESC, o_orderkey""",
     "q_bill_search" ->
       s"""SELECT bill_number, session.session_name AS session, status,
          regexp_replace(texts[1].state_link, '#.+$$', '') AS link,

@@ -166,6 +166,70 @@ object Relational {
       .orderBy($"bucket")
   }
 
+  /** TPC-H Q7-style volume shipping: revenue between a nation pair, in
+    * both directions, per ship year.
+    *
+    * Scale shape: the bounded `nation` dim is broadcast and joined into
+    * `supplier`/`customer` FIRST, so both sf-proportional tables shrink
+    * to the two relevant nations before any fact-table shuffle (classic
+    * semi-reduction — the disjunctive pair predicate itself can only be
+    * applied after both sides are known, but the `isin` prefilter is
+    * implied by it). No hints on supplier/customer/orders/lineitem.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Seq("NATION_1", "NATION_2")
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("s_nkey"), $"n_name".as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .filter($"n_name".isin(nations: _*))
+      .select($"n_nationkey".as("c_nkey"), $"n_name".as("cust_nation")))
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+      .join(n1, $"s_nationkey" === $"s_nkey").select($"s_suppkey", $"supp_nation")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+      .join(n2, $"c_nationkey" === $"c_nkey").select($"c_custkey", $"cust_nation")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" <= lit("1996-12-31").cast("timestamp"))
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate",
+        $"l_extendedprice", $"l_discount")
+    li.join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q18-style large orders: orders whose total line quantity
+    * exceeds a threshold, with customer attribution.
+    *
+    * Scale shape: the quantity rollup is a partial-agg groupBy on the
+    * fact table's own key (map-side combine does most of the work), and
+    * the HAVING filter shrinks it to a sliver — AQE then broadcasts that
+    * sliver into the orders/customer joins at runtime; nothing is
+    * hinted. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(money($"l_quantity")).as("qty"))
+      .filter($"qty" > 300)
+    Tables.orders(spark, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"),
+        money($"o_totalprice").cast("double").as("o_totalprice"),
+        round($"qty", 2).cast("double").as("total_qty"))
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
   /** TPC-H Q14-style promo revenue share: lineitem ⋈ part with a
     * one-month date window, ratio of promo-part revenue to total.
     * `part` is scale-proportional — no broadcast hint; the pushed

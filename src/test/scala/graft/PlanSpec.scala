@@ -29,8 +29,9 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("l_orderkey"), "scan reads columns the query never uses")
   }
 
-  test("q3/q5: no forced broadcast hints on scale-proportional tables") {
-    Seq("q3_shipping_priority", "q5_region_volume").foreach { q =>
+  test("q3/q5/q7/q18: no forced broadcast hints on scale-proportional tables") {
+    Seq("q3_shipping_priority", "q5_region_volume", "q7_volume_shipping",
+      "q18_large_orders").foreach { q =>
       val analyzed = SparkEntry.queries(q)(spark, sf("sf0.001"))
         .queryExecution.analyzed
       val hinted = analyzed.collect {
