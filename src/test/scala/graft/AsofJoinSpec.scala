@@ -76,6 +76,56 @@ class AsofJoinSpec extends SparkSpec {
     assert(p2.length === 1 && p2(0).getString(p2(0).fieldIndex("range_rtag")) == null)
   }
 
+  test("property: as-of join equals the naive per-row maximum on random data") {
+    import org.scalacheck.Gen
+    val gen = for {
+      ls <- Gen.listOfN(30, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+      rs <- Gen.listOfN(20, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    } yield (ls.distinct, rs.distinct.groupBy(identity).keys.toList)
+    samples(gen, 8).foreach { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t", "lid")
+      // contract: one right row per (key, ts)
+      val r = rs.map { case (k, t) => (k, t, s"v$k-$t") }.toDF("k", "t", "v")
+      val got = AsofJoin.asofJoin(l, r, "k", "t", Seq("v"))
+        .select("lid", "asof_v").as[(Long, Option[String])].collect().toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = rs.filter(p => p._1 == k && p._2 <= t)
+          .sortBy(_._2).lastOption.map(p => s"v${p._1}-${p._2}")
+        assert(got(i.toLong) === expected,
+          s"left ($k,$t): got ${got(i.toLong)}, expected $expected")
+      }
+    }
+  }
+
+  test("property: range join equals the naive filtered product on random data") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    import org.scalacheck.Gen
+    val W = 7L
+    val gen = for {
+      ls <- Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+      rs <- Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    } yield (ls.distinct, rs.distinct)
+    samples(gen, 8).foreach { case (ls, rs) =>
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+        .toDF("k", "t_us", "lid")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+      val r = rs.map { case (k, t) => (k, t, s"r$k-$t") }
+        .toDF("k", "t_us", "v")
+        .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+      val got = AsofJoin.rangeJoin(l, r, "k", "ts", W, Seq("v"))
+        .select("lid", "range_v").as[(Long, Option[String])].collect()
+        .groupBy(_._1).view.mapValues(_.flatMap(_._2).toSet).toMap
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val expected = rs.filter(p =>
+          p._1 == k && p._2 <= t && p._2 >= t - W)
+          .map(p => s"r${p._1}-${p._2}").toSet
+        assert(got(i.toLong) === expected,
+          s"left ($k,$t): got ${got(i.toLong)}, expected $expected")
+      }
+    }
+  }
+
   test("smoke: purchase->click attribution runs and is click-consistent") {
     val res = AsofJoin.qAsofJoin(spark, sfSmoke).cache()
     assert(res.count() > 0)
