@@ -66,6 +66,21 @@ object Events {
     slidingCounts(Tables.normalizeEvents(stream).withWatermark("ts", "2 hours"))
   }
 
+  /** Streaming exact dedup on event id: duplicate deliveries (at-least-
+    * once sources redeliver) are dropped statefully, with state BOUNDED
+    * by the watermark — `dropDuplicatesWithinWatermark` evicts a seen-id
+    * entry once the watermark passes it, where plain `dropDuplicates`
+    * on a stream grows state forever. The corpus-ingest twin of the
+    * batch exact-dedup operator. */
+  def streamingDedup(spark: SparkSession, watchDir: String,
+                     schema: StructType): DataFrame = {
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(watchDir)
+    Tables.normalizeEvents(stream)
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
   /** HLL approximate distinct users per event type, alongside the exact
     * count. The sketch is what a 100-TB cardinality readout uses —
     * mergeable, fixed memory per group, map-side partial — where exact

@@ -87,6 +87,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === closedBatch)
   }
 
+  test("streaming dedup drops in-watermark redeliveries, keeps one copy each") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val watch = Files.createTempDirectory("graft-dedup-files")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-dedup-tmp").toString
+      rows.toDF("event_id", "ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, watch.resolve(name))
+    }
+    // batch2 redelivers event 2 (same id, in-watermark) and adds event 3
+    writeBatch("b1.parquet", Seq((1L, ts(0), 10L), (2L, ts(5), 10L)))
+    writeBatch("b2.parquet", Seq((2L, ts(5), 10L), (3L, ts(10), 11L)))
+    val schema = spark.read.parquet(watch.toString).schema
+
+    val checkpoint = Files.createTempDirectory("graft-ckpt-dedup").toString
+    val q = Events.streamingDedup(spark, watch.toString, schema)
+      .writeStream.format("memory").queryName("ev_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("ev_dedup").select("event_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L)) // the redelivered 2 appears once
+  }
+
   test("event-time timeout flushes open sessions as the watermark advances") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(
