@@ -47,6 +47,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
+    "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
@@ -203,6 +204,42 @@ object SparkEntry {
            FROM th)
        SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
        FROM b ORDER BY doc_id"""
+  }
+
+  /** Capstone oracle: all five curation stages re-derived in one SQL
+    * statement over the shared minhash CTE chain. */
+  private def curateOracle: String = {
+    import TextDedup._
+    val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
+    s"""WITH $minhashCtes,
+       neardrop AS (
+         SELECT DISTINCT doc_b AS doc_id FROM scored
+         WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+       keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       qt AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       qf AS (SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks) AS DOUBLE) AS n_tok_d,
+           CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+         FROM qt),
+       quality AS (
+         SELECT doc_id, n_tokens,
+           (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+             + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+             - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
+         FROM qf),
+       train AS (SELECT doc_id FROM documents WHERE $b % 100 < 80),
+       emb AS (SELECT vec_id AS doc_id, ${normSql("embedding")} AS emb_norm FROM embeddings)
+       SELECT q.doc_id, q.n_tokens, q.quality_score, e.emb_norm
+       FROM quality q
+       JOIN keep USING (doc_id)
+       JOIN train USING (doc_id)
+       LEFT JOIN emb e USING (doc_id)
+       WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
+       ORDER BY doc_id"""
   }
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
@@ -508,6 +545,7 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_curate_corpus" -> curateOracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

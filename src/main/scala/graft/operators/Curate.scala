@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Capstone composition — the curation pass a training-data pipeline
+  * runs before tokenization, assembled ENTIRELY from the individually
+  * oracle-verified operators:
+  *
+  *   1. deterministic train split ([[TextStats.splitBucket]]);
+  *   2. exact-duplicate copy drop (keep the min-id copy,
+  *      [[TextDedup.exactDedup]]);
+  *   3. near-duplicate drop — the larger id of every verified
+  *      MinHash-LSH pair leaves ([[TextDedup.minhashPairs]]; the
+  *      pair-drop policy, transitive clustering is the
+  *      [[TextDedup.dedupClusters]] upgrade);
+  *   4. quality gate ([[TextStats.qualityFeatures]]);
+  *   5. embedding attach with its L2 norm (left join — a doc without a
+  *      vector survives with a null norm).
+  *
+  * Scale: every stage is a semi/anti/equi join on `doc_id` — one
+  * partitioning carries through; the heavy inputs (quality features,
+  * shingle sets) are each computed once. This entry exists to prove the
+  * operators COMPOSE: its oracle re-derives all five stages in SQL.
+  */
+object Curate {
+
+  val QualityThreshold = 0.55
+
+  def curate(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val quality = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val exactKeep = TextDedup.exactDedup(docs)
+      .select(col("keep_id").as("doc_id"))
+    val nearDrop = TextDedup.minhashPairs(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val emb = embeddings
+      .select(col("vec_id").as("doc_id"), l2Norm(col("embedding")).as("emb_norm"))
+    docs.select(col("doc_id"))
+      .filter(TextStats.splitBucket(col("doc_id")) < 80)
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= QualityThreshold)
+      .join(emb, Seq("doc_id"), "left")
+  }
+
+  def qCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curate(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+}

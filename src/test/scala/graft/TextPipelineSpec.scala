@@ -178,6 +178,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(top(3L) === "common")
   }
 
+  test("curation composes: split, exact dedup, near-dup drop, quality, embedding") {
+    import graft.operators.Curate
+    // a second stop-rich text, dissimilar from `base` (no shared shingles)
+    val base2 = "a farmer of great patience and a dog of rare spirit walk to " +
+      "the market and back to the barn every day before sunrise"
+    // a third distinct text for the split-dropped doc (it must NOT be a
+    // near-dup of the (2,4) pair, or the pair-drop would eat doc 2 too)
+    val base3 = "to the river and to the hills a small band of travelers and " +
+      "their quiet guide walk on through the morning mist of early spring"
+    val cdocs = Seq(
+      (1L, base3),             // high quality, but split bucket 96 → test split
+      (2L, base + " yesterday"), // SURVIVES: min id of the near-dup pair (2,4)
+      (3L, "12345 67890 abcdef qwerty zxcvb"), // no stopwords → quality-gated
+      (4L, base + " today"),     // doc_b of the verified pair → near-dup drop
+      (5L, base2),               // SURVIVES: exact-dup keep (min of {5,10})
+      (10L, base2)               // exact copy → dropped by keep_id semi join
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Curate.curate(cdocs, emb).collect().sortBy(_.getLong(0))
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L, 5L))
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getDouble(3) === 5.0) // |(3,4)| attached
+    assert(byId(5L).isNullAt(3))          // no vector → null norm, row kept
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
