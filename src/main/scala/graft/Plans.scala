@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   */
 object Plans {
   val headline = Seq("q3_shipping_priority", "q5_region_volume",
+    "q7_volume_shipping", "q18_large_orders",
     "q_legislator_counts", "q_dedup_minhash", "q_similar_topk",
-    "q_bill_search", "q_events_window")
+    "q_bill_search", "q_events_window",
+    "q_asof_join", "q_range_join", "q_tfidf_top_terms", "q_curate_corpus")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline
