@@ -33,12 +33,9 @@ case class JobConfig(
   */
 object Jobs {
 
-  private def sessionLabel: org.apache.spark.sql.Column =
-    concat(col("session.year_start").cast("string"), lit("-"),
-      col("session.year_end").cast("string"))
-
   private def scoped(bills: DataFrame, cfg: JobConfig): DataFrame =
-    cfg.sessions.fold(bills)(ss => bills.filter(sessionLabel.isin(ss: _*)))
+    cfg.sessions.fold(bills)(ss =>
+      bills.filter(Fixtures.sessionLabel.isin(ss: _*)))
 
   /** Entry point A: metadata keyword search. */
   def billSearch(spark: SparkSession, cfg: JobConfig = JobConfig()): DataFrame =
@@ -64,9 +61,8 @@ object Jobs {
           .select(col("year").cast("string").as("b_year"),
             col("bill_number").as("b_bill"))
         corpus
-          .withColumn("f_year", regexp_extract(col("file"), "^(20[0-9]{2})_", 1))
-          .withColumn("f_bill",
-            regexp_replace(col("file"), "^20[0-9]{2}_([A-Z]+[0-9]+)\\.html$", "$1"))
+          .withColumn("f_year", FullText.fileYear)
+          .withColumn("f_bill", regexp_replace(FullText.fileBill, " ", ""))
           .join(broadcast(budget),
             col("f_year") === col("b_year") && col("f_bill") === col("b_bill"),
             "left_semi")

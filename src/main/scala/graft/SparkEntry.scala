@@ -779,18 +779,25 @@ object SparkEntry {
          FROM z GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
     // DuckDB's native ASOF JOIN is the oracle for graft's union+window
-    // spelling; >= makes the match inclusive on both sides.
+    // spelling; >= makes the match inclusive on both sides. The ASOF
+    // inequality AND the click pre-agg both run on epoch MICROS — the
+    // parquet timestamps carry nanos, and comparing/grouping at ns
+    // precision would diverge from Spark's us-truncated arithmetic for
+    // events inside the same microsecond (same rule as q_range_join).
     "q_asof_join" ->
       """WITH p AS (
-           SELECT event_id, user_id, ts, value FROM events
-           WHERE event_type = 'purchase'),
+           SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                  value
+           FROM events WHERE event_type = 'purchase'),
          c AS (
-           SELECT user_id, ts, max(value) AS click_value,
-                  CAST(epoch_us(ts) AS BIGINT) AS click_ts_us
-           FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-         SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS click_ts_us,
+                  max(value) AS click_value
+           FROM events WHERE event_type = 'click'
+           GROUP BY user_id, epoch_us(ts))
+         SELECT p.event_id, p.user_id, p.ts_us,
                 p.value, c.click_ts_us, c.click_value
-         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         FROM p ASOF LEFT JOIN c
+           ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
          ORDER BY event_id""",
     "q_media_meta" ->
       s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})

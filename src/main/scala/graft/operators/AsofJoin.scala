@@ -45,7 +45,11 @@ object AsofJoin {
     val lt = left.select(
       Seq(col(key), col(ts)) ++ leftCols.map(col) :+
         lit(null).cast(payloadType).as("_p") :+ lit(1).as("_side"): _*)
-    val rt = right.select(
+    // null-key right rows are dropped up front: a window partitions nulls
+    // TOGETHER, which would match null-key left rows to them — join
+    // semantics (and the ASOF oracle) never equate nulls. Null-key left
+    // rows still ride through and surface with a null payload.
+    val rt = right.filter(col(key).isNotNull).select(
       Seq(col(key), col(ts)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         payloadStruct.as("_p") :+ lit(0).as("_side"): _*)
@@ -96,7 +100,7 @@ object AsofJoin {
           col("_rts_us") >= col("_lts_us") - windowUs &&
           col("_rts_us") <= col("_lts_us"),
         "left")
-      .drop("_lts_us", "_lbucket", "_rkey", "_rbucket")
+      .drop("_lts_us", "_lbucket", "_rkey", "_rbucket", "_rts_us")
   }
 
   /** Range-join query: per purchase, the number of clicks by the same

@@ -57,19 +57,25 @@ object FullText {
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         htmlToText(decode(col("content"), "UTF-8")).as("text"))
 
+  /** Filename-derived columns over the corpus's `<year>_<bill>.html`
+    * convention — the one spelling shared by [[search]] and job-level
+    * corpus scoping ([[graft.Jobs.fullTextSearch]]). */
+  def fileYear: Column = regexp_extract(col("file"), "^(20[0-9]{2})_", 1)
+  def fileBill: Column =
+    regexp_replace(col("file"), "^20[0-9]{2}_([A-Z]+)([0-9]+)\\.html$", "$1 $2")
+
   /** J3 × F1: every term against every document, keep case-insensitive
     * matches, derive the reference's output columns. */
   def search(corpus: DataFrame, terms: DataFrame): DataFrame = {
     val matched = corpus.crossJoin(broadcast(terms))
       .filter(contains(lower(col("text")), lower(col("term"))))
-    val year = regexp_extract(col("file"), "^(20[0-9]{2})_", 1).cast("int")
+    val year = fileYear.cast("int")
     // F9 parity arithmetic: odd year opens the biennium, even closes it.
     val fiscalYear = when(year % 2 === 1,
         concat(year.cast("string"), lit("-"), (year + 1).cast("string")))
       .otherwise(concat((year - 1).cast("string"), lit("-"), year.cast("string")))
     matched
-      .withColumn("bill",
-        regexp_replace(col("file"), "^20[0-9]{2}_([A-Z]+)([0-9]+)\\.html$", "$1 $2"))
+      .withColumn("bill", fileBill)
       .withColumn("fiscal_year", fiscalYear)
       // F8: leginfo bill id = <years-no-dash> + '0' + <bill-no-space>
       // (billTextClient.xhtml — the reference's base URL, legiscan_main.R:233)
@@ -117,8 +123,7 @@ object FullText {
         .otherwise(concat((col("year") - 1).cast("string"), lit("-"), col("year").cast("string"))))
       .select(col("sess"), col("bill_number"))
     Fixtures.bills(spark)
-      .withColumn("sess", concat(col("session.year_start").cast("string"),
-        lit("-"), col("session.year_end").cast("string")))
+      .withColumn("sess", Fixtures.sessionLabel)
       .join(broadcast(budget), Seq("sess", "bill_number"), "left_semi")
       .select(col("sess").as("session"), col("bill_number"), col("status"))
       .orderBy(col("session"), col("bill_number"))
@@ -131,8 +136,7 @@ object FullText {
     Fixtures.bills(spark)
       .filter(array_contains(col("texts.type"), "Chaptered"))
       .select(
-        concat(col("session.year_start").cast("string"), lit("-"),
-          col("session.year_end").cast("string")).as("session"),
+        Fixtures.sessionLabel.as("session"),
         col("bill_number"),
         element_at(col("texts.doc_id"), -1).as("last_doc_id"),
         size(col("texts")).as("n_texts"))
@@ -143,8 +147,7 @@ object FullText {
     * `legiscan_main.R:163`, generalized to a per-session rollup). */
   def qTextsPerSession(spark: SparkSession, dir: String): DataFrame =
     Fixtures.bills(spark)
-      .groupBy(concat(col("session.year_start").cast("string"), lit("-"),
-        col("session.year_end").cast("string")).as("session"))
+      .groupBy(Fixtures.sessionLabel.as("session"))
       .agg(
         sum(size(col("texts")).cast("long")).as("n_texts_total"),
         sum(when(array_contains(col("texts.type"), "Chaptered"), 1L)

@@ -65,9 +65,7 @@ object LegislatorCounts {
                      allBills: Boolean): DataFrame = {
     val known = broadcast(
       latestPeople(people).agg(collect_set(col("people_id")).as("known_ids")))
-    val sess = concat(
-      col("session.year_start").cast("string"), lit("-"),
-      col("session.year_end").cast("string")).as("sess")
+    val sess = Fixtures.sessionLabel.as("sess")
     val primaries = filter(col("sponsors"), s => s("sponsor_type_id") === 1)
     val matchedPrim = array_intersect(
       transform(primaries, s => s("people_id")), col("known_ids"))

@@ -141,6 +141,12 @@ object TextDedup {
     * large-star/small-star contraction (O(log n) rounds); dedup graphs
     * don't need it. The per-round cache keeps lineage bounded (round k
     * would otherwise recompute rounds 1..k-1).
+    *
+    * The RETURNED frame is still cached (one row per paired doc —
+    * bounded by the near-dup population, not the corpus): unpersisting
+    * here would force callers to recompute the whole round chain.
+    * Callers holding the session long-term should `unpersist()` the
+    * result when done with it.
     */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // cache the PAIRS, not the symmetrized edges: the union's two
@@ -152,8 +158,15 @@ object TextDedup {
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
+    // sum(empty) is a null row, not 0 — an empty pair graph (no near-dups
+    // found, common on real corpora) must yield the empty cluster set,
+    // not an NPE
+    def labelSum(df: DataFrame): Option[Long] = {
+      val r = df.agg(sum(col("label"))).head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    var prevSum = labelSum(labels)
+    var converged = prevSum.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -161,7 +174,7 @@ object TextDedup {
       val next = labels.unionByName(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
       // min-label sums decrease monotonically; equal sum == fixpoint
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
       converged = s == prevSum
@@ -169,6 +182,13 @@ object TextDedup {
       iter += 1
     }
     p.unpersist()
+    // an unconverged result is WRONG (labels are not yet the component
+    // minima) — fail loudly rather than hand back plausible garbage; a
+    // graph whose diameter defeats maxIter needs the large-star/small-star
+    // contraction noted above
+    if (!converged) throw new IllegalStateException(
+      s"dedupClusters did not converge in $maxIter rounds — component " +
+        "diameter exceeds the propagation budget")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

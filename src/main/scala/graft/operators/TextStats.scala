@@ -135,12 +135,15 @@ object TextStats {
 
   /** GPT-2-shaped pretokenizer pattern, restricted to constructs with
     * identical semantics in Java regex (Spark) and RE2 (DuckDB): no
-    * lookahead, leftmost-first alternation only. Contraction suffixes
-    * split off; letter runs, digit runs, and punctuation runs each form
-    * one token with an optional leading space (the BPE convention that
-    * makes " word" and "word" distinct vocabulary entries). */
+    * lookahead, leftmost-first alternation only, and the whitespace set
+    * spelled as an EXPLICIT class — Java's `\s` includes vertical tab
+    * while RE2's does not, so the shorthand would diverge on U+000B.
+    * Contraction suffixes split off; letter runs, digit runs, and
+    * punctuation runs each form one token with an optional leading space
+    * (the BPE convention that makes " word" and "word" distinct
+    * vocabulary entries). */
   val BpePattern: String =
-    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s']+"
+    "'(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \\t\\n\\r\\f']+"
 
   /** All BPE pretokens of a text — a codegen'd `regexp_extract_all`,
     * no UDF, no per-row vocabulary state. */

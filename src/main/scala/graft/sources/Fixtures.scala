@@ -59,6 +59,13 @@ object Fixtures {
   val root: String =
     sys.env.getOrElse("GRAFT_FIXTURES", "/root/repo/fixtures/legiscan")
 
+  /** The "YYYY-YYYY" session label derived from a bill row's nested
+    * session struct — the ONE spelling shared by every consumer (counts,
+    * budget semi join, rollups, job scoping). */
+  def sessionLabel: org.apache.spark.sql.Column =
+    concat(col("session.year_start").cast("string"), lit("-"),
+      col("session.year_end").cast("string"))
+
   def billsJsonGlob: String = s"$root/raw/*/bill/*.json"
   def peopleJsonGlob: String = s"$root/raw/*/people/*.json"
 

@@ -134,6 +134,11 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.head.getDouble(1) === 2.5)
   }
 
+  test("dedup clustering on an empty pair graph yields the empty cluster set") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(TextDedup.dedupClusters(empty).count() === 0)
+  }
+
   test("hash split is deterministic, exhaustive, and id-stable") {
     val out = TextStats.qHashSplit(spark, sfSmoke).collect()
     val total = graft.tables.Tables.documents(spark, sfSmoke).count()
