@@ -81,6 +81,33 @@ object Events {
       .dropDuplicatesWithinWatermark("event_id")
   }
 
+  /** Stream-stream interval join: the purchases stream joined to the
+    * clicks stream on user within a trailing 30-minute window — the
+    * streaming twin of [[graft.operators.AsofJoin.rangeJoin]]'s
+    * semantics. BOTH sides carry watermarks and the join condition
+    * time-bounds both event times, so Spark can evict each side's
+    * buffered state once the watermark passes it — the two requirements
+    * that make stream-stream joins memory-bounded. */
+  def streamingPurchaseClicks(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(spark, dir).schema
+    def src = Tables.normalizeEvents(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"))
+  }
+
   /** HLL approximate distinct users per event type, alongside the exact
     * count. The sketch is what a 100-TB cardinality readout uses —
     * mergeable, fixed memory per group, map-side partial — where exact

@@ -46,6 +46,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(_.getLong(2)).sum === 2 * nEvents)
   }
 
+  test("stream-stream interval join equals the batch range join's pairs") {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft-ckpt-ssj").toString
+    val q = Events.streamingPurchaseClicks(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_ssjoin")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_ssjoin")
+      .as[(Long, Long)].collect().toSet
+    // batch twin: the range join's matched pairs
+    val ev = graft.tables.Tables.events(spark, sfSmoke)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("c_id"))
+    val batch = graft.operators.AsofJoin
+      .rangeJoin(purchases, clicks, "user_id", "ts", 30L * 60 * 1000000, Seq("c_id"))
+      .filter(col("range_c_id").isNotNull)
+      .select(col("event_id"), col("range_c_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("approx distinct users stays inside the HLL error envelope") {
     val rows = Events.qApproxUsers(spark, sfSmoke).collect()
     assert(rows.nonEmpty)

@@ -134,6 +134,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.head.getDouble(1) === 2.5)
   }
 
+  test("property: clustering equals union-find on random pair graphs") {
+    import org.scalacheck.Gen
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val got = TextDedup.dedupClusters(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // naive union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // canonical representative = min node id per component
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      assert(got === expected)
+    }
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
