@@ -73,6 +73,7 @@ object SparkEntry {
     "q_salted_join"        -> (ScaleJoins.qSaltedJoin _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
+    "q_media_resize"       -> (Multimodal.qMediaResize _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -805,6 +806,13 @@ object SparkEntry {
            CAST(octet_length(blob) % 640 + 1 AS INTEGER) AS width,
            CAST(octet_length(blob) * 7 % 480 + 1 AS INTEGER) AS height,
            3 AS channels
+         FROM b ORDER BY doc_id""",
+    "q_media_resize" ->
+      s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
+         SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,
+           CAST((octet_length(blob) + 3) // 4 AS INTEGER) AS resized_bytes,
+           CAST((octet_length(blob) % 640 + 1 + 1) // 2 AS INTEGER) AS width,
+           CAST((octet_length(blob) * 7 % 480 + 1 + 1) // 2 AS INTEGER) AS height
          FROM b ORDER BY doc_id""",
     "q_media_frames" ->
       s"""WITH b AS (SELECT doc_id, octet_length(from_base64(payload_b64)) AS n

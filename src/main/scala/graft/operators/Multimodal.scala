@@ -92,4 +92,39 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     frameSample(blobs).toDF().orderBy(col("doc_id"), col("frame_idx"))
   }
+
+  val ResizeFactor = 2
+
+  case class ResizedMeta(doc_id: Long, n_bytes: Int, resized_bytes: Int,
+                         width: Int, height: Int)
+
+  /** Resize: keep every factor²-th byte — REAL slicing standing in for a
+    * bilinear downsample kernel (a codec swap changes the kernel, not
+    * this plumbing); dimensions shrink by `factor`, rounding up. Returns
+    * the resized blob alongside its metadata, the shape a downstream
+    * re-encode stage consumes. */
+  def resizeStub(id: Long, bytes: Array[Byte],
+                 factor: Int): (ResizedMeta, Array[Byte]) = {
+    val step = factor * factor
+    val out = Array.tabulate((bytes.length + step - 1) / step)(i => bytes(i * step))
+    val m = decodeStub(id, bytes)
+    (ResizedMeta(id, m.n_bytes, out.length,
+      (m.width + factor - 1) / factor, (m.height + factor - 1) / factor), out)
+  }
+
+  def resize(media: Dataset[(Long, Array[Byte])],
+             factor: Int = ResizeFactor): Dataset[(ResizedMeta, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { case (id, bytes) => resizeStub(id, bytes, factor) }
+    }
+  }
+
+  def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.docPayloads(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    resize(blobs).map(_._1).toDF().orderBy(col("doc_id"))
+  }
 }

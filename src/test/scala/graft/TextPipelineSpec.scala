@@ -247,6 +247,14 @@ class TextPipelineSpec extends SparkSpec {
     assert(metas(1) === Multimodal.MediaMeta(2L, 700, 61, 101, 3))
   }
 
+  test("resize keeps every factor^2-th byte and halves dimensions (round up)") {
+    val bytes = Array.tabulate[Byte](10)(_.toByte)
+    val blobs = Seq((9L, bytes)).toDS()
+    val (meta, out) = Multimodal.resize(blobs, factor = 2).collect().head
+    assert(out.toSeq === Seq[Byte](0, 4, 8)) // indices 0, 4, 8 of 0..9
+    assert(meta === Multimodal.ResizedMeta(9L, 10, 3, 6, 36))
+  }
+
   test("frame sampling keeps every k-th chunk with a short final frame") {
     val blobs = Seq((7L, new Array[Byte](4200))).toDS() // 5 chunks of 1024 (last 104)
     val frames = Multimodal.frameSample(blobs, chunk = 1024, every = 3)
