@@ -84,7 +84,11 @@ package object functions {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, x) => acc + x))
 
-  /** Cosine similarity of two float-array columns. */
+  /** Cosine similarity of two float-array columns — the built-in
+    * REFERENCE spelling. Hot paths use the native
+    * [[graft.expressions.CosineSim]] expression instead (same op
+    * sequence, one codegen'd pass); ExpressionsSpec asserts the two are
+    * bitwise identical, which is this definition's job now. */
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 }

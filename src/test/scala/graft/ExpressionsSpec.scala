@@ -54,12 +54,9 @@ class ExpressionsSpec extends SparkSpec {
     val rows = pairs.toDF("a", "b")
       .select(
         call_function("cosine_sim", col("a"), col("b")).as("native"),
-        (aggregate(zip_with(col("a"), col("b"),
-            (x, y) => x.cast("double") * y.cast("double")), lit(0.0), _ + _) /
-          (sqrt(aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), _ + _)) *
-           sqrt(aggregate(transform(col("b"), x => x.cast("double") * x.cast("double")),
-            lit(0.0), _ + _)))).as("builtin"))
+        // the HOF spelling from graft.functions IS the reference
+        // implementation the native expression must reproduce bitwise
+        cosineSim(col("a"), col("b")).as("builtin"))
       .as[(Double, Double)].collect()
     rows.foreach { case (native, builtin) =>
       assert(java.lang.Double.doubleToLongBits(native) ===
