@@ -75,6 +75,33 @@ object Fixtures {
   def billsJson(spark: SparkSession): DataFrame =
     spark.read.schema(billSchema).json(billsJsonGlob).select(col("bill.*"))
 
+  /** S4 with corrupt-record quarantine — the production ingest shape: at
+    * 100 TB some landed documents WILL be malformed, and the default
+    * PERMISSIVE mode would surface them as silent all-null rows. The
+    * reader captures the raw text of unparseable lines in a corrupt
+    * column; callers split the scan into (clean rows, quarantined raw
+    * lines) and land the quarantine for reprocess — FAILFAST (killing a
+    * cluster-day job on one bad byte) is the alternative this avoids.
+    * One scan serves both outputs. */
+  def billsJsonQuarantined(spark: SparkSession,
+                           path: String): (DataFrame, DataFrame) = {
+    val withCorrupt = billSchema.add("_corrupt_record", "string")
+    val raw = spark.read.schema(withCorrupt)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      // the file name must be captured AT the scan — past the cache
+      // boundary input_file_name() evaluates against the in-memory
+      // relation and returns ""
+      .withColumn("_file", input_file_name())
+      .cache() // one pass serves both splits (and Spark requires
+               // referencing the corrupt column only after materializing)
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .select(col("bill.*"))
+    val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_file").as("file"), col("_corrupt_record").as("raw"))
+    (good, quarantined)
+  }
+
   /** S5: people scan with the session recovered from the directory path
     * (the reference's only session marker for people files,
     * `legislator_bill_counts_run.R:54-60`). */

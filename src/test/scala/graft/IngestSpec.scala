@@ -88,6 +88,27 @@ class IngestSpec extends SparkSpec {
     assert(landed.select("bill.bill_number").collect().head.getString(0) === "AB1")
   }
 
+  test("corrupt bill JSON is quarantined with its raw line, not silently nulled") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-quarantine")
+    val good = """{"bill": {"bill_id": 1, "bill_number": "AB1", "bill_type": "B", """ +
+      """"status": 4, "status_date": "2019-06-01", "title": "t", "description": "d", """ +
+      """"session": {"session_id": 1, "session_name": "s", "year_start": 2019, "year_end": 2020}, """ +
+      """"texts": [], "sponsors": []}}"""
+    java.nio.file.Files.writeString(dir.resolve("good.json"), good + "\n")
+    java.nio.file.Files.writeString(dir.resolve("bad.json"),
+      """{"bill": {"bill_id": BROKEN""" + "\n")
+    val (clean, quarantined) =
+      graft.sources.Fixtures.billsJsonQuarantined(spark, s"$dir/*.json")
+    assert(clean.count() === 1)
+    assert(clean.select("bill_number").head.getString(0) === "AB1")
+    val q = quarantined.collect()
+    assert(q.length === 1)
+    assert(q.head.getString(1).contains("BROKEN")) // raw line preserved
+    assert(q.head.getString(0).endsWith("bad.json"))
+    clean.sparkSession.catalog.clearCache()
+  }
+
   test("zip entries escaping the landing dir are rejected") {
     val fake = new FakeApi {
       override def get(url: String): Array[Byte] =

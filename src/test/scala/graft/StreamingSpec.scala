@@ -187,6 +187,42 @@ class StreamingSpec extends SparkSpec {
       Events.UserSession(2L, 2L, us(300), us(300), 1L)))
   }
 
+  test("checkpoint restart resumes without reprocessing: exactly-once file sink") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val watch = Files.createTempDirectory("graft-restart-files")
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("graft-restart-tmp").toString
+      rows.toDF("event_id", "ts", "user_id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, watch.resolve(name))
+    }
+    writeBatch("b1.parquet", Seq((1L, ts(0), 10L), (2L, ts(5), 10L)))
+    val schema = spark.read.parquet(watch.toString).schema
+    val checkpoint = Files.createTempDirectory("graft-ckpt-restart").toString
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(watch.toString)
+        .select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce()                                   // processes b1
+    writeBatch("b2.parquet", Seq((3L, ts(10), 11L)))
+    runOnce()                                   // SAME checkpoint: only b2
+    val ids = spark.read.parquet(out).select("event_id")
+      .as[Long].collect().sorted
+    // a restart that re-read b1 would duplicate ids 1 and 2
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("late in-watermark event never regresses an open session's bounds") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val us = (min: Long) => min * 60L * 1000000L
