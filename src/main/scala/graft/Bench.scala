@@ -69,8 +69,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // the query count grows round over round, so the cross-round
+    // comparable figure is sec/query, not the total
+    val perQuery = if (results.nonEmpty) total / results.size else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
     println(line)
     Files.writeString(Paths.get(outPath), line + "\n")
     spark.stop()
