@@ -71,6 +71,11 @@ object SparkEntry {
     // no oracle entry (HLL sketch is engine-specific): rows-only gate
     "q_approx_users"       -> (graft.streaming.Events.qApproxUsers _),
     "q_salted_join"        -> (ScaleJoins.qSaltedJoin _),
+    // corpus-hygiene filters (PII / repetition / decontamination / mixing)
+    "q_pii_redact"         -> (CorpusFilters.qPiiRedact _),
+    "q_repetition"         -> (CorpusFilters.qRepetition _),
+    "q_contamination"      -> (CorpusFilters.qContamination _),
+    "q_domain_mix"         -> (CorpusFilters.qDomainMix _),
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
     "q_media_resize"       -> (Multimodal.qMediaResize _),
@@ -800,6 +805,73 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
          ORDER BY event_id""",
+    // regex patterns are RE2-and-Java-identical (explicit classes, no
+    // lookaround); redaction order (email -> phone -> ip) is part of the
+    // contract — a dotted phone contains an IPv4-shaped substring
+    "q_pii_redact" -> {
+      val em = CorpusFilters.EmailPattern
+      val ph = CorpusFilters.PhonePattern
+      val ip = CorpusFilters.IpPattern
+      s"""SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '$em')) AS INTEGER) AS n_emails,
+         CAST(len(regexp_extract_all(text, '$ph')) AS INTEGER) AS n_phones,
+         CAST(len(regexp_extract_all(text, '$ip')) AS INTEGER) AS n_ips,
+         CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+           '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g'))
+           AS INTEGER) AS n_chars_redacted,
+         (len(regexp_extract_all(text, '$em')) + len(regexp_extract_all(text, '$ph'))
+           + len(regexp_extract_all(text, '$ip'))) = 0 AS is_clean
+         FROM documents ORDER BY doc_id"""
+    },
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+                 CAST(len(${hashedShinglesSql(2)}) AS INTEGER) AS n_uniq_bigrams
+               FROM t),
+         term AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         cnt AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY doc_id, term),
+         mx AS (SELECT doc_id, max(tf) AS max_tf FROM cnt GROUP BY doc_id)
+         SELECT s.doc_id, s.n_tokens,
+           CAST(COALESCE(mx.max_tf, 0) AS BIGINT) AS max_tf,
+           CASE WHEN s.n_tokens = 0 THEN 0.0
+                ELSE CAST(COALESCE(mx.max_tf, 0) AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) END AS top_token_frac,
+           CASE WHEN s.n_tokens <= 1 THEN 1.0
+                ELSE CAST(s.n_uniq_bigrams AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) - 1.0) END AS uniq_bigram_frac,
+           (CASE WHEN s.n_tokens = 0 THEN 0.0
+                 ELSE CAST(COALESCE(mx.max_tf, 0) AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) END) <= 0.2
+             AND (CASE WHEN s.n_tokens <= 1 THEN 1.0
+                  ELSE CAST(s.n_uniq_bigrams AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) - 1.0) END) >= 0.3
+             AS keep_repetition
+         FROM s LEFT JOIN mx USING (doc_id)
+         ORDER BY doc_id""",
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(CorpusFilters.ContamShingleN)} AS hs FROM t),
+         banned AS (SELECT DISTINCT unnest(hs) AS h FROM shs
+                    WHERE doc_id % ${CorpusFilters.EvalMod} = 0),
+         tr AS (SELECT doc_id, unnest(hs) AS h FROM shs
+                WHERE doc_id % ${CorpusFilters.EvalMod} <> 0),
+         hits AS (SELECT doc_id, count(*) AS n FROM tr JOIN banned USING (h)
+                  GROUP BY doc_id)
+         SELECT d.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_overlap,
+           COALESCE(hits.n, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % ${CorpusFilters.EvalMod} <> 0) d
+         LEFT JOIN hits USING (doc_id)
+         ORDER BY doc_id""",
+    "q_domain_mix" -> {
+      val b = md5b16Sql("('mix:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+         m AS (SELECT min(n_total) AS n_min FROM c),
+         k AS (SELECT d.source, count(*) AS n_kept
+               FROM documents d JOIN c USING (source) CROSS JOIN m
+               WHERE CAST($b % 10000 AS BIGINT) * n_total < n_min * 10000
+               GROUP BY d.source)
+         SELECT c.source, c.n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(c.n_total AS DOUBLE) AS kept_frac
+         FROM c LEFT JOIN k USING (source)
+         ORDER BY source"""
+    },
     "q_media_meta" ->
       s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
          SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,

@@ -33,11 +33,24 @@ import graft.tables.Tables
   */
 object AsofJoin {
 
+  /** Internal column names the two joins reserve. A caller frame that
+    * already carries one of these would be silently shadowed and produce
+    * wrong results — so both entry points fail fast instead. */
+  private def requireNoReserved(df: DataFrame, reserved: Seq[String],
+                                side: String): Unit = {
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"$side frame contains reserved internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before the join")
+  }
+
   /** Generic backward as-of join. `rightPayload` names the right-side
     * columns to attach; they appear in the output as `asof_<name>`.
     * Left rows with no matching right row get nulls. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String]): DataFrame = {
+    requireNoReserved(left, Seq("_p", "_side"), "left")
+    requireNoReserved(right, Seq("_p", "_side"), "right")
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType
     val leftCols = left.columns.filterNot(c => c == key || c == ts).toSeq
@@ -82,6 +95,9 @@ object AsofJoin {
   def rangeJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                 windowUs: Long, rightPayload: Seq[String]): DataFrame = {
     require(windowUs > 0)
+    requireNoReserved(left,
+      Seq("_lts_us", "_lbucket", "_rkey", "_rbucket", "_rts_us") ++
+        rightPayload.map("range_" + _), "left")
     // integer `div` keeps micros exact — no double path
     val lb = left
       .withColumn("_lts_us", unix_micros(col(ts)))

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Corpus-hygiene filters — the screening passes a large-scale
+  * training-data pipeline runs between raw ingest and tokenization:
+  *
+  *  - '''PII redaction''' (emails / phones / IPv4) — count and strip
+  *    via codegen'd regex expressions, no UDF. One narrow per-row pass.
+  *  - '''Repetition stats''' (Gopher-style): top-token fraction and
+  *    unique-bigram fraction per document; highly repetitive documents
+  *    are flagged for the quality gate.
+  *  - '''Benchmark decontamination''': n-gram overlap between the
+  *    training corpus and a held-out benchmark set. The banned-shingle
+  *    table is bounded by the benchmark (small by construction), so the
+  *    overlap join broadcasts; the corpus side is one explode pass —
+  *    never an all-pairs comparison.
+  *  - '''Domain mixing''': deterministic hash-based downsampling to a
+  *    balanced per-source mix — the "data recipe" step. Pure integer
+  *    compare on a portable hash bucket: stable across runs, engines,
+  *    and cluster sizes (never `rand()`).
+  *
+  * All regex patterns are restricted to constructs with identical
+  * semantics in Java regex (Spark) and RE2 (DuckDB): explicit character
+  * classes, bounded repetition, no lookaround, no backreferences.
+  */
+object CorpusFilters {
+
+  // --- PII redaction ---
+
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  /** US-shaped phone: 3-3-4 digit groups with `-`, `.` or space
+    * separators and an optional parenthesized area code. */
+  val PhonePattern = "\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+  val IpPattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redaction ORDER is part of the contract: phones before IPs, because
+    * a dotted phone ("555.123.4567") contains an IPv4-shaped substring —
+    * the earlier pass must consume it. Both engines apply the same
+    * sequence, so parity holds by construction. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailPattern, "[EMAIL]")
+    val p = regexp_replace(e, PhonePattern, "[PHONE]")
+    regexp_replace(p, IpPattern, "[IP]")
+  }
+
+  def piiStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePattern), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(IpPattern), lit(0))).as("n_ips"),
+      length(redactPii(col("text"))).as("n_chars_redacted"))
+      .withColumn("is_clean",
+        col("n_emails") + col("n_phones") + col("n_ips") === 0)
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // --- repetition stats (Gopher-style) ---
+
+  /** Per-document repetition readout:
+    *  - `max_tf` / `top_token_frac`: count and corpus-fraction of the
+    *    most frequent token (explode → two partial-agg shuffles — the
+    *    distributed shape; a per-row array histogram would be an
+    *    interpreted higher-order loop);
+    *  - `uniq_bigram_frac`: distinct bigrams over total bigram slots,
+    *    computed in one codegen'd pass via the native hashed shingle
+    *    set (16-bit hash distinct — collisions understate distincts
+    *    identically in both engines, so parity holds);
+    *  - `keep_repetition`: the gate a curation pipeline consumes.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val scalars = docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      size(call_function("hashed_shingle_set", col("text"), lit(2)))
+        .as("n_uniq_bigrams"))
+    val maxTf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id")).agg(max(col("tf")).as("max_tf"))
+    val nTokD = col("n_tokens").cast("double")
+    val topFrac = when(col("n_tokens") === 0, 0.0)
+      .otherwise(col("max_tf").cast("double") / nTokD)
+    val uniqFrac = when(col("n_tokens") <= 1, 1.0)
+      .otherwise(col("n_uniq_bigrams").cast("double") /
+        (nTokD - 1.0))
+    scalars.join(maxTf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("max_tf"), lit(0L)).as("max_tf"),
+        topFrac.as("top_token_frac"),
+        uniqFrac.as("uniq_bigram_frac"))
+      .withColumn("keep_repetition",
+        col("top_token_frac") <= 0.2 && col("uniq_bigram_frac") >= 0.3)
+  }
+
+  def qRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    repetitionStats(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
+
+  // --- benchmark decontamination ---
+
+  val ContamShingleN = 5
+  /** Deterministic benchmark membership: doc_id ≡ 0 (mod 29) plays the
+    * held-out eval set (a real pipeline joins an external benchmark
+    * table here — the dataflow is identical). */
+  val EvalMod = 29
+
+  /** For every training document, the number of its distinct
+    * `ContamShingleN`-gram shingles that also occur in the benchmark
+    * set, plus the contamination flag.
+    *
+    * 100-TB shape: the banned-shingle table is bounded by the benchmark
+    * corpus (millions of shingles, not the training corpus's billions),
+    * so AQE broadcasts the inner join; the training side is one explode
+    * of the already-distinct per-doc shingle sets. The final left join
+    * keeps zero-overlap documents with an explicit 0.
+    */
+  def contamination(docs: DataFrame): DataFrame = {
+    val sh = TextDedup.hashedShingles(docs, ContamShingleN)
+    val banned = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+    val hits = train.select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(banned, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+  }
+
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    contamination(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
+
+  // --- domain mixing ---
+
+  /** Balanced per-source mix: every source is downsampled to the size of
+    * the smallest source. A document is kept iff its portable hash
+    * bucket clears the source's rate — the comparison
+    * `bucket · n_source < n_min · 10000` is pure integer arithmetic, so
+    * both engines make bit-identical keep decisions and the sample is
+    * stable under reshuffles and reruns. The "mix:" salt decouples the
+    * bucket from the split/other id-derived hashes. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val minCnt = counts.agg(min(col("n_total")).as("n_min"))
+    val bucket =
+      md5Bits16(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000
+    val kept = docs.select(col("doc_id"), col("source"))
+      .join(counts, Seq("source"))
+      .crossJoin(broadcast(minCnt))
+      .filter(bucket.cast("long") * col("n_total") < col("n_min") * 10000L)
+    counts.join(
+        kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_total").cast("double")).as("kept_frac"))
+  }
+
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMix(Tables.documents(spark, dir)).orderBy(col("source"))
+}

@@ -131,16 +131,19 @@ object TextDedup {
     * group; transitivity matters: A~B and B~C must land A, B, C in one
     * group even when A~C was never emitted).
     *
-    * Min-label propagation: every node starts labeled with itself; each
-    * round a node takes the minimum label among itself and its
-    * neighbors; at fixpoint every node carries its component's minimum
-    * id. Near-dup components are short chains, so few rounds suffice;
-    * the loop is a driver loop over per-round ACTIONS (one aggregate to
-    * test the fixpoint), never over rows — each round is one distributed
-    * join + groupBy. Adversarially long chains would call for
-    * large-star/small-star contraction (O(log n) rounds); dedup graphs
-    * don't need it. The per-round cache keeps lineage bounded (round k
-    * would otherwise recompute rounds 1..k-1).
+    * Min-label propagation with pointer jumping: every node starts
+    * labeled with itself; each round a node takes the minimum over its
+    * own label, its neighbors' labels, AND its label's label (the
+    * label-of-label self-join — "pointer jumping"). The extra join makes
+    * label chains halve every round, so convergence takes O(log d)
+    * rounds on a diameter-d component instead of O(d) — and on a Spark
+    * loop where per-round fixed cost (job scheduling + shuffle setup)
+    * dominates the tiny label frame, rounds saved convert directly to
+    * wall-clock. At fixpoint every node carries its component's minimum
+    * id. The loop is a driver loop over per-round ACTIONS (one aggregate
+    * to test the fixpoint), never over rows — each round is two
+    * distributed joins + one groupBy. The per-round cache keeps lineage
+    * bounded (round k would otherwise recompute rounds 1..k-1).
     *
     * The RETURNED frame is still cached (one row per paired doc —
     * bounded by the near-dup population, not the corpus): unpersisting
@@ -171,7 +174,13 @@ object TextDedup {
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(msgs)
+      // pointer jump: my label's current label (left join — a node whose
+      // label is already a component minimum has no row to chase)
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.node"), "left")
+        .select(col("l1.node").as("node"),
+          coalesce(col("l2.label"), col("l1.label")).as("label"))
+      val next = labels.unionByName(msgs).unionByName(jump)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
       // min-label sums decrease monotonically; equal sum == fixpoint
       val s = labelSum(next)
@@ -194,8 +203,16 @@ object TextDedup {
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    dedupClusters(minhashPairs(Tables.documents(spark, dir)))
-      .orderBy(col("doc_id"))
+    val labels = dedupClusters(minhashPairs(Tables.documents(spark, dir)))
+    // Harness entry: the result is bounded by the near-dup population
+    // (one row per PAIRED doc, not per corpus doc), so copy the rows out
+    // and release the cache — Bench + Verify share a JVM and repeated
+    // invocations would otherwise accumulate cached frames. Library
+    // callers use dedupClusters directly and own the cache handle.
+    val rows = labels.orderBy(col("doc_id")).collect()
+    val schema = labels.schema
+    labels.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   // --- SimHash ---

@@ -152,13 +152,20 @@ object TextStats {
 
   /** Token accounting per document: whitespace tokens vs BPE pretokens
     * vs distinct BPE pretokens — the sizing pass a training-data
-    * pipeline runs before tokenizer-budget decisions. */
+    * pipeline runs before tokenizer-budget decisions.
+    *
+    * The BPE extraction (the dominant per-row cost) is projected ONCE
+    * and both counts derive from the projected array; CollapseProject
+    * keeps the two-step shape because the alias is non-cheap and
+    * referenced twice, so the regex runs one time per row. */
   def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens_ws"),
-        size(bpeTokens(col("text"))).as("n_tokens_bpe"),
-        size(array_distinct(bpeTokens(col("text")))).as("n_unique_bpe"))
+        bpeTokens(col("text")).as("_bpe"))
+      .select(col("doc_id"), col("n_tokens_ws"),
+        size(col("_bpe")).as("n_tokens_bpe"),
+        size(array_distinct(col("_bpe"))).as("n_unique_bpe"))
       .orderBy(col("doc_id"))
 
   // --- TF-IDF salient terms ---

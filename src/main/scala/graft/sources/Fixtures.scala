@@ -82,9 +82,13 @@ object Fixtures {
     * column; callers split the scan into (clean rows, quarantined raw
     * lines) and land the quarantine for reprocess — FAILFAST (killing a
     * cluster-day job on one bad byte) is the alternative this avoids.
-    * One scan serves both outputs. */
+    * One scan serves both outputs.
+    *
+    * The third element is the cached raw scan backing both splits —
+    * `unpersist()` it when done with the derived frames (or use the
+    * scoped [[withBillsJsonQuarantined]], which releases it for you). */
   def billsJsonQuarantined(spark: SparkSession,
-                           path: String): (DataFrame, DataFrame) = {
+                           path: String): (DataFrame, DataFrame, DataFrame) = {
     val withCorrupt = billSchema.add("_corrupt_record", "string")
     val raw = spark.read.schema(withCorrupt)
       .option("columnNameOfCorruptRecord", "_corrupt_record")
@@ -99,7 +103,16 @@ object Fixtures {
       .select(col("bill.*"))
     val quarantined = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_file").as("file"), col("_corrupt_record").as("raw"))
-    (good, quarantined)
+    (good, quarantined, raw)
+  }
+
+  /** Scoped quarantine ingest: runs `use` over the (clean, quarantined)
+    * split and unpersists the backing scan afterwards, so a long-lived
+    * session doesn't accumulate the cached raw relation. */
+  def withBillsJsonQuarantined[T](spark: SparkSession, path: String)(
+      use: (DataFrame, DataFrame) => T): T = {
+    val (good, quarantined, raw) = billsJsonQuarantined(spark, path)
+    try use(good, quarantined) finally raw.unpersist()
   }
 
   /** S5: people scan with the session recovered from the directory path

@@ -126,6 +126,26 @@ class AsofJoinSpec extends SparkSpec {
     }
   }
 
+  test("reserved internal columns fail fast instead of silently shadowing") {
+    val clashL = leftDf.withColumn("_side", lit(9))
+    val e1 = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(clashL, rightDf, "k", "t", Seq("v"))
+    }
+    assert(e1.getMessage.contains("_side"))
+    val clashR = rightDf.withColumn("_p", lit(0))
+    intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(leftDf, clashR, "k", "t", Seq("v"))
+    }
+    import org.apache.spark.sql.functions.timestamp_micros
+    val l = Seq((1L, 1000L)).toDF("k", "t_us")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+      .withColumn("_rbucket", lit(1L))
+    val e3 = intercept[IllegalArgumentException] {
+      AsofJoin.rangeJoin(l, l.drop("_rbucket"), "k", "ts", 100L, Seq("k"))
+    }
+    assert(e3.getMessage.contains("_rbucket"))
+  }
+
   test("smoke: purchase->click attribution runs and is click-consistent") {
     val res = AsofJoin.qAsofJoin(spark, sfSmoke).cache()
     assert(res.count() > 0)

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusFilters
+
+/** Semantics of the corpus-hygiene filters on planted fixtures (the
+  * driver testdata carries no PII, so the PII semantics live here and
+  * the oracle entry proves engine parity of the expressions). */
+class CorpusFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+
+  // --- PII redaction ---
+
+  test("pii: emails, phones and IPs are counted and redacted") {
+    val d = docs(
+      1L -> "contact alice@example.com or (555) 123-4567 from 10.0.0.1 now",
+      2L -> "no pii here at all")
+    val out = CorpusFilters.piiStats(d).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Int]("n_emails") === 1)
+    assert(r1.getAs[Int]("n_phones") === 1)
+    assert(r1.getAs[Int]("n_ips") === 1)
+    assert(!r1.getAs[Boolean]("is_clean"))
+    val r2 = out(1)
+    assert(r2.getAs[Int]("n_emails") + r2.getAs[Int]("n_phones") +
+      r2.getAs[Int]("n_ips") === 0)
+    assert(r2.getAs[Boolean]("is_clean"))
+    assert(r2.getAs[Int]("n_chars_redacted") === "no pii here at all".length)
+  }
+
+  test("pii: redacted text replaces each hit with its tag") {
+    val red = docs(1L -> "mail bob@host.org and ping 192.168.0.12")
+      .select(CorpusFilters.redactPii(col("text"))).as[String].head()
+    assert(red === "mail [EMAIL] and ping [IP]")
+  }
+
+  test("pii: a dotted phone is consumed by the phone pass, not the IP pass") {
+    // 555.123.4567 contains an IPv4-shaped substring; redaction order
+    // (phone before ip) must hand it to [PHONE]
+    val d = docs(1L -> "call 555.123.4567 today")
+    val out = CorpusFilters.piiStats(d).collect().head
+    assert(out.getAs[Int]("n_phones") === 1)
+    val red = d.select(CorpusFilters.redactPii(col("text"))).as[String].head()
+    assert(red === "call [PHONE] today")
+  }
+
+  // --- repetition ---
+
+  test("repetition: a degenerate doc is flagged, a diverse one kept") {
+    val d = docs(
+      1L -> "spam spam spam spam spam spam spam spam spam spam",
+      2L -> "the quick brown fox jumps over a lazy dog tonight")
+    val out = CorpusFilters.repetitionStats(d).orderBy("doc_id").collect()
+    val spammy = out(0)
+    assert(spammy.getAs[Long]("max_tf") === 10L)
+    assert(spammy.getAs[Double]("top_token_frac") === 1.0)
+    // all 9 bigram slots are "spam spam" -> 1 distinct
+    assert(spammy.getAs[Double]("uniq_bigram_frac") === 1.0 / 9.0)
+    assert(!spammy.getAs[Boolean]("keep_repetition"))
+    val diverse = out(1)
+    assert(diverse.getAs[Long]("max_tf") === 1L)
+    assert(diverse.getAs[Double]("uniq_bigram_frac") === 1.0)
+    assert(diverse.getAs[Boolean]("keep_repetition"))
+  }
+
+  test("repetition: single-token and empty-ish docs hit the guards") {
+    val d = docs(1L -> "word")
+    val r = CorpusFilters.repetitionStats(d).collect().head
+    assert(r.getAs[Int]("n_tokens") === 1)
+    assert(r.getAs[Double]("uniq_bigram_frac") === 1.0) // n<=1 guard
+    assert(r.getAs[Double]("top_token_frac") === 1.0)
+  }
+
+  // --- contamination ---
+
+  test("contamination: train docs sharing benchmark n-grams are flagged") {
+    // doc 29 is in the eval set (29 % 29 == 0); doc 1 shares its exact
+    // 5-gram run, doc 2 shares nothing
+    val shared = "alpha beta gamma delta epsilon"
+    val d = docs(
+      29L -> s"$shared zeta",
+      1L -> s"prefix words here then $shared",
+      2L -> "completely different content with no overlap at all okay")
+    val out = CorpusFilters.contamination(d).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // eval doc excluded
+    val hit = out(0)
+    assert(hit.getAs[Long]("n_overlap") >= 1L)
+    assert(hit.getAs[Boolean]("contaminated"))
+    val clean = out(1)
+    assert(clean.getAs[Long]("n_overlap") === 0L)
+    assert(!clean.getAs[Boolean]("contaminated"))
+  }
+
+  // --- domain mix ---
+
+  test("domain mix: sources are downsampled toward the smallest source") {
+    val rows = (1L to 40L).map(i => (i, s"text number $i", "big")) ++
+      (41L to 45L).map(i => (i, s"text number $i", "small"))
+    val d = rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val out = CorpusFilters.domainMix(d).orderBy("source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("big").getAs[Long]("n_total") === 40L)
+    assert(out("small").getAs[Long]("n_total") === 5L)
+    // the smallest source has rate 1 (bucket < 10000 always) and keeps
+    // everything; the big one is hash-cut toward n_min — sampling is
+    // approximate, so assert direction, not the exact count
+    assert(out("small").getAs[Long]("n_kept") === 5L)
+    assert(out("big").getAs[Long]("n_kept") < 40L)
+    assert(out("big").getAs[Double]("kept_frac") < 1.0)
+  }
+
+  test("domain mix: keep decisions are deterministic across invocations") {
+    val d = docs((1L to 30L).map(i => (i, s"doc body $i")): _*)
+    val a = CorpusFilters.domainMix(d).collect().toSeq
+    val b = CorpusFilters.domainMix(d).collect().toSeq
+    assert(a === b)
+  }
+
+  test("smoke: all four corpus-filter queries run on testdata") {
+    assert(CorpusFilters.qPiiRedact(spark, sfSmoke).count() > 0)
+    assert(CorpusFilters.qRepetition(spark, sfSmoke).count() > 0)
+    assert(CorpusFilters.qContamination(spark, sfSmoke).count() > 0)
+    assert(CorpusFilters.qDomainMix(spark, sfSmoke).count() > 0)
+  }
+}

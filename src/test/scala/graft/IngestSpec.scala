@@ -98,15 +98,17 @@ class IngestSpec extends SparkSpec {
     java.nio.file.Files.writeString(dir.resolve("good.json"), good + "\n")
     java.nio.file.Files.writeString(dir.resolve("bad.json"),
       """{"bill": {"bill_id": BROKEN""" + "\n")
-    val (clean, quarantined) =
-      graft.sources.Fixtures.billsJsonQuarantined(spark, s"$dir/*.json")
-    assert(clean.count() === 1)
-    assert(clean.select("bill_number").head.getString(0) === "AB1")
-    val q = quarantined.collect()
-    assert(q.length === 1)
-    assert(q.head.getString(1).contains("BROKEN")) // raw line preserved
-    assert(q.head.getString(0).endsWith("bad.json"))
-    clean.sparkSession.catalog.clearCache()
+    graft.sources.Fixtures.withBillsJsonQuarantined(spark, s"$dir/*.json") {
+      (clean, quarantined) =>
+        assert(clean.count() === 1)
+        assert(clean.select("bill_number").head.getString(0) === "AB1")
+        val q = quarantined.collect()
+        assert(q.length === 1)
+        assert(q.head.getString(1).contains("BROKEN")) // raw line preserved
+        assert(q.head.getString(0).endsWith("bad.json"))
+    }
+    // the scoped form released the backing cache on exit
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("zip entries escaping the landing dir are rejected") {
