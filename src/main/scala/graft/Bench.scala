@@ -25,6 +25,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q_a,q_b times just those queries
+    // (driver runs always leave it unset and time the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,7 +50,7 @@ object Bench {
     // pays first-scan I/O. NB count() alone plans an empty ReadSchema
     // (footers only) — foreach forces the column chunks to be read.
     try {
-      SparkEntry.queries.toSeq.sortBy(_._1).head._2(spark, sfDir).count()
+      selected.toSeq.sortBy(_._1).head._2(spark, sfDir).count()
       graft.tables.Tables.all.foreach { t =>
         try graft.tables.Tables.load(spark, sfDir, t).foreach(_ => ())
         catch { case _: Throwable => () }
@@ -52,7 +58,7 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>

@@ -14,7 +14,8 @@ object Plans {
     "q7_volume_shipping", "q18_large_orders",
     "q_legislator_counts", "q_dedup_minhash", "q_similar_topk",
     "q_bill_search", "q_events_window",
-    "q_asof_join", "q_range_join", "q_tfidf_top_terms", "q_curate_corpus")
+    "q_asof_join", "q_range_join", "q_tfidf_top_terms", "q_curate_corpus",
+    "q_contamination", "q_domain_mix", "q_repetition")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

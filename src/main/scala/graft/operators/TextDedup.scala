@@ -131,19 +131,21 @@ object TextDedup {
     * group; transitivity matters: A~B and B~C must land A, B, C in one
     * group even when A~C was never emitted).
     *
-    * Min-label propagation with pointer jumping: every node starts
-    * labeled with itself; each round a node takes the minimum over its
-    * own label, its neighbors' labels, AND its label's label (the
-    * label-of-label self-join — "pointer jumping"). The extra join makes
-    * label chains halve every round, so convergence takes O(log d)
-    * rounds on a diameter-d component instead of O(d) — and on a Spark
-    * loop where per-round fixed cost (job scheduling + shuffle setup)
-    * dominates the tiny label frame, rounds saved convert directly to
-    * wall-clock. At fixpoint every node carries its component's minimum
-    * id. The loop is a driver loop over per-round ACTIONS (one aggregate
-    * to test the fixpoint), never over rows — each round is two
-    * distributed joins + one groupBy. The per-round cache keeps lineage
-    * bounded (round k would otherwise recompute rounds 1..k-1).
+    * Min-label propagation: every node starts labeled with itself; each
+    * round a node takes the minimum label among itself and its
+    * neighbors; at fixpoint every node carries its component's minimum
+    * id. Near-dup components are shallow (dup clusters are stars/short
+    * chains), so few rounds suffice; the loop is a driver loop over
+    * per-round ACTIONS (one aggregate to test the fixpoint), never over
+    * rows — each round is one distributed join + groupBy. Pointer
+    * jumping (label-of-label self-join, O(log d) rounds) was measured
+    * and REJECTED here: on the shallow graphs dedup produces it saves no
+    * rounds while adding a shuffle to every round. Adversarially deep
+    * chains would call for large-star/small-star contraction. The
+    * per-round cache keeps lineage bounded (round k would otherwise
+    * recompute rounds 1..k-1), and the edge list is pre-partitioned on
+    * the join key and cached ONCE — each round then shuffles only the
+    * (tiny) label frame, not the edges.
     *
     * The RETURNED frame is still cached (one row per paired doc —
     * bounded by the near-dup population, not the corpus): unpersisting
@@ -151,14 +153,22 @@ object TextDedup {
     * Callers holding the session long-term should `unpersist()` the
     * result when done with it.
     */
+  /** Rounds the last [[dedupClusters]] call took to converge — a dev /
+    * test probe (loop-cost tuning), not part of the operator contract. */
+  @volatile private[graft] var lastRounds: Int = 0
+
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // cache the PAIRS, not the symmetrized edges: the union's two
+    // cache the PAIRS, not just the symmetrized edges: the union's two
     // branches would each materialize the full upstream pair pipeline
     // (LSH index + verify joins) — the expensive part — while the
     // symmetrization itself is two selects over the tiny cached frame
     val p = pairs.select(col("doc_a"), col("doc_b")).cache()
+    // pre-partition the edge list on the per-round join key and cache:
+    // the cached relation keeps its hash distribution, so every round's
+    // join moves only the label frame
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("src")).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).cache()
     // sum(empty) is a null row, not 0 — an empty pair graph (no near-dups
@@ -174,13 +184,7 @@ object TextDedup {
     while (!converged && iter < maxIter) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
-      // pointer jump: my label's current label (left join — a node whose
-      // label is already a component minimum has no row to chase)
-      val jump = labels.as("l1")
-        .join(labels.as("l2"), col("l1.label") === col("l2.node"), "left")
-        .select(col("l1.node").as("node"),
-          coalesce(col("l2.label"), col("l1.label")).as("label"))
-      val next = labels.unionByName(msgs).unionByName(jump)
+      val next = labels.unionByName(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
       // min-label sums decrease monotonically; equal sum == fixpoint
       val s = labelSum(next)
@@ -190,7 +194,9 @@ object TextDedup {
       prevSum = s
       iter += 1
     }
+    lastRounds = iter
     p.unpersist()
+    edges.unpersist()
     // an unconverged result is WRONG (labels are not yet the component
     // minima) — fail loudly rather than hand back plausible garbage; a
     // graph whose diameter defeats maxIter needs the large-star/small-star

@@ -88,6 +88,30 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a non-equi join:\n$s")
   }
 
+  test("token-bpe evaluates the BPE regex once per row, not per consumer") {
+    // the two counts derive from one projected array; CollapseProject
+    // must NOT inline the extraction into both references
+    val s = planString("q_token_bpe")
+    val n = "regexp_extract_all".r.findAllIn(s).length
+    assert(n === 1, s"BPE extraction duplicated $n times in the plan:\n$s")
+  }
+
+  test("contamination: banned-shingle join broadcasts, never a nested loop") {
+    val df = SparkEntry.queries("q_contamination")(spark, sf("sf0.001"))
+    df.collect() // let AQE finalize with runtime sizes
+    val s = df.queryExecution.executedPlan.toString()
+    assert(!s.contains("CartesianProduct"),
+      s"contamination degenerated to an all-pairs product:\n$s")
+    assert(s.contains("BroadcastHashJoin"),
+      s"the benchmark-bounded banned set should broadcast at runtime:\n$s")
+  }
+
+  test("pii scan prunes to the two used columns") {
+    val s = planString("q_pii_redact")
+    assert(s.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"pii pass should read only doc_id+text:\n$s")
+  }
+
   test("minhash verify joins reuse the hashed-shingle exchange at runtime") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf("sf0.001"))
     df.collect() // materialize THIS queryExecution so AQE finalizes it
