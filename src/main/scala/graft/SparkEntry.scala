@@ -30,6 +30,10 @@ object SparkEntry {
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
+    "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
+    "q10_returned_items"   -> (Relational.q10ReturnedItems _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
     // LegiScan reference pipelines (SURVEY §3) over the committed fixtures
     "q_bill_search"        -> (BillSearch.qBillSearch _),
     "q_legislator_counts"  -> (LegislatorCounts.qLegislatorCounts _),
@@ -48,6 +52,7 @@ object SparkEntry {
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
+    "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
@@ -212,13 +217,13 @@ object SparkEntry {
        FROM b ORDER BY doc_id"""
   }
 
-  /** Capstone oracle: all five curation stages re-derived in one SQL
-    * statement over the shared minhash CTE chain. */
-  private def curateOracle: String = {
+  /** Shared CTE block for the curation capstones: stages 1–5 (split,
+    * exact-dup keep set, near-dup drop set, quality features, embedding
+    * norms) re-derived in SQL. Assumes [[minhashCtes]] precedes it. */
+  private def curateBaseCtes: String = {
     import TextDedup._
     val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
-    s"""WITH $minhashCtes,
-       neardrop AS (
+    s"""neardrop AS (
          SELECT DISTINCT doc_b AS doc_id FROM scored
          WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
        keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -237,11 +242,60 @@ object SparkEntry {
              - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
          FROM qf),
        train AS (SELECT doc_id FROM documents WHERE $b % 100 < 80),
-       emb AS (SELECT vec_id AS doc_id, ${normSql("embedding")} AS emb_norm FROM embeddings)
+       emb AS (SELECT vec_id AS doc_id, ${normSql("embedding")} AS emb_norm FROM embeddings)"""
+  }
+
+  /** Capstone oracle: all five curation stages re-derived in one SQL
+    * statement over the shared minhash CTE chain. */
+  private def curateOracle: String =
+    s"""WITH $minhashCtes,
+       $curateBaseCtes
        SELECT q.doc_id, q.n_tokens, q.quality_score, e.emb_norm
        FROM quality q
        JOIN keep USING (doc_id)
        JOIN train USING (doc_id)
+       LEFT JOIN emb e USING (doc_id)
+       WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
+       ORDER BY doc_id"""
+
+  /** Capstone v2 oracle: stages 1–5 plus the corpus-filter gates
+    * (repetition, decontamination, PII accounting), all re-derived. */
+  private def curateV2Oracle: String = {
+    import graft.operators.CorpusFilters._
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       reps AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS r_n_tokens,
+                  CAST(len(${hashedShinglesSql(2)}) AS INTEGER) AS r_n_uniq
+                FROM t),
+       rterm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       rcnt AS (SELECT doc_id, term, count(*) AS tf FROM rterm GROUP BY doc_id, term),
+       rmx AS (SELECT doc_id, max(tf) AS max_tf FROM rcnt GROUP BY doc_id),
+       repkeep AS (
+         SELECT reps.doc_id FROM reps LEFT JOIN rmx USING (doc_id)
+         WHERE (CASE WHEN r_n_tokens = 0 THEN 0.0
+                 ELSE CAST(COALESCE(max_tf, 0) AS DOUBLE) / CAST(r_n_tokens AS DOUBLE) END) <= 0.2
+           AND (CASE WHEN r_n_tokens <= 1 THEN 1.0
+                 ELSE CAST(r_n_uniq AS DOUBLE) / (CAST(r_n_tokens AS DOUBLE) - 1.0) END) >= 0.3),
+       shs5 AS (SELECT doc_id, ${hashedShinglesSql(ContamShingleN)} AS hs FROM t),
+       banned AS (SELECT DISTINCT unnest(hs) AS h FROM shs5 WHERE doc_id % $EvalMod = 0),
+       tr5 AS (SELECT doc_id, unnest(hs) AS h FROM shs5 WHERE doc_id % $EvalMod <> 0),
+       contamhit AS (SELECT DISTINCT doc_id FROM tr5 JOIN banned USING (h)),
+       notcontam AS (
+         SELECT doc_id FROM documents WHERE doc_id % $EvalMod <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contamhit)),
+       pii AS (SELECT doc_id,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+             '$EmailPattern', '[EMAIL]', 'g'), '$PhonePattern', '[PHONE]', 'g'),
+             '$IpPattern', '[IP]', 'g')) AS INTEGER) AS n_chars_redacted
+         FROM documents)
+       SELECT q.doc_id, q.n_tokens, q.quality_score, e.emb_norm, p.n_chars_redacted
+       FROM quality q
+       JOIN keep USING (doc_id)
+       JOIN train USING (doc_id)
+       JOIN repkeep USING (doc_id)
+       JOIN notcontam USING (doc_id)
+       JOIN pii p USING (doc_id)
        LEFT JOIN emb e USING (doc_id)
        WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
          AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
@@ -388,6 +442,52 @@ object SparkEntry {
          FROM orders JOIN big ON o_orderkey = l_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY total_qty DESC, o_orderkey""",
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+           AND l_quantity < 24""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal, n_name
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer
+           LEFT JOIN orders ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count
+         ORDER BY custdist DESC, c_count DESC""",
+    // avg threshold spelled CAST(sum)/CAST(count): avg(DECIMAL) is
+    // DECIMAL in Spark but DOUBLE in DuckDB — the explicit divide makes
+    // both engines run the identical IEEE op
+    "q22_idle_customers" ->
+      """WITH t AS (
+           SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) AS avg_bal
+           FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0)
+         SELECT c_mktsegment, count(*) AS n_customers,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_acctbal
+         FROM customer CROSS JOIN t
+         WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) > avg_bal
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "q_bill_search" ->
       s"""SELECT bill_number, session.session_name AS session, status,
          regexp_replace(texts[1].state_link, '#.+$$', '') AS link,
@@ -552,6 +652,7 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_curate_corpus" -> curateOracle,
+    "q_curate_v2" -> curateV2Oracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

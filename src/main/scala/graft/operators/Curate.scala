@@ -52,4 +52,36 @@ object Curate {
     curate(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .orderBy(col("doc_id"))
   }
+
+  /** Capstone v2 — the full hygiene recipe: everything [[curate]] does,
+    * plus the corpus-filter gates:
+    *
+    *   6. repetition gate (degenerate docs out,
+    *      [[CorpusFilters.repetitionStats]]);
+    *   7. benchmark decontamination (docs sharing eval n-grams out —
+    *      and benchmark members themselves out,
+    *      [[CorpusFilters.contamination]]);
+    *   8. PII accounting ([[CorpusFilters.piiStats]] — the redacted
+    *      length rides along; redact-and-keep, not drop).
+    *
+    * Still one `doc_id` partitioning end to end: the new gates are two
+    * more semi joins and one equi join on the same key. */
+  def curateV2(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val rep = CorpusFilters.repetitionStats(docs)
+      .filter(col("keep_repetition")).select(col("doc_id"))
+    val clean = CorpusFilters.contamination(docs)
+      .filter(!col("contaminated")).select(col("doc_id"))
+    val pii = CorpusFilters.piiStats(docs)
+      .select(col("doc_id"), col("n_chars_redacted"))
+    curate(docs, embeddings)
+      .join(rep, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(pii, Seq("doc_id"))
+  }
+
+  def qCurateV2(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV2(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -257,6 +257,97 @@ object Relational {
           .as("promo_pct"))
   }
 
+  /** TPC-H Q6-style forecast revenue: one pruned scan, every predicate
+    * pushed to parquet, single partial-agg reduce — the cheapest shape a
+    * fact-table query can take; exists to pin that the scan layer keeps
+    * it that way (PlanSpec asserts the pushed filters). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(moneySum(money($"l_extendedprice") * rate($"l_discount"))
+        .as("revenue"))
+  }
+
+  /** TPC-H Q10-style returned items: customers ranked by revenue lost to
+    * returns in one quarter.
+    *
+    * Scale shape: the quarter filter shrinks orders first, the
+    * returnflag filter shrinks lineitem, and their join runs before the
+    * scale-proportional customer join (no hints — AQE decides); only
+    * the bounded `nation` dim is broadcast. Final top-20 compiles to
+    * TakeOrderedAndProject. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select($"n_nationkey", $"n_name")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg(moneySum(discPrice($"l_extendedprice", $"l_discount")).as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue",
+        money($"c_acctbal").cast("double").as("c_acctbal"), $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style order-count distribution: how many customers placed
+    * k orders, INCLUDING k=0 — the left outer join is the point (an
+    * inner join would silently drop order-less customers). The priority
+    * exclusion rides on the join's right side, not a post-join WHERE,
+    * which would turn the outer join inner. Two partial-agg shuffles,
+    * the second over a tiny (customer, count) frame. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" =!= "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count")) // count(col) skips nulls
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  /** TPC-H Q22-style idle high-balance customers: per market segment,
+    * customers with an above-average account balance and no orders at
+    * all — the "capital sitting idle" readout.
+    *
+    * Shape: a scalar aggregate (global average over positive balances)
+    * broadcast into the filter, then a left-anti join against orders.
+    * The average is computed as CAST(sum)/CAST(count) doubles so both
+    * engines perform the identical IEEE divide (`avg(DECIMAL)` types
+    * differ between them). */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment", money($"c_acctbal").as("bal"))
+    val threshold = cust.filter($"bal" > 0)
+      .agg((sum($"bal").cast("double") / count(lit(1)).cast("double"))
+        .as("avg_bal"))
+    val ord = Tables.orders(spark, dir).select($"o_custkey")
+    cust.crossJoin(broadcast(threshold))
+      .filter($"bal".cast("double") > $"avg_bal")
+      .join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"bal").as("total_acctbal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Grouped pivot (SURVEY §2.5 A1): order counts per status × year, as
     * explicit conditional aggregates so the output schema is static (a
     * dynamic `.pivot()` would need a values scan first; at 100 TB the

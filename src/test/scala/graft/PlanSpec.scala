@@ -88,6 +88,27 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a non-equi join:\n$s")
   }
 
+  test("q6: all three predicates push to the parquet scan") {
+    val s = planString("q6_forecast_revenue")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(s.contains(s"IsNotNull($c)") || s.contains(s"GreaterThan($c") ||
+        s.contains(s"LessThan($c"), s"$c not pushed:\n$s")
+    }
+    assert(s.contains("PushedFilters: ["))
+  }
+
+  test("q10: top-20 compiles to TakeOrderedAndProject") {
+    assert(planString("q10_returned_items").contains("TakeOrderedAndProject"))
+  }
+
+  test("q13: the priority exclusion keeps the join outer") {
+    // a post-join WHERE would let Catalyst rewrite LEFT as INNER and
+    // silently drop order-less customers
+    val s = SparkEntry.queries("q13_order_distribution")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan.toString()
+    assert(s.contains("LeftOuter"), s"outer join lost:\n$s")
+  }
+
   test("token-bpe evaluates the BPE regex once per row, not per consumer") {
     // the two counts derive from one projected array; CollapseProject
     // must NOT inline the extraction into both references

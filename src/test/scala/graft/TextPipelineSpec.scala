@@ -239,6 +239,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(byId(5L).isNullAt(3))          // no vector → null norm, row kept
   }
 
+  test("curation v2 adds repetition, decontamination and pii gates") {
+    import graft.operators.Curate
+    // ids 2,3,4 are train-bucket (<80); 29 is the eval-set member
+    // (29 % 29 == 0) and also train-bucket, so its absence proves the
+    // benchmark exclusion, not the split
+    val sharedRun = "winter stars shine over mountains"
+    val cdocs = Seq(
+      // SURVIVES — stop-bearing but flat token distribution (every
+      // token ≤ 2 occurrences keeps top_token_frac under the 0.2 gate);
+      // carries an email that must be redacted-and-kept, not dropped
+      (2L, "a cat of the house and one mouse in that field go to " +
+        "some barn then wait for every sign contact alice@example.com"),
+      // repetitive: quality-passing (all stopwords) but top_token_frac=1
+      (3L, Seq.fill(30)("the").mkString(" ")),
+      // contaminated: flat stop-bearing prefix + the eval doc's 5-gram
+      // run — must PASS repetition so decontamination is the proven drop
+      (4L, "a fish of the lake and one bird in this sky travel to " +
+        s"some sea $sharedRun"),
+      // eval-set member: excluded itself, and bans its shingles
+      (29L, s"a completely different opening line here $sharedRun")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val out = Curate.curateV2(cdocs, emb).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    val r = out.head
+    assert(r.getAs[Double]("emb_norm") === 5.0)
+    // "alice@example.com" (17 chars) became "[EMAIL]" (7)
+    val fullLen = cdocs.filter(col("doc_id") === 2L)
+      .select(length(col("text"))).head().getInt(0)
+    assert(r.getAs[Int]("n_chars_redacted") === fullLen - 10)
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
