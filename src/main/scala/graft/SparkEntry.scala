@@ -274,9 +274,9 @@ object SparkEntry {
        repkeep AS (
          SELECT reps.doc_id FROM reps LEFT JOIN rmx USING (doc_id)
          WHERE (CASE WHEN r_n_tokens = 0 THEN 0.0
-                 ELSE CAST(COALESCE(max_tf, 0) AS DOUBLE) / CAST(r_n_tokens AS DOUBLE) END) <= 0.2
+                 ELSE CAST(COALESCE(max_tf, 0) AS DOUBLE) / CAST(r_n_tokens AS DOUBLE) END) <= $TopTokenFracMax
            AND (CASE WHEN r_n_tokens <= 1 THEN 1.0
-                 ELSE CAST(r_n_uniq AS DOUBLE) / (CAST(r_n_tokens AS DOUBLE) - 1.0) END) >= 0.3),
+                 ELSE CAST(r_n_uniq AS DOUBLE) / (CAST(r_n_tokens AS DOUBLE) - 1.0) END) >= $UniqBigramFracMin),
        shs5 AS (SELECT doc_id, ${hashedShinglesSql(ContamShingleN)} AS hs FROM t),
        banned AS (SELECT DISTINCT unnest(hs) AS h FROM shs5 WHERE doc_id % $EvalMod = 0),
        tr5 AS (SELECT doc_id, unnest(hs) AS h FROM shs5 WHERE doc_id % $EvalMod <> 0),
@@ -939,9 +939,9 @@ object SparkEntry {
            CASE WHEN s.n_tokens <= 1 THEN 1.0
                 ELSE CAST(s.n_uniq_bigrams AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) - 1.0) END AS uniq_bigram_frac,
            (CASE WHEN s.n_tokens = 0 THEN 0.0
-                 ELSE CAST(COALESCE(mx.max_tf, 0) AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) END) <= 0.2
+                 ELSE CAST(COALESCE(mx.max_tf, 0) AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) END) <= ${CorpusFilters.TopTokenFracMax}
              AND (CASE WHEN s.n_tokens <= 1 THEN 1.0
-                  ELSE CAST(s.n_uniq_bigrams AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) - 1.0) END) >= 0.3
+                  ELSE CAST(s.n_uniq_bigrams AS DOUBLE) / (CAST(s.n_tokens AS DOUBLE) - 1.0) END) >= ${CorpusFilters.UniqBigramFracMin}
              AS keep_repetition
          FROM s LEFT JOIN mx USING (doc_id)
          ORDER BY doc_id""",

@@ -49,7 +49,11 @@ object AsofJoin {
     * Left rows with no matching right row get nulls. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                rightPayload: Seq[String]): DataFrame = {
-    requireNoReserved(left, Seq("_p", "_side"), "left")
+    // asof_<payload> names are outputs: a left frame already carrying one
+    // (e.g. the result of a previous asofJoin chained back in) would end
+    // up with two same-named columns
+    requireNoReserved(left,
+      Seq("_p", "_side") ++ rightPayload.map("asof_" + _), "left")
     requireNoReserved(right, Seq("_p", "_side"), "right")
     val payloadStruct = struct(rightPayload.map(col): _*)
     val payloadType = right.select(payloadStruct).schema.head.dataType

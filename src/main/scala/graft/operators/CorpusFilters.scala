@@ -61,6 +61,12 @@ object CorpusFilters {
 
   // --- repetition stats (Gopher-style) ---
 
+  /** Repetition-gate thresholds — named so the Spark side and BOTH
+    * oracle spellings (q_repetition, the curate-v2 repkeep CTE)
+    * interpolate the same literal; parity holds by construction. */
+  val TopTokenFracMax = 0.2
+  val UniqBigramFracMin = 0.3
+
   /** Per-document repetition readout:
     *  - `max_tf` / `top_token_frac`: count and corpus-fraction of the
     *    most frequent token (explode → two partial-agg shuffles — the
@@ -94,7 +100,8 @@ object CorpusFilters {
         topFrac.as("top_token_frac"),
         uniqFrac.as("uniq_bigram_frac"))
       .withColumn("keep_repetition",
-        col("top_token_frac") <= 0.2 && col("uniq_bigram_frac") >= 0.3)
+        col("top_token_frac") <= TopTokenFracMax &&
+          col("uniq_bigram_frac") >= UniqBigramFracMin)
   }
 
   def qRepetition(spark: SparkSession, dir: String): DataFrame = {

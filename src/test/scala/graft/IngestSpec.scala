@@ -107,8 +107,17 @@ class IngestSpec extends SparkSpec {
         assert(q.head.getString(1).contains("BROKEN")) // raw line preserved
         assert(q.head.getString(0).endsWith("bad.json"))
     }
-    // the scoped form released the backing cache on exit
-    assert(spark.sharedState.cacheManager.isEmpty)
+    // the returned handle releases exactly ITS backing cache entry (a
+    // global cacheManager.isEmpty assert would be order-dependent on
+    // whatever other suites leave cached in the shared session); the
+    // scoped form above is the same unpersist in a finally
+    val (_, _, raw2) =
+      graft.sources.Fixtures.billsJsonQuarantined(spark, s"$dir/*.json")
+    def entry = spark.sharedState.cacheManager
+      .lookupCachedData(raw2.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+    assert(entry.isDefined)
+    raw2.unpersist()
+    assert(entry.isEmpty)
   }
 
   test("zip entries escaping the landing dir are rejected") {

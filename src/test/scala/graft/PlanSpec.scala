@@ -20,6 +20,11 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries(name)(spark, sf("sf0.001"))
     df.queryExecution.executedPlan.toString()
   }
+  /** Formatted explain — scan metadata (PushedFilters list) is NOT
+    * 100-char-truncated there, unlike executedPlan.toString. */
+  private def formattedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   test("q1: ship-date filter and column pruning reach the parquet scan") {
     val s = planString("q1_pricing_summary")
@@ -88,13 +93,15 @@ class PlanSpec extends SparkSpec {
       s"range join degenerated to a non-equi join:\n$s")
   }
 
-  test("q6: all three predicates push to the parquet scan") {
-    val s = planString("q6_forecast_revenue")
-    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
-      assert(s.contains(s"IsNotNull($c)") || s.contains(s"GreaterThan($c") ||
-        s.contains(s"LessThan($c"), s"$c not pushed:\n$s")
-    }
-    assert(s.contains("PushedFilters: ["))
+  test("q6: the RANGE predicates push to the parquet scan") {
+    // IsNotNull alone is always pushed for a filtered column, so the
+    // asserts demand the comparison filters themselves
+    val s = formattedPlan("q6_forecast_revenue")
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate lower bound not pushed:\n$s")
+    assert(s.contains("LessThan(l_shipdate"), s"shipdate upper bound not pushed:\n$s")
+    assert(s.contains("GreaterThanOrEqual(l_discount"), s"discount lower bound not pushed:\n$s")
+    assert(s.contains("LessThanOrEqual(l_discount"), s"discount upper bound not pushed:\n$s")
+    assert(s.contains("LessThan(l_quantity"), s"quantity bound not pushed:\n$s")
   }
 
   test("q10: top-20 compiles to TakeOrderedAndProject") {

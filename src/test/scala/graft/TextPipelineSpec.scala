@@ -124,6 +124,12 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(Seq(1L, 2L, 3L, 4L, 5L).forall(clusters(_) == 1L))
     assert(clusters(7L) === 7L && clusters(8L) === 7L)
+    // loop-cost probe: a diameter-4 path needs the minimum label to walk
+    // 4 hops (1 hop/round) plus the fixpoint-confirming round — a
+    // regression that adds rounds (e.g. losing a propagation direction)
+    // shows up here before it shows up as bench time
+    assert(TextDedup.lastRounds === 5,
+      s"expected 4 propagation rounds + 1 confirm, got ${TextDedup.lastRounds}")
   }
 
   test("length quantiles interpolate: median of {1,2,3,4} is 2.5") {
