@@ -12,10 +12,13 @@ import org.apache.spark.sql.SparkSession
 object Plans {
   val headline = Seq("q3_shipping_priority", "q5_region_volume",
     "q7_volume_shipping", "q18_large_orders",
+    "q6_forecast_revenue", "q10_returned_items", "q13_order_distribution",
+    "q22_idle_customers",
     "q_legislator_counts", "q_dedup_minhash", "q_similar_topk",
     "q_bill_search", "q_events_window",
     "q_asof_join", "q_range_join", "q_tfidf_top_terms", "q_curate_corpus",
-    "q_contamination", "q_domain_mix", "q_repetition")
+    "q_contamination", "q_domain_mix", "q_repetition",
+    "q_rolling_avg", "q_events_rollup", "q_curate_v2")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

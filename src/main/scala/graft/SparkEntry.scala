@@ -73,6 +73,8 @@ object SparkEntry {
     "q_asof_join"          -> (AsofJoin.qAsofJoin _),
     "q_range_join"         -> (AsofJoin.qRangeJoin _),
     "q_events_sliding"     -> (graft.streaming.Events.qEventsSliding _),
+    "q_rolling_avg"        -> (graft.streaming.Events.qRollingAvg _),
+    "q_events_rollup"      -> (graft.streaming.Events.qEventsRollup _),
     // no oracle entry (HLL sketch is engine-specific): rows-only gate
     "q_approx_users"       -> (graft.streaming.Events.qApproxUsers _),
     "q_salted_join"        -> (ScaleJoins.qSaltedJoin _),
@@ -856,6 +858,27 @@ object SparkEntry {
          SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            count(*) AS n_events
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    // rows-frame window: EXACT decimal sum / count, both over the same
+    // pinned (ts_us, event_id) frame order — a windowed double-sum
+    // would be last-ULP order-sensitive and engines differ in sliding
+    // aggregation algorithms
+    "q_rolling_avg" ->
+      """SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+           / CAST(count(*) OVER w AS DOUBLE) AS rolling_avg_5
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, ts_us, event_id""",
+    // engines disagree on default null ordering (Spark NULLS FIRST asc,
+    // DuckDB NULLS LAST) — the rollup subtotal rows make it explicit
+    "q_events_rollup" ->
+      """SELECT event_type,
+         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         count(*) AS n_events
+         FROM events
+         GROUP BY ROLLUP(event_type, hour)
+         ORDER BY event_type NULLS FIRST, hour NULLS FIRST""",
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

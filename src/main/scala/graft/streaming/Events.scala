@@ -124,6 +124,43 @@ object Events {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy(col("event_type"))
 
+  /** Rolling 5-event average value per user — the rows-frame window
+    * class (the other window entries cover ranking and running-sum
+    * frames). Frame order is pinned by (ts_us, event_id) so ties are
+    * deterministic. The aggregate runs as an EXACT decimal sum divided
+    * by the frame count: windowed double-sums are order-sensitive AND
+    * engines differ in sliding-aggregate algorithms (subtract-on-slide
+    * vs recompute), so a double sum would drift in the last ULP. */
+  def rollingAvgValue(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        money(col("value")).as("value_d"))
+      .withColumn("rolling_avg_5",
+        sum(col("value_d")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("rolling_avg_5"))
+  }
+
+  def qRollingAvg(spark: SparkSession, dir: String): DataFrame =
+    rollingAvgValue(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+
+  /** ROLLUP hierarchy (type → type×hour → grand total) as one pass —
+    * the multi-level aggregation class. Spark plans a single Expand +
+    * hash aggregate (still partial/map-side), not one job per level.
+    * Subtotal rows carry nulls; the final sort pins NULLS FIRST
+    * explicitly because engines disagree on default null order. */
+  def qEventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .rollup(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
+
   /** F13: JSON props decode with a pinned schema + aggregate. */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -261,6 +261,31 @@ class StreamingSpec extends SparkSpec {
     assert(next.isEmpty && state2.get.seq === 4L)
   }
 
+  test("rolling 5-event average uses an exact trailing frame per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val ev = (1 to 6).map(i => (7L, i.toLong, i.toLong * 1000000L, i.toDouble))
+      .toDF("user_id", "event_id", "t_us", "value")
+      .withColumn("ts", timestamp_micros(col("t_us"))).drop("t_us")
+    val got = graft.streaming.Events.rollingAvgValue(ev)
+      .orderBy("ts_us").select("rolling_avg_5").as[Double].collect()
+    // frames: {1} {1,2} {1,2,3} {1..4} {1..5} {2..6}
+    assert(got.toSeq === Seq(1.0, 1.5, 2.0, 2.5, 3.0, 4.0))
+  }
+
+  test("rollup levels are consistent: subtotals and grand total add up") {
+    import spark.implicits._
+    val out = graft.streaming.Events.qEventsRollup(spark, sfSmoke).collect()
+    val grand = out.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    val total = grand.head.getLong(2)
+    val typeSubtotals = out.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(typeSubtotals.map(_.getLong(2)).sum === total)
+    val leaves = out.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(leaves.map(_.getLong(2)).sum === total)
+    assert(total === graft.tables.Tables.events(spark, sfSmoke).count())
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
