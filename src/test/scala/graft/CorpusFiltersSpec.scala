@@ -124,6 +124,60 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("property: domain mix bounds, min-source retention, order-invariance") {
+    import org.scalacheck.Gen
+    val gen = Gen.listOfN(3, Gen.choose(2, 12))
+    samples(gen, 4).foreach { sizes =>
+      var id = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        (1 to n).map { _ => id += 1; (id, s"body of doc $id", s"src$s") }
+      }
+      val d = rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")))
+      val out = CorpusFilters.domainMix(d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val minTotal = out.values.map(_._1).min
+      out.foreach { case (src, (total, kept)) =>
+        assert(kept <= total, s"$src kept more than it has")
+        if (total == minTotal)
+          assert(kept === total, s"min-size source $src must keep everything")
+      }
+      // keep decisions are per-doc hashes: input order cannot matter
+      val reordered = CorpusFilters.domainMix(d.orderBy(col("doc_id").desc))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(reordered === out)
+    }
+  }
+
+  test("property: a train doc equal to an eval doc is always contaminated") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("red", "blue", "green", "stone", "river", "cloud",
+      "iron", "glass", "north", "amber")
+    val text = Gen.listOfN(9, word).map(_.mkString(" ")) // >= 5 tokens
+    samples(Gen.zip(text, text), 5).foreach { case (evalText, otherText) =>
+      val d = docs(
+        CorpusFilters.EvalMod.toLong -> evalText, // eval member
+        1L -> evalText,                           // verbatim copy in train
+        2L -> otherText)
+      val out = CorpusFilters.contamination(d).collect()
+        .map(r => (r.getLong(0), r.getAs[Boolean]("contaminated"))).toMap
+      assert(out(1L), s"verbatim eval copy not flagged for '$evalText'")
+      assert(!out.contains(CorpusFilters.EvalMod.toLong))
+    }
+  }
+
+  test("property: digit-and-at-free text is always pii-clean") {
+    import org.scalacheck.Gen
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val text = Gen.listOfN(12, word).map(_.mkString(" "))
+    samples(text, 10).foreach { t =>
+      val r = CorpusFilters.piiStats(docs(1L -> t)).collect().head
+      assert(r.getAs[Boolean]("is_clean"), s"false positive on '$t'")
+      assert(r.getAs[Int]("n_chars_redacted") === t.length)
+    }
+  }
+
   test("smoke: all four corpus-filter queries run on testdata") {
     assert(CorpusFilters.qPiiRedact(spark, sfSmoke).count() > 0)
     assert(CorpusFilters.qRepetition(spark, sfSmoke).count() > 0)
