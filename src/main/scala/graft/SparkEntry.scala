@@ -31,6 +31,8 @@ object SparkEntry {
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
+    "q_set_ops"            -> (Relational.qSetOps _),
+    "q_sql_surface"        -> (Relational.qSqlSurface _),
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
@@ -451,6 +453,25 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
            AND l_quantity < 24""",
+    "q_set_ops" ->
+      """SELECT op, n_custkeys FROM (
+           SELECT 'both' AS op, count(*) AS n_custkeys FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+           UNION ALL
+           SELECT 'segment_only' AS op, count(*) AS n_custkeys FROM (
+             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             EXCEPT
+             SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+         ORDER BY op""",
+    "q_sql_surface" ->
+      """SELECT c_mktsegment,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name,
          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,

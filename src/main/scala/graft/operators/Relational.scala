@@ -348,6 +348,42 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** Set operations beyond union: INTERSECT / EXCEPT (both DISTINCT
+    * semantics — Spark's `intersect`/`except` and SQL's operators
+    * agree). Each compiles to a hash semi/anti join on the full row, so
+    * the shuffle story is the same as J1's; the two branches share the
+    * scans. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val building = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val urgent = Tables.orders(spark, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    val both = building.intersect(urgent)
+      .agg(count(lit(1)).as("n_custkeys")).select(lit("both").as("op"), $"n_custkeys")
+    val onlySeg = building.except(urgent)
+      .agg(count(lit(1)).as("n_custkeys")).select(lit("segment_only").as("op"), $"n_custkeys")
+    both.unionByName(onlySeg).orderBy($"op")
+  }
+
+  /** The SQL-text surface: the same library serves `spark.sql` over
+    * registered views — Catalyst plans text and DataFrame calls
+    * identically, so every scale property (pushdown, AQE strategy
+    * choice) carries over. The decimal-parity recipe is spelled in SQL
+    * here, proving it is expressible from both APIs. */
+  def qSqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+         count(*) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment""")
+  }
+
   /** Grouped pivot (SURVEY §2.5 A1): order counts per status × year, as
     * explicit conditional aggregates so the output schema is static (a
     * dynamic `.pivot()` would need a values scan first; at 100 TB the

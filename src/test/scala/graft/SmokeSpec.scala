@@ -29,4 +29,28 @@ class SmokeSpec extends SparkSpec {
       df.count()
     }
   }
+
+  test("set ops partition: both + segment_only == distinct BUILDING customers") {
+    import org.apache.spark.sql.functions.col
+    val parts = operators.Relational.qSetOps(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.tables.Tables.customer(spark, sfSmoke)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).distinct().count()
+    assert(parts("both") + parts("segment_only") === total)
+  }
+
+  test("sql-text surface matches the equivalent DataFrame spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val sql = operators.Relational.qSqlSurface(spark, sfSmoke).collect().toSeq
+    val df = graft.tables.Tables.orders(spark, sfSmoke)
+      .join(graft.tables.Tables.customer(spark, sfSmoke),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(money(col("o_totalprice"))).as("total_value"))
+      .orderBy(col("c_mktsegment")).collect().toSeq
+    assert(sql === df)
+  }
 }
