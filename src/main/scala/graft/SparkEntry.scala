@@ -51,6 +51,7 @@ object SparkEntry {
     // LLM-data-pipeline operators over documents/embeddings/events
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
+    "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
@@ -170,6 +171,31 @@ object SparkEntry {
          FROM cand
          JOIN shs sa ON sa.doc_id = doc_a
          JOIN shs sb ON sb.doc_id = doc_b)"""
+  }
+
+  /** Incremental (probe vs index) near-dup oracle: same CTE chain, but
+    * candidates pair a probe-side band row with an index-side one. The
+    * chain's self-join `cand`/`scored` CTEs go unreferenced and DuckDB
+    * never evaluates them. */
+  private def dedupIncrementalOracle: String = {
+    import TextDedup._
+    s"""WITH $minhashCtes,
+       cand2 AS (
+         SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS index_id
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.doc_id % $IncrementMod = 0 AND b.doc_id % $IncrementMod <> 0),
+       scored2 AS (
+         SELECT probe_id, index_id,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS inter,
+           CAST(len(sa.hs) + len(sb.hs) AS DOUBLE) AS sz
+         FROM cand2
+         JOIN shs sa ON sa.doc_id = probe_id
+         JOIN shs sb ON sb.doc_id = index_id)
+       SELECT probe_id, index_id,
+         CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
+       FROM scored2
+       WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold
+       ORDER BY probe_id, index_id"""
   }
 
   private def minhashOracle: String = {
@@ -673,6 +699,7 @@ object SparkEntry {
          CAST(count(*) AS BIGINT) AS n_copies
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_dedup_minhash" -> minhashOracle,
+    "q_dedup_incremental" -> dedupIncrementalOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,

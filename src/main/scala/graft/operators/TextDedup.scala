@@ -124,6 +124,66 @@ object TextDedup {
     minhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-corpus near-dup: verified MinHash-LSH pairs BETWEEN a probe
+    * corpus (a new ingest increment) and an indexed corpus — the
+    * incremental form of [[minhashPairs]], which compares a corpus to
+    * itself. A training pipeline runs this per crawl snapshot: only the
+    * increment's shingles are computed fresh; the index side is stable
+    * and should be cached (or pre-materialized) by the caller.
+    *
+    * Same scale property as the self-join form: candidates come only
+    * from band-bucket equality (probe bands ⋈ index bands), never from
+    * an all-pairs product. Streaming twin: [[streamingNearDup]] applies
+    * this per micro-batch via `foreachBatch` — each batch is plain
+    * batch SQL, so the intra-batch `distinct` needs no streaming state.
+    */
+  def crossCorpusPairs(probe: DataFrame, index: DataFrame): DataFrame = {
+    val ph = hashedShingles(probe, ShingleN)
+    val ih = hashedShingles(index, ShingleN)
+    val pIdx = minhashIndex(ph)
+      .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
+    val iIdx = minhashIndex(ih)
+      .select(col("doc_id").as("index_id"), col("band"), col("sig"))
+    val cand = pIdx.join(iIdx, Seq("band", "sig"))
+      .select(col("probe_id"), col("index_id")).distinct()
+    cand
+      .join(ph.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
+        Seq("probe_id"))
+      .join(ih.select(col("doc_id").as("index_id"), col("hs").as("hs_i")),
+        Seq("index_id"))
+      .select(col("probe_id"), col("index_id"),
+        jaccard(col("hs_p"), col("hs_i")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Incremental-dedup query entry: documents with doc_id ≡ 0 (mod 10)
+    * play the new increment; the rest are the standing corpus. */
+  val IncrementMod = 10
+
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    crossCorpusPairs(
+        docs.filter(col("doc_id") % IncrementMod === 0),
+        docs.filter(col("doc_id") % IncrementMod =!= 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** Streaming twin: flag each arriving document against the static
+    * index. `foreachBatch` hands every micro-batch over as a plain
+    * batch frame, so [[crossCorpusPairs]] runs unchanged — no streaming
+    * state, no watermark; exactly-once comes from the checkpointed
+    * batch id (the sink sees each batch once per id). */
+  def streamingNearDup(streamDocs: DataFrame, index: DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(crossCorpusPairs(batch, index), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   // --- dedup clustering (connected components) ---
 
   /** Connected components over the near-dup pair graph — the step that

@@ -36,6 +36,37 @@ class TextPipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("cross-corpus near-dup pairs the probe against the index only") {
+    val probe = docs.filter(col("doc_id") === 2L)
+    val index = docs.filter(col("doc_id") =!= 2L)
+    val pairs = TextDedup.crossCorpusPairs(probe, index)
+      .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+    // doc 2 near-dups 1 and its exact copy 4; never pairs probe-to-probe
+    assert(pairs === Set((2L, 1L), (2L, 4L)))
+  }
+
+  test("streaming incremental near-dup equals the batch cross-corpus pairs") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ndup-stream")
+    val probe = docs.filter(col("doc_id") === 2L)
+    val index = docs.filter(col("doc_id") =!= 2L)
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = TextDedup.streamingNearDup(stream, index) { (pairs, _) =>
+      val rows = pairs.select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      got.synchronized { got ++= rows }
+    }
+    q.awaitTermination(120000)
+    val batch = TextDedup.crossCorpusPairs(probe, index)
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(got.sortBy(p => (p._1, p._2)).toSeq ===
+      batch.sortBy(p => (p._1, p._2)).toSeq)
+    assert(got.map(_._2).toSet === Set(1L, 4L))
+  }
+
   test("simhash: identical texts agree; near-dups are hamming-close; unrelated are not") {
     val sh = docs.select(col("doc_id"),
       transform(graft.functions.tokens(col("text")), t => graft.functions.md5Bits16(t)).as("h"))
