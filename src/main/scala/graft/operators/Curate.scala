@@ -84,4 +84,52 @@ object Curate {
     curateV2(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .orderBy(col("doc_id"))
   }
+
+  /** Typed curation parameters — the training-data twin of the LegiScan
+    * [[graft.JobConfig]]: one immutable object instead of scattered
+    * flags. Stage TOGGLES (which gates run) and the two tunable
+    * thresholds; the parity-pinned constants (LSH bands, shingle n,
+    * eval modulus) stay object-level because the oracle interpolates
+    * them. */
+  case class CurateConfig(
+      trainPct: Int = 80,
+      qualityThreshold: Double = QualityThreshold,
+      exactDedup: Boolean = true,
+      nearDupDrop: Boolean = true,
+      repetitionGate: Boolean = true,
+      decontaminate: Boolean = true,
+      attachEmbeddings: Boolean = true)
+
+  /** Config-driven curation: the same building blocks as [[curateV2]],
+    * with each gate applied only when its toggle is on. Every gate is a
+    * semi/anti/equi join on `doc_id`, so disabling one removes a whole
+    * stage from the plan rather than leaving a pass-through operator. */
+  def curateConfigured(docs: DataFrame, embeddings: DataFrame,
+                       cfg: CurateConfig): DataFrame = {
+    val quality = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    var out = docs.select(col("doc_id"))
+      .filter(TextStats.splitBucket(col("doc_id")) < cfg.trainPct)
+    if (cfg.exactDedup)
+      out = out.join(TextDedup.exactDedup(docs)
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    if (cfg.nearDupDrop)
+      out = out.join(TextDedup.minhashPairs(docs)
+          .select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    if (cfg.repetitionGate)
+      out = out.join(CorpusFilters.repetitionStats(docs)
+          .filter(col("keep_repetition")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    if (cfg.decontaminate)
+      out = out.join(CorpusFilters.contamination(docs)
+          .filter(!col("contaminated")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    out = out.join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= cfg.qualityThreshold)
+    if (cfg.attachEmbeddings)
+      out = out.join(embeddings.select(col("vec_id").as("doc_id"),
+        l2Norm(col("embedding")).as("emb_norm")), Seq("doc_id"), "left")
+    out
+  }
 }

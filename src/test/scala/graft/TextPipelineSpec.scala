@@ -310,6 +310,27 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getAs[Int]("n_chars_redacted") === fullLen - 10)
   }
 
+  test("curate config toggles remove gates: spammy doc survives without the repetition gate") {
+    import graft.operators.Curate
+    val cdocs = Seq(
+      (2L, "a cat of the house and one mouse in that field go to " +
+        "some barn then wait for every sign before dark"),
+      (3L, Seq.fill(30)("the").mkString(" ")) // repetitive, quality-passing
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    def ids(cfg: Curate.CurateConfig) =
+      Curate.curateConfigured(cdocs, emb, cfg).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(Curate.CurateConfig()) === Set(2L))
+    assert(ids(Curate.CurateConfig(repetitionGate = false)) === Set(2L, 3L))
+    // decontamination off → eval-membership no longer excludes anything
+    // (these ids are not eval members anyway); quality threshold bites
+    assert(ids(Curate.CurateConfig(qualityThreshold = 99.0)) === Set.empty)
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
