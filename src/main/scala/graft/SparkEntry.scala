@@ -27,6 +27,8 @@ object SparkEntry {
     "q_anti_join"          -> (Relational.antiJoinCustomers _),
     "q_union_branches"     -> (Relational.unionBranches _),
     "q_pivot_status_year"  -> (Relational.pivotStatusYear _),
+    "q_unpivot_status_year" -> (Relational.qUnpivotStatusYear _),
+    "q_full_outer"         -> (graft.streaming.Events.qFullOuter _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
@@ -424,6 +426,36 @@ object SparkEntry {
          FROM orders
          GROUP BY o_orderstatus
          ORDER BY o_orderstatus""",
+    "q_unpivot_status_year" -> {
+      val wide =
+        """SELECT o_orderstatus,
+           """ + Relational.PivotYears.map(y =>
+          s"CAST(sum(CASE WHEN year(o_orderdate) = $y THEN 1 ELSE 0 END) AS BIGINT) AS y$y")
+          .mkString(",\n           ") +
+        """
+           FROM orders GROUP BY o_orderstatus"""
+      val arms = Relational.PivotYears.map(y =>
+        s"SELECT o_orderstatus, $y AS year, y$y AS n_orders FROM wide")
+        .mkString("\n           UNION ALL ")
+      s"""WITH wide AS ($wide),
+         u AS ($arms)
+         SELECT o_orderstatus, year, n_orders FROM u
+         ORDER BY o_orderstatus, year"""
+    },
+    "q_full_outer" ->
+      """WITH p AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                  count(*) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         c AS (
+           SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                  count(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1)
+         SELECT COALESCE(p.hour, c.hour) AS hour,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks
+         FROM p FULL JOIN c ON p.hour = c.hour
+         ORDER BY hour""",
     "q14_promo_revenue" ->
       """WITH j AS (
            SELECT p_type,

@@ -384,6 +384,23 @@ object Relational {
          ORDER BY c_mktsegment""")
   }
 
+  val PivotYears: Seq[Int] = 1995 to 2001
+
+  /** UNPIVOT — the inverse of the status×year pivot: melt the static
+    * year columns back to (status, year, n) long form with
+    * `Dataset.unpivot` (one narrow Expand pass, no shuffle beyond the
+    * upstream aggregate). The wide frame it inverts is
+    * [[pivotStatusYear]]'s. */
+  def qUnpivotStatusYear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pivotStatusYear(spark, dir)
+      .unpivot(Array($"o_orderstatus"),
+        PivotYears.map(y => col(s"y$y")).toArray, "year_col", "n_orders")
+      .select($"o_orderstatus",
+        substring($"year_col", 2, 4).cast("int").as("year"), $"n_orders")
+      .orderBy($"o_orderstatus", $"year")
+  }
+
   /** Grouped pivot (SURVEY §2.5 A1): order counts per status × year, as
     * explicit conditional aggregates so the output schema is static (a
     * dynamic `.pivot()` would need a values scan first; at 100 TB the
@@ -391,7 +408,7 @@ object Relational {
     */
   def pivotStatusYear(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val years = 1995 to 2001
+    val years = PivotYears
     val yr = year($"o_orderdate")
     Tables.orders(spark, dir)
       .groupBy($"o_orderstatus")

@@ -161,6 +161,26 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
 
+  /** FULL OUTER reconciliation: hourly purchase totals vs click totals,
+    * keeping hours where only one side has traffic (the join class the
+    * other entries don't cover — inner/semi/anti/left are all present
+    * elsewhere). Nulls from the unmatched side are pinned to 0 so both
+    * engines emit identical typed values. */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def hourly(t: String, as: String) = ev
+      .filter(col("event_type") === t)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("hour"))
+      .agg(count(lit(1)).as(as))
+    hourly("purchase", "n_purchases")
+      .join(hourly("click", "n_clicks"), Seq("hour"), "full_outer")
+      .select(col("hour"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy(col("hour"))
+  }
+
   /** F13: JSON props decode with a pinned schema + aggregate. */
   def qEventsProps(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
