@@ -90,7 +90,7 @@ object Curate {
     * flags. Stage TOGGLES (which gates run) and the two tunable
     * thresholds; the parity-pinned constants (LSH bands, shingle n,
     * eval modulus) stay object-level because the oracle interpolates
-    * them. */
+    * them. Defaults reproduce [[curateV2]]'s full 8-stage recipe. */
   case class CurateConfig(
       trainPct: Int = 80,
       qualityThreshold: Double = QualityThreshold,
@@ -98,12 +98,17 @@ object Curate {
       nearDupDrop: Boolean = true,
       repetitionGate: Boolean = true,
       decontaminate: Boolean = true,
+      qualityGate: Boolean = true,
+      piiAccounting: Boolean = true,
       attachEmbeddings: Boolean = true)
 
   /** Config-driven curation: the same building blocks as [[curateV2]],
-    * with each gate applied only when its toggle is on. Every gate is a
-    * semi/anti/equi join on `doc_id`, so disabling one removes a whole
-    * stage from the plan rather than leaving a pass-through operator. */
+    * with each gate applied only when its toggle is on (all toggles on
+    * == v2's stage list). Every gate is a semi/anti/equi join on
+    * `doc_id`, so disabling one removes a whole stage from the plan
+    * rather than leaving a pass-through operator. `n_tokens` /
+    * `quality_score` are always attached (they are output features);
+    * `qualityGate` toggles only the threshold filter. */
   def curateConfigured(docs: DataFrame, embeddings: DataFrame,
                        cfg: CurateConfig): DataFrame = {
     val quality = TextStats.qualityFeatures(docs)
@@ -126,7 +131,11 @@ object Curate {
           .filter(!col("contaminated")).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
     out = out.join(quality, Seq("doc_id"))
-      .filter(col("quality_score") >= cfg.qualityThreshold)
+    if (cfg.qualityGate)
+      out = out.filter(col("quality_score") >= cfg.qualityThreshold)
+    if (cfg.piiAccounting)
+      out = out.join(CorpusFilters.piiStats(docs)
+        .select(col("doc_id"), col("n_chars_redacted")), Seq("doc_id"))
     if (cfg.attachEmbeddings)
       out = out.join(embeddings.select(col("vec_id").as("doc_id"),
         l2Norm(col("embedding")).as("emb_norm")), Seq("doc_id"), "left")

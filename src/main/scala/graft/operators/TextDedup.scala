@@ -172,17 +172,23 @@ object TextDedup {
   /** Streaming twin: flag each arriving document against the static
     * index. `foreachBatch` hands every micro-batch over as a plain
     * batch frame, so [[crossCorpusPairs]] runs unchanged — no streaming
-    * state, no watermark; exactly-once comes from the checkpointed
-    * batch id (the sink sees each batch once per id). */
-  def streamingNearDup(streamDocs: DataFrame, index: DataFrame)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
-    streamDocs.writeStream
+    * state, no watermark.
+    *
+    * Exactly-once across RESTARTS requires a durable `checkpoint` (the
+    * batch ids a sink dedups on are only stable while the checkpoint
+    * survives — Spark's temp checkpoint is deleted at stop, after which
+    * ids restart at 0 and files replay). One-shot runs may omit it. */
+  def streamingNearDup(streamDocs: DataFrame, index: DataFrame,
+                       checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = streamDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         sink(crossCorpusPairs(batch, index), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 
   // --- dedup clustering (connected components) ---
 

@@ -58,13 +58,34 @@ class TextPipelineSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect()
       got.synchronized { got ++= rows }
     }
-    q.awaitTermination(120000)
-    val batch = TextDedup.crossCorpusPairs(probe, index)
-      .select("probe_id", "index_id", "jaccard")
-      .as[(Long, Long, Double)].collect()
-    assert(got.sortBy(p => (p._1, p._2)).toSeq ===
-      batch.sortBy(p => (p._1, p._2)).toSeq)
-    assert(got.map(_._2).toSet === Set(1L, 4L))
+    try {
+      // a false return means timeout with the query still running — fail
+      // clearly rather than asserting against a partially-filled buffer
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = TextDedup.crossCorpusPairs(probe, index)
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+      assert(got.sortBy(p => (p._1, p._2)).toSeq ===
+        batch.sortBy(p => (p._1, p._2)).toSeq)
+      assert(got.map(_._2).toSet === Set(1L, 4L))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
+  test("curate config defaults reproduce curateV2 exactly") {
+    import graft.operators.Curate
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    // column order differs between the two (pii joins at different
+    // stages), so compare on an explicit projection
+    val cols = Seq("doc_id", "n_tokens", "quality_score", "emb_norm",
+      "n_chars_redacted")
+    val cfg = Curate.curateConfigured(docs, emb, Curate.CurateConfig())
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    val v2 = Curate.curateV2(docs, emb)
+      .select(cols.head, cols.tail: _*).orderBy("doc_id").collect().toSeq
+    assert(cfg === v2)
   }
 
   test("simhash: identical texts agree; near-dups are hamming-close; unrelated are not") {
