@@ -108,8 +108,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (children: Seq[Expression]) => CosineSim(children(0), children(1)))
 
+  val simhash16: Registration = (
+    FunctionIdentifier("simhash16"),
+    new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
+    (children: Seq[Expression]) => SimHash16(children.head))
+
   val all: Seq[Registration] =
-    Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim)
+    Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
+      simhash16)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

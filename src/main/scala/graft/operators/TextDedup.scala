@@ -292,7 +292,12 @@ object TextDedup {
   /** 16-bit simhash over a token-hash multiset (one md5 per token —
     * callers project the hash array once): bit j is set when the sum of
     * ±1 over tokens (sign of hash bit j) is positive. Integer sums —
-    * order-independent, engine-exact. */
+    * order-independent, engine-exact.
+    *
+    * This is the built-in REFERENCE spelling (16 interpreted `aggregate`
+    * lambdas); the hot path is the native [[graft.expressions.SimHash16]]
+    * — one tokenize+digest pass per row — which ExpressionsSpec proves
+    * bit-identical to this definition. */
   def simhashFromHashes(hs: Column): Column = {
     val bitSums = (0 until 16).map { j =>
       val p = 1 << j
@@ -304,12 +309,13 @@ object TextDedup {
     }.reduce(_ + _).cast("long")
   }
 
-  def qSimhash(spark: SparkSession, dir: String): DataFrame =
+  def qSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        transform(tokens(col("text")), t => md5Bits16(t)).as("hs"))
-      .select(col("doc_id"), simhashFromHashes(col("hs")).as("simhash"))
+        call_function("simhash16", col("text")).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   // --- n-gram Jaccard within a grouping key ---
 

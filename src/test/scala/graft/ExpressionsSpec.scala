@@ -48,6 +48,20 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash16 == the 16-lambda aggregate spelling over hashed tokens") {
+    val df = samples(texts).toDF("t")
+    val rows = df.select(
+      call_function("simhash16", col("t")).as("native"),
+      TextDedup.simhashFromHashes(
+        transform(tokens(col("t")), x => md5Bits16(x))).as("builtin"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (native, builtin) => assert(native === builtin) }
+    // null text -> null, not a crash or 0
+    val n = Seq[(Option[String], Int)]((None, 1)).toDF("t", "i")
+      .select(call_function("simhash16", col("t"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("cosine_sim is bitwise-identical to the aggregate(zip_with) spelling") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
     val pairs = samples(Gen.zip(vec, vec), 50)
