@@ -113,9 +113,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
     (children: Seq[Expression]) => SimHash16(children.head))
 
+  val tokenProfile: Registration = (
+    FunctionIdentifier("token_profile"),
+    new ExpressionInfo(classOf[TokenProfile].getName, "token_profile"),
+    (children: Seq[Expression]) => TokenProfile(children(0), children(1)))
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
-      simhash16)
+      simhash16, tokenProfile)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

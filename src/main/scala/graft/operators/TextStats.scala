@@ -27,28 +27,45 @@ object TextStats {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Count of tokens belonging to a profile (multiset semantics). */
+  /** Count of tokens belonging to a profile (multiset semantics) — the
+    * built-in REFERENCE spelling; hot paths use [[tokenProfile]]'s
+    * `hits` field (ExpressionsSpec proves them equal). */
   def hitCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), t => words.map(w => t === w).reduce(_ || _)))
 
+  /** One-native-pass token statistics
+    * (struct of n_tokens / sum_len / hits-in-words) — see
+    * [[graft.expressions.TokenProfile]]. */
+  def tokenProfile(text: Column, words: Seq[String]): Column = {
+    val arr = if (words.isEmpty) array().cast("array<string>")
+              else array(words.map(lit): _*)
+    call_function("token_profile", text, arr)
+  }
+
   /** Per-(lang, source) corpus stats. */
   def corpusStats(docs: DataFrame): DataFrame =
-    docs.groupBy(col("lang"), col("source"))
+    docs
+      .select(col("lang"), col("source"), col("n_chars"),
+        tokenProfile(col("text"), Nil).getField("n_tokens").as("_nt"))
+      .groupBy(col("lang"), col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+        sum(col("_nt").cast("long")).as("sum_tokens"),
         (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_chars"))
 
-  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     corpusStats(Tables.documents(spark, dir)).orderBy(col("lang"), col("source"))
+  }
 
   /** Heuristic language ID: argmax of stopword hits (ties broken by
-    * language code order — pinned, both engines). */
+    * language code order — pinned, both engines). One native profile
+    * pass per language instead of an interpreted filter lambda each. */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
-    val hits = langs.map(l => hitCount(text, stopwords(l)))
+    val hits = langs.map(l => tokenProfile(text, stopwords(l)).getField("hits"))
     // fold: keep the first language with the strictly-highest hit count
     langs.zip(hits).foldLeft((lit("und"), lit(-1))) {
       case ((bestLang, bestHits), (l, h)) =>
@@ -57,42 +74,50 @@ object TextStats {
     }._1
   }
 
-  def qLangId(spark: SparkSession, dir: String): DataFrame =
+  def qLangId(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted"))
       .withColumn("correct", col("lang") === col("predicted"))
       .orderBy(col("doc_id"))
+  }
 
   /** Quality features + a composite score:
     *  - token count, mean token length, stopword ratio, punctuation
     *    ratio (chars outside [a-z0-9 ]);
     *  - score = stopword_ratio-weighted length signal, the usual
     *    "plausible natural text" heuristic shape.
-    */
+    *
+    * The three token statistics come from ONE native profile pass,
+    * projected first so the non-cheap expression is not re-inlined into
+    * each consumer (CollapseProject keeps the two-step shape). */
   def qualityFeatures(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double")
-    val meanTokLen = when(nTok === 0, 0.0).otherwise(sumLen / nTok)
-    val enStops = stopwords("en")
+    val nTok = col("_p.n_tokens").cast("double")
+    val meanTokLen = when(nTok === 0, 0.0)
+      .otherwise(col("_p.sum_len").cast("double") / nTok)
     val stopRatio = when(nTok === 0, 0.0)
-      .otherwise(hitCount(col("text"), enStops).cast("double") / nTok)
+      .otherwise(col("_p.hits").cast("double") / nTok)
     val nChars = length(col("text")).cast("double")
     val punct = (nChars - length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
       .cast("double"))
     val punctRatio = when(nChars === 0, 0.0).otherwise(punct / nChars)
-    docs.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      meanTokLen.as("mean_token_len"),
-      stopRatio.as("stopword_ratio"),
-      punctRatio.as("punct_ratio"),
-      (stopRatio * 2.0 + when(nTok >= 20, 0.5).otherwise(0.0)
-        - punctRatio).as("quality_score"))
+    docs
+      .select(col("doc_id"), col("text"),
+        tokenProfile(col("text"), stopwords("en")).as("_p"))
+      .select(
+        col("doc_id"),
+        col("_p.n_tokens").as("n_tokens"),
+        meanTokLen.as("mean_token_len"),
+        stopRatio.as("stopword_ratio"),
+        punctRatio.as("punct_ratio"),
+        (stopRatio * 2.0 + when(nTok >= 20, 0.5).otherwise(0.0)
+          - punctRatio).as("quality_score"))
   }
 
-  def qQualityScore(spark: SparkSession, dir: String): DataFrame =
+  def qQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     qualityFeatures(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
 
   // --- deterministic corpus split ---
 

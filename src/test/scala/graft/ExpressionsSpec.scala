@@ -62,6 +62,37 @@ class ExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("token_profile == (size(tokens), aggregate-length, hitCount) spellings") {
+    import graft.operators.TextStats
+    val words = Seq("the", "cat", "zebra")
+    val df = samples(texts).toDF("t")
+    val rows = df.select(
+      TextStats.tokenProfile(col("t"), words).as("p"),
+      size(tokens(col("t"))).as("n"),
+      aggregate(tokens(col("t")), lit(0), (acc, x) => acc + length(x)).as("s"),
+      TextStats.hitCount(col("t"), words).as("h"))
+      .select(col("p.n_tokens"), col("p.sum_len"), col("p.hits"),
+        col("n"), col("s"), col("h"))
+      .as[(Int, Int, Int, Int, Int, Int)].collect()
+    rows.foreach { case (pn, ps, ph, n, s, h) =>
+      assert(pn === n); assert(ps === s); assert(ph === h)
+    }
+    // empty word list -> zero hits; null text -> null struct; a null
+    // word in the list never matches (built-in equality is null there)
+    val edge = Seq(("the cat", Some(1)), (null, None))
+      .toDF("t", "tag")
+      .select(TextStats.tokenProfile(col("t"), Nil).as("p0"),
+        call_function("token_profile", col("t"),
+          array(lit(null).cast("string"), lit("the"))).as("p1"),
+        col("tag"))
+      .collect()
+    val ok = edge.find(!_.isNullAt(2)).get
+    assert(ok.getStruct(0).getInt(2) === 0)
+    assert(ok.getStruct(1).getInt(2) === 1) // only "the" matches
+    val nul = edge.find(_.isNullAt(2)).get
+    assert(nul.isNullAt(0) && nul.isNullAt(1))
+  }
+
   test("cosine_sim is bitwise-identical to the aggregate(zip_with) spelling") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-1.0f, 1.0f))
     val pairs = samples(Gen.zip(vec, vec), 50)
