@@ -118,9 +118,14 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TokenProfile].getName, "token_profile"),
     (children: Seq[Expression]) => TokenProfile(children(0), children(1)))
 
+  val rollingFingerprint: Registration = (
+    FunctionIdentifier("rolling_fingerprint"),
+    new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+    (children: Seq[Expression]) => RollingFingerprint(children.head))
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
-      simhash16, tokenProfile)
+      simhash16, tokenProfile, rollingFingerprint)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

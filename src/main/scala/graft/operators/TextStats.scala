@@ -229,13 +229,19 @@ object TextStats {
 
   /** Rolling-hash document fingerprint (token-order sensitive, unlike the
     * set-based dedup sketches): h = fold(h * 31 + tokenHash) mod 2^31.
-    * Integer arithmetic — engine-exact. */
+    * Integer arithmetic — engine-exact. This is the built-in REFERENCE
+    * spelling; the hot path is the native
+    * [[graft.expressions.RollingFingerprint]] (ExpressionsSpec proves
+    * them bit-identical). */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * 31L + md5Bits16(t).cast("long"), lit(2147483648L)))
 
-  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"),
+        call_function("rolling_fingerprint", col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
+  }
 }

@@ -62,6 +62,16 @@ class ExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("rolling_fingerprint == the aggregate(pmod) spelling") {
+    import graft.operators.TextStats
+    val df = samples(texts).toDF("t")
+    val rows = df.select(
+      call_function("rolling_fingerprint", col("t")).as("native"),
+      TextStats.fingerprint(col("t")).as("builtin"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (native, builtin) => assert(native === builtin) }
+  }
+
   test("token_profile == (size(tokens), aggregate-length, hitCount) spellings") {
     import graft.operators.TextStats
     val words = Seq("the", "cat", "zebra")
