@@ -29,6 +29,7 @@ object SparkEntry {
     "q_pivot_status_year"  -> (Relational.pivotStatusYear _),
     "q_unpivot_status_year" -> (Relational.qUnpivotStatusYear _),
     "q_full_outer"         -> (graft.streaming.Events.qFullOuter _),
+    "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
@@ -456,6 +457,10 @@ object SparkEntry {
            CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks
          FROM p FULL JOIN c ON p.hour = c.hour
          ORDER BY hour""",
+    "q_user_event_types" ->
+      """SELECT user_id, count(DISTINCT event_type) AS n_types,
+         array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q14_promo_revenue" ->
       """WITH j AS (
            SELECT p_type,

@@ -161,6 +161,18 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
 
+  /** Aggregate-to-collection: per user, the distinct event types as a
+    * deterministic sorted list (rendered CSV so the typed-hash oracle
+    * compares a scalar — `collect_set` order is nondeterministic, so
+    * the sort is load-bearing, not cosmetic). */
+  def qUserEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        concat_ws(",", sort_array(collect_set(col("event_type"))))
+          .as("types_csv"))
+      .orderBy(col("user_id"))
+
   /** FULL OUTER reconciliation: hourly purchase totals vs click totals,
     * keeping hours where only one side has traffic (the join class the
     * other entries don't cover — inner/semi/anti/left are all present
