@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -37,16 +35,12 @@ case class RollingFingerprint(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val md = RollingFingerprint.digest.get()
-    val toks = text.split("\\s+")
+    val toks = TextKernel.tokenize(text)
     var acc = 0L
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
-        md.reset()
-        val d = md.digest(toks(i).getBytes("UTF-8"))
-        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
-        acc = (acc * 31L + h) % Mod
+        acc = (acc * 31L + TextKernel.hash16(toks(i))) % Mod
       }
       i += 1
     }
@@ -55,9 +49,4 @@ case class RollingFingerprint(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
     copy(child = newChild)
-}
-
-object RollingFingerprint {
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -39,15 +37,12 @@ case class SimHash16(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val md = SimHash16.digest.get()
     val sums = new Array[Int](16)
-    val toks = text.split("\\s+")
+    val toks = TextKernel.tokenize(text)
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
-        md.reset()
-        val d = md.digest(toks(i).getBytes("UTF-8"))
-        val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+        val h = TextKernel.hash16(toks(i))
         var j = 0
         while (j < 16) {
           sums(j) += (if (((h >> j) & 1) == 1) 1 else -1)
@@ -67,9 +62,4 @@ case class SimHash16(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
-}
-
-object SimHash16 {
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

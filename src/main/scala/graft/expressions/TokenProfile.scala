@@ -46,18 +46,31 @@ case class TokenProfile(left: Expression, right: Expression)
     StructField("hits", IntegerType, nullable = false)))
   override def prettyName: String = "token_profile"
 
-  override def nullSafeEval(textAny: Any, wordsAny: Any): Any = {
-    val text = textAny.asInstanceOf[UTF8String].toString
-    val arr = wordsAny.asInstanceOf[ArrayData]
-    val words = new Array[String](arr.numElements())
+  /** Word set as a hash set; null list elements never match (the
+    * built-in equality is null there), so they are simply dropped. */
+  private def buildSet(arr: ArrayData): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String](arr.numElements() * 2)
     var w = 0
-    while (w < words.length) {
-      // null list elements never match (the built-in equality is null)
-      val u = if (arr.isNullAt(w)) null else arr.getUTF8String(w).toString
-      words(w) = u
+    while (w < arr.numElements()) {
+      if (!arr.isNullAt(w)) set.add(arr.getUTF8String(w).toString)
       w += 1
     }
-    val toks = text.split("\\s+")
+    set
+  }
+
+  /** The words argument is a foldable literal at every call site —
+    * build its set once per task instead of per row. (Re-derived
+    * lazily per executor after serialization.) */
+  @transient private lazy val constWords: Option[java.util.HashSet[String]] =
+    if (right.foldable) {
+      val v = right.eval(null)
+      if (v == null) None else Some(buildSet(v.asInstanceOf[ArrayData]))
+    } else None
+
+  override def nullSafeEval(textAny: Any, wordsAny: Any): Any = {
+    val text = textAny.asInstanceOf[UTF8String].toString
+    val words = constWords.getOrElse(buildSet(wordsAny.asInstanceOf[ArrayData]))
+    val toks = TextKernel.tokenize(text)
     var n = 0; var sumLen = 0; var hits = 0
     var i = 0
     while (i < toks.length) {
@@ -65,13 +78,7 @@ case class TokenProfile(left: Expression, right: Expression)
       if (t.nonEmpty) {
         n += 1
         sumLen += t.codePointCount(0, t.length)
-        var j = 0
-        var hit = false
-        while (j < words.length && !hit) {
-          if (words(j) != null && words(j) == t) hit = true
-          j += 1
-        }
-        if (hit) hits += 1
+        if (words.contains(t)) hits += 1
       }
       i += 1
     }
