@@ -67,6 +67,8 @@ object SparkEntry {
     "q_quality_score"      -> (TextStats.qQualityScore _),
     "q_token_bpe"          -> (TextStats.qTokenBpe _),
     "q_length_quantiles"   -> (TextStats.qLengthQuantiles _),
+    // no oracle entry (t-digest sketch is engine-specific): rows-only gate
+    "q_approx_quantiles"   -> (TextStats.qApproxQuantiles _),
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),

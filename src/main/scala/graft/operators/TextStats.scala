@@ -156,6 +156,21 @@ object TextStats {
         expr("percentile(n_chars, 0.9D)").as("p90_chars"))
       .orderBy(col("lang"))
 
+  /** Sketch twin of [[qLengthQuantiles]]: `approx_percentile` (a
+    * mergeable t-digest — fixed memory per group, partial-aggregable,
+    * the 100-TB path where the exact per-group sort is not). Rows-only
+    * gate like the HLL entry: the sketch is engine-specific, so the
+    * accuracy contract lives in the spec (exact for groups smaller than
+    * the accuracy parameter — which also makes the spec deterministic). */
+  def qApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        expr("approx_percentile(n_chars, 0.5D, 10000)").as("approx_median"),
+        expr("approx_percentile(n_chars, 0.9D, 10000)").as("approx_p90"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
   // --- BPE-style regex tokenization ---
 
   /** GPT-2-shaped pretokenizer pattern, restricted to constructs with

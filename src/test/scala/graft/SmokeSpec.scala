@@ -11,7 +11,7 @@ class SmokeSpec extends SparkSpec {
 
   /** Rows-only entries: results are engine-specific sketches with no
     * portable oracle; their accuracy is pinned by dedicated specs. */
-  val oracleExempt: Set[String] = Set("q_approx_users")
+  val oracleExempt: Set[String] = Set("q_approx_users", "q_approx_quantiles")
 
   test("every query has an oracle or is explicitly exempt") {
     val noOracle =

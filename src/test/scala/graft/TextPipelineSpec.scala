@@ -184,6 +184,26 @@ class TextPipelineSpec extends SparkSpec {
       s"expected 4 propagation rounds + 1 confirm, got ${TextDedup.lastRounds}")
   }
 
+  test("approx quantiles: small groups are exact vs the rank statistic") {
+    // accuracy 10000 >> group sizes at smoke scale, so the t-digest is
+    // exact; the sketch's value is the MERGEABLE path at 100 TB where
+    // the exact per-group sort is not. approx_percentile returns a rank
+    // statistic (no interpolation), so compare against percentile_approx
+    // semantics: an element of the group.
+    val out = TextStats.qApproxQuantiles(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+      .select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val vals = docs(r.getString(0))
+      assert(vals.contains(r.getLong(1)), "median must be a group element")
+      assert(vals.contains(r.getLong(2)), "p90 must be a group element")
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(3) === vals.length)
+    }
+  }
+
   test("length quantiles interpolate: median of {1,2,3,4} is 2.5") {
     val d = Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L), (4L, "a", 4L))
       .toDF("doc_id", "lang", "n_chars")
