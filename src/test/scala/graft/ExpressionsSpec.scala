@@ -62,6 +62,33 @@ class ExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("native kernel parity holds on unicode (multibyte + astral) tokens") {
+    // é (2 UTF-8 bytes), 中 (3), 𝄞 (4, astral — 2 UTF-16 units, 1 code
+    // point: exercises codePointCount vs length()), plus whitespace runs
+    val utexts = Gen.listOfN(12, Gen.oneOf(
+      "é", "中文", "𝄞clef", "naïve", "  ", "the", "ß")).map(_.mkString(" "))
+    val df = samples(utexts).toDF("t")
+    val rows = df.select(
+      call_function("simhash16", col("t")).as("sh"),
+      TextDedup.simhashFromHashes(
+        transform(tokens(col("t")), x => md5Bits16(x))).as("sh_ref"),
+      call_function("rolling_fingerprint", col("t")).as("fp"),
+      graft.operators.TextStats.fingerprint(col("t")).as("fp_ref"),
+      graft.operators.TextStats.tokenProfile(col("t"), Seq("中文", "é"))
+        .getField("hits").as("h"),
+      graft.operators.TextStats.hitCount(col("t"), Seq("中文", "é")).as("h_ref"),
+      graft.operators.TextStats.tokenProfile(col("t"), Nil)
+        .getField("sum_len").as("sl"),
+      aggregate(tokens(col("t")), lit(0), (acc, x) => acc + length(x)).as("sl_ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "simhash16 unicode divergence")
+      assert(r.getLong(2) === r.getLong(3), "fingerprint unicode divergence")
+      assert(r.getInt(4) === r.getInt(5), "hits unicode divergence")
+      assert(r.getInt(6) === r.getInt(7), "sum_len unicode divergence")
+    }
+  }
+
   test("rolling_fingerprint == the aggregate(pmod) spelling") {
     import graft.operators.TextStats
     val df = samples(texts).toDF("t")
