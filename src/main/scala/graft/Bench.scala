@@ -5,13 +5,20 @@ import java.nio.file.{Files, Paths}
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR.
   *
-  * Output contract: ONE JSON line
-  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
-  * printed to stdout AND written to the file named by SPARK_GRAFT_BENCH_OUT
-  * (default `bench_out.json` in the cwd) — sbt interleaves [info] noise
-  * into stdout, so the driver should read the file.
+  * Output contract: a COMPACT JSON line (totals + errors, no per-query
+  * map) to stdout — small enough to survive the driver's output-tail
+  * capture — and the FULL line (per-query map included) to the file
+  * named by SPARK_GRAFT_BENCH_OUT (default `bench_out.json` in the cwd).
   *
   * Methodology:
+  *  - each query is timed to FULL MATERIALIZATION via a noop-format
+  *    write (`"timer":"noop-write"`), never `count()`: under a count,
+  *    ColumnPruning/EliminateSorts delete projection- and window-only
+  *    work from the optimized plan (verified: `simhash16`, the
+  *    rolling-avg Window, and `regexp_extract_all` all vanish), so a
+  *    count-based number for an expression-heavy query is just the scan
+  *    floor. The noop sink executes every operator and row without
+  *    accumulating results on the driver (collect() would).
   *  - queries run in deterministic (sorted-name) order, so per-query
   *    numbers are comparable across rounds;
   *  - one warmup pass (the first query in sorted-name order) first, so
@@ -52,12 +59,17 @@ object Bench {
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
 
+    // Full materialization without driver accumulation: every operator
+    // and row executes (unlike count(), see scaladoc), nothing collects.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Warmup, not timed: JVM/codegen via the first timed query, plus a
     // column-materializing pass over every input table so no timed query
     // pays first-scan I/O. NB count() alone plans an empty ReadSchema
     // (footers only) — foreach forces the column chunks to be read.
     try {
-      selected.toSeq.sortBy(_._1).head._2(spark, sfDir).count()
+      run(selected.toSeq.sortBy(_._1).head._2(spark, sfDir))
       graft.tables.Tables.all.foreach { t =>
         try graft.tables.Tables.load(spark, sfDir, t).foreach(_ => ())
         catch { case _: Throwable => () }
@@ -67,7 +79,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try run(fn(spark, sfDir))
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
@@ -85,10 +97,12 @@ object Bench {
     // the query count grows round over round, so the cross-round
     // comparable figure is sec/query, not the total
     val perQuery = if (results.nonEmpty) total / results.size else 0.0
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"queries":$qs,"errors":$errJson,"sf":${jstr(sfDir)}}"""
-    println(line)
-    Files.writeString(Paths.get(outPath), line + "\n")
+    val head =
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"timer":"noop-write","errors":$errJson,"sf":${jstr(sfDir)}"""
+    // stdout stays compact (the driver parses a bounded output tail);
+    // the per-query map goes only to the file
+    println(s"{$head}")
+    Files.writeString(Paths.get(outPath), s"""{$head,"queries":$qs}""" + "\n")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
