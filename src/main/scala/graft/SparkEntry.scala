@@ -135,6 +135,32 @@ object SparkEntry {
   private def cosineSql(q: String, e: String): String =
     s"${dotSql(q, e)} / (${normSql(q)} * ${normSql(e)})"
 
+  /** DuckDB twins of [[Similarity.isQueryId]] / [[Similarity.isCentroidId]]
+    * — the bounded (O(K) at any corpus size) workload predicates. */
+  private def isQuerySql: String = {
+    import Similarity._
+    s"vec_id % $QueryStride = 0 AND vec_id < ${QueryStride.toLong * MaxQueries}"
+  }
+  private def isCentroidSql: String = {
+    import Similarity._
+    s"vec_id % $IvfCentroidEvery = 0 AND vec_id < ${IvfCentroidEvery.toLong * MaxCentroids}"
+  }
+
+  /** DuckDB twin of [[Similarity.bandedIndex]]: (vec_id, band, sig) with
+    * band b's sig from the signs of dims b·8+1..b·8+8. An out-of-bounds
+    * list index yields NULL in DuckDB, so `CASE WHEN e[i] > 0` falls to
+    * the ELSE 0 branch — the same padding semantics as Spark's
+    * `try_element_at`. */
+  private def bandedIndexSql: String = {
+    import Similarity._
+    (0 until SigBands).map { b =>
+      val sig = (0 until PlanesPerBand).map(j =>
+        s"(CASE WHEN embedding[${b * PlanesPerBand + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, $sig AS sig FROM embeddings"
+    }.mkString(" UNION ALL ")
+  }
+
   private val stopsSqlEn = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
   private def hitsSql(lang: String): String = {
     val words = TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -839,7 +865,7 @@ object SparkEntry {
          SELECT doc_id, term, tf, df, score, rk FROM r WHERE rk <= 3
          ORDER BY doc_id, rk""",
     "q_similar_topk" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE $isQuerySql),
          scored AS (
            SELECT q.query_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS cosine
            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
@@ -850,14 +876,17 @@ object SparkEntry {
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
     "q_similar_ann" ->
-      s"""WITH b AS (
-           SELECT vec_id, embedding,
-             ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS bucket
-           FROM embeddings),
-         q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id % 100 = 0),
+      s"""WITH bands AS ($bandedIndexSql),
+         qb AS (SELECT vec_id AS query_id, band, sig FROM bands WHERE $isQuerySql),
+         cand AS (SELECT DISTINCT b.vec_id, q.query_id
+                  FROM bands b JOIN qb q ON b.band = q.band AND b.sig = q.sig
+                  WHERE b.vec_id <> q.query_id),
          scored AS (
-           SELECT q.query_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS cosine
-           FROM b e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.query_id),
+           SELECT c.query_id, c.vec_id,
+             ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings qe ON qe.vec_id = c.query_id),
          ranked AS (
            SELECT query_id, vec_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
@@ -865,19 +894,21 @@ object SparkEntry {
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
     "q_embed_neardup" ->
-      s"""WITH b AS (
-           SELECT vec_id, embedding,
-             ${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS bucket
-           FROM embeddings),
+      s"""WITH bands AS ($bandedIndexSql),
+         cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.vec_id < b.vec_id),
          scored AS (
-           SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
-             ${cosineSql("a.embedding", "bb.embedding")} AS cosine
-           FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+           SELECT c.vec_a, c.vec_b,
+             ${cosineSql("ea.embedding", "eb.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.vec_a
+           JOIN embeddings eb ON eb.vec_id = c.vec_b)
          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
          ORDER BY vec_a, vec_b""",
     "q_similar_ivf" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-                     WHERE vec_id % ${Similarity.IvfCentroidEvery} = 0),
+                     WHERE $isCentroidSql),
          d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
                  ${cosineSql("e.embedding", "c.cv")} AS dist
                FROM embeddings e CROSS JOIN c),
@@ -886,7 +917,7 @@ object SparkEntry {
                    ORDER BY dist DESC, centroid_id) AS rk FROM d)
                WHERE rk = 1),
          q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM a
-               WHERE vec_id % 100 = 0),
+               WHERE $isQuerySql),
          s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
                FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
          r AS (SELECT query_id, vec_id, cosine,
@@ -896,7 +927,7 @@ object SparkEntry {
          ORDER BY query_id, rk""",
     "q_similar_ivf2" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-                     WHERE vec_id % ${Similarity.IvfCentroidEvery} = 0),
+                     WHERE $isCentroidSql),
          d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
                  ${cosineSql("e.embedding", "c.cv")} AS dist
                FROM embeddings e CROSS JOIN c),
@@ -906,7 +937,7 @@ object SparkEntry {
                FROM d),
          a AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crk = 1),
          q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
-               FROM ranked WHERE vec_id % 100 = 0 AND crk <= 2),
+               FROM ranked WHERE $isQuerySql AND crk <= 2),
          s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
                FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
          r AS (SELECT query_id, vec_id, cosine,

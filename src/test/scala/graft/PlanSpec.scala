@@ -1,5 +1,6 @@
 package graft
 
+import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -122,6 +123,35 @@ class PlanSpec extends SparkSpec {
     val s = planString("q_token_bpe")
     val n = "regexp_extract_all".r.findAllIn(s).length
     assert(n === 1, s"BPE extraction duplicated $n times in the plan:\n$s")
+  }
+
+  test("banded-LSH similarity: candidates come from equi-joins, never a nested loop") {
+    // the blocking step must stay a (band, sig) key join — a regression
+    // to all-pairs would surface as a cartesian/nested-loop operator
+    Seq("q_similar_ann", "q_embed_neardup").foreach { q =>
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q candidate generation degenerated to all-pairs:\n$s")
+    }
+  }
+
+  test("similarity broadcasts only workload-bounded sets") {
+    // every ResolvedHint (explicit broadcast) must wrap a frame filtered
+    // by the O(K) query/centroid predicate — broadcasting anything
+    // corpus-proportional dies at 100× scale
+    Seq("q_similar_topk", "q_similar_ann", "q_similar_ivf", "q_similar_ivf2")
+      .foreach { q =>
+        val analyzed = SparkEntry.queries(q)(spark, sf("sf0.001"))
+          .queryExecution.analyzed
+        val hinted = analyzed.collect { case h: ResolvedHint => h.child.toString() }
+        assert(hinted.nonEmpty, s"$q lost its bounded-side broadcast hints")
+        val qCap = (Similarity.QueryStride.toLong * Similarity.MaxQueries).toString
+        val cCap = (Similarity.IvfCentroidEvery.toLong * Similarity.MaxCentroids).toString
+        hinted.foreach { h =>
+          assert(h.contains(s"< $qCap") || h.contains(s"< $cCap"),
+            s"$q broadcasts a side without the O(K) id cap:\n$h")
+        }
+      }
   }
 
   test("contamination: banned-shingle join broadcasts, never a nested loop") {

@@ -138,14 +138,48 @@ class TextPipelineSpec extends SparkSpec {
     assert(top(1)._2 === 3L)
   }
 
-  test("ann restricts candidates to the query's sign bucket") {
+  // 64-dim all-positive base vector with the given dims (1-based) sign-flipped
+  private def flipped(dims: Int*): Array[Float] =
+    (1 to 64).map(i => if (dims.contains(i)) -1f else 1f).toArray
+
+  test("banded LSH recovers a near-dup across a band boundary") {
+    // vec 1 flips only dim 1: band 0's signature differs from vec 0's, so
+    // the single-bucket predecessor would never pair them — bands 1-7
+    // still match and recall the pair (cosine 62/64 ≈ 0.97).
+    // vec 2 flips one dim in EVERY band: no band matches vec 0, so the
+    // (0,2) pair is not a candidate even though its cosine (0.75) clears
+    // the threshold — the blocking step, not the verify, excludes it.
+    // (1,2) share band 0 (both flip dim 1 there) and verify at 50/64.
     val emb = Seq(
-      (0L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),
-      (1L, Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0),   // same bucket
-      (2L, Array(-1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f), 0))  // different bucket
+      (0L, flipped(), 0),
+      (1L, flipped(1), 0),
+      (2L, flipped(1, 9, 17, 25, 33, 41, 49, 57), 0))
       .toDF("vec_id", "embedding", "label")
-    val out = Similarity.annTopK(emb, 5).select("vec_id").as[Long].collect()
+    val pairs = Similarity.embedNearDup(emb, 0.5)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (1L, 2L)))
+  }
+
+  test("ann candidates come only from shared band signatures") {
+    val emb = Seq(
+      (0L, flipped(), 0),                            // the query (id 0)
+      (1L, flipped(1), 0),                           // bands 1-7 match
+      (2L, flipped(1, 9, 17, 25, 33, 41, 49, 57), 0)) // no band matches
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.annTopK(emb, 5)
+      .filter($"query_id" === 0L).select("vec_id").as[Long].collect()
     assert(out.toSet === Set(1L))
+  }
+
+  test("query and centroid sets stay O(K) as the corpus grows") {
+    // 30k vectors: an unbounded stride would yield 300 queries / 219
+    // centroids — the caps must hold them at MaxQueries / MaxCentroids
+    val emb = spark.range(0, 30000).toDF("vec_id")
+      .withColumn("embedding", array(lit(1f)))
+      .withColumn("label", lit(0))
+    assert(Similarity.queryVectors(emb).count() === Similarity.MaxQueries)
+    assert(emb.filter(Similarity.isCentroidId($"vec_id")).count()
+      === Similarity.MaxCentroids)
   }
 
   test("ivf assigns vectors to the nearest centroid and probes one cell") {
