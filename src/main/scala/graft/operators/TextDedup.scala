@@ -273,18 +273,32 @@ object TextDedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Scoped clustering: runs `use` over the cached label frame and
+    * unpersists it afterwards — the release path for sessions that
+    * outlive the result (same pattern as
+    * [[graft.sources.Fixtures.withBillsJsonQuarantined]]). Library
+    * callers that want to keep the frame use [[dedupClusters]] directly
+    * and own the cache handle. */
+  def withDedupClusters[T](pairs: DataFrame, maxIter: Int = 20)(
+      use: DataFrame => T): T = {
+    val labels = dedupClusters(pairs, maxIter)
+    try use(labels) finally labels.unpersist()
+  }
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    val labels = dedupClusters(minhashPairs(Tables.documents(spark, dir)))
-    // Harness entry: the result is bounded by the near-dup population
-    // (one row per PAIRED doc, not per corpus doc), so copy the rows out
-    // and release the cache — Bench + Verify share a JVM and repeated
-    // invocations would otherwise accumulate cached frames. Library
-    // callers use dedupClusters directly and own the cache handle.
-    val rows = labels.orderBy(col("doc_id")).collect()
-    val schema = labels.schema
-    labels.unpersist()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // Harness entry: Bench + Verify share a JVM, so the cache the label
+    // frame rides on must be released before returning. The handoff is
+    // a DISTRIBUTED spill — executors write the partitions to a temp
+    // parquet and the returned frame scans it back. Never collect():
+    // "one row per paired doc" is corpus-scale at web-crawl dup rates
+    // (30-50% dups), far beyond driver memory at 100 TB.
+    withDedupClusters(minhashPairs(Tables.documents(spark, dir))) { labels =>
+      val out = java.nio.file.Files.createTempDirectory("graft_dedup_clusters")
+      out.toFile.deleteOnExit()
+      labels.write.mode("overwrite").parquet(out.toString)
+      spark.read.parquet(out.toString).orderBy(col("doc_id"))
+    }
   }
 
   // --- SimHash ---
@@ -319,10 +333,21 @@ object TextDedup {
 
   // --- n-gram Jaccard within a grouping key ---
 
+  /** Default per-group comparison cap for [[ngramJaccardPairs]] — far
+    * above any bench group, so the sf-scale oracle is exhaustive; at
+    * 100 TB a skewed group (one `source` holding millions of docs) hits
+    * the cap instead of going quadratic. */
+  val NgramMaxGroupSize = 10000
+
+  /** Docs dropped by the group cap in the last [[ngramJaccardPairs]]
+    * action — a Spark accumulator, so executor-side drops aggregate
+    * correctly on a real cluster. Re-created per call; read it AFTER an
+    * action on the returned frame. */
+  @volatile private[graft] var ngramDroppedDocs: Option[org.apache.spark.util.LongAccumulator] = None
+
   /** Exact pairwise 2-gram Jaccard, but only for pairs sharing `source` —
     * the within-group (blocking) comparison pattern: group count scales
-    * out, quadratic cost is bounded by group size, and a skewed group
-    * would be salted or sampled.
+    * out, quadratic cost is bounded by group size.
     *
     * Pairing runs inside `flatMapGroups` rather than a self-join: a join
     * materializes |group|² rows each carrying BOTH hash arrays (~GBs of
@@ -330,15 +355,33 @@ object TextDedup {
     * per-group in-memory pairing touches each array once and emits only
     * survivors. This is the documented "genuine per-partition imperative
     * logic" exception — the group is the unit of work and is bounded by
-    * construction. */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * `maxGroupSize`: a skewed group keeps its `maxGroupSize` smallest
+    * doc ids (deterministic — a sample would make reruns disagree) and
+    * the rest are counted in [[ngramDroppedDocs]] and logged LOUDLY from
+    * the task. Silent truncation would read as "no near-dups in the big
+    * group"; the counter makes the coverage gap observable. */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double,
+                        maxGroupSize: Int = NgramMaxGroupSize): DataFrame = {
     import docs.sparkSession.implicits._
+    require(maxGroupSize > 1, s"maxGroupSize must exceed 1, got $maxGroupSize")
+    val dropped = docs.sparkSession.sparkContext
+      .longAccumulator("ngram_jaccard_dropped_docs")
+    ngramDroppedDocs = Some(dropped)
     val hs = hashedShingles(docs, 2)
       .select(col("source"), col("doc_id"), col("hs"))
       .as[(String, Long, Array[Int])]
     hs.groupByKey(_._1)
       .flatMapGroups { (source, rows) =>
-        val ds = rows.map { case (_, id, h) => (id, h) }.toArray.sortBy(_._1)
+        val all = rows.map { case (_, id, h) => (id, h) }.toArray.sortBy(_._1)
+        val ds = if (all.length <= maxGroupSize) all else {
+          val over = all.length - maxGroupSize
+          dropped.add(over)
+          System.err.println(
+            s"[ngramJaccardPairs] group '$source' exceeds maxGroupSize " +
+              s"($maxGroupSize): dropping $over of ${all.length} docs from " +
+              "pairwise comparison")
+          all.take(maxGroupSize)
+        }
         for {
           i <- ds.indices.iterator
           j <- (i + 1) until ds.length

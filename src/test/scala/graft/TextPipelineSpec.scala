@@ -104,6 +104,21 @@ class TextPipelineSpec extends SparkSpec {
     val pairs = TextDedup.ngramJaccardPairs(docs, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
+    assert(TextDedup.ngramDroppedDocs.get.value === 0L) // no group hit the cap
+  }
+
+  test("ngram jaccard caps a pathological group and counts the drops") {
+    // 50 identical docs in one source: uncapped this is C(50,2)=1225
+    // pairs; the cap keeps the 10 smallest ids -> C(10,2)=45, and the
+    // 40 dropped docs are observable through the accumulator
+    val big = Seq.tabulate(50)(i => (i.toLong, base, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val pairs = TextDedup.ngramJaccardPairs(big, 0.5, maxGroupSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.length === 45)
+    assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ < 10L),
+      "pairs must come only from the kept (smallest-id) docs")
+    assert(TextDedup.ngramDroppedDocs.get.value === 40L)
   }
 
   test("language id picks the stopword profile; quality guards zero division") {
