@@ -60,6 +60,7 @@ object SparkEntry {
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
+    "q_simhash_pairs"      -> (TextDedup.qSimhashPairs _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
     "q_text_stats"         -> (TextStats.qTextStats _),
@@ -261,7 +262,9 @@ object SparkEntry {
 
   /** Oracle for the 16-bit simhash, generated bit by bit over the
     * once-hashed token multiset. */
-  private def simhashOracle: String = {
+  /** CTE chain ending in `sims(doc_id, sim)` — the 16-bit simhash per
+    * document, same bit assembly as [[graft.expressions.SimHash16]]. */
+  private def simhashCtes: String = {
     val bitSums = (0 until 16).map { j =>
       val p = 1 << j
       s"list_sum(list_transform(hs, h -> CASE WHEN h % ${2 * p} >= $p THEN 1 ELSE -1 END)) AS s$j"
@@ -269,13 +272,34 @@ object SparkEntry {
     val assemble = (0 until 16).map { j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
        th AS (SELECT doc_id, list_transform(toks, t -> ${md5b16Sql("t")}) AS hs FROM t),
        b AS (SELECT doc_id,
            $bitSums
-           FROM th)
-       SELECT doc_id, CAST($assemble AS BIGINT) AS simhash
-       FROM b ORDER BY doc_id"""
+           FROM th),
+       sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sim FROM b)"""
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $simhashCtes
+       SELECT doc_id, sim AS simhash FROM sims ORDER BY doc_id"""
+
+  /** DuckDB twin of [[TextDedup.simhashPairs]]: banded (band, sig)
+    * candidate join over the simhash, popcount verify. */
+  private def simhashPairsOracle: String = {
+    import TextDedup._
+    val bandRows = (0 until SimhashBands).map(b => s"($b)").mkString(", ")
+    val mask = (1 << SimhashBandBits) - 1
+    s"""WITH $simhashCtes,
+       bands AS (SELECT doc_id, sim, band,
+           (sim >> (band * $SimhashBandBits)) & $mask AS sig
+         FROM sims CROSS JOIN (VALUES $bandRows) AS v(band))
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       WHERE a.doc_id < b.doc_id
+         AND bit_count(xor(a.sim, b.sim)) <= $SimhashMaxDist
+       ORDER BY doc_a, doc_b"""
   }
 
   /** Shared CTE block for the curation capstones: stages 1–5 (split,
@@ -780,6 +804,7 @@ object SparkEntry {
          GROUP BY split, lang ORDER BY split, lang"""
     },
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
          shs AS (SELECT doc_id, source, ${hashedShinglesSql(2)} AS hs FROM t),

@@ -331,6 +331,63 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash banding: [[SimhashBands]] bands of [[SimhashBandBits]]
+    * bits each over the 16-bit fingerprint. */
+  val SimhashBands = 4
+  val SimhashBandBits = 4
+
+  /** Default hamming radius for [[simhashPairs]] — with 4 bands,
+    * ≤ 3 flipped bits can touch at most 3 bands (pigeonhole), so every
+    * true pair shares an INTACT band: candidate recall is exactly 1.0,
+    * a guarantee the probabilistic MinHash banding doesn't have. */
+  val SimhashMaxDist = 3
+
+  /** Hamming near-dup pairs over the simhash fingerprint, banded like
+    * MinHash: candidates share at least one band of the signature
+    * (id+sim-only equi-join on (band, sig), never all-pairs), verified
+    * by exact popcount(xor) ≤ maxDist on candidates only.
+    *
+    * Scale note: a 16-bit signature holds only 2^[[SimhashBandBits]]
+    * sig values per band — fixed bucket counts, fine at oracle scale
+    * but a constant-factor cut at 100 TB. The production swap is a
+    * wider fingerprint (64-bit simhash, 4×16-bit bands → 65536 buckets
+    * per band); the banding mechanics here are width-agnostic, exactly
+    * as on the MinHash side. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = SimhashMaxDist): DataFrame = {
+    val sims = docs.select(col("doc_id"),
+      call_function("simhash16", col("text")).as("sim"))
+    val bandCols = (0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sim"), b * SimhashBandBits)
+          .bitwiseAND(lit((1 << SimhashBandBits) - 1)).as("sig"))
+    }
+    val bands = sims
+      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("sim"), col("bs.band"), col("bs.sig"))
+    val a = bands.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = bands.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    // sims ride the candidate join (two longs — cheaper than a join
+    // back), and the popcount verify runs BEFORE the multi-band
+    // distinct: the verify is a codegen'd xor+popcount on two longs
+    // (re-computing it per shared band is free), while a pre-verify
+    // distinct would shuffle the full candidate volume — the dominant
+    // cost of this query. Only surviving pairs reach the exchange.
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    simhashPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- n-gram Jaccard within a grouping key ---
 
   /** Default per-group comparison cap for [[ngramJaccardPairs]] — far

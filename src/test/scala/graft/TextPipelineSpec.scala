@@ -99,6 +99,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(hamming(sh(1L), sh(3L)) > 4)
   }
 
+  test("simhash pairs match the brute-force hamming oracle exactly") {
+    // 4 bands over 16 bits with radius 3: pigeonhole leaves at least one
+    // intact band for every true pair, so the banded result must EQUAL
+    // the all-pairs answer — recall 1.0 by construction, not sampling
+    val sims = docs.select(col("doc_id"),
+        call_function("simhash16", col("text")))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if h <= TextDedup.SimhashMaxDist
+    } yield (sims(i)._1, sims(j)._1, h)).toSet
+    assert(expected.nonEmpty, "fixture must contain at least one close pair")
+    val got = TextDedup.simhashPairs(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+  }
+
   test("ngram jaccard only compares within the blocking group") {
     // docs 1 and 4 are identical but in different sources -> never compared
     val pairs = TextDedup.ngramJaccardPairs(docs, 0.5)
