@@ -73,6 +73,7 @@ object SparkEntry {
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
+    "q_similar_ann2"       -> (Similarity.qSimilarAnn2 _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
@@ -918,6 +919,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
+    "q_similar_ann2" -> {
+      val flips = "sig" +: (0 until Similarity.PlanesPerBand)
+        .map(j => s"xor(sig, ${1 << j})")
+      s"""WITH bands AS ($bandedIndexSql),
+         qb AS (SELECT vec_id AS query_id, band, sig FROM bands WHERE $isQuerySql),
+         probes AS (SELECT query_id, band,
+             unnest([${flips.mkString(", ")}]) AS sig FROM qb),
+         cand AS (SELECT DISTINCT b.vec_id, q.query_id
+                  FROM bands b JOIN probes q ON b.band = q.band AND b.sig = q.sig
+                  WHERE b.vec_id <> q.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+             ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings qe ON qe.vec_id = c.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk"""
+    },
     "q_embed_neardup" ->
       s"""WITH bands AS ($bandedIndexSql),
          cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -128,19 +128,20 @@ class PlanSpec extends SparkSpec {
   test("banded-LSH similarity: candidates come from equi-joins, never a nested loop") {
     // the blocking step must stay a (band, sig) key join — a regression
     // to all-pairs would surface as a cartesian/nested-loop operator
-    Seq("q_similar_ann", "q_embed_neardup").foreach { q =>
-      val s = planString(q)
-      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-        s"$q candidate generation degenerated to all-pairs:\n$s")
-    }
+    Seq("q_similar_ann", "q_similar_ann2", "q_embed_neardup", "q_simhash_pairs")
+      .foreach { q =>
+        val s = planString(q)
+        assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+          s"$q candidate generation degenerated to all-pairs:\n$s")
+      }
   }
 
   test("similarity broadcasts only workload-bounded sets") {
     // every ResolvedHint (explicit broadcast) must wrap a frame filtered
     // by the O(K) query/centroid predicate — broadcasting anything
     // corpus-proportional dies at 100× scale
-    Seq("q_similar_topk", "q_similar_ann", "q_similar_ivf", "q_similar_ivf2")
-      .foreach { q =>
+    Seq("q_similar_topk", "q_similar_ann", "q_similar_ann2", "q_similar_ivf",
+      "q_similar_ivf2").foreach { q =>
         val analyzed = SparkEntry.queries(q)(spark, sf("sf0.001"))
           .queryExecution.analyzed
         val hinted = analyzed.collect { case h: ResolvedHint => h.child.toString() }

@@ -204,6 +204,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSet === Set(1L))
   }
 
+  test("multi-probe ann reaches neighbors plain ann's banding misses") {
+    // vec 2 disagrees with the query by exactly one plane in EVERY band:
+    // no intact band, so annTopK can't see it — each probe ring (one
+    // flipped bit per band signature) contains it, so annTopKProbed can
+    val emb = Seq(
+      (0L, flipped(), 0),
+      (1L, flipped(1), 0),
+      (2L, flipped(1, 9, 17, 25, 33, 41, 49, 57), 0))
+      .toDF("vec_id", "embedding", "label")
+    val plain = Similarity.annTopK(emb, 5)
+      .filter($"query_id" === 0L).select("vec_id").as[Long].collect().toSet
+    val probed = Similarity.annTopKProbed(emb, 5)
+      .filter($"query_id" === 0L).select("vec_id").as[Long].collect().toSet
+    assert(plain === Set(1L))
+    assert(probed === Set(1L, 2L))
+  }
+
   test("query and centroid sets stay O(K) as the corpus grows") {
     // 30k vectors: an unbounded stride would yield 300 queries / 219
     // centroids — the caps must hold them at MaxQueries / MaxCentroids
