@@ -75,6 +75,7 @@ object SparkEntry {
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_similar_ann2"       -> (Similarity.qSimilarAnn2 _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
+    "q_embed_incremental"  -> (Similarity.qEmbedIncremental _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
@@ -955,6 +956,22 @@ object SparkEntry {
            JOIN embeddings eb ON eb.vec_id = c.vec_b)
          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
          ORDER BY vec_a, vec_b""",
+    "q_embed_incremental" -> {
+      val m = Similarity.EmbedIncrementMod
+      s"""WITH bands AS ($bandedIndexSql),
+         pb AS (SELECT vec_id AS probe_id, band, sig FROM bands WHERE vec_id % $m = 0),
+         ib AS (SELECT vec_id AS index_id, band, sig FROM bands WHERE vec_id % $m <> 0),
+         cand AS (SELECT DISTINCT p.probe_id, i.index_id
+                  FROM pb p JOIN ib i ON p.band = i.band AND p.sig = i.sig),
+         scored AS (
+           SELECT c.probe_id, c.index_id,
+             ${cosineSql("ep.embedding", "ei.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings ep ON ep.vec_id = c.probe_id
+           JOIN embeddings ei ON ei.vec_id = c.index_id)
+         SELECT probe_id, index_id, cosine FROM scored WHERE cosine >= 0.4
+         ORDER BY probe_id, index_id"""
+    },
     "q_similar_ivf" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                      WHERE $isCentroidSql),

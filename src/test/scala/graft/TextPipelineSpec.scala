@@ -204,6 +204,53 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSet === Set(1L))
   }
 
+  test("embedding cross-pairs pair the probe against the index only") {
+    // probe 0 near-dups index 1; index vectors 3 and 4 are identical to
+    // each other but both index-side, so they must never pair
+    val emb = Seq(
+      (0L, flipped(1), 0),
+      (1L, flipped(), 0),
+      (2L, flipped(2, 10, 18, 26, 34, 42, 50, 58), 0),
+      (3L, flipped(64), 0),
+      (4L, flipped(64), 0))
+      .toDF("vec_id", "embedding", "label")
+    val probe = emb.filter($"vec_id" === 0L)
+    val index = emb.filter($"vec_id" =!= 0L)
+    val pairs = Similarity.embedCrossPairs(probe, index, 0.9)
+      .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 1L), (0L, 3L), (0L, 4L)))
+  }
+
+  test("streaming embedding near-dup equals the batch cross-pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdup-stream")
+    val emb = Seq(
+      (0L, flipped(1), 0),
+      (1L, flipped(), 0),
+      (2L, flipped(2, 10, 18, 26, 34, 42, 50, 58), 0))
+      .toDF("vec_id", "embedding", "label")
+    val probe = emb.filter($"vec_id" === 0L)
+    val index = emb.filter($"vec_id" =!= 0L)
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = Similarity.streamingEmbedNearDup(stream, index, 0.9) { (pairs, _) =>
+      val rows = pairs.select("probe_id", "index_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      got.synchronized { got ++= rows }
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = Similarity.embedCrossPairs(probe, index, 0.9)
+        .select("probe_id", "index_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(got.sortBy(p => (p._1, p._2)).toSeq ===
+        batch.sortBy(p => (p._1, p._2)).toSeq)
+      assert(got.map(_._2).toSet === Set(1L))
+    } finally {
+      q.stop()
+    }
+  }
+
   test("multi-probe ann reaches neighbors plain ann's banding misses") {
     // vec 2 disagrees with the query by exactly one plane in EVERY band:
     // no intact band, so annTopK can't see it — each probe ring (one
