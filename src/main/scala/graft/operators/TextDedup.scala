@@ -285,19 +285,44 @@ object TextDedup {
     try use(labels) finally labels.unpersist()
   }
 
+  /** Spill root for cache-release handoffs, one per JVM: repeated calls
+    * overwrite subdirectories instead of leaking a fresh temp dir each,
+    * and a shutdown hook deletes the tree recursively (`deleteOnExit`
+    * never removes non-empty directories). Overridable with
+    * `spark.graft.spillDir` — REQUIRED on a multi-node cluster, where
+    * executors write partitions to their own local disks and a
+    * driver-local temp path would scan back only the driver's shard;
+    * the default is correct only where executors share the driver's
+    * filesystem (local mode, or a shared mount). */
+  private lazy val localSpillRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_spill")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(p.toFile)))
+    p
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  private[graft] def spillPath(spark: SparkSession, name: String): String =
+    spark.conf.getOption("spark.graft.spillDir")
+      .map(root => s"$root/$name")
+      .getOrElse(localSpillRoot.resolve(name).toString)
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     // Harness entry: Bench + Verify share a JVM, so the cache the label
     // frame rides on must be released before returning. The handoff is
-    // a DISTRIBUTED spill — executors write the partitions to a temp
-    // parquet and the returned frame scans it back. Never collect():
-    // "one row per paired doc" is corpus-scale at web-crawl dup rates
-    // (30-50% dups), far beyond driver memory at 100 TB.
+    // a parquet spill ([[spillPath]]) — partitions are written out and
+    // the returned frame scans them back. Never collect(): "one row per
+    // paired doc" is corpus-scale at web-crawl dup rates (30-50% dups),
+    // far beyond driver memory at 100 TB.
     withDedupClusters(minhashPairs(Tables.documents(spark, dir))) { labels =>
-      val out = java.nio.file.Files.createTempDirectory("graft_dedup_clusters")
-      out.toFile.deleteOnExit()
-      labels.write.mode("overwrite").parquet(out.toString)
-      spark.read.parquet(out.toString).orderBy(col("doc_id"))
+      val out = spillPath(spark, "dedup_clusters")
+      labels.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy(col("doc_id"))
     }
   }
 
@@ -354,6 +379,14 @@ object TextDedup {
     * per band); the banding mechanics here are width-agnostic, exactly
     * as on the MinHash side. */
   def simhashPairs(docs: DataFrame, maxDist: Int = SimhashMaxDist): DataFrame = {
+    // the pigeonhole guarantee (every true pair shares an intact band)
+    // holds only for maxDist ≤ bands-1 — a larger radius would silently
+    // miss pairs whose flipped bits touch every band; wider radii need
+    // more bands or a multi-probe ring (see Similarity.annTopKProbed)
+    require(maxDist < SimhashBands,
+      s"maxDist=$maxDist breaks the pigeonhole recall guarantee: with " +
+        s"$SimhashBands bands candidate recall is exact only for " +
+        s"maxDist <= ${SimhashBands - 1}")
     val sims = docs.select(col("doc_id"),
       call_function("simhash16", col("text")).as("sim"))
     val bandCols = (0 until SimhashBands).map { b =>
@@ -396,11 +429,17 @@ object TextDedup {
     * the cap instead of going quadratic. */
   val NgramMaxGroupSize = 10000
 
-  /** Docs dropped by the group cap in the last [[ngramJaccardPairs]]
-    * action — a Spark accumulator, so executor-side drops aggregate
-    * correctly on a real cluster. Re-created per call; read it AFTER an
-    * action on the returned frame. */
-  @volatile private[graft] var ngramDroppedDocs: Option[org.apache.spark.util.LongAccumulator] = None
+  /** Result of [[ngramJaccardPairs]]: the pair frame plus the drop
+    * counter for its group cap. `droppedDocs` is a Spark accumulator —
+    * executor-side drops aggregate on a real cluster, but because it is
+    * updated inside a TRANSFORMATION (`flatMapGroups`), Spark's
+    * exactly-once accumulator guarantee does not apply: task retries and
+    * speculative execution can over-count. It is an observability signal
+    * ("this group was truncated"), not an exact ledger. Read it only
+    * AFTER an action on `pairs`. */
+  final case class NgramJaccardResult(
+      pairs: DataFrame,
+      droppedDocs: org.apache.spark.util.LongAccumulator)
 
   /** Exact pairwise 2-gram Jaccard, but only for pairs sharing `source` —
     * the within-group (blocking) comparison pattern: group count scales
@@ -414,20 +453,21 @@ object TextDedup {
     * logic" exception — the group is the unit of work and is bounded by
     * `maxGroupSize`: a skewed group keeps its `maxGroupSize` smallest
     * doc ids (deterministic — a sample would make reruns disagree) and
-    * the rest are counted in [[ngramDroppedDocs]] and logged LOUDLY from
-    * the task. Silent truncation would read as "no near-dups in the big
-    * group"; the counter makes the coverage gap observable. */
+    * the rest are counted in the returned
+    * [[NgramJaccardResult.droppedDocs]] accumulator (per-call, so
+    * concurrent invocations don't clobber each other) and logged LOUDLY
+    * from the task. Silent truncation would read as "no near-dups in the
+    * big group"; the counter makes the coverage gap observable. */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double,
-                        maxGroupSize: Int = NgramMaxGroupSize): DataFrame = {
+                        maxGroupSize: Int = NgramMaxGroupSize): NgramJaccardResult = {
     import docs.sparkSession.implicits._
     require(maxGroupSize > 1, s"maxGroupSize must exceed 1, got $maxGroupSize")
     val dropped = docs.sparkSession.sparkContext
       .longAccumulator("ngram_jaccard_dropped_docs")
-    ngramDroppedDocs = Some(dropped)
     val hs = hashedShingles(docs, 2)
       .select(col("source"), col("doc_id"), col("hs"))
       .as[(String, Long, Array[Int])]
-    hs.groupByKey(_._1)
+    val pairs = hs.groupByKey(_._1)
       .flatMapGroups { (source, rows) =>
         val all = rows.map { case (_, id, h) => (id, h) }.toArray.sortBy(_._1)
         val ds = if (all.length <= maxGroupSize) all else {
@@ -449,6 +489,7 @@ object TextDedup {
         } yield (source, ds(i)._1, ds(j)._1, jac)
       }
       .toDF("source", "doc_a", "doc_b", "jaccard")
+    NgramJaccardResult(pairs, dropped)
   }
 
   /** JVM twin of [[graft.expressions.SortedIntersectSize]] for the
@@ -466,6 +507,6 @@ object TextDedup {
   def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     ngramJaccardPairs(Tables.documents(spark, dir), 0.7)
-      .orderBy(col("source"), col("doc_a"), col("doc_b"))
+      .pairs.orderBy(col("source"), col("doc_a"), col("doc_b"))
   }
 }

@@ -2,7 +2,8 @@ package graft
 
 import graft.operators.Similarity
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.catalyst.expressions.{LessThan, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.SparkPlan
 
@@ -144,13 +145,22 @@ class PlanSpec extends SparkSpec {
       "q_similar_ivf2").foreach { q =>
         val analyzed = SparkEntry.queries(q)(spark, sf("sf0.001"))
           .queryExecution.analyzed
-        val hinted = analyzed.collect { case h: ResolvedHint => h.child.toString() }
+        val hinted = analyzed.collect { case h: ResolvedHint => h.child }
         assert(hinted.nonEmpty, s"$q lost its bounded-side broadcast hints")
-        val qCap = (Similarity.QueryStride.toLong * Similarity.MaxQueries).toString
-        val cCap = (Similarity.IvfCentroidEvery.toLong * Similarity.MaxCentroids).toString
-        hinted.foreach { h =>
-          assert(h.contains(s"< $qCap") || h.contains(s"< $cCap"),
-            s"$q broadcasts a side without the O(K) id cap:\n$h")
+        val qCap = Similarity.QueryStride.toLong * Similarity.MaxQueries
+        val cCap = Similarity.IvfCentroidEvery.toLong * Similarity.MaxCentroids
+        hinted.foreach { child =>
+          // structural, not string-match: walk the Filter conditions under
+          // the hint and pull the literal right-hand sides of `id < cap`
+          val caps = child.collect {
+            case f: Filter => f.condition.collect {
+              case LessThan(_, Literal(v: Long, _)) => v
+              case LessThan(_, Literal(v: Int, _)) => v.toLong
+            }
+          }.flatten
+          assert(caps.contains(qCap) || caps.contains(cCap),
+            s"$q broadcasts a side without the O(K) id cap " +
+              s"(want LessThan literal $qCap or $cCap, saw $caps):\n$child")
         }
       }
   }

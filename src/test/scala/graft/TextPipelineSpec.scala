@@ -117,12 +117,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("simhash pairs rejects a radius the banding cannot guarantee") {
+    // pigeonhole recall 1.0 holds only for maxDist <= bands-1; larger
+    // radii would silently return incomplete results
+    val e = intercept[IllegalArgumentException] {
+      TextDedup.simhashPairs(docs, maxDist = TextDedup.SimhashBands)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   test("ngram jaccard only compares within the blocking group") {
     // docs 1 and 4 are identical but in different sources -> never compared
-    val pairs = TextDedup.ngramJaccardPairs(docs, 0.5)
+    val res = TextDedup.ngramJaccardPairs(docs, 0.5)
+    val pairs = res.pairs
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)))
-    assert(TextDedup.ngramDroppedDocs.get.value === 0L) // no group hit the cap
+    assert(res.droppedDocs.value === 0L) // no group hit the cap
   }
 
   test("ngram jaccard caps a pathological group and counts the drops") {
@@ -131,12 +141,13 @@ class TextPipelineSpec extends SparkSpec {
     // 40 dropped docs are observable through the accumulator
     val big = Seq.tabulate(50)(i => (i.toLong, base, "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
-    val pairs = TextDedup.ngramJaccardPairs(big, 0.5, maxGroupSize = 10)
+    val res = TextDedup.ngramJaccardPairs(big, 0.5, maxGroupSize = 10)
+    val pairs = res.pairs
       .select("doc_a", "doc_b").as[(Long, Long)].collect()
     assert(pairs.length === 45)
     assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ < 10L),
       "pairs must come only from the kept (smallest-id) docs")
-    assert(TextDedup.ngramDroppedDocs.get.value === 40L)
+    assert(res.droppedDocs.value === 40L)
   }
 
   test("language id picks the stopword profile; quality guards zero division") {
