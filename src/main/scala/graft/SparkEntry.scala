@@ -97,6 +97,12 @@ object SparkEntry {
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
     "q_media_resize"       -> (Multimodal.qMediaResize _),
+    // training-batch preparation (packing / chunking / vocab / rebalance)
+    "q_seq_pack"           -> (TrainPrep.qSeqPack _),
+    "q_token_chunks"       -> (TrainPrep.qTokenChunks _),
+    "q_vocab_topk"         -> (TrainPrep.qVocabTopK _),
+    "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
+    "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -1204,5 +1210,80 @@ object SparkEntry {
            CAST(least(1024, n - frame_idx * 1024) AS BIGINT) AS frame_len
          FROM f WHERE frame_idx % 3 = 0
          ORDER BY doc_id, frame_idx""",
+    // --- training-batch preparation (TrainPrep) ---
+    // concat-then-chunk packing: window prefix-sum of token counts per
+    // shard; a window SUM over BIGINT is HUGEINT in DuckDB — CAST back.
+    "q_seq_pack" -> {
+      import TrainPrep._
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+             CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens FROM documents),
+         p AS (SELECT doc_id, shard, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+               FROM t)
+         SELECT doc_id, shard, n_tokens,
+           prefix // $PackBudget AS seq_id, prefix % $PackBudget AS tok_offset
+         FROM p ORDER BY doc_id"""
+    },
+    "q_token_chunks" -> {
+      import TrainPrep._
+      val (w, s) = (ChunkWindow, ChunkStride)
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         z AS (SELECT doc_id, toks, CAST(len(toks) AS INTEGER) AS n_tokens
+               FROM t WHERE len(toks) > 0),
+         c AS (SELECT doc_id, toks, n_tokens,
+                 CASE WHEN n_tokens <= $w THEN 1
+                      ELSE 1 + (n_tokens - $w + ${s - 1}) // $s END AS n_chunks
+               FROM z),
+         e AS (SELECT doc_id, toks, n_tokens,
+                 unnest(generate_series(0, n_chunks - 1)) AS i
+               FROM c)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, n_tokens,
+           CAST(len(list_slice(toks, i * $s + 1, i * $s + $w)) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, i * $s + 1, i * $s + $w), ' ') AS chunk_text
+         FROM e ORDER BY doc_id, chunk_id"""
+    },
+    "q_vocab_topk" -> {
+      s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM t GROUP BY token),
+         top AS (SELECT * FROM c ORDER BY n_occurrences DESC, token
+                 LIMIT ${TrainPrep.VocabK})
+         SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+             AS BIGINT) AS vocab_id,
+           token, n_occurrences, n_docs
+         FROM top ORDER BY vocab_id"""
+    },
+    "q_rare_token_ratio" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+         f AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         j AS (SELECT t.doc_id, f.cnt FROM t JOIN f USING (token)),
+         a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN cnt <= ${TrainPrep.RareCutoff} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_rare
+               FROM j GROUP BY doc_id)
+         SELECT doc_id, n_tokens, n_rare,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS rare_ratio
+         FROM a ORDER BY doc_id""",
+    "q_domain_upsample" -> {
+      val b = md5b16Sql("('up:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                     FROM documents GROUP BY source),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM c),
+         pl AS (SELECT source, n_s,
+                  (n_total // n_sources) // n_s AS copies_base,
+                  (((n_total // n_sources) % n_s) * 10000) // n_s AS thr
+                FROM c CROSS JOIN t CROSS JOIN ns),
+         d AS (SELECT doc_id, source,
+                 copies_base + CASE WHEN $b % 10000 < thr THEN 1 ELSE 0 END AS n_copies
+               FROM documents JOIN pl USING (source))
+         SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
+         FROM d ORDER BY doc_id, copy_id"""
+    },
   )
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Training-batch preparation over the `documents` corpus — the stage
+  * between a curated corpus and a tokenized training run: sequence
+  * packing, context-window chunking, vocabulary construction,
+  * corpus-frequency quality scoring, and domain rebalancing.
+  *
+  * Scale design per operator:
+  *  - '''sequence packing''' ([[sequencePack]]): GPT-style
+  *    concat-then-chunk. Documents are ordered within independent pack
+  *    shards and assigned to fixed-budget sequences by a prefix-sum
+  *    window — one shuffle on (shard), no driver loop, no stateful scan.
+  *    Shards are the scale-out axis: each packs independently, so 1000
+  *    executors pack 1000 streams. A document whose tokens straddle a
+  *    sequence boundary overflows into the next sequence (the standard
+  *    concat-then-chunk semantics — attention masks or truncation handle
+  *    the seam at training time).
+  *  - '''context chunking''' ([[tokenChunks]]): per-document overlapping
+  *    token windows via `sequence` + `explode` + `slice` — pure per-row
+  *    generators, embarrassingly parallel, no shuffle at all.
+  *  - '''vocabulary''' ([[vocabTopK]]): token counts partial-aggregate
+  *    map-side; the global top-K runs as sort+limit
+  *    (TakeOrderedAndProject — bounded driver/exchange cost), and only
+  *    the K surviving rows pass through the id-assigning window, so the
+  *    single-partition window is O(K), never corpus-wide.
+  *  - '''rare-token scoring''' ([[rareTokenRatio]]): the unigram-LM
+  *    quality proxy kept integer-exact: a token is "rare" when its
+  *    corpus frequency is below a cutoff, and the per-document score is
+  *    a count ratio (one final division) — deterministic across engines
+  *    and partitionings, unlike a floating log-prob sum whose addition
+  *    order varies with the shuffle.
+  *  - '''domain rebalancing''' ([[domainRebalance]]): per-source keep
+  *    rates derived from the smallest source, applied as a portable
+  *    md5-bucket threshold (the [[TextStats.splitBucket]] mechanism —
+  *    reshuffle-stable, never `rand()`). The per-source threshold table
+  *    is O(#domains) and broadcast; the corpus side is one narrow pass.
+  */
+object TrainPrep {
+
+  // --- sequence packing ---
+
+  /** Tokens per packed training sequence (the context budget). */
+  val PackBudget = 256
+
+  /** Independent packing streams. Parallelism axis: at 100 TB this is
+    * the executor count, not 4 — the mechanics are shard-count-agnostic. */
+  val PackShards = 4
+
+  /** (doc_id, shard, n_tokens, seq_id, tok_offset) — each document's
+    * packed sequence and its token offset within it. Within a shard,
+    * documents concatenate in doc_id order; sequence k holds tokens
+    * [k·budget, (k+1)·budget). Integer arithmetic throughout (window
+    * prefix-sum of token counts), so the assignment is engine-exact. */
+  def sequencePack(docs: DataFrame, budget: Int = PackBudget,
+                   shards: Int = PackShards): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("_prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"_prefix div $budget").as("seq_id"),
+        (col("_prefix") % budget).as("tok_offset"))
+  }
+
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // --- context-window chunking ---
+
+  /** Context window length (tokens) and stride (window − overlap). */
+  val ChunkWindow = 64
+  val ChunkStride = 48
+
+  /** One row per (document, context window): overlapping token chunks
+    * covering the whole document — chunk i spans tokens
+    * [i·stride, i·stride + window). The chunk count
+    * 1 + ⌈(n − window)/stride⌉ guarantees the final chunk reaches the
+    * last token. Pure per-row generation (`sequence` → `explode` →
+    * `slice`): no shuffle, scales with the scan. */
+  def tokenChunks(docs: DataFrame, window: Int = ChunkWindow,
+                  stride: Int = ChunkStride): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("_t"))
+      .select(col("doc_id"), col("_t"), size(col("_t")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("_nc", when(col("n_tokens") <= window, lit(1))
+        .otherwise(expr(s"1 + (n_tokens - $window + ${stride - 1}) div $stride")))
+      .select(col("doc_id"), col("n_tokens"), col("_t"),
+        explode(sequence(lit(0), col("_nc") - 1)).as("_i"))
+      .select(col("doc_id"), col("_i").cast("long").as("chunk_id"),
+        col("n_tokens"),
+        slice(col("_t"), col("_i") * stride + 1, lit(window)).as("_c"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        size(col("_c")).as("n_chunk_tokens"),
+        concat_ws(" ", col("_c")).as("chunk_text"))
+
+  def qTokenChunks(spark: SparkSession, dir: String): DataFrame =
+    tokenChunks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  // --- vocabulary construction ---
+
+  /** Vocabulary size cap. */
+  val VocabK = 100
+
+  /** Top-K corpus vocabulary with assigned ids: token, total
+    * occurrences, document frequency, and vocab_id = frequency rank
+    * (ties broken by token — pinned both engines). The global ranking
+    * is sort+limit (TakeOrderedAndProject), NOT a corpus-wide
+    * single-partition window; only the K survivors get ids. */
+  def vocabTopK(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val counts = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val top = counts
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+    top.withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("n_occurrences").desc, col("token")))
+          .cast("long"))
+      .select(col("vocab_id"), col("token"), col("n_occurrences"), col("n_docs"))
+  }
+
+  def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
+    vocabTopK(Tables.documents(spark, dir)).orderBy(col("vocab_id"))
+
+  // --- corpus-frequency quality scoring ---
+
+  /** A token is rare when its corpus-wide occurrence count is at or
+    * below this cutoff. */
+  val RareCutoff = 3
+
+  /** Per-document rare-token ratio — the integer-exact unigram quality
+    * proxy (gibberish, OCR noise, and boilerplate-free spam score high;
+    * natural text scores low). Shape: token counts (map-side partial
+    * agg) joined back to the exploded corpus on `token`, then one
+    * per-document count aggregation. The frequency table is
+    * vocabulary-sized (≪ corpus; AQE broadcasts it when it fits) and the
+    * ratio is a single count/count division — no float accumulation
+    * whose order could differ across engines or partitionings. */
+  def rareTokenRatio(docs: DataFrame, cutoff: Int = RareCutoff): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tf.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tf.join(freq, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt") <= cutoff, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_ratio",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_rare").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  def qRareTokenRatio(spark: SparkSession, dir: String): DataFrame =
+    rareTokenRatio(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // --- domain upsampling (target-mix resampling with weights > 1) ---
+
+  /** Materialized uniform-mix resample: every source is re-weighted
+    * toward an equal share of the corpus, and — unlike the
+    * downsample-only [[CorpusFilters.domainMix]] — sources SMALLER than
+    * the target are upsampled by emitting repeat copies. The per-source
+    * weight w = target/|source| splits into an integer repeat count
+    * ⌊w⌋ plus a fractional remainder applied per document through a
+    * salted md5 bucket (reshuffle-stable, never `rand()`), so every
+    * engine and every rerun emits the identical copy multiset:
+    * n_copies(doc) = ⌊w⌋ + [bucket(doc) < frac(w)·10000].
+    *
+    * Shape: the per-source plan (counts → weight split) is O(#domains)
+    * and broadcast; the corpus side is one narrow pass emitting
+    * `explode(sequence(1, n_copies))` — no shuffle beyond the count
+    * aggregations, and output size is ≈ corpus size by construction
+    * (each source contributes ≈ target rows). */
+  def domainUpsample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val nSrc = counts.agg(count(lit(1)).as("n_sources"))
+    val plan = counts.crossJoin(broadcast(total)).crossJoin(broadcast(nSrc))
+      .select(col("source"), col("n_s"),
+        expr("(n_total div n_sources) div n_s").as("copies_base"),
+        expr("(((n_total div n_sources) % n_s) * 10000) div n_s").as("thr"))
+    val bucket =
+      md5Bits16(concat(lit("up:"), col("doc_id").cast("string"))) % 10000
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("n_copies",
+        col("copies_base") + when(bucket < col("thr"), 1L).otherwise(0L))
+      // sequence(1, 0) would infer a DESCENDING step and emit [1, 0] —
+      // zero-copy docs must contribute an EMPTY array (explode drops it)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(when(col("n_copies") > 0, sequence(lit(1L), col("n_copies")))
+          .otherwise(array().cast("array<long>"))).as("copy_id"))
+      .select(col("doc_id"), col("source"), col("n_copies"), col("copy_id"))
+  }
+
+  def qDomainUpsample(spark: SparkSession, dir: String): DataFrame =
+    domainUpsample(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("copy_id"))
+}

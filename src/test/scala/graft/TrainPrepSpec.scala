@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TrainPrep
+
+/** Training-batch preparation operators on hand-computable fixtures. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, nTokens: Int, source: String = "s1") =
+    (id, Seq.fill(nTokens)("w").mkString(" "), "en", source)
+
+  test("sequence packing: concat-then-chunk offsets within one shard") {
+    // one shard (ids ≡ 0 mod 4), budget 10: docs of 4, 7, 6 tokens
+    // concatenate to prefixes 0, 4, 11 -> sequences 0, 0, 1
+    val docs = Seq(doc(0L, 4), doc(4L, 7), doc(8L, 6))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.sequencePack(docs, budget = 10, shards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "seq_id", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 4L, 0L, 0L), (4L, 7L, 0L, 4L), (8L, 6L, 1L, 1L)))
+  }
+
+  test("sequence packing: shards pack independently") {
+    // ids 0,4 -> shard 0 (prefixes 0,4); ids 1,5 -> shard 1 (prefixes 0,6)
+    val docs = Seq(doc(0L, 4), doc(4L, 4), doc(1L, 6), doc(5L, 6))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.sequencePack(docs, budget = 5, shards = 4)
+      .select("doc_id", "shard", "seq_id", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (0L, 0L, 0L, 0L), (4L, 0L, 0L, 4L),
+      (1L, 1L, 0L, 0L), (5L, 1L, 1L, 1L)))
+  }
+
+  test("token chunks cover the document with the configured overlap") {
+    // 11 tokens, window 4, stride 3: chunks at 0,3,6,9 — last is short
+    val toks = (1 to 11).map(i => s"t$i")
+    val docs = Seq((7L, toks.mkString(" "), "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.tokenChunks(docs, window = 4, stride = 3)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out.map(_._1) === Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_._2) === Seq(4, 4, 4, 2))
+    assert(out.head._3 === "t1 t2 t3 t4")
+    assert(out.last._3 === "t10 t11")
+    // coverage: the final chunk reaches the last token
+    assert(out.last._3.endsWith("t11"))
+  }
+
+  test("token chunks: a short document yields exactly one full-copy chunk") {
+    val docs = Seq((1L, "a b c", "en", "s1")).toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.tokenChunks(docs, window = 10, stride = 8)
+      .select("chunk_id", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Int, String)].collect().toSeq
+    assert(out === Seq((0L, 3, "a b c")))
+  }
+
+  test("vocab ranks by frequency with token tie-break and assigns dense ids") {
+    val docs = Seq(
+      (1L, "b b b a a c", "en", "s1"),
+      (2L, "a d", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.vocabTopK(docs, k = 3)
+      .select("vocab_id", "token", "n_occurrences", "n_docs")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // a and b tie at 3 occurrences -> 'a' first lexicographically
+    assert(out === Seq((1L, "a", 3L, 2L), (2L, "b", 3L, 1L), (3L, "c", 1L, 1L)))
+  }
+
+  test("rare-token ratio counts corpus-frequency-bounded tokens per doc") {
+    // corpus counts: x->3, y->2, z->1; cutoff 2 -> y and z are rare
+    val docs = Seq(
+      (1L, "x x y z", "en", "s1"),
+      (2L, "x y", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.rareTokenRatio(docs, cutoff = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_rare", "rare_ratio")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 4L, 2L, 0.5), (2L, 2L, 1L, 0.5)))
+  }
+
+  /** JVM twin of the operator's salted md5 bucket — the test computes
+    * the exact expected copy multiset rather than asserting a
+    * probabilistic "should shrink" (a 9-doc fixture CAN keep all 9). */
+  private def upBucket(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"up:$id".getBytes("UTF-8"))
+      .take(2).map(b => f"$b%02x").mkString
+    Integer.parseInt(hex, 16) % 10000
+  }
+
+  test("domain upsample repeats small sources and downsamples large ones") {
+    // 12 docs: s_big holds 9, s_small holds 3; uniform target = 6 per
+    // source -> s_small copies_base = 2 (remainder 0: every doc exactly
+    // twice), s_big copies_base = 0 with a 6666-permyriad remainder
+    // (each doc kept iff its salted bucket clears it)
+    val docs = (0L until 9L).map(i => doc(i, 2, "s_big")) ++
+      (100L until 103L).map(i => doc(i, 2, "s_small"))
+    val out = TrainPrep.domainUpsample(
+        docs.toDF("doc_id", "text", "lang", "source"))
+      .select("doc_id", "copy_id").as[(Long, Long)].collect().toSet
+    val expected =
+      (100L until 103L).flatMap(i => Seq((i, 1L), (i, 2L))).toSet ++
+      (0L until 9L).filter(i => upBucket(i) < 6666).map(i => (i, 1L)).toSet
+    assert(out === expected)
+  }
+
+  test("domain upsample is deterministic across reshuffles") {
+    val docs = ((0L until 9L).map(i => doc(i, 2, "s_big")) ++
+      (100L until 103L).map(i => doc(i, 2, "s_small")))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = TrainPrep.domainUpsample(docs)
+      .select("doc_id", "copy_id").as[(Long, Long)].collect().toSet
+    val b = TrainPrep.domainUpsample(docs.repartition(7))
+      .select("doc_id", "copy_id").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+}
