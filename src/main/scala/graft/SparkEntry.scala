@@ -78,6 +78,9 @@ object SparkEntry {
     "q_embed_incremental"  -> (Similarity.qEmbedIncremental _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
+    // no oracle entry (learned centroids: distributed float means are
+    // partitioning-dependent in the last ULP): rows-only gate
+    "q_similar_kmeans"     -> (Similarity.qSimilarKmeans _),
     "q_events_window"      -> (graft.streaming.Events.qEventsWindow _),
     "q_events_props"       -> (graft.streaming.Events.qEventsProps _),
     "q_user_sessions"      -> (graft.streaming.Events.qUserSessions _),

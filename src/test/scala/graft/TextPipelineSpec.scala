@@ -309,6 +309,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(top.values.flatten.toSet.intersect(Set(137L, 6L)).isEmpty)
   }
 
+  test("kmeans learns planted clusters; ivf-kmeans probes the learned cell") {
+    // three separated direction clusters; the k=3 deterministic init
+    // (lowest ids) seeds one per cluster, so Lloyd rounds must keep each
+    // planted group with its seed and converge
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)),      // cluster A seed
+      (1L, Array(0f, 1f, 0f)),      // cluster B seed
+      (2L, Array(0f, 0f, 1f)),      // cluster C seed
+      (3L, Array(0.9f, 0.1f, 0f)),  // A
+      (4L, Array(0.8f, 0.2f, 0f)),  // A
+      (5L, Array(0.1f, 0.9f, 0f)),  // B
+      (6L, Array(0f, 0.2f, 0.8f)),  // C
+      (100L, Array(0.95f, 0.05f, 0f))) // query (isQueryId), in A
+      .map { case (id, a) => (id, a, 0) }
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.kmeansCentroids(emb, k = 3, iters = 3)
+    val assign = Similarity.kmeansAssign(emb, cents)
+      .select("vec_id", "cluster_id").as[(Long, Long)].collect().toMap
+    cents.unpersist()
+    assert(Seq(3L, 4L, 100L).forall(assign(_) == assign(0L)))
+    assert(assign(5L) === assign(1L) && assign(6L) === assign(2L))
+    assert(Set(assign(0L), assign(1L), assign(2L)).size === 3)
+    // the query's top-2 comes from its own learned cell only
+    val top = Similarity.ivfTopKKmeans(emb, k = 2, kc = 3, iters = 3)
+      .filter($"query_id" === 100L).select("vec_id").as[Long].collect().toSet
+    assert(top === Set(0L, 3L))
+  }
+
   test("dedup clustering is transitive: chains collapse to one min-id group") {
     // path graph 1-2-3-4-5 plus an isolated pair 7-8: transitivity must
     // propagate the min label across hops never directly paired
