@@ -104,8 +104,10 @@ object SparkEntry {
     "q_seq_pack"           -> (TrainPrep.qSeqPack _),
     "q_token_chunks"       -> (TrainPrep.qTokenChunks _),
     "q_vocab_topk"         -> (TrainPrep.qVocabTopK _),
+    "q_tokenize_ids"       -> (TrainPrep.qTokenizeIds _),
     "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
+    "q_repeated_spans"     -> (TextDedup.qRepeatedSpans _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -1258,6 +1260,51 @@ object SparkEntry {
              AS BIGINT) AS vocab_id,
            token, n_occurrences, n_docs
          FROM top ORDER BY vocab_id"""
+    },
+    "q_tokenize_ids" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+               FROM tok GROUP BY token),
+         top0 AS (SELECT * FROM c ORDER BY n_occurrences DESC, token
+                  LIMIT ${TrainPrep.VocabK}),
+         vv AS (SELECT token,
+                  CAST(row_number() OVER (ORDER BY n_occurrences DESC, token)
+                    AS BIGINT) AS vocab_id
+                FROM top0),
+         t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+               FROM t),
+         m AS (SELECT doc_id, i, toks[i] AS token FROM e),
+         v AS (SELECT doc_id, i, coalesce(vocab_id, 0) AS tid
+               FROM m LEFT JOIN vv USING (token))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY i) AS ids_str
+         FROM v GROUP BY doc_id ORDER BY doc_id""",
+    "q_repeated_spans" -> {
+      val k = TextDedup.SpanGram
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - $k)) AS pos
+               FROM t),
+         g AS (SELECT doc_id, pos,
+                 array_to_string(list_slice(toks, pos + 1, pos + $k), ' ') AS sh
+               FROM s),
+         rep AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
+         h AS (SELECT doc_id, pos FROM g JOIN rep USING (sh)),
+         i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+                      THEN 0 ELSE 1 END AS newi
+               FROM h),
+         j AS (SELECT doc_id, pos,
+                 sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM i)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + $k AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+         FROM j GROUP BY doc_id, island
+         ORDER BY doc_id, span_start"""
     },
     "q_rare_token_ratio" ->
       s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),

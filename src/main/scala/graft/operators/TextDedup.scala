@@ -421,6 +421,56 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- repeated-substring spans (inverted k-gram index) ---
+
+  /** Span shingle width (tokens) for [[repeatedSpans]]. */
+  val SpanGram = 5
+
+  /** Exact repeated-substring spans: maximal token ranges covered by
+    * k-gram shingles that occur more than once in the corpus (within or
+    * across documents) — the distributed approximation of
+    * suffix-array substring dedup ("repeated ≥k-token passages are
+    * boilerplate/templates; cut or down-weight them").
+    *
+    * Shape: positional shingles (one narrow pass) → occurrence counts
+    * keyed by shingle text (map-side partial agg — the inverted index)
+    * → left-semi join positions against the repeated keys (equi-join;
+    * the repeated set is corpus-scale, so it is NEVER broadcast) →
+    * per-document gaps-and-islands merge of overlapping [pos, pos+k)
+    * ranges via one window pass. Every step is a key shuffle or a
+    * window over doc_id — no all-pairs anything, and the merge is
+    * integer arithmetic (engine-exact).
+    *
+    * Output: (doc_id, span_start, span_end, n_grams) — token index
+    * ranges [start, end) with the count of repeated shingles merged
+    * into the span. */
+  def repeatedSpans(docs: DataFrame, k: Int = SpanGram): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = docs
+      .select(col("doc_id"), posexplode(shingles(col("text"), k)))
+      .toDF("doc_id", "pos", "sh")
+    val repeated = pos.groupBy(col("sh"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("sh"))
+    val hits = pos.join(repeated, Seq("sh"), "left_semi")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("_new",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= k, 0L).otherwise(1L))
+      .withColumn("island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpans(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("span_start"))
+
   // --- n-gram Jaccard within a grouping key ---
 
   /** Default per-group comparison cap for [[ngramJaccardPairs]] — far

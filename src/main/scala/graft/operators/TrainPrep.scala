@@ -134,6 +134,38 @@ object TrainPrep {
   def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
     vocabTopK(Tables.documents(spark, dir)).orderBy(col("vocab_id"))
 
+  // --- tokenizer application (vocab encode) ---
+
+  /** Encode every document as its vocab-id sequence: tokens mapped
+    * through the [[vocabTopK]] table (out-of-vocabulary → id 0), in
+    * token order. The vocab is O(K) and broadcast — tokenization is a
+    * map-side join, one narrow pass over the corpus, and the sequence
+    * rebuild is a per-document sort of (position, id) structs — integer
+    * data, deterministic in both engines. Output keeps the sequence as
+    * a space-joined string (the engine-portable spelling for the hash
+    * oracle; a production sink would keep the array column).
+    *
+    * This is the downstream half of [[vocabTopK]]: build the
+    * vocabulary once, then encode at corpus scale. */
+  def tokenizeIds(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "token")
+      .join(broadcast(vocab.select(col("token"), col("vocab_id"))),
+        Seq("token"), "left")
+      .withColumn("tid", coalesce(col("vocab_id"), lit(0L)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        array_sort(collect_list(struct(col("pos"), col("tid")))).as("_s"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        array_join(transform(col("_s"), s => s.getField("tid")), " ").as("ids_str"))
+
+  def qTokenizeIds(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    tokenizeIds(docs, vocabTopK(docs)).orderBy(col("doc_id"))
+  }
+
   // --- corpus-frequency quality scoring ---
 
   /** A token is rare when its corpus-wide occurrence count is at or

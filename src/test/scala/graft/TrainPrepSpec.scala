@@ -71,6 +71,52 @@ class TrainPrepSpec extends SparkSpec {
     assert(out === Seq((1L, "a", 3L, 2L), (2L, "b", 3L, 1L), (3L, "c", 1L, 1L)))
   }
 
+  test("tokenize-ids encodes in token order with OOV as id 0") {
+    // vocab over this corpus: a(3) -> 1, b(2) -> 2, c(1) -> 3 with k=3;
+    // 'z' stays out of vocab when k=3 is filled... use k=2: a->1, b->2,
+    // c and z become OOV id 0
+    val docs = Seq(
+      (1L, "a b a z", "en", "s1"),
+      (2L, "b c a", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.tokenizeIds(docs, TrainPrep.vocabTopK(docs, k = 2))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "ids_str")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, 1L, "1 2 1 0"),
+      (2L, 3L, 1L, "2 0 1")))
+  }
+
+  test("repeated spans merge overlapping shared k-grams into maximal ranges") {
+    import graft.operators.TextDedup
+    // docs 1 and 2 share the 6-token run "p q r s t u" -> with k=5 the
+    // two overlapping 5-grams (pos 1,2 in doc 1; pos 0,1 in doc 2)
+    // merge into one span each; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "x p q r s t u y", "en", "s1"),
+      (2L, "p q r s t u m n", "en", "s1"),
+      (3L, "entirely different words with no overlap at all", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextDedup.repeatedSpans(docs, k = 5)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 7L, 2L), (2L, 0L, 6L, 2L)))
+  }
+
+  test("repeated spans catch a within-document repetition") {
+    import graft.operators.TextDedup
+    // the 5-gram "a b c d e" occurs twice inside ONE doc (positions 0
+    // and 7, gap > k so two separate spans)
+    val docs = Seq(
+      (1L, "a b c d e xx yy a b c d e", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextDedup.repeatedSpans(docs, k = 5)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 0L, 5L, 1L), (1L, 7L, 12L, 1L)))
+  }
+
   test("rare-token ratio counts corpus-frequency-bounded tokens per doc") {
     // corpus counts: x->3, y->2, z->1; cutoff 2 -> y and z are rare
     val docs = Seq(
