@@ -1283,15 +1283,26 @@ object SparkEntry {
          FROM v GROUP BY doc_id ORDER BY doc_id""",
     "q_repeated_spans" -> {
       val k = TextDedup.SpanGram
+      // 60-bit md5-prefix hash of the shingle — the DuckDB twin of the
+      // native ShinglePosHashes value (first 15 hex nibbles big-endian);
+      // md5 is computed once per shingle (g0), the nibble arithmetic
+      // reads the hex string
+      val nib60 = (0 until 15).map { j =>
+        val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+        s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
+      }.mkString(" + ")
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
          s AS (SELECT doc_id, toks,
                  unnest(generate_series(0, len(toks) - $k)) AS pos
                FROM t),
-         g AS (SELECT doc_id, pos,
-                 array_to_string(list_slice(toks, pos + 1, pos + $k), ' ') AS sh
+         g0 AS (SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
                FROM s),
-         rep AS (SELECT sh FROM g GROUP BY sh HAVING count(*) >= 2),
-         h AS (SELECT doc_id, pos FROM g JOIN rep USING (sh)),
+         g AS (SELECT doc_id, pos, $nib60 AS sh FROM g0),
+         h AS (SELECT doc_id, pos FROM
+                 (SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS nn
+                  FROM g) AS q1
+               WHERE nn >= 2),
          i AS (SELECT doc_id, pos,
                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
                       THEN 0 ELSE 1 END AS newi

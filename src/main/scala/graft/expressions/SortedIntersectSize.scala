@@ -123,9 +123,21 @@ object GraftFunctions {
     new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
     (children: Seq[Expression]) => RollingFingerprint(children.head))
 
+  val shinglePosHashes: Registration = (
+    FunctionIdentifier("shingle_pos_hashes"),
+    new ExpressionInfo(classOf[ShinglePosHashes].getName, "shingle_pos_hashes"),
+    (children: Seq[Expression]) => {
+      val n = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"shingle_pos_hashes: n must be an int literal, got $other")
+      }
+      ShinglePosHashes(children.head, n)
+    })
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
-      simhash16, tokenProfile, rollingFingerprint)
+      simhash16, tokenProfile, rollingFingerprint, shinglePosHashes)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

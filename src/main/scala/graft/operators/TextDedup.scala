@@ -432,14 +432,23 @@ object TextDedup {
     * suffix-array substring dedup ("repeated ≥k-token passages are
     * boilerplate/templates; cut or down-weight them").
     *
-    * Shape: positional shingles (one narrow pass) → occurrence counts
-    * keyed by shingle text (map-side partial agg — the inverted index)
-    * → left-semi join positions against the repeated keys (equi-join;
-    * the repeated set is corpus-scale, so it is NEVER broadcast) →
+    * Shape: positional 60-bit shingle hashes (one NATIVE pass —
+    * [[graft.expressions.ShinglePosHashes]]; the shuffle key is 8
+    * bytes, never a multi-token string) → ONE shuffle keyed by hash,
+    * where the occurrence count rides a whole-partition window — no
+    * join back, and the hash expression evaluates once (the
+    * groupBy+semi-join spelling over shingle STRINGS evaluated the
+    * interpreted shingle transform twice and shuffled the strings
+    * twice: 28 s → 15 s → ~2 s at sf0.1 across the three spellings) →
     * per-document gaps-and-islands merge of overlapping [pos, pos+k)
-    * ranges via one window pass. Every step is a key shuffle or a
-    * window over doc_id — no all-pairs anything, and the merge is
-    * integer arithmetic (engine-exact).
+    * ranges via one more window pass. No all-pairs anything; the merge
+    * is integer arithmetic (engine-exact, and hash collisions — see
+    * the expression's scaladoc — are made identically by both
+    * engines). Skew note: a pathologically common shingle puts its
+    * whole occurrence list in one window partition; at 100 TB the
+    * mitigation is a two-phase count (partial count by (hash, salt),
+    * sum, join) traded back in when the corpus is duplicate-heavy
+    * enough to skew, or AQE skew handling.
     *
     * Output: (doc_id, span_start, span_end, n_grams) — token index
     * ranges [start, end) with the count of repeated shingles merged
@@ -447,13 +456,13 @@ object TextDedup {
   def repeatedSpans(docs: DataFrame, k: Int = SpanGram): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs
-      .select(col("doc_id"), posexplode(shingles(col("text"), k)))
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_pos_hashes", col("text"), lit(k))))
       .toDF("doc_id", "pos", "sh")
-    val repeated = pos.groupBy(col("sh"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("sh"))
-    val hits = pos.join(repeated, Seq("sh"), "left_semi")
+    val hits = pos
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("_n") >= 2)
+      .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("_new",
@@ -467,9 +476,11 @@ object TextDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
-  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+  def qRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
     repeatedSpans(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("span_start"))
+  }
 
   // --- n-gram Jaccard within a grouping key ---
 

@@ -23,6 +23,18 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach { case (native, builtin) => assert(native === builtin) }
   }
 
+  test("shingle_pos_hashes == transform(shingles, conv(md5-prefix)) in order") {
+    // positional (no distinct, no sort) 60-bit md5 prefix — the value
+    // the DuckDB oracle rebuilds with hex-nibble arithmetic
+    val df = samples(texts).toDF("t")
+    val rows = df.select(
+      call_function("shingle_pos_hashes", col("t"), lit(3)).as("native"),
+      transform(shingles(col("t"), 3),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")).as("builtin"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (native, builtin) => assert(native === builtin) }
+  }
+
   test("sorted_intersect_size == set intersection size on sorted distinct arrays") {
     val gen = Gen.listOf(Gen.choose(0, 50)).map(_.distinct.sorted)
     val pairs = samples(Gen.zip(gen, gen), 50)
