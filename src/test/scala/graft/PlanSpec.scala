@@ -165,6 +165,38 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("token chunks generate without any shuffle before the final sort") {
+    // sequence -> explode -> slice is per-row work; the only exchange
+    // allowed is the output orderBy's range partitioning
+    val s = planString("q_token_chunks")
+    val exchanges = "Exchange".r.findAllIn(s).length
+    assert(exchanges <= 2, // rangepartitioning (+ AQE read) only
+      s"chunking should be narrow until the sort, saw $exchanges exchanges:\n$s")
+    assert(!s.contains("hashpartitioning"),
+      s"chunk generation must not hash-shuffle:\n$s")
+  }
+
+  test("tokenize-ids maps tokens through a broadcast vocab join") {
+    val df = SparkEntry.queries("q_tokenize_ids")(spark, sf("sf0.001"))
+    df.collect() // let AQE finalize
+    val s = df.queryExecution.executedPlan.toString()
+    assert(s.contains("BroadcastHashJoin"),
+      s"the O(K) vocabulary should broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"a sort-merge join means the vocab shuffled the corpus:\n$s")
+  }
+
+  test("repeated spans evaluate the native shingle hash exactly once") {
+    // the window-count spelling exists to avoid a second evaluation of
+    // the per-row hash pass and a second shuffle of the key — a
+    // regression back to groupBy+join shows up as a second occurrence
+    val s = planString("q_repeated_spans")
+    val n = "shingle_pos_hashes".r.findAllIn(s).length
+    assert(n === 1, s"shingle hash evaluated $n times in the plan:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"span detection degenerated to all-pairs:\n$s")
+  }
+
   test("contamination: banned-shingle join broadcasts, never a nested loop") {
     val df = SparkEntry.queries("q_contamination")(spark, sf("sf0.001"))
     df.collect() // let AQE finalize with runtime sizes
