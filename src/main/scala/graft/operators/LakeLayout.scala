@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lake-layout maintenance — the table-management half of running a
+  * 100-TB corpus: small-file compaction and partitioned layouts whose
+  * pruning actually reaches the scan.
+  *
+  * Reference scope note: the reference lands its pulls as flat RDS/CSV
+  * files (`legiscan_data_pull.R`); these operators are the SURVEY §7
+  * north-star generalization of that landing step to a layout that
+  * stays queryable at scale.
+  */
+object LakeLayout {
+
+  /** Rewrite a parquet directory into ≈`targetBytes`-sized files —
+    * the small-files compaction every long-running ingest needs (a
+    * million 100-KB files make a scan scheduler-bound regardless of
+    * cluster size). File count = ⌈estimated bytes / target⌉ via a
+    * round-robin repartition: no key, no skew, pure layout. Returns
+    * the partition count chosen.
+    *
+    * The size estimate is the optimizer's (`stats.sizeInBytes` ≈
+    * decompressed); a production compactor would use the on-disk
+    * `FileStatus` sum instead — same arithmetic, different constant. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val df = spark.read.parquet(inDir)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = ((bytes + targetBytes - 1) / targetBytes).max(1).toInt
+    df.repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Land events in a date-partitioned layout (`event_date=.../`):
+    * the directory structure IS the index — a day-filtered read must
+    * list and scan only that day's files (PartitionFilters in the
+    * scan, not a post-scan predicate). At 100 TB this is the
+    * difference between touching one day and touching three years. */
+  def writeDatePartitioned(events: DataFrame, outDir: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.partitionBy("event_date").mode("overwrite").parquet(outDir)
+
+  /** A day's slice from the partitioned layout — the filter is on the
+    * PARTITION column, so Catalyst prunes directories before any I/O. */
+  def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
+    spark.read.parquet(dir).filter(col("event_date") === to_date(lit(day)))
+}

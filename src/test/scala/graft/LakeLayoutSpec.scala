@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.LakeLayout
+
+/** Layout maintenance: compaction file counts and partition pruning
+  * that provably reaches the scan. */
+class LakeLayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("compaction rewrites many small files into the computed count") {
+    val in = tmp("graft_compact_in")
+    val out = tmp("graft_compact_out")
+    // land deliberately fragmented: 16 files for a tiny table
+    spark.range(0, 10000).toDF("id")
+      .repartition(16).write.mode("overwrite").parquet(in)
+    val smallFiles = new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(smallFiles === 16)
+    // a huge target must collapse to a single file
+    val n = LakeLayout.compactParquet(spark, in, out, targetBytes = 1L << 40)
+    assert(n === 1)
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles === 1)
+    assert(spark.read.parquet(out).count() === 10000L)
+  }
+
+  test("compaction splits to multiple files when the target is small") {
+    val in = tmp("graft_compact2_in")
+    val out = tmp("graft_compact2_out")
+    spark.range(0, 100000).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    val est = spark.read.parquet(in).queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = LakeLayout.compactParquet(spark, in, out, targetBytes = (est / 4).toLong.max(1))
+    assert(n >= 4, s"expected >= 4 output files, got $n") // ceil(est / (est/4))
+    val outFiles = new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(outFiles === n)
+    assert(spark.read.parquet(out).count() === 100000L)
+  }
+
+  test("date-partitioned layout prunes to the filtered day at the scan") {
+    val dir = tmp("graft_lake")
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 1L),
+      (4L, java.sql.Timestamp.valueOf("2024-01-03 09:00:00"), 3L))
+      .toDF("event_id", "ts", "user_id")
+    LakeLayout.writeDatePartitioned(events, dir)
+    // the layout creates one directory per day
+    val dayDirs = new java.io.File(dir).listFiles
+      .count(_.getName.startsWith("event_date="))
+    assert(dayDirs === 3)
+    val day = LakeLayout.readDay(spark, dir, "2024-01-01")
+    assert(day.select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+    // pruning must reach the scan: the partition filter appears as
+    // PartitionFilters, and the scan reads 1 of 3 day directories
+    val plan = day.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"day filter did not reach the scan as a partition filter:\n$plan")
+    val scanned = day.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned === Seq(1), s"expected 1 pruned partition, got $scanned")
+  }
+}
