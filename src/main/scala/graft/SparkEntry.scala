@@ -108,6 +108,9 @@ object SparkEntry {
     "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
     "q_repeated_spans"     -> (TextDedup.qRepeatedSpans _),
+    "q_eval_sample"        -> (TrainPrep.qEvalSample _),
+    "q_source_similarity"  -> (TextDedup.qSourceSimilarity _),
+    "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -1317,6 +1320,48 @@ object SparkEntry {
          FROM j GROUP BY doc_id, island
          ORDER BY doc_id, span_start"""
     },
+    "q_eval_sample" ->
+      s"""SELECT doc_id, source, rank FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('ev:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS BIGINT) AS rank
+           FROM documents) AS q1
+         WHERE rank <= ${TrainPrep.EvalPerSource}
+         ORDER BY source, rank""",
+    "q_source_similarity" -> {
+      import TextDedup._
+      val mins = (0 until NumHashes).map(k =>
+        s"min((h * ${permA(k)} + ${permB(k)}) % $MinhashMod) AS m$k").mkString(", ")
+      val agree = (0 until NumHashes).map(k =>
+        s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, source, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+         e AS (SELECT source, unnest(hs) AS h FROM shs),
+         m AS (SELECT source, $mins FROM e GROUP BY source)
+         SELECT a.source AS source_a, b.source AS source_b,
+           CAST($agree AS BIGINT) AS n_agree,
+           CAST($agree AS DOUBLE) / $NumHashes.0 AS est_jaccard
+         FROM m a JOIN m b ON a.source < b.source
+         ORDER BY source_a, source_b"""
+    },
+    // rounding spelled floor(y + 0.5) on both sides: the engines'
+    // round() builtins disagree (half-away vs half-even) but floor is
+    // floor everywhere; scale guard keeps all-zero vectors finite
+    "q_embed_quantize" ->
+      s"""WITH s AS (SELECT vec_id, embedding,
+             greatest(list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max'), 1e-30) AS scale
+           FROM embeddings)
+         SELECT vec_id, scale,
+           CAST(len(embedding) AS INTEGER) AS n_dims,
+           CAST(${foldSql(
+             "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT))",
+             "CAST(0 AS BIGINT)", "(acc, q) -> acc + q")} AS BIGINT) AS q_sum,
+           list_aggregate(list_transform(embedding,
+             x -> abs(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) * scale / 127.0
+                      - CAST(x AS DOUBLE))), 'max') AS max_err
+         FROM s ORDER BY vec_id""",
     "q_rare_token_ratio" ->
       s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
          f AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),

@@ -421,6 +421,45 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // --- corpus-level source similarity (mergeable minhash sketches) ---
+
+  /** Pairwise Jaccard ESTIMATES between whole sources from per-source
+    * minhash sketches — corpus analytics ("which crawls overlap?")
+    * without ever joining documents. The 100-TB property on display is
+    * MERGEABILITY: each of the K sketch slots is a `min` aggregate, so
+    * partial aggregation combines map-side and a source's sketch is
+    * buildable incrementally (min-merge with yesterday's sketch) —
+    * the whole pipeline is one explode + one groupBy(source) producing
+    * #sources rows, then a trivially small self-join.
+    *
+    * Estimate: fraction of agreeing sketch slots, the classic min-wise
+    * estimator (E[agree] = Jaccard of the shingle sets). */
+  def sourceMinhashSimilarity(docs: DataFrame): DataFrame = {
+    val hs = hashedShingles(docs, ShingleN)
+    val slots = (0 until NumHashes).map { k =>
+      min(pmod(col("h") * permA(k) + permB(k), lit(MinhashMod))).as(s"m$k")
+    }
+    val sketches = hs.select(col("source"), explode(col("hs")).as("h"))
+      .groupBy(col("source")).agg(slots.head, slots.tail: _*)
+    val a = sketches.select(col("source").as("source_a") +:
+      (0 until NumHashes).map(k => col(s"m$k").as(s"a$k")): _*)
+    val b = sketches.select(col("source").as("source_b") +:
+      (0 until NumHashes).map(k => col(s"m$k").as(s"b$k")): _*)
+    val agree = (0 until NumHashes)
+      .map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), agree.as("n_agree"))
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / NumHashes.toDouble)
+  }
+
+  def qSourceSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    sourceMinhashSimilarity(Tables.documents(spark, dir))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   // --- repeated-substring spans (inverted k-gram index) ---
 
   /** Span shingle width (tokens) for [[repeatedSpans]]. */

@@ -195,6 +195,27 @@ object TrainPrep {
   def qRareTokenRatio(spark: SparkSession, dir: String): DataFrame =
     rareTokenRatio(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // --- deterministic per-group evaluation sample ---
+
+  /** Docs kept per source by [[evalSample]]. */
+  val EvalPerSource = 5
+
+  /** Deterministic "random" N-per-source sample — eval/holdout set
+    * construction: rank documents within each source by a salted md5 of
+    * their id (a stable pseudo-shuffle — never `rand()`, so reruns,
+    * engines, and repartitionings agree) and keep the first N. One
+    * window per source partition; no corpus-wide ordering anywhere. */
+  def evalSample(docs: DataFrame, perSource: Int = EvalPerSource): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(concat(lit("ev:"), col("doc_id").cast("string"))), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perSource)
+  }
+
+  def qEvalSample(spark: SparkSession, dir: String): DataFrame =
+    evalSample(Tables.documents(spark, dir)).orderBy(col("source"), col("rank"))
+
   // --- domain upsampling (target-mix resampling with weights > 1) ---
 
   /** Materialized uniform-mix resample: every source is re-weighted

@@ -337,6 +337,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(top === Set(0L, 3L))
   }
 
+  test("int8 quantization: hand-checked codes, checksum, and max error") {
+    // v = [1.0, -0.5, 0.25], scale = 1.0 -> q = [127, -63, 32]
+    // (floor(-63.5 + 0.5) = -63; floor(31.75 + 0.5) = 32)
+    val emb = Seq((1L, Array(1.0f, -0.5f, 0.25f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.quantizeStats(emb)
+      .select("scale", "n_dims", "q_sum", "max_err")
+      .as[(Double, Int, Long, Double)].collect().head
+    assert(r._1 === 1.0 && r._2 === 3)
+    assert(r._3 === (127L - 63L + 32L))
+    val expectedErr = Seq(
+      math.abs(127.0 / 127.0 - 1.0),
+      math.abs(-63.0 / 127.0 - (-0.5)),
+      math.abs(32.0 / 127.0 - 0.25)).max
+    assert(r._4 === expectedErr)
+    // an all-zero vector must not divide by zero
+    val z = Similarity.quantizeStats(
+        Seq((2L, Array(0f, 0f), 0)).toDF("vec_id", "embedding", "label"))
+      .select("q_sum").as[Long].collect().head
+    assert(z === 0L)
+  }
+
   test("dedup clustering is transitive: chains collapse to one min-id group") {
     // path graph 1-2-3-4-5 plus an isolated pair 7-8: transitivity must
     // propagate the min label across hops never directly paired

@@ -156,6 +156,37 @@ class TrainPrepSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("eval sample keeps exactly N per source, stable under reshuffle") {
+    val docs = ((0L until 20L).map(i => doc(i, 2, "s1")) ++
+      (100L until 103L).map(i => doc(i, 2, "s2")))
+      .toDF("doc_id", "text", "lang", "source")
+    val a = TrainPrep.evalSample(docs, perSource = 4)
+      .select("source", "doc_id", "rank").as[(String, Long, Long)].collect().toSet
+    assert(a.count(_._1 == "s1") === 4)
+    assert(a.count(_._1 == "s2") === 3) // source smaller than N keeps all
+    assert(a.filter(_._1 == "s2").map(_._3) === Set(1L, 2L, 3L))
+    val b = TrainPrep.evalSample(docs.repartition(7), perSource = 4)
+      .select("source", "doc_id", "rank").as[(String, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("source minhash sketches: identical sources agree on every slot") {
+    import graft.operators.TextDedup
+    val text = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val other = "zebra yak xylophone walrus vulture toucan snake raccoon quail panda owl newt"
+    val docs = Seq(
+      (1L, text, "en", "sa"), (2L, text, "en", "sb"), // sa == sb
+      (3L, other, "en", "sc"))                        // sc disjoint
+      .toDF("doc_id", "text", "lang", "source")
+    val sims = TextDedup.sourceMinhashSimilarity(docs)
+      .select("source_a", "source_b", "n_agree", "est_jaccard")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(sims(("sa", "sb")) === (TextDedup.NumHashes.toLong, 1.0))
+    assert(sims(("sa", "sc"))._1 < TextDedup.NumHashes,
+      "disjoint sources must not agree on every sketch slot")
+  }
+
   test("domain upsample is deterministic across reshuffles") {
     val docs = ((0L until 9L).map(i => doc(i, 2, "s_big")) ++
       (100L until 103L).map(i => doc(i, 2, "s_small")))
