@@ -48,4 +48,15 @@ object LakeLayout {
     * PARTITION column, so Catalyst prunes directories before any I/O. */
   def readDay(spark: SparkSession, dir: String, day: String): DataFrame =
     spark.read.parquet(dir).filter(col("event_date") === to_date(lit(day)))
+
+  /** Read a directory written by evolving schemas (a long-lived lake's
+    * normal state: yesterday's files lack today's columns). `mergeSchema`
+    * unions all file footers into one schema; rows from pre-evolution
+    * files carry nulls in the added columns. The merge reads FOOTERS,
+    * not data — at 100 TB pin the canonical schema explicitly
+    * (`spark.read.schema(...)`) once it stabilizes, because a
+    * million-footer union is itself a scheduler cost; this entry point
+    * is for the evolving-ingest window. */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
 }

@@ -44,6 +44,21 @@ class LakeLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 100000L)
   }
 
+  test("schema evolution: merged read unions columns, old rows get nulls") {
+    val dir = tmp("graft_evolve")
+    // v1 files: (event_id, user_id); v2 adds a value column
+    Seq((1L, 10L)).toDF("event_id", "user_id")
+      .write.mode("append").parquet(dir)
+    Seq((2L, 20L, 0.5)).toDF("event_id", "user_id", "value")
+      .write.mode("append").parquet(dir)
+    val merged = LakeLayout.readMerged(spark, dir)
+    assert(merged.columns.sorted === Array("event_id", "user_id", "value"))
+    val rows = merged.select("event_id", "value")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(rows(1L) === None)       // pre-evolution row: null in new column
+    assert(rows(2L) === Some(0.5))
+  }
+
   test("date-partitioned layout prunes to the filtered day at the scan") {
     val dir = tmp("graft_lake")
     val events = Seq(
