@@ -337,6 +337,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(top === Set(0L, 3L))
   }
 
+  test("dedup-cluster spill honors spark.graft.spillDir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_spill_conf")
+    dir.toFile.deleteOnExit()
+    spark.conf.set("spark.graft.spillDir", dir.toString)
+    try {
+      TextDedup.qDedupClusters(spark, sfSmoke).collect()
+      val spilled = new java.io.File(s"$dir/dedup_clusters")
+      assert(spilled.isDirectory &&
+        spilled.listFiles.exists(_.getName.endsWith(".parquet")),
+        "configured spill dir was not used")
+    } finally spark.conf.unset("spark.graft.spillDir")
+  }
+
   test("int8 quantization: hand-checked codes, checksum, and max error") {
     // v = [1.0, -0.5, 0.25], scale = 1.0 -> q = [127, -63, 32]
     // (floor(-63.5 + 0.5) = -63; floor(31.75 + 0.5) = 32)

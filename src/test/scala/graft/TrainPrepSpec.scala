@@ -156,6 +156,52 @@ class TrainPrepSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("property: chunks cover every token and respect the count formula") {
+    import org.scalacheck.Gen
+    val cases = samples(Gen.zip(Gen.choose(1, 200), Gen.choose(2, 20),
+      Gen.choose(1, 19)), 25)
+    // stride < window (overlap > 0) per the operator's contract
+    val valid = cases.map { case (n, w, s) => (n, w, math.min(s, w - 1).max(1)) }
+      .filter { case (_, w, s) => s < w }
+    val docs = valid.zipWithIndex.map { case ((n, _, _), i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "), "en", "s1")
+    }.toDF("doc_id", "text", "lang", "source")
+    valid.zipWithIndex.foreach { case ((n, w, s), i) =>
+      val chunks = TrainPrep.tokenChunks(docs.filter(col("doc_id") === i.toLong),
+          window = w, stride = s)
+        .select("chunk_id", "n_chunk_tokens").as[(Long, Int)].collect()
+        .sortBy(_._1)
+      val expectedCount = if (n <= w) 1 else 1 + ((n - w) + s - 1) / s
+      assert(chunks.length === expectedCount, s"(n=$n w=$w s=$s)")
+      // coverage: the last chunk must reach token n
+      val last = chunks.last
+      assert((chunks.length - 1) * s + last._2 === n, s"(n=$n w=$w s=$s)")
+      // every chunk except possibly the last is full-width
+      assert(chunks.init.forall(_._2 === w), s"(n=$n w=$w s=$s)")
+    }
+  }
+
+  test("property: packing conserves tokens and bounds every offset") {
+    import org.scalacheck.Gen
+    val lens = samples(Gen.choose(0, 40), 60)
+    val docs = lens.zipWithIndex.map { case (n, i) => doc(i.toLong, n) }
+      .toDF("doc_id", "text", "lang", "source")
+    val budget = 17
+    val out = TrainPrep.sequencePack(docs, budget = budget, shards = 3)
+      .select("shard", "n_tokens", "seq_id", "tok_offset")
+      .as[(Long, Long, Long, Long)].collect()
+    out.foreach { case (_, _, _, off) =>
+      assert(off >= 0 && off < budget)
+    }
+    // per shard: the last doc's seq_id equals floor(prefix/budget) where
+    // prefix sums all earlier docs -> total tokens = sum over docs
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val total = rows.map(_._2).sum
+      val maxSeq = rows.map(_._3).max
+      assert(maxSeq <= total / budget, "a sequence id beyond the token total")
+    }
+  }
+
   test("eval sample keeps exactly N per source, stable under reshuffle") {
     val docs = ((0L until 20L).map(i => doc(i, 2, "s1")) ++
       (100L until 103L).map(i => doc(i, 2, "s2")))
