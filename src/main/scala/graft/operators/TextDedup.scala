@@ -285,10 +285,10 @@ object TextDedup {
     try use(labels) finally labels.unpersist()
   }
 
-  /** Spill root for cache-release handoffs, one per JVM: repeated calls
-    * overwrite subdirectories instead of leaking a fresh temp dir each,
-    * and a shutdown hook deletes the tree recursively (`deleteOnExit`
-    * never removes non-empty directories). Overridable with
+  /** Spill root for cache-release handoffs, one per JVM; a shutdown
+    * hook deletes the whole tree recursively (`deleteOnExit` never
+    * removes non-empty directories), which bounds every per-call
+    * subdirectory's lifetime to the JVM's. Overridable with
     * `spark.graft.spillDir` — REQUIRED on a multi-node cluster, where
     * executors write partitions to their own local disks and a
     * driver-local temp path would scan back only the driver's shard;
@@ -306,10 +306,19 @@ object TextDedup {
     f.delete(); ()
   }
 
-  private[graft] def spillPath(spark: SparkSession, name: String): String =
+  private val spillSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** A fresh per-call spill path `<root>/<name>_<seq>` — unique so two
+    * concurrent calls in one JVM can never overwrite each other's
+    * parquet mid-read (an overwrite-in-place scheme would); the
+    * sequence keeps paths deterministic-per-process, and the root
+    * shutdown hook reclaims every subdirectory at exit. */
+  private[graft] def spillPath(spark: SparkSession, name: String): String = {
+    val unique = s"${name}_${spillSeq.getAndIncrement()}"
     spark.conf.getOption("spark.graft.spillDir")
-      .map(root => s"$root/$name")
-      .getOrElse(localSpillRoot.resolve(name).toString)
+      .map(root => s"$root/$unique")
+      .getOrElse(localSpillRoot.resolve(unique).toString)
+  }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)

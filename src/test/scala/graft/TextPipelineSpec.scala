@@ -343,9 +343,10 @@ class TextPipelineSpec extends SparkSpec {
     spark.conf.set("spark.graft.spillDir", dir.toString)
     try {
       TextDedup.qDedupClusters(spark, sfSmoke).collect()
-      val spilled = new java.io.File(s"$dir/dedup_clusters")
-      assert(spilled.isDirectory &&
-        spilled.listFiles.exists(_.getName.endsWith(".parquet")),
+      val spilled = dir.toFile.listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("dedup_clusters"))
+      assert(spilled.nonEmpty &&
+        spilled.exists(_.listFiles.exists(_.getName.endsWith(".parquet"))),
         "configured spill dir was not used")
     } finally spark.conf.unset("spark.graft.spillDir")
   }
