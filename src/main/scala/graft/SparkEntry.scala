@@ -109,6 +109,7 @@ object SparkEntry {
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
     "q_repeated_spans"     -> (TextDedup.qRepeatedSpans _),
     "q_eval_sample"        -> (TrainPrep.qEvalSample _),
+    "q_epoch_shuffle"      -> (TrainPrep.qEpochShuffle _),
     "q_source_similarity"  -> (TextDedup.qSourceSimilarity _),
     "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
   )
@@ -1320,6 +1321,25 @@ object SparkEntry {
          FROM j GROUP BY doc_id, island
          ORDER BY doc_id, span_start"""
     },
+    "q_epoch_shuffle" ->
+      s"""WITH d AS (SELECT doc_id,
+             md5('ep1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         b AS (SELECT doc_id, h,
+                 (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+                 (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS bucket
+               FROM d),
+         r AS (SELECT doc_id, bucket,
+                 row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS rk
+               FROM b),
+         c AS (SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket),
+         o AS (SELECT bucket,
+                 CAST(coalesce(sum(cnt) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS off
+               FROM c)
+         SELECT doc_id, CAST(off + rk - 1 AS BIGINT) AS pos
+         FROM r JOIN o USING (bucket)
+         ORDER BY doc_id""",
     "q_eval_sample" ->
       s"""SELECT doc_id, source, rank FROM (
            SELECT doc_id, source,

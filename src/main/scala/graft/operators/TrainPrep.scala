@@ -195,6 +195,41 @@ object TrainPrep {
   def qRareTokenRatio(spark: SparkSession, dir: String): DataFrame =
     rareTokenRatio(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // --- epoch shuffle (deterministic global permutation) ---
+
+  /** Buckets for the two-level position assignment. */
+  val ShuffleBuckets = 256
+
+  /** Deterministic global training order for an epoch: every document
+    * gets a unique position 0..N-1 in salted-md5 order — the "shuffle
+    * the corpus differently every epoch, identically on every rerun"
+    * primitive. NEVER a corpus-wide single-partition window: positions
+    * are assigned two-level — rank within one of [[ShuffleBuckets]]
+    * hash buckets (distributed windows), plus each bucket's start
+    * offset from a prefix sum over the 256-row bucket-count table (a
+    * bounded window, broadcast back). Same shape at any corpus size;
+    * only the constant-size offset table is ever global. */
+  def epochShuffle(docs: DataFrame, epoch: Int): DataFrame = {
+    val h = md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
+    def nib(c: Column, k: Int): Column =
+      instr(lit("0123456789abcdef"), substring(c, k, 1)) - 1
+    val d = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("bucket", nib(col("h"), 1) * 16 + nib(col("h"), 2))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    val ranked = d.withColumn("rk", row_number().over(wb))
+    val counts = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val wo = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("cnt")).over(wo), lit(0L)))
+      .select(col("bucket"), col("off"))
+    ranked.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"), (col("off") + col("rk") - 1).as("pos"))
+  }
+
+  def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(spark, dir), epoch = 1).orderBy(col("doc_id"))
+
   // --- deterministic per-group evaluation sample ---
 
   /** Docs kept per source by [[evalSample]]. */

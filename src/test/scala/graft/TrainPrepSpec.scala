@@ -202,6 +202,24 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle is a permutation, epoch-varying, reshuffle-stable") {
+    val docs = (0L until 300L).map(i => doc(i, 1))
+      .toDF("doc_id", "text", "lang", "source")
+    val e1 = TrainPrep.epochShuffle(docs, epoch = 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // a permutation: every position 0..N-1 exactly once
+    assert(e1.values.toSeq.sorted === (0L until 300L))
+    // a different epoch produces a different order (same positions)
+    val e2 = TrainPrep.epochShuffle(docs, epoch = 2)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e2.values.toSeq.sorted === (0L until 300L))
+    assert(e1 !== e2, "epochs must shuffle differently")
+    // stable under physical repartitioning
+    val e1b = TrainPrep.epochShuffle(docs.repartition(13), epoch = 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(e1 === e1b)
+  }
+
   test("eval sample keeps exactly N per source, stable under reshuffle") {
     val docs = ((0L until 20L).map(i => doc(i, 2, "s1")) ++
       (100L until 103L).map(i => doc(i, 2, "s2")))
