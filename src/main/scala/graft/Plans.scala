@@ -18,7 +18,10 @@ object Plans {
     "q_bill_search", "q_events_window",
     "q_asof_join", "q_range_join", "q_tfidf_top_terms", "q_curate_corpus",
     "q_contamination", "q_domain_mix", "q_repetition",
-    "q_rolling_avg", "q_events_rollup", "q_curate_v2")
+    "q_rolling_avg", "q_events_rollup", "q_curate_v2",
+    "q_seq_pack", "q_token_chunks", "q_vocab_topk", "q_tokenize_ids",
+    "q_repeated_spans", "q_epoch_shuffle", "q_similar_kmeans",
+    "q_embed_quantize", "q_source_similarity")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

@@ -241,7 +241,7 @@ object TextDedup {
     // found, common on real corpora) must yield the empty cluster set,
     // not an NPE
     def labelSum(df: DataFrame): Option[Long] = {
-      val r = df.agg(sum(col("label"))).head
+      val r = df.agg(sum(col("label"))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
     var prevSum = labelSum(labels)
