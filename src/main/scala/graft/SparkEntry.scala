@@ -61,6 +61,7 @@ object SparkEntry {
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     "q_simhash_pairs"      -> (TextDedup.qSimhashPairs _),
+    "q_simhash_pairs_wide" -> (TextDedup.qSimhashPairsWide _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
     "q_text_stats"         -> (TextStats.qTextStats _),
@@ -129,6 +130,17 @@ object SparkEntry {
       s"(instr('0123456789abcdef', substring(md5($x), $k, 1)) - 1)")
     s"(${nibs(0)} * 4096 + ${nibs(1)} * 256 + ${nibs(2)} * 16 + ${nibs(3)})"
   }
+
+  /** DuckDB twin of [[graft.expressions.TextKernel.hash60]] /
+    * Spark `conv(substring(md5(x),1,15),16,10)`: the first 15 hex
+    * nibbles of an md5 HEX STRING as a 60-bit integer. Takes the hex
+    * expression (compute `md5(...)` once in an enclosing projection —
+    * this helper references it 15 times). */
+  private def md5b60Sql(hexExpr: String): String =
+    (0 until 15).map { j =>
+      val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+      s"(instr('0123456789abcdef', substring($hexExpr, ${j + 1}, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
 
   /** DuckDB twin of [[graft.functions.tokens]]. */
   private def toksSql(text: String): String =
@@ -300,6 +312,44 @@ object SparkEntry {
   private def simhashOracle: String =
     s"""WITH $simhashCtes
        SELECT doc_id, sim AS simhash FROM sims ORDER BY doc_id"""
+
+  /** 60-bit twin of [[simhashCtes]]: BIGINT token hashes (15-nibble
+    * md5 prefix, computed from a once-projected hex string), bitwise
+    * `(h >> j) & 1` sign sums, 60-bit assemble. */
+  private def simhash60Ctes: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"list_sum(list_transform(hs, h -> CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END)) AS s$j"
+    }.mkString(",\n           ")
+    val assemble = (0 until 60).map { j =>
+      s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       hx AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hxs FROM t),
+       th AS (SELECT doc_id,
+           list_transform(hxs, h -> CAST(${md5b60Sql("h")} AS BIGINT)) AS hs
+         FROM hx),
+       b60 AS (SELECT doc_id,
+           $bitSums
+           FROM th),
+       sims AS (SELECT doc_id, CAST($assemble AS BIGINT) AS sim FROM b60)"""
+  }
+
+  /** DuckDB twin of [[TextDedup.simhashPairs60]]. */
+  private def simhashPairs60Oracle: String = {
+    import TextDedup._
+    val bandRows = (0 until Simhash60Bands).map(b => s"($b)").mkString(", ")
+    val mask = (1 << Simhash60BandBits) - 1
+    s"""WITH $simhash60Ctes,
+       bands AS (SELECT doc_id, sim, band,
+           (sim >> (band * $Simhash60BandBits)) & $mask AS sig
+         FROM sims CROSS JOIN (VALUES $bandRows) AS v(band))
+       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+       FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       WHERE a.doc_id < b.doc_id
+         AND bit_count(xor(a.sim, b.sim)) <= $SimhashMaxDist
+       ORDER BY doc_a, doc_b"""
+  }
 
   /** DuckDB twin of [[TextDedup.simhashPairs]]: banded (band, sig)
     * candidate join over the simhash, popcount verify. */
@@ -822,6 +872,7 @@ object SparkEntry {
     },
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
+    "q_simhash_pairs_wide" -> simhashPairs60Oracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
          shs AS (SELECT doc_id, source, ${hashedShinglesSql(2)} AS hs FROM t),

@@ -1,7 +1,5 @@
 package graft.expressions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -49,7 +47,6 @@ case class ShinglePosHashes(child: Expression, n: Int)
     val toks = text.split("\\s+").filter(_.nonEmpty)
     val count = toks.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
-    val md = ShinglePosHashes.digest.get()
     val out = new Array[Long](count)
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -61,14 +58,7 @@ case class ShinglePosHashes(child: Expression, n: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes("UTF-8"))
-      // first 15 hex nibbles big-endian: bytes 0..6 then byte 7's high nibble
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
-      out(i) = v
+      out(i) = TextKernel.hash60(sb.toString)
       i += 1
     }
     new GenericArrayData(out)
@@ -76,9 +66,4 @@ case class ShinglePosHashes(child: Expression, n: Int)
 
   override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes =
     copy(child = newChild)
-}
-
-object ShinglePosHashes {
-  private val digest: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }

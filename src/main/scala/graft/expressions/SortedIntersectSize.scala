@@ -135,9 +135,14 @@ object GraftFunctions {
       ShinglePosHashes(children.head, n)
     })
 
+  val simhash60: Registration = (
+    FunctionIdentifier("simhash60"),
+    new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+    (children: Seq[Expression]) => SimHash60(children.head))
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
-      simhash16, tokenProfile, rollingFingerprint, shinglePosHashes)
+      simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

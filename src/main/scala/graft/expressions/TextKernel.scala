@@ -30,4 +30,19 @@ private[expressions] object TextKernel {
     val d = md.digest(token.getBytes("UTF-8"))
     ((d(0) & 0xff) << 8) | (d(1) & 0xff)
   }
+
+  /** First 15 md5 hex nibbles big-endian (60 bits — the widest prefix
+    * that fits a signed long without sign games): bytes 0..6 plus byte
+    * 7's high nibble. The Spark built-in twin is
+    * `conv(substring(md5(t), 1, 15), 16, 10)`; the DuckDB twin is
+    * 15-nibble hex arithmetic. */
+  def hash60(token: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(token.getBytes("UTF-8"))
+    var v = 0L
+    var b = 0
+    while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 }

@@ -530,6 +530,66 @@ object TextDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  // --- wide (60-bit) simhash banding: the scale path ---
+
+  /** 4 bands × 15 bits over the 60-bit fingerprint: 32768 signature
+    * values per band. */
+  val Simhash60Bands = 4
+  val Simhash60BandBits = 15
+
+  /** Built-in REFERENCE spelling of the 60-bit simhash over a
+    * long-hash array (60 interpreted lambdas — parity/test only; the
+    * hot path is the native [[graft.expressions.SimHash60]]). */
+  def simhash60FromHashes(hs: Column): Column = {
+    val bitSums = (0 until 60).map { j =>
+      aggregate(hs, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }
+    bitSums.zipWithIndex.map { case (s, j) =>
+      when(s > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _).cast("long")
+  }
+
+  /** Hamming near-dup pairs over the WIDE fingerprint — the same
+    * band-equi-join + popcount-verify mechanics as [[simhashPairs]],
+    * but with 32768 buckets per band instead of 16, so the candidate
+    * volume scales with true near-duplicates rather than N²/16: this
+    * is the production swap the 16-bit entry's scaladoc promises.
+    * Pigeonhole recall is exactly 1.0 for maxDist ≤ bands−1, as
+    * before. */
+  def simhashPairs60(docs: DataFrame, maxDist: Int = SimhashMaxDist): DataFrame = {
+    require(maxDist < Simhash60Bands,
+      s"maxDist=$maxDist breaks the pigeonhole recall guarantee: with " +
+        s"$Simhash60Bands bands candidate recall is exact only for " +
+        s"maxDist <= ${Simhash60Bands - 1}")
+    val sims = docs.select(col("doc_id"),
+      call_function("simhash60", col("text")).as("sim"))
+    val bandCols = (0 until Simhash60Bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sim"), b * Simhash60BandBits)
+          .bitwiseAND(lit((1 << Simhash60BandBits) - 1)).as("sig"))
+    }
+    val bands = sims
+      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("sim"), col("bs.band"), col("bs.sig"))
+    val a = bands.select(col("band"), col("sig"),
+      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = bands.select(col("band"), col("sig"),
+      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  def qSimhashPairsWide(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    simhashPairs60(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- n-gram Jaccard within a grouping key ---
 
   /** Default per-group comparison cap for [[ngramJaccardPairs]] — far

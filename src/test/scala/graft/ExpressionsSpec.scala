@@ -23,6 +23,17 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach { case (native, builtin) => assert(native === builtin) }
   }
 
+  test("simhash60 == the 60-lambda aggregate spelling over 60-bit hashes") {
+    val df = samples(texts).toDF("t")
+    val hs = transform(tokens(col("t")),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
+    val rows = df.select(
+      call_function("simhash60", col("t")).as("native"),
+      TextDedup.simhash60FromHashes(hs).as("builtin"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (native, builtin) => assert(native === builtin) }
+  }
+
   test("shingle_pos_hashes == transform(shingles, conv(md5-prefix)) in order") {
     // positional (no distinct, no sort) 60-bit md5 prefix — the value
     // the DuckDB oracle rebuilds with hex-nibble arithmetic

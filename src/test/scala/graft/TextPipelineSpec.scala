@@ -117,6 +117,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("wide simhash pairs match the brute-force hamming oracle exactly") {
+    // same pigeonhole construction at 60 bits / 4x15-bit bands: the
+    // banded result equals the all-pairs answer at radius 3, while the
+    // bucket space is 2048x larger than the 16-bit fingerprint's
+    val sims = docs.select(col("doc_id"),
+        call_function("simhash60", col("text")))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if h <= TextDedup.SimhashMaxDist
+    } yield (sims(i)._1, sims(j)._1, h)).toSet
+    val got = TextDedup.simhashPairs60(docs)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === expected)
+    // the exact dup must survive at any width (hamming 0)
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
   test("simhash pairs rejects a radius the banding cannot guarantee") {
     // pigeonhole recall 1.0 holds only for maxDist <= bands-1; larger
     // radii would silently return incomplete results
