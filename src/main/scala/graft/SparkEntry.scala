@@ -59,6 +59,7 @@ object SparkEntry {
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
+    "q_curate_v3"          -> (Curate.qCurateV3 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     "q_simhash_pairs"      -> (TextDedup.qSimhashPairs _),
     "q_simhash_pairs_wide" -> (TextDedup.qSimhashPairsWide _),
@@ -413,11 +414,11 @@ object SparkEntry {
 
   /** Capstone v2 oracle: stages 1–5 plus the corpus-filter gates
     * (repetition, decontamination, PII accounting), all re-derived. */
-  private def curateV2Oracle: String = {
+  /** v2's gate CTEs (repetition, decontamination, PII) — shared by the
+    * v2 and v3 oracles; assumes [[minhashCtes]]+[[curateBaseCtes]]. */
+  private def curateV2Ctes: String = {
     import graft.operators.CorpusFilters._
-    s"""WITH $minhashCtes,
-       $curateBaseCtes,
-       reps AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS r_n_tokens,
+    s"""reps AS (SELECT doc_id, CAST(len(toks) AS INTEGER) AS r_n_tokens,
                   CAST(len(${hashedShinglesSql(2)}) AS INTEGER) AS r_n_uniq
                 FROM t),
        rterm AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -440,18 +441,78 @@ object SparkEntry {
            CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
              '$EmailPattern', '[EMAIL]', 'g'), '$PhonePattern', '[PHONE]', 'g'),
              '$IpPattern', '[IP]', 'g')) AS INTEGER) AS n_chars_redacted
-         FROM documents)
-       SELECT q.doc_id, q.n_tokens, q.quality_score, e.emb_norm, p.n_chars_redacted
+         FROM documents)"""
+  }
+
+  /** v2's final select; v3 appends its gate joins and filters. */
+  private def curateV2Select(extraJoins: String = "",
+                             extraWhere: String = ""): String =
+    s"""SELECT q.doc_id, q.n_tokens, q.quality_score, e.emb_norm, p.n_chars_redacted
        FROM quality q
        JOIN keep USING (doc_id)
        JOIN train USING (doc_id)
        JOIN repkeep USING (doc_id)
        JOIN notcontam USING (doc_id)
+       $extraJoins
        JOIN pii p USING (doc_id)
        LEFT JOIN emb e USING (doc_id)
        WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
          AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
+         $extraWhere
        ORDER BY doc_id"""
+
+  private def curateV2Oracle: String =
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       $curateV2Ctes
+       ${curateV2Select()}"""
+
+  /** DuckDB twin of [[graft.operators.Curate.curateV3]]: v2 plus the
+    * integer-exact rare-token gate (corpus frequency join-back) and the
+    * repeated-span boilerplate gate (positional 60-bit shingle hashes →
+    * window count → islands → coverage vs token count). */
+  private def curateV3Oracle: String = {
+    import TextDedup._
+    val k = SpanGram
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       $curateV2Ctes,
+       ccnt AS (SELECT term, count(*) AS cnt FROM rterm GROUP BY term),
+       rarekeep AS (
+         SELECT doc_id FROM rterm JOIN ccnt USING (term)
+         GROUP BY doc_id
+         HAVING 2 * sum(CASE WHEN cnt <= ${graft.operators.TrainPrep.RareCutoff}
+                        THEN 1 ELSE 0 END) <= count(*)),
+       sp0 AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - $k)) AS pos
+               FROM t),
+       sp1 AS (SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS hx
+               FROM sp0),
+       sp2 AS (SELECT doc_id, pos, ${md5b60Sql("hx")} AS sh FROM sp1),
+       sph AS (SELECT doc_id, pos FROM
+                 (SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS nn
+                  FROM sp2) AS z
+               WHERE nn >= 2),
+       spi AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+                      THEN 0 ELSE 1 END AS newi
+               FROM sph),
+       spj AS (SELECT doc_id, pos,
+                 sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM spi),
+       spk AS (SELECT doc_id, island, min(pos) AS s, max(pos) + $k AS e
+               FROM spj GROUP BY doc_id, island),
+       spcov AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS covered
+                 FROM spk GROUP BY doc_id),
+       boiler AS (SELECT spcov.doc_id
+                  FROM spcov JOIN (SELECT doc_id, len(toks) AS ntk FROM t) AS tt
+                    USING (doc_id)
+                  WHERE 2 * covered > ntk)
+       ${curateV2Select(
+         extraJoins = "JOIN rarekeep USING (doc_id)",
+         extraWhere = "AND q.doc_id NOT IN (SELECT doc_id FROM boiler)")}"""
   }
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
@@ -859,6 +920,7 @@ object SparkEntry {
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,
+    "q_curate_v3" -> curateV3Oracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

@@ -85,6 +85,42 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Capstone v3 — v2 plus the round-6 gates:
+    *
+    *   9. rare-token gate: documents whose rare-token fraction exceeds
+    *      half their tokens leave ([[TrainPrep.rareTokenRatio]] —
+    *      gibberish/OCR noise); the comparison is kept integer
+    *      (2·n_rare ≤ n_tokens), so both engines decide identically;
+    *  10. substring-boilerplate gate: documents MORE than half covered
+    *      by repeated ≥k-token spans leave
+    *      ([[TextDedup.repeatedSpans]] — templates/boilerplate);
+    *      2·covered > n_tokens, integer again. Spans are disjoint by
+    *      construction, so their length sum IS the covered count.
+    *
+    * Still semi/anti joins on the one `doc_id` partitioning. */
+  def curateV3(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val rareOk = TrainPrep.rareTokenRatio(docs)
+      .filter(col("n_rare") * 2 <= col("n_tokens"))
+      .select(col("doc_id"))
+    val nt = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("nt"))
+    val boiler = TextDedup.repeatedSpans(docs)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start")).as("covered"))
+      .join(nt, Seq("doc_id"))
+      .filter(col("covered") * 2 > col("nt"))
+      .select(col("doc_id"))
+    curateV2(docs, embeddings)
+      .join(rareOk, Seq("doc_id"), "left_semi")
+      .join(boiler, Seq("doc_id"), "left_anti")
+  }
+
+  def qCurateV3(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV3(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Typed curation parameters — the training-data twin of the LegiScan
     * [[graft.JobConfig]]: one immutable object instead of scattered
     * flags. Stage TOGGLES (which gates run) and the two tunable

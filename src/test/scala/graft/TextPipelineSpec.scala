@@ -576,6 +576,43 @@ class TextPipelineSpec extends SparkSpec {
     assert(r.getAs[Int]("n_chars_redacted") === fullLen - 10)
   }
 
+  test("curation v3 adds the rare-token and boilerplate-span gates") {
+    import graft.operators.Curate
+    // four docs share one 24-token multiset (12 stopwords + 12 pool
+    // words) in four different interleavings: every pool word's corpus
+    // count is >= 4 (above the rare cutoff), no 3-gram is shared (the
+    // near-dup gate stays quiet), no 5-gram repeats (no spans). All
+    // ids are pre-checked train-bucket (< 80).
+    val cdocs = Seq(
+      (2L, "the river a stone of cloud and meadow to summer the garden " +
+        "a window of music and copper to lantern the violet a harbor"),
+      (4L, "the stone a river of meadow and cloud to garden the summer " +
+        "a music of window and lantern to copper the harbor a violet"),
+      (8L, "the cloud a meadow of river and stone to music the window " +
+        "a summer of garden and violet to harbor the copper a lantern"),
+      (14L, "the meadow a cloud of stone and river to window the music " +
+        "a garden of summer and harbor to violet the lantern a copper"),
+      // all-rare doc: 8 words unique to it among 14 tokens ->
+      // 2*n_rare > n_tokens; stop-bearing, so quality passes in v2
+      (42L, "the zanzibar of quixotic a vermilion and obelisk " +
+        "the juniper of katabatic rhapsody ember"),
+      // boilerplate doc: one 12-token run repeated verbatim -> its
+      // repeated 5-grams merge into a span covering the WHOLE doc;
+      // vocabulary is corpus-common, token histogram flat, so every
+      // v2 gate (and v3's rare gate) passes
+      (52L, "the river of stone and cloud to meadow a summer the garden " +
+        "the river of stone and cloud to meadow a summer the garden")
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val v2Ids = Curate.curateV2(cdocs, emb).collect().map(_.getLong(0)).toSet
+    val v3Ids = Curate.curateV3(cdocs, emb).collect().map(_.getLong(0)).toSet
+    // v2 keeps everything; v3's new gates drop exactly 42 and 52
+    assert(v2Ids === Set(2L, 4L, 8L, 14L, 42L, 52L))
+    assert(v3Ids === Set(2L, 4L, 8L, 14L))
+  }
+
   test("curate config toggles remove gates: spammy doc survives without the repetition gate") {
     import graft.operators.Curate
     val cdocs = Seq(
