@@ -55,6 +55,7 @@ object SparkEntry {
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
+    "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
@@ -258,6 +259,25 @@ object SparkEntry {
        FROM scored2
        WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold
        ORDER BY probe_id, index_id"""
+  }
+
+  /** Bloom-pruned exact dedup oracle: the Bloom filter is pruning-only
+    * (no false negatives, false positives removed by the exact
+    * anti-join), so the oracle is the PLAIN anti-join the operator is
+    * provably equal to — no Bloom arithmetic crosses engines. */
+  private def bloomDedupOracle: String = {
+    import graft.operators.{BloomDedup, TextDedup}
+    s"""WITH inc AS (
+         SELECT doc_id, md5(text) AS text_hash FROM documents
+         WHERE doc_id % ${TextDedup.IncrementMod} = 0
+         UNION ALL
+         SELECT doc_id + ${BloomDedup.RecrawlIdOffset}, md5(text)
+         FROM documents WHERE doc_id % 25 = 0),
+       idx AS (SELECT md5(text) AS text_hash FROM documents
+               WHERE doc_id % ${TextDedup.IncrementMod} <> 0)
+       SELECT doc_id, text_hash FROM inc
+       WHERE text_hash NOT IN (SELECT text_hash FROM idx)
+       ORDER BY doc_id"""
   }
 
   private def minhashOracle: String = {
@@ -917,6 +937,7 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
+    "q_bloom_dedup" -> bloomDedupOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,
