@@ -56,6 +56,7 @@ object SparkEntry {
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
+    "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
@@ -279,6 +280,26 @@ object SparkEntry {
        WHERE text_hash NOT IN (SELECT text_hash FROM idx)
        ORDER BY doc_id"""
   }
+
+  /** CDC diff oracle: same derived new-snapshot CTE, same full-outer
+    * hash compare. */
+  private def snapshotDiffOracle: String =
+    s"""WITH oldt AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+       newt AS (
+         SELECT doc_id,
+           md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS new_hash
+         FROM documents WHERE doc_id % 7 <> 0
+         UNION ALL
+         SELECT doc_id + ${graft.operators.Snapshot.AddedIdOffset}, md5(text)
+         FROM documents WHERE doc_id % 11 = 0)
+       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              ELSE 'changed' END AS change,
+         o.old_hash, n.new_hash
+       FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+       WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_hash <> n.new_hash
+       ORDER BY doc_id, change"""
 
   private def minhashOracle: String = {
     import TextDedup._
@@ -938,6 +959,7 @@ object SparkEntry {
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
+    "q_snapshot_diff" -> snapshotDiffOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,

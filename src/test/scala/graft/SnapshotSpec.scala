@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Snapshot
+
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snap(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("snapshotDiff classifies added / removed / changed and drops unchanged") {
+    val old = snap((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+    val neu = snap((2L, "two"), (3L, "three EDITED"), (4L, "four"), (5L, "five"))
+    val out = Snapshot.snapshotDiff(old, neu)
+      .select("doc_id", "change").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 5L -> "added"))
+  }
+
+  test("hashes travel with the classification; unchanged majority never surfaces") {
+    val old = snap((1L to 100L).map(i => (i, s"body $i")): _*)
+    val neu = snap(((1L to 100L).map(i => (i, s"body $i"))
+      :+ (101L, "brand new")): _*)
+    val rows = Snapshot.snapshotDiff(old, neu).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") === 101L)
+    assert(r.getAs[String]("change") === "added")
+    assert(r.getAs[String]("old_hash") === null)
+    assert(r.getAs[String]("new_hash") !== null)
+  }
+
+  test("diff shuffles hashes, not text: no exchange output carries the text column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Snapshot.snapshotDiff(
+      snap((1L, "a")), snap((1L, "b")))
+    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
+    // children from collect() until execution
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name)
+    }
+    assert(exchanges.nonEmpty, s"\n${df.queryExecution.sparkPlan}")
+    assert(exchanges.forall(cols => !cols.contains("text")),
+      s"text crossed an exchange: $exchanges")
+  }
+}
