@@ -7,8 +7,11 @@ import java.nio.file.{Files, Paths}
   *
   * Output contract: a COMPACT JSON line (totals + errors, no per-query
   * map) to stdout — small enough to survive the driver's output-tail
-  * capture — and the FULL line (per-query map included) to the file
-  * named by SPARK_GRAFT_BENCH_OUT (default `bench_out.json` in the cwd).
+  * capture — the FULL line (per-query map included) to the file named
+  * by SPARK_GRAFT_BENCH_OUT (default `bench_out.json` in the cwd), and
+  * the same full line, timestamped, APPENDED to
+  * SPARK_GRAFT_BENCH_HISTORY (default `bench_history.jsonl`) — the
+  * committed round-over-round per-query record.
   *
   * Methodology:
   *  - each query is timed to FULL MATERIALIZATION via a noop-format
@@ -58,6 +61,14 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
       org.apache.logging.log4j.Level.ERROR)
+    // Likewise the "No Partition Defined for Window operation" WARN:
+    // every deliberately-global window here is O(K)-bounded (post-limit
+    // vocab rank, 256-row bucket offsets — see TrainPrep), and ~40
+    // repeats of the warning would drown real signal in the bounded
+    // output tail.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     // Full materialization without driver accumulation: every operator
     // and row executes (unlike count(), see scaladoc), nothing collects.
@@ -100,9 +111,19 @@ object Bench {
     val head =
       s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"timer":"noop-write","errors":$errJson,"sf":${jstr(sfDir)}"""
     // stdout stays compact (the driver parses a bounded output tail);
-    // the per-query map goes only to the file
+    // the per-query map goes only to the files
     println(s"{$head}")
-    Files.writeString(Paths.get(outPath), s"""{$head,"queries":$qs}""" + "\n")
+    val full = s"""{$head,"queries":$qs}""" + "\n"
+    Files.writeString(Paths.get(outPath), full)
+    // COMMITTED history: bench_out.json is overwritten every run, so
+    // round-over-round per-query comparison needs an append-only log
+    // (one JSON line per run, timestamped) that lives in git
+    val histPath = Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_HISTORY", "bench_history.jsonl"))
+    val stamped = s"""{"ts":${System.currentTimeMillis()},$head,"queries":$qs}""" + "\n"
+    Files.writeString(histPath, stamped,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

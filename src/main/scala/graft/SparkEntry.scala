@@ -63,8 +63,10 @@ object SparkEntry {
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
+    // canonical pair path = the WIDE (60-bit) banding; the 16-bit
+    // spelling is the demoted parity/teaching variant on a ¼ sample
     "q_simhash_pairs"      -> (TextDedup.qSimhashPairs _),
-    "q_simhash_pairs_wide" -> (TextDedup.qSimhashPairsWide _),
+    "q_simhash_pairs16"    -> (TextDedup.qSimhashPairs16 _),
     "q_ngram_jaccard"      -> (TextDedup.qNgramJaccard _),
     "q_fingerprint"        -> (TextStats.qFingerprint _),
     "q_text_stats"         -> (TextStats.qTextStats _),
@@ -335,7 +337,7 @@ object SparkEntry {
     * once-hashed token multiset. */
   /** CTE chain ending in `sims(doc_id, sim)` — the 16-bit simhash per
     * document, same bit assembly as [[graft.expressions.SimHash16]]. */
-  private def simhashCtes: String = {
+  private def simhashCtes(where: String = ""): String = {
     val bitSums = (0 until 16).map { j =>
       val p = 1 << j
       s"list_sum(list_transform(hs, h -> CASE WHEN h % ${2 * p} >= $p THEN 1 ELSE -1 END)) AS s$j"
@@ -343,7 +345,7 @@ object SparkEntry {
     val assemble = (0 until 16).map { j =>
       s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents $where),
        th AS (SELECT doc_id, list_transform(toks, t -> ${md5b16Sql("t")}) AS hs FROM t),
        b AS (SELECT doc_id,
            $bitSums
@@ -352,7 +354,7 @@ object SparkEntry {
   }
 
   private def simhashOracle: String =
-    s"""WITH $simhashCtes
+    s"""WITH ${simhashCtes()}
        SELECT doc_id, sim AS simhash FROM sims ORDER BY doc_id"""
 
   /** 60-bit twin of [[simhashCtes]]: BIGINT token hashes (15-nibble
@@ -393,13 +395,14 @@ object SparkEntry {
        ORDER BY doc_a, doc_b"""
   }
 
-  /** DuckDB twin of [[TextDedup.simhashPairs]]: banded (band, sig)
-    * candidate join over the simhash, popcount verify. */
-  private def simhashPairsOracle: String = {
+  /** DuckDB twin of [[TextDedup.qSimhashPairs16]] — the demoted 16-bit
+    * teaching variant: banded (band, sig) candidate join over the
+    * simhash, popcount verify, on the deterministic ¼ sample. */
+  private def simhashPairs16Oracle: String = {
     import TextDedup._
     val bandRows = (0 until SimhashBands).map(b => s"($b)").mkString(", ")
     val mask = (1 << SimhashBandBits) - 1
-    s"""WITH $simhashCtes,
+    s"""WITH ${simhashCtes("WHERE doc_id % 4 = 0")},
        bands AS (SELECT doc_id, sim, band,
            (sim >> (band * $SimhashBandBits)) & $mask AS sig
          FROM sims CROSS JOIN (VALUES $bandRows) AS v(band))
@@ -976,8 +979,8 @@ object SparkEntry {
          GROUP BY split, lang ORDER BY split, lang"""
     },
     "q_simhash" -> simhashOracle,
-    "q_simhash_pairs" -> simhashPairsOracle,
-    "q_simhash_pairs_wide" -> simhashPairs60Oracle,
+    "q_simhash_pairs" -> simhashPairs60Oracle,
+    "q_simhash_pairs16" -> simhashPairs16Oracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, source, ${toksSql("text")} AS toks FROM documents),
          shs AS (SELECT doc_id, source, ${hashedShinglesSql(2)} AS hs FROM t),
@@ -1338,12 +1341,14 @@ object SparkEntry {
          LEFT JOIN hits USING (doc_id)
          ORDER BY doc_id""",
     "q_domain_mix" -> {
-      val b = md5b16Sql("('mix:' || CAST(doc_id AS VARCHAR))")
       s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
          m AS (SELECT min(n_total) AS n_min FROM c),
+         h AS (SELECT doc_id, source,
+                 md5('mix:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
          k AS (SELECT d.source, count(*) AS n_kept
-               FROM documents d JOIN c USING (source) CROSS JOIN m
-               WHERE CAST($b % 10000 AS BIGINT) * n_total < n_min * 10000
+               FROM h d JOIN c USING (source) CROSS JOIN m
+               WHERE CAST(${md5b60Sql("hx")} % 10000 AS BIGINT) * n_total < n_min * 10000
                GROUP BY d.source)
          SELECT c.source, c.n_total,
            CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
@@ -1551,7 +1556,6 @@ object SparkEntry {
                 ELSE CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS rare_ratio
          FROM a ORDER BY doc_id""",
     "q_domain_upsample" -> {
-      val b = md5b16Sql("('up:' || CAST(doc_id AS VARCHAR))")
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
                      FROM documents GROUP BY source),
          t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
@@ -1560,9 +1564,12 @@ object SparkEntry {
                   (n_total // n_sources) // n_s AS copies_base,
                   (((n_total // n_sources) % n_s) * 10000) // n_s AS thr
                 FROM c CROSS JOIN t CROSS JOIN ns),
+         h AS (SELECT doc_id, source,
+                 md5('up:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
          d AS (SELECT doc_id, source,
-                 copies_base + CASE WHEN $b % 10000 < thr THEN 1 ELSE 0 END AS n_copies
-               FROM documents JOIN pl USING (source))
+                 copies_base + CASE WHEN ${md5b60Sql("hx")} % 10000 < thr THEN 1 ELSE 0 END AS n_copies
+               FROM h JOIN pl USING (source))
          SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
          FROM d ORDER BY doc_id, copy_id"""

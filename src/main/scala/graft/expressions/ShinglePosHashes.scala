@@ -44,7 +44,10 @@ case class ShinglePosHashes(child: Expression, n: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.split("\\s+").filter(_.nonEmpty)
+    // TextKernel.tokenize, not String.split: the pattern is compiled
+    // once, and tokenization semantics stay centralized with every
+    // other native expression's parity guarantee
+    val toks = TextKernel.tokenize(text).filter(_.nonEmpty)
     val count = toks.length - (n - 1)
     if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
     val out = new Array[Long](count)

@@ -72,6 +72,16 @@ package object functions {
     nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)
   }
 
+  /** Cross-engine 60-bit hash of a string: first 15 hex chars of md5 as
+    * a long (`conv` base-16 parse; DuckDB twin is nibble arithmetic —
+    * `SparkEntry.md5b60Sql`). Use this — not [[md5Bits16]] — wherever
+    * the hash feeds a `% m` bucket gate: 2^16 % 10000 = 5536 makes
+    * 16-bit buckets non-uniform by up to 7/6 (a realized keep rate
+    * percentage points off the intended fraction), while 2^60 % m
+    * leaves a relative bias of ~m/2^60 ≈ 10^-14 — negligible. */
+  def md5Bits60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Dot product of two float-array columns, accumulated in index order as
     * doubles — deterministic and engine-portable (same fp op sequence).
     */

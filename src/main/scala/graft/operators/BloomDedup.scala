@@ -68,7 +68,12 @@ object BloomDedup {
     require(Integer.bitCount(bits) == 1, s"bits must be a power of two: $bits")
     val pos = explode(array((0 until probes)
       .map(j => probePos(col(hashCol), j, bits)): _*)).as("pos")
-    val words = hashes.select(pos)
+    // a NULL hash (null text upstream) yields NULL probe positions,
+    // which would group under a null key and blow up the word-index
+    // read below; null-text rows can't equal any increment text under
+    // either engine's anti-join semantics, so dropping them here keeps
+    // the no-false-negative contract intact
+    val words = hashes.na.drop(Seq(hashCol)).select(pos)
       .groupBy(shiftright(col("pos"), 6).as("w"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT)))")
         .as("mask"))

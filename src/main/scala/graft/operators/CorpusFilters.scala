@@ -159,12 +159,14 @@ object CorpusFilters {
   def domainMix(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
     val minCnt = counts.agg(min(col("n_total")).as("n_min"))
+    // 60-bit hash, NOT md5Bits16 — same uniformity rationale as
+    // TrainPrep.domainUpsample (see functions.md5Bits60)
     val bucket =
-      md5Bits16(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000
+      md5Bits60(concat(lit("mix:"), col("doc_id").cast("string"))) % 10000L
     val kept = docs.select(col("doc_id"), col("source"))
       .join(counts, Seq("source"))
       .crossJoin(broadcast(minCnt))
-      .filter(bucket.cast("long") * col("n_total") < col("n_min") * 10000L)
+      .filter(bucket * col("n_total") < col("n_min") * 10000L)
     counts.join(
         kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
         Seq("source"), "left")

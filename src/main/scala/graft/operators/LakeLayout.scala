@@ -59,4 +59,28 @@ object LakeLayout {
     * is for the evolving-ingest window. */
   def readMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Land a table bucketed (and per-file sorted) by `key`: the hash
+    * partitioning is paid ONCE at write time and recorded in the
+    * catalog, so every later join/aggregation on `key` between tables
+    * bucketed the same way plans with ZERO shuffle — the scan itself
+    * reports `HashPartitioning(key, buckets)`. At 100 TB this converts
+    * the nightly snapshot-diff ([[Snapshot.snapshotDiff]]) and every
+    * doc_id-keyed gate join from a full-corpus shuffle into a local
+    * merge per bucket.
+    *
+    * Sizing: `buckets` should be ≥ cluster cores and chosen so one
+    * bucket of the LARGEST co-bucketed table fits an executor's memory
+    * (bytes/buckets ≲ a few hundred MB); both sides must use the SAME
+    * bucket count or Spark re-shuffles the mismatched side. Bucketed
+    * writes require the table catalog (`saveAsTable`), not a bare
+    * path — the bucket spec lives in table metadata. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -425,9 +425,16 @@ object TextDedup {
       .distinct()
   }
 
-  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Oracle entry for the 16-bit TEACHING variant, demoted from the
+    * canonical pair path (that is [[qSimhashPairs]], which runs the
+    * wide [[simhashPairs60]]): benched on a deterministic ¼ sample
+    * (`doc_id % 4 = 0`) because the 16-bit banding's N²/16 candidate
+    * volume is exactly the property the wide path exists to fix —
+    * full-corpus cost belongs to the production spelling, not the
+    * parity exhibit. */
+  def qSimhashPairs16(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    simhashPairs(Tables.documents(spark, dir))
+    simhashPairs(Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -481,36 +488,65 @@ object TextDedup {
     * suffix-array substring dedup ("repeated ≥k-token passages are
     * boilerplate/templates; cut or down-weight them").
     *
-    * Shape: positional 60-bit shingle hashes (one NATIVE pass —
+    * Shape: positional 60-bit shingle hashes (a NATIVE pass —
     * [[graft.expressions.ShinglePosHashes]]; the shuffle key is 8
-    * bytes, never a multi-token string) → ONE shuffle keyed by hash,
-    * where the occurrence count rides a whole-partition window — no
-    * join back, and the hash expression evaluates once (the
-    * groupBy+semi-join spelling over shingle STRINGS evaluated the
-    * interpreted shingle transform twice and shuffled the strings
-    * twice: 28 s → 15 s → ~2 s at sf0.1 across the three spellings) →
-    * per-document gaps-and-islands merge of overlapping [pos, pos+k)
-    * ranges via one more window pass. No all-pairs anything; the merge
-    * is integer arithmetic (engine-exact, and hash collisions — see
-    * the expression's scaladoc — are made identically by both
-    * engines). Skew note: a pathologically common shingle puts its
-    * whole occurrence list in one window partition; at 100 TB the
-    * mitigation is a two-phase count (partial count by (hash, salt),
-    * sum, join) traded back in when the corpus is duplicate-heavy
-    * enough to skew, or AQE skew handling.
+    * bytes, never a multi-token string) → a two-phase SALTED
+    * occurrence count (partial count per `(hash, doc_id mod`
+    * [[SpanCountSalts]]`)`, map-side combined, then a per-hash sum of
+    * ≤[[SpanCountSalts]] tiny rows) → a semi-join of the positions
+    * back against the repeated-hash set. A pathologically common
+    * shingle (exactly what a boilerplate detector meets) therefore
+    * never lands as one task's problem: the count combines before any
+    * exchange, and the probe join is AQE-broadcastable/skew-
+    * splittable — unlike the previous whole-partition
+    * `count().over(Window.partitionBy(hash))`, which structurally
+    * serialized the hot shingle's entire occurrence list into a
+    * single window partition. The probe pays a second evaluation of
+    * the native hash pass (deliberate, see inline note). (History:
+    * shingle-STRING groupBy+join 28 s → hash window-count 15 s →
+    * native-expression window ~2 s at sf0.1 → this salted form, same
+    * ballpark minus the single-task window.) Then a per-document
+    * gaps-and-islands merge of overlapping [pos, pos+k) ranges via a
+    * doc_id-partitioned window (bounded by document length, not
+    * corpus size). No all-pairs anything; the merge is integer
+    * arithmetic (engine-exact, and hash collisions — see the
+    * expression's scaladoc — are made identically by both engines).
     *
     * Output: (doc_id, span_start, span_end, n_grams) — token index
     * ranges [start, end) with the count of repeated shingles merged
     * into the span. */
+  /** Salt fan-out for the two-phase occurrence count in
+    * [[repeatedSpans]]: a hot shingle's rows spread over this many
+    * tasks. Sizing: ≥ a small multiple of executor cores touched by
+    * one key; 16 bounds the replication of the (tiny, aggregated)
+    * totals side while giving 16× hot-key parallelism. */
+  val SpanCountSalts = 16
+
   def repeatedSpans(docs: DataFrame, k: Int = SpanGram): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = docs
       .select(col("doc_id"),
         posexplode(call_function("shingle_pos_hashes", col("text"), lit(k))))
       .toDF("doc_id", "pos", "sh")
-    val hits = pos
-      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+    // two-phase salted occurrence count: the (sh, salt) partial count
+    // combines MAP-SIDE (each task emits one row per local key before
+    // any exchange — the actual skew protection for the count), the
+    // per-sh total then sums ≤ SpanCountSalts tiny rows
+    val totals = pos
+      .groupBy(col("sh"),
+        pmod(col("doc_id"), lit(SpanCountSalts.toLong)).as("_salt"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("sh")).agg(sum(col("_c")).as("_n"))
       .filter(col("_n") >= 2)
+    // probe = semi-join back on sh: AQE broadcasts the (aggregated,
+    // filtered) totals side when small and can SKEW-SPLIT the stream
+    // side of a semi SMJ when not — either way a hot shingle's rows
+    // are never serialized into one task, which a window partition
+    // structurally cannot avoid. The probe re-runs the native hash
+    // pass (visible as a second shingle_pos_hashes in the plan) —
+    // deliberate: a codegen'd 8-byte-hash pass is cheaper at corpus
+    // scale than persisting the exploded positions to share one scan.
+    val hits = pos.join(totals.select(col("sh")), Seq("sh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
@@ -585,7 +621,10 @@ object TextDedup {
       .distinct()
   }
 
-  def qSimhashPairsWide(spark: SparkSession, dir: String): DataFrame = {
+  /** THE canonical pair path (`q_simhash_pairs`): wide fingerprint,
+    * bucket counts that grow with the data. The 16-bit parity/teaching
+    * variant lives at [[qSimhashPairs16]]. */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     simhashPairs60(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -48,8 +48,13 @@ object TrainPrep {
   /** Tokens per packed training sequence (the context budget). */
   val PackBudget = 256
 
-  /** Independent packing streams. Parallelism axis: at 100 TB this is
-    * the executor count, not 4 — the mechanics are shard-count-agnostic. */
+  /** Independent packing streams. SIZING RULE: each shard is one
+    * window partition holding N/shards docs, so pick shards ≥ a few ×
+    * total executor cores AND large enough that N/shards rows fit one
+    * task (at 100 TB, thousands — the mechanics are shard-count-
+    * agnostic, spec'd in TrainPrepSpec: any shard count yields valid
+    * budget-respecting contiguous packings; the shard axis is part of
+    * the output contract, so a chosen count is pinned per corpus). */
   val PackShards = 4
 
   /** (doc_id, shard, n_tokens, seq_id, tok_offset) — each document's
@@ -197,24 +202,42 @@ object TrainPrep {
 
   // --- epoch shuffle (deterministic global permutation) ---
 
-  /** Buckets for the two-level position assignment. */
+  /** Default nibble-prefix width for the two-level position
+    * assignment: buckets = 16^width (2 → 256). SIZING RULE: pick the
+    * smallest width with 16^width ≥ a few × total executor cores AND
+    * N/16^width rows comfortably inside one task's window buffer —
+    * each bucket is one window partition, so the per-partition row
+    * count N/16^width is the scale axis (at 100 TB / ~10^11 docs,
+    * width 4 → 65536 buckets → ~1.5M rows per window partition).
+    * Because the bucket is a PREFIX of the sort hash, the emitted
+    * positions are IDENTICAL at every width — widening for scale is a
+    * pure parallelism knob, spec'd invariant in TrainPrepSpec. */
+  val ShuffleNibbles = 2
   val ShuffleBuckets = 256
 
   /** Deterministic global training order for an epoch: every document
     * gets a unique position 0..N-1 in salted-md5 order — the "shuffle
     * the corpus differently every epoch, identically on every rerun"
     * primitive. NEVER a corpus-wide single-partition window: positions
-    * are assigned two-level — rank within one of [[ShuffleBuckets]]
-    * hash buckets (distributed windows), plus each bucket's start
-    * offset from a prefix sum over the 256-row bucket-count table (a
+    * are assigned two-level — rank within one of 16^`nibbles` hash
+    * buckets (distributed windows), plus each bucket's start offset
+    * from a prefix sum over the 16^`nibbles`-row bucket-count table (a
     * bounded window, broadcast back). Same shape at any corpus size;
-    * only the constant-size offset table is ever global. */
-  def epochShuffle(docs: DataFrame, epoch: Int): DataFrame = {
+    * only the bounded offset table is ever global. The bucket is the
+    * first `nibbles` hex chars of the sort hash, so ordering by
+    * (bucket, h) IS ordering by h — positions don't depend on the
+    * width (see [[ShuffleNibbles]] for sizing). */
+  def epochShuffle(docs: DataFrame, epoch: Int,
+                   nibbles: Int = ShuffleNibbles): DataFrame = {
+    require(nibbles >= 1 && nibbles <= 8,
+      s"nibbles must be in [1, 8], got $nibbles")
     val h = md5(concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
     def nib(c: Column, k: Int): Column =
       instr(lit("0123456789abcdef"), substring(c, k, 1)) - 1
     val d = docs.select(col("doc_id"), h.as("h"))
-      .withColumn("bucket", nib(col("h"), 1) * 16 + nib(col("h"), 2))
+      .withColumn("bucket", (1 to nibbles)
+        .map(k => nib(col("h"), k) * lit(1L << (4 * (nibbles - k))))
+        .reduce(_ + _))
     val wb = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
     val ranked = d.withColumn("rk", row_number().over(wb))
     val counts = ranked.groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
@@ -276,8 +299,11 @@ object TrainPrep {
       .select(col("source"), col("n_s"),
         expr("(n_total div n_sources) div n_s").as("copies_base"),
         expr("(((n_total div n_sources) % n_s) * 10000) div n_s").as("thr"))
+    // 60-bit hash, NOT md5Bits16: 2^16 % 10000 = 5536 skews the
+    // bucket distribution enough to push a realized keep rate several
+    // percentage points past frac(w) — see functions.md5Bits60
     val bucket =
-      md5Bits16(concat(lit("up:"), col("doc_id").cast("string"))) % 10000
+      md5Bits60(concat(lit("up:"), col("doc_id").cast("string"))) % 10000L
     docs.select(col("doc_id"), col("source"))
       .join(broadcast(plan), Seq("source"))
       .withColumn("n_copies",

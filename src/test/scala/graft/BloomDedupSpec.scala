@@ -46,6 +46,18 @@ class BloomDedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet === Set(11L, 12L))
   }
 
+  test("a null text in the index neither crashes the build nor changes the answer") {
+    // md5(NULL) is NULL: the filter build must drop it (a NULL probe
+    // group key would blow up the word-index read), and null-text rows
+    // can't match any increment text, so the result is unchanged
+    val index = Seq((1L, "alpha text"), (2L, null.asInstanceOf[String]),
+      (3L, "gamma text")).toDF("doc_id", "text")
+    val inc = docs((10L, "gamma text"), (11L, "fresh document"))
+    val out = BloomDedup.bloomNewDocs(inc, index)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(11L))
+  }
+
   test("result stays exact under a saturated filter (false positives verified away)") {
     // 64 bits / 1 probe over 300 index docs saturates the filter, so
     // nearly every increment row is bloom-positive — the exact

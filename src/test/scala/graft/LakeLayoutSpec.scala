@@ -59,6 +59,34 @@ class LakeLayoutSpec extends SparkSpec {
     assert(rows(2L) === Some(0.5))
   }
 
+  test("co-bucketed tables join with zero shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val a = spark.range(0, 1000, 1, 4)
+      .select($"id".as("doc_id"), md5(concat(lit("a"), $"id")).as("old_hash"))
+    val b = spark.range(0, 1000, 1, 4)
+      .select($"id".as("doc_id"), md5(concat(lit("b"), $"id")).as("new_hash"))
+    LakeLayout.writeBucketed(a, "graft_bkt_a", "doc_id", 4, Some(tmp("graft_bkt_a")))
+    LakeLayout.writeBucketed(b, "graft_bkt_b", "doc_id", 4, Some(tmp("graft_bkt_b")))
+    // disable broadcast so the join would otherwise be a shuffled SMJ —
+    // the bucketing must be what eliminates the exchange, not a BHJ
+    val prevThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "doc_id")
+      assert(j.count() === 1000L)
+      val shuffles = j.queryExecution.sparkPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffled:\n${j.queryExecution.sparkPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("date-partitioned layout prunes to the filtered day at the scan") {
     val dir = tmp("graft_lake")
     val events = Seq(

@@ -186,13 +186,28 @@ class PlanSpec extends SparkSpec {
       s"a sort-merge join means the vocab shuffled the corpus:\n$s")
   }
 
-  test("repeated spans evaluate the native shingle hash exactly once") {
-    // the window-count spelling exists to avoid a second evaluation of
-    // the per-row hash pass and a second shuffle of the key — a
-    // regression back to groupBy+join shows up as a second occurrence
-    val s = planString("q_repeated_spans")
+  test("repeated spans: salted map-side count, no whole-partition sh-window") {
+    // the skew guards: (1) the occurrence count partial-aggregates on
+    // (sh, _salt) BEFORE any exchange — a regression to the old
+    // whole-partition window shows up as a Window keyed by sh, which
+    // serializes a hot shingle's entire occurrence list into one
+    // task; (2) the hash pass runs exactly twice (count + probe, the
+    // documented trade) — more means an accidental extra subtree
+    val df = SparkEntry.queries("q_repeated_spans")(spark, sf("sf0.001"))
+    df.collect() // let AQE finalize
+    // physical(): the finalized plan only — AdaptiveSparkPlanExec's
+    // toString renders Final AND Initial sections, double-counting
+    val s = physical(df).toString()
     val n = "shingle_pos_hashes".r.findAllIn(s).length
-    assert(n === 1, s"shingle hash evaluated $n times in the plan:\n$s")
+    assert(n === 2, s"shingle hash evaluated $n times, expected 2 (count+probe):\n$s")
+    // the inline pmod alias prints as _groupingexpression in the
+    // physical aggregate keys
+    assert(("HashAggregate\\(keys=\\[sh#\\d+L, " +
+      "(_salt|_groupingexpression)#\\d+L?\\], functions=\\[partial_count")
+      .r.findFirstIn(s).isDefined,
+      s"occurrence count no longer partial-aggregates on (sh, salt):\n$s")
+    assert("windowspecdefinition\\(sh#".r.findFirstIn(s).isEmpty,
+      s"occurrence count regressed to a whole-partition window over sh:\n$s")
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
       s"span detection degenerated to all-pairs:\n$s")
   }

@@ -31,15 +31,27 @@ class SnapshotSpec extends SparkSpec {
 
   test("diff shuffles hashes, not text: no exchange output carries the text column") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val df = Snapshot.snapshotDiff(
-      snap((1L, "a")), snap((1L, "b")))
-    // sparkPlan, not executedPlan: AdaptiveSparkPlanExec hides its
-    // children from collect() until execution
-    val exchanges = df.queryExecution.sparkPlan.collect {
-      case e: ShuffleExchangeExec => e.output.map(_.name)
-    }
-    assert(exchanges.nonEmpty, s"\n${df.queryExecution.sparkPlan}")
-    assert(exchanges.forall(cols => !cols.contains("text")),
-      s"text crossed an exchange: $exchanges")
+    // Multi-partition range inputs so the join genuinely shuffles
+    // (single-partition local relations plan a FullOuter SMJ with no
+    // exchange at all, making the no-text property vacuously true —
+    // and an explicit repartition would not do either: its exchange
+    // sits upstream of the hash projection and would itself carry
+    // text). Exchanges are inserted by the EnsureRequirements
+    // preparation rule, so they exist only in executedPlan — and with
+    // AQE on, AdaptiveSparkPlanExec hides them from collect(); turn
+    // AQE off for this one plan so the exchange nodes are walkable.
+    def rangeSnap(n: Long) = spark.range(0L, n, 1L, 4)
+      .select(col("id").as("doc_id"), concat(lit("body "), col("id")).as("text"))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Snapshot.snapshotDiff(rangeSnap(50), rangeSnap(60))
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.output.map(_.name)
+      }
+      assert(exchanges.nonEmpty, s"\n${df.queryExecution.executedPlan}")
+      assert(exchanges.forall(cols => !cols.contains("text")),
+        s"text crossed an exchange: $exchanges")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }

@@ -117,6 +117,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(out === Set((1L, 0L, 5L, 1L), (1L, 7L, 12L, 1L)))
   }
 
+  test("repeated spans survive a pathologically hot shingle (boilerplate in most docs)") {
+    import graft.operators.TextDedup
+    // one 5-gram shared by ALL 40 docs — the exact shape a boilerplate
+    // detector meets, and the one that used to serialize the whole
+    // occurrence list into a single window partition; the salted
+    // two-phase count must still report every occurrence exactly once
+    val docs = (1L to 40L).map(i =>
+      (i, s"f${i}x f${i}y h1 h2 h3 h4 h5 f${i}z", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TextDedup.repeatedSpans(docs, k = 5)
+      .select("doc_id", "span_start", "span_end", "n_grams")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === (1L to 40L).map(i => (i, 2L, 7L, 1L)).toSet)
+  }
+
   test("rare-token ratio counts corpus-frequency-bounded tokens per doc") {
     // corpus counts: x->3, y->2, z->1; cutoff 2 -> y and z are rare
     val docs = Seq(
@@ -133,11 +148,11 @@ class TrainPrepSpec extends SparkSpec {
   /** JVM twin of the operator's salted md5 bucket — the test computes
     * the exact expected copy multiset rather than asserting a
     * probabilistic "should shrink" (a 9-doc fixture CAN keep all 9). */
-  private def upBucket(id: Long): Int = {
+  private def upBucket(id: Long): Long = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"up:$id".getBytes("UTF-8"))
-      .take(2).map(b => f"$b%02x").mkString
-    Integer.parseInt(hex, 16) % 10000
+      .map(b => f"$b%02x").mkString.take(15) // 60-bit prefix, as md5Bits60
+    java.lang.Long.parseLong(hex, 16) % 10000L
   }
 
   test("domain upsample repeats small sources and downsamples large ones") {
@@ -218,6 +233,43 @@ class TrainPrepSpec extends SparkSpec {
     val e1b = TrainPrep.epochShuffle(docs.repartition(13), epoch = 1)
       .select("doc_id", "pos").as[(Long, Long)].collect().toMap
     assert(e1 === e1b)
+  }
+
+  test("epoch shuffle positions are invariant to the bucket width (scale knob)") {
+    // the bucket is a PREFIX of the sort hash, so widening 16^1 ->
+    // 16^3 buckets (the 100-TB parallelism move) must emit byte-
+    // identical positions — the knob is pure parallelism, not policy
+    val docs = (0L until 300L).map(i => doc(i, 1))
+      .toDF("doc_id", "text", "lang", "source")
+    val narrow = TrainPrep.epochShuffle(docs, epoch = 3, nibbles = 1)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val wide = TrainPrep.epochShuffle(docs, epoch = 3, nibbles = 3)
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(narrow === wide)
+  }
+
+  test("packing invariants hold at any shard count (scale knob)") {
+    // shards is the parallelism axis; every count must yield valid
+    // budget-respecting contiguous per-shard packings over the same
+    // token totals (the assignment itself is shard-relative by design)
+    val docs = (0L until 60L).map(i => doc(i, (i % 7 + 1).toInt))
+      .toDF("doc_id", "text", "lang", "source")
+    val budget = 11
+    Seq(2, 8).foreach { shards =>
+      val out = TrainPrep.sequencePack(docs, budget = budget, shards = shards)
+        .select("doc_id", "shard", "n_tokens", "seq_id", "tok_offset")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      assert(out.map(_._3).sum === (0L until 60L).map(_ % 7 + 1).sum)
+      assert(out.forall { case (id, sh, _, _, off) =>
+        sh === id % shards && off >= 0 && off < budget })
+      // contiguity: within a shard, each doc starts where the previous ended
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        rows.sortBy(_._1).foldLeft(0L) { case (prefix, (_, _, n, seq, off)) =>
+          assert(seq === prefix / budget && off === prefix % budget)
+          prefix + n
+        }
+      }
+    }
   }
 
   test("eval sample keeps exactly N per source, stable under reshuffle") {
