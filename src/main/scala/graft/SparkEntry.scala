@@ -39,6 +39,19 @@ object SparkEntry {
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q22_idle_customers"   -> (Relational.q22IdleCustomers _),
+    // TPC-H remainder, adapted to the trimmed schema (RelationalX doc)
+    "q2_min_cost_supplier" -> (RelationalX.q2MinCostSupplier _),
+    "q4_priority_orders"   -> (RelationalX.q4PriorityOrders _),
+    "q8_market_share"      -> (RelationalX.q8MarketShare _),
+    "q9_profit_by_nation"  -> (RelationalX.q9ProfitByNation _),
+    "q11_important_parts"  -> (RelationalX.q11ImportantParts _),
+    "q12_late_lines"       -> (RelationalX.q12LateLines _),
+    "q15_top_supplier"     -> (RelationalX.q15TopSupplier _),
+    "q16_part_supplier_counts" -> (RelationalX.q16PartSupplierCounts _),
+    "q17_small_qty_revenue" -> (RelationalX.q17SmallQtyRevenue _),
+    "q19_disjunctive_revenue" -> (RelationalX.q19DisjunctiveRevenue _),
+    "q20_top_share_suppliers" -> (RelationalX.q20TopShareSuppliers _),
+    "q21_waiting_suppliers" -> (RelationalX.q21WaitingSuppliers _),
     // LegiScan reference pipelines (SURVEY §3) over the committed fixtures
     "q_bill_search"        -> (BillSearch.qBillSearch _),
     "q_legislator_counts"  -> (LegislatorCounts.qLegislatorCounts _),
@@ -798,6 +811,188 @@ object SparkEntry {
            AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_mktsegment
          ORDER BY c_mktsegment""",
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '2002-01-01'
+           GROUP BY l_partkey, l_suppkey),
+         eu AS (
+           SELECT s_suppkey, s_name, s_acctbal, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'),
+         r AS (
+           SELECT CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS s_acctbal,
+                  s_name, n_name, p_partkey, p_type,
+                  CAST(cost AS DOUBLE) AS supplycost,
+                  row_number() OVER (PARTITION BY p_partkey
+                    ORDER BY cost, s_suppkey) AS rk
+           FROM ps JOIN eu ON l_suppkey = s_suppkey
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_size = 15)
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+         FROM r WHERE rk = 1
+         ORDER BY s_acctbal DESC, s_name, p_partkey
+         LIMIT 100""",
+    "q4_priority_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+    "q8_market_share" ->
+      """WITH j AS (
+           SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS rev,
+                  n2.n_name AS supp_nation
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'),
+         s AS (
+           SELECT o_year,
+             CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev
+                                 ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS nation_revenue,
+             CAST(round(sum(rev), 2) AS DOUBLE) AS total_revenue
+           FROM j GROUP BY o_year)
+         SELECT o_year, nation_revenue, total_revenue,
+           CASE WHEN total_revenue = 0.0 THEN 0.0
+                ELSE nation_revenue / total_revenue END AS mkt_share
+         FROM s ORDER BY o_year""",
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(sum(
+           CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))
+         ), 2) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%widget%'
+         GROUP BY n_name, o_year
+         ORDER BY nation, o_year DESC""",
+    "q11_important_parts" ->
+      """WITH v AS (
+           SELECT l_partkey AS partkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS value_d
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_1'
+           GROUP BY l_partkey),
+         t AS (SELECT CAST(sum(value_d) AS DOUBLE) AS total_d FROM v)
+         SELECT partkey, CAST(round(value_d, 2) AS DOUBLE) AS value
+         FROM v CROSS JOIN t
+         WHERE CAST(value_d AS DOUBLE) > total_d * 0.001
+         ORDER BY value DESC, partkey""",
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+         GROUP BY l_linestatus
+         ORDER BY l_linestatus""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey),
+         m AS (SELECT max(total_revenue) AS mx FROM rev)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         CROSS JOIN m
+         WHERE total_revenue = mx
+         ORDER BY s_suppkey""",
+    "q16_part_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+         count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 10, 15, 20)
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_brand, p_type, p_size
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+           SELECT l_partkey AS pa_key,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_qty
+           FROM lineitem GROUP BY l_partkey)
+         SELECT COALESCE(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE), 0.0)
+           / 7.0 AS avg_yearly
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN pa ON l_partkey = pa_key
+         WHERE p_brand = 'Brand#3'
+           AND l_quantity < avg_qty * CAST(0.2 AS DOUBLE)""",
+    "q19_disjunctive_revenue" ->
+      """SELECT COALESCE(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE), 0.0) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+    "q20_top_share_suppliers" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY l_partkey, l_suppkey),
+         pp AS (
+           SELECT ps.* FROM ps
+           JOIN part ON l_partkey = p_partkey
+           WHERE p_name LIKE 'red%'),
+         tot AS (
+           SELECT l_partkey AS t_partkey, CAST(sum(qty) AS DOUBLE) AS total_qty
+           FROM pp GROUP BY l_partkey),
+         q AS (
+           SELECT DISTINCT l_suppkey FROM pp
+           JOIN tot ON l_partkey = t_partkey
+           WHERE CAST(qty AS DOUBLE) > total_qty * CAST(0.5 AS DOUBLE))
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM q)
+         ORDER BY s_suppkey""",
+    "q21_waiting_suppliers" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_suppkey,
+                  CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                       THEN l_suppkey END AS late_supp
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderstatus = 'F'),
+         a AS (
+           SELECT l_orderkey,
+                  count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT late_supp) AS n_late,
+                  max(late_supp) AS the_late_supp
+           FROM l GROUP BY l_orderkey)
+         SELECT s_name, count(*) AS numwait
+         FROM a JOIN supplier ON the_late_supp = s_suppkey
+         WHERE n_supp > 1 AND n_late = 1
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
     "q_bill_search" ->
       s"""SELECT bill_number, session.session_name AS session, status,
          regexp_replace(texts[1].state_link, '#.+$$', '') AS link,
