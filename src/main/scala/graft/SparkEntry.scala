@@ -29,6 +29,7 @@ object SparkEntry {
     "q_pivot_status_year"  -> (Relational.pivotStatusYear _),
     "q_unpivot_status_year" -> (Relational.qUnpivotStatusYear _),
     "q_full_outer"         -> (graft.streaming.Events.qFullOuter _),
+    "q_events_cube"        -> (graft.streaming.Events.qEventsCube _),
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
@@ -1432,6 +1433,15 @@ object SparkEntry {
          FROM events
          GROUP BY ROLLUP(event_type, hour)
          ORDER BY event_type NULLS FIRST, hour NULLS FIRST""",
+    "q_events_cube" ->
+      """WITH e AS (
+           SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+           FROM events)
+         SELECT event_type, day, count(*) AS n_events,
+           CAST(GROUPING(event_type, day) AS BIGINT) AS gid
+         FROM e
+         GROUP BY CUBE (event_type, day)
+         ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""",
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -150,16 +150,20 @@ object RelationalX {
     * (identical IEEE multiply), the final sum in exact decimal. */
   def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val partAvg = Tables.lineitem(spark, dir)
+    val brand = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#3").select($"p_partkey")
+    // brand is part-granular, so the per-part average over the
+    // brand-filtered slice equals the average over the full table for
+    // every surviving part — push the semi-join below BOTH uses of
+    // lineitem (aggregate input and probe side alike)
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(brand, $"l_partkey" === $"p_partkey", "left_semi")
+    val partAvg = li
       .groupBy($"l_partkey".as("pa_key"))
       .agg((sum(money($"l_quantity")).cast("double") /
         count(lit(1)).cast("double")).as("avg_qty"))
-    val brand = Tables.part(spark, dir)
-      .filter($"p_brand" === "Brand#3").select($"p_partkey")
-    val li = Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
-    li.join(brand, $"l_partkey" === $"p_partkey")
-      .join(partAvg, $"l_partkey" === $"pa_key")
+    li.join(partAvg, $"l_partkey" === $"pa_key")
       .filter($"l_quantity" < $"avg_qty" * 0.2)
       .agg(coalesce(moneySum(money($"l_extendedprice")), lit(0.0))
         .as("total_small_rev"))
@@ -220,19 +224,18 @@ object RelationalX {
 
   /** Per-(part, supplier) supply facts derived from `lineitem` — the
     * schema's stand-in for `partsupp` (min observed unit context as
-    * "cost", summed quantity as "supplied"). Shared by the Q2/Q11/Q20
-    * adaptations; one partial-agg shuffle on the compound key. */
-  private def supplyFacts(spark: SparkSession, dir: String,
-                          from: String, until: String): DataFrame = {
-    import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .filter($"l_shipdate" >= lit(from).cast("timestamp") &&
-        $"l_shipdate" < lit(until).cast("timestamp"))
-      .groupBy($"l_partkey", $"l_suppkey")
+    * "cost", summed quantity as "supplied"). One partial-agg shuffle on
+    * the compound key. Callers pass the PRE-FILTERED lineitem slice:
+    * the part/supplier predicates in Q2/Q20 are key-granular, so
+    * semi-joining them below this aggregate leaves the surviving
+    * groups' values untouched while shrinking the shuffle by the
+    * filters' full selectivity (Catalyst won't push a join below an
+    * aggregate on its own — this hand-pushdown is the scale lever). */
+  private def supplyFactsFrom(li: DataFrame): DataFrame =
+    li.groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(
-        min(money($"l_extendedprice")).as("cost"),
-        sum(money($"l_quantity")).as("qty"))
-  }
+        min(money(col("l_extendedprice"))).as("cost"),
+        sum(money(col("l_quantity"))).as("qty"))
 
   /** TPC-H Q2-style min-cost supplier: for each sized part, the
     * EUROPE-region supplier with the cheapest derived supply cost.
@@ -242,7 +245,6 @@ object RelationalX {
     * answer is deterministic. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = supplyFacts(spark, dir, "1995-01-01", "2002-01-01")
     val eu = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
         .join(broadcast(Tables.region(spark, dir)
@@ -252,6 +254,16 @@ object RelationalX {
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
     val prt = Tables.part(spark, dir)
       .filter($"p_size" === 15).select($"p_partkey", $"p_type")
+    // both predicates are key-granular: semi-join them below the
+    // supply aggregate (~50× fewer groups shuffled at this p_size
+    // selectivity; the same trick partsupp-based Q2 plans rely on)
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("2002-01-01").cast("timestamp"))
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .join(prt.select($"p_partkey"), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(eu.select($"s_suppkey"), $"l_suppkey" === $"s_suppkey", "left_semi")
+    val ps = supplyFactsFrom(li)
     val rk = row_number().over(
       Window.partitionBy($"p_partkey").orderBy($"cost", $"s_suppkey"))
     ps.join(eu, $"l_suppkey" === $"s_suppkey")
@@ -343,10 +355,16 @@ object RelationalX {
     * EXISTS semantics (no duplicate suppliers, no row explosion). */
   def q20TopShareSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ps = supplyFacts(spark, dir, "1996-01-01", "1997-01-01")
     val fam = Tables.part(spark, dir)
       .filter($"p_name".startsWith("red")).select($"p_partkey")
-    val perPart = ps.join(fam, $"l_partkey" === $"p_partkey")
+    // the family filter is part-granular: semi-join it below the
+    // (part, supplier) aggregate so only family lines ever shuffle
+    val perPart = supplyFactsFrom(
+      Tables.lineitem(spark, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+        .join(fam, $"l_partkey" === $"p_partkey", "left_semi"))
     val totals = perPart.groupBy($"l_partkey".as("t_partkey"))
       .agg(sum($"qty").cast("double").as("total_qty"))
     val qualifying = perPart

@@ -161,6 +161,22 @@ object Events {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("hour"))
 
+  /** CUBE — all four grouping sets of (type, day) in one Expand pass,
+    * completing the multi-level family next to [[qEventsRollup]]'s
+    * hierarchy. `grouping_id()` is part of the output contract: it
+    * distinguishes a subtotal's structural null from a data null (the
+    * disambiguation CUBE consumers need), and both engines agree on
+    * its bit order (1-bit = column aggregated away). Day granularity
+    * keeps the leaf set dense; the Expand×4 rows still partial-agg
+    * map-side before the one shuffle. */
+  def qEventsCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("event_type"), asc_nulls_first("day"))
+
   /** Aggregate-to-collection: per user, the distinct event types as a
     * deterministic sorted list (rendered CSV so the typed-hash oracle
     * compares a scalar — `collect_set` order is nondeterministic, so

@@ -228,6 +228,26 @@ class PlanSpec extends SparkSpec {
       s"pii pass should read only doc_id+text:\n$s")
   }
 
+  test("q2/q17/q20: key-granular filters stay semi-joined below the supply aggregate") {
+    // the hand-pushdown RelationalX documents: Catalyst won't move a
+    // join through an aggregate, so a refactor that lifts the semi-join
+    // back above the groupBy silently re-inflates the shuffle ~50×
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    Seq("q2_min_cost_supplier", "q17_small_qty_revenue",
+      "q20_top_share_suppliers").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.optimizedPlan
+      val fed = plan.collect {
+        case a: Aggregate if a.find {
+          case j: Join => j.joinType == LeftSemi
+          case _ => false
+        }.isDefined => a
+      }
+      assert(fed.nonEmpty, s"$q: no aggregate consumes a semi-joined slice")
+    }
+  }
+
   test("minhash verify joins reuse the hashed-shingle exchange at runtime") {
     val df = SparkEntry.queries("q_dedup_minhash")(spark, sf("sf0.001"))
     df.collect() // materialize THIS queryExecution so AQE finalizes it

@@ -286,6 +286,23 @@ class StreamingSpec extends SparkSpec {
     assert(total === graft.tables.Tables.events(spark, sfSmoke).count())
   }
 
+  test("cube grouping sets partition the total and gid tags each level") {
+    val out = graft.streaming.Events.qEventsCube(spark, sfSmoke).collect()
+    val byGid = out.groupBy(_.getLong(3))
+    assert(byGid.keySet === Set(0L, 1L, 2L, 3L))
+    val total = byGid(3L).map(_.getLong(2)).sum // grand total: both aggregated
+    assert(byGid(3L).length === 1)
+    // each grouping set independently sums to the same total
+    Seq(0L, 1L, 2L).foreach(g =>
+      assert(byGid(g).map(_.getLong(2)).sum === total, s"gid=$g"))
+    // gid bit semantics: bit set ⇔ that column is aggregated (null)
+    out.foreach { r =>
+      val gid = r.getLong(3)
+      assert(r.isNullAt(1) === ((gid & 1L) != 0), "day bit")
+      assert(r.isNullAt(0) === ((gid & 2L) != 0), "type bit")
+    }
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
