@@ -21,7 +21,9 @@ object Plans {
     "q_rolling_avg", "q_events_rollup", "q_curate_v2",
     "q_seq_pack", "q_token_chunks", "q_vocab_topk", "q_tokenize_ids",
     "q_repeated_spans", "q_epoch_shuffle", "q_similar_kmeans",
-    "q_embed_quantize", "q_source_similarity")
+    "q_embed_quantize", "q_source_similarity",
+    "q2_min_cost_supplier", "q4_priority_orders", "q8_market_share",
+    "q17_small_qty_revenue", "q21_waiting_suppliers", "q_events_cube")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

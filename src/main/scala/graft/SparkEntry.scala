@@ -30,6 +30,7 @@ object SparkEntry {
     "q_unpivot_status_year" -> (Relational.qUnpivotStatusYear _),
     "q_full_outer"         -> (graft.streaming.Events.qFullOuter _),
     "q_events_cube"        -> (graft.streaming.Events.qEventsCube _),
+    "q_event_gaps"         -> (graft.streaming.Events.qEventGaps _),
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
@@ -1433,6 +1434,22 @@ object SparkEntry {
          FROM events
          GROUP BY ROLLUP(event_type, hour)
          ORDER BY event_type NULLS FIRST, hour NULLS FIRST""",
+    // window ORDER BY pins the µs cast: Spark's loader truncates the
+    // parquet ns timestamps to µs, so ordering by raw ns would let two
+    // same-µs events sort differently across engines
+    "q_event_gaps" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+           FROM events)
+         SELECT user_id, event_id,
+           ts_us - lag(ts_us, 1)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us,
+           CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS q,
+           first_value(event_type)
+             OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS first_type
+         FROM e
+         ORDER BY user_id, event_id""",
     "q_events_cube" ->
       """WITH e AS (
            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day

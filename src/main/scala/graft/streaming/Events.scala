@@ -148,6 +148,27 @@ object Events {
     rollingAvgValue(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
 
+  /** Inter-event gaps + quartile bucketing per user — the offset/rank
+    * window family the other entries don't touch (`lag`, `ntile`,
+    * `first_value`). One shuffle on user_id, partition-local sort, all
+    * three functions share the single window. Gap parity is exact:
+    * both engines diff MICROsecond epochs as BIGINT (the ns→µs
+    * truncation matches [[graft.tables.Tables.events]]'s loader);
+    * the first event's gap is a genuine NULL on both sides. */
+  def qEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("q", ntile(4).over(w).cast("long"))
+      .withColumn("first_type", first(col("event_type")).over(w))
+      .select(col("user_id"), col("event_id"),
+        col("gap_us"), col("q"), col("first_type"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** ROLLUP hierarchy (type → type×hour → grand total) as one pass —
     * the multi-level aggregation class. Spark plans a single Expand +
     * hash aggregate (still partial/map-side), not one job per level.

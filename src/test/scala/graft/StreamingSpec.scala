@@ -303,6 +303,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event gaps: one null gap per user, ntile buckets balanced") {
+    import spark.implicits._
+    val out = graft.streaming.Events.qEventGaps(spark, sfSmoke)
+      .select("user_id", "gap_us", "q").collect()
+    val byUser = out.groupBy(_.getLong(0))
+    byUser.foreach { case (u, rows) =>
+      assert(rows.count(_.isNullAt(1)) === 1, s"user $u: first-event null gap")
+      assert(rows.filter(!_.isNullAt(1)).forall(_.getLong(1) >= 0),
+        s"user $u: negative gap — window order broke")
+      // ntile contract: bucket sizes differ by at most one
+      val sizes = rows.groupBy(_.getLong(2)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"user $u: unbalanced ntile")
+    }
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
