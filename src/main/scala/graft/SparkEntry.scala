@@ -31,6 +31,7 @@ object SparkEntry {
     "q_full_outer"         -> (graft.streaming.Events.qFullOuter _),
     "q_events_cube"        -> (graft.streaming.Events.qEventsCube _),
     "q_event_gaps"         -> (graft.streaming.Events.qEventGaps _),
+    "q_resample_hourly"    -> (graft.streaming.Events.qResampleHourly _),
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
@@ -1450,6 +1451,21 @@ object SparkEntry {
              OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS first_type
          FROM e
          ORDER BY user_id, event_id""",
+    "q_resample_hourly" ->
+      """WITH ev AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value
+           FROM events),
+         c AS (
+           SELECT hour, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+           FROM ev GROUP BY hour),
+         b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+         s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b)
+         SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, 0.0) AS sum_value
+         FROM s LEFT JOIN c ON s.hour = c.hour
+         ORDER BY hour""",
     "q_events_cube" ->
       """WITH e AS (
            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day

@@ -169,6 +169,30 @@ object Events {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Hourly resample with gap filling — densify event counts onto a
+    * complete hour spine so silent hours read as explicit zeros (the
+    * time-series readout `q_full_outer`'s sparse join can't give).
+    * The spine is `explode(sequence(min, max, 1 hour))` off a one-row
+    * bounds aggregate: its row count is bounded by CALENDAR TIME, not
+    * data size (a decade is <10^5 hours), so the single-task generate
+    * is a bounded operator, not a scale risk; the left join back to
+    * the hourly aggregate is spine-side-tiny and AQE-broadcast. */
+  def qResampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val counts = ev.groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(money(col("value"))).as("sum_value"))
+    val spine = ev.agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+    spine.join(counts, Seq("hour"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("hour"))
+  }
+
   /** ROLLUP hierarchy (type → type×hour → grand total) as one pass —
     * the multi-level aggregation class. Spark plans a single Expand +
     * hash aggregate (still partial/map-side), not one job per level.

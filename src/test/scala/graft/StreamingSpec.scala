@@ -318,6 +318,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("resample: spine is gap-free and counts are conserved") {
+    val out = graft.streaming.Events.qResampleHourly(spark, sfSmoke).collect()
+    // complete hourly spine: n rows == hours between min and max inclusive
+    val hours = out.map(r =>
+      java.time.LocalDateTime.parse(r.getString(0),
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+    val span = java.time.Duration.between(hours.head, hours.last).toHours + 1
+    assert(hours.length.toLong === span, "spine has gaps or duplicates")
+    assert(out.map(_.getLong(1)).sum ===
+      graft.tables.Tables.events(spark, sfSmoke).count())
+  }
+
   test("props json decode handles missing keys as null, not error") {
     import spark.implicits._
     val df = Seq("""{"k": 4}""", """{"other": 1}""", "not json")
