@@ -339,9 +339,12 @@ object RelationalX {
     val prt = Tables.part(spark, dir)
       .filter($"p_brand" =!= "Brand#1" && $"p_size".isin(1, 5, 10, 15, 20))
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    // selectivity-first: the ~10% part filter shrinks the fact before
+    // the anti-join probes it (Catalyst keeps anti/inner order as
+    // written; both sides AQE-broadcast at small SF)
     Tables.lineitem(spark, dir).select($"l_partkey", $"l_suppkey")
-      .join(deficit, $"l_suppkey" === $"s_suppkey", "left_anti")
       .join(prt, $"l_partkey" === $"p_partkey")
+      .join(deficit, $"l_suppkey" === $"s_suppkey", "left_anti")
       .groupBy($"p_brand", $"p_type", $"p_size")
       .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
       .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
