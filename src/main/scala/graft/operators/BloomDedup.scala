@@ -110,7 +110,11 @@ object BloomDedup {
     val idxHash = index.select(md5(col("text")).as("text_hash"))
     val words = bloomWords(idxHash, "text_hash", bits, probes)
     val inc = increment.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val might = mightContain(words, col("text_hash"), probes)
+    // null text → null hash → the membership test is NULL, which both
+    // filters would drop, silently losing the row; the anti-join this
+    // operator must equal KEEPS null-keyed rows (a null key matches
+    // nothing), so a null probe is pinned to "not a member"
+    val might = coalesce(mightContain(words, col("text_hash"), probes), lit(false))
     val sureNew = inc.filter(!might)
     val verified = inc.filter(might)
       .join(idxHash, Seq("text_hash"), "left_anti")

@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{BloomDedup, CorpusFilters, TextDedup, TextStats, TrainPrep}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: null text, empty text, whitespace-only
+  * text, and empty frames through every text-operator family. The
+  * fixture corpus is non-null, so these paths are otherwise untested —
+  * and the round-6 advice found exactly one such latent crash
+  * (BloomDedup's md5(NULL) probe). The contract pinned here: no
+  * operator throws on degenerate rows, row-level operators never lose
+  * rows, emitted stats are never negative, and a null-text doc never
+  * appears in any candidate pair (md5/simhash/shingle of NULL is NULL,
+  * which no equi-join key matches). */
+class NullRobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dup =
+    "the quick brown fox jumps over the lazy dog again and again"
+
+  private def corpus: DataFrame = Seq(
+    (1L, dup, "web"),
+    (2L, "", "web"),
+    (3L, "   \t  ", "books"),
+    (5L, "one", "books"),
+    (6L, dup, "web"))
+    .toDF("doc_id", "text", "source")
+    .unionByName(Seq((4L, "books")).toDF("doc_id", "source")
+      .withColumn("text", lit(null).cast("string"))
+      .select($"doc_id", $"text", $"source"))
+
+  test("exact dedup groups degenerate texts distinctly, copies conserved") {
+    val out = TextDedup.exactDedup(corpus).collect()
+    // 5 distinct texts: dup×2, "", whitespace, "one", NULL — empty and
+    // whitespace do NOT collapse (different strings), and the null
+    // text forms its own md5(NULL)=NULL group rather than vanishing
+    assert(out.length === 5)
+    assert(out.map(_.getLong(2)).sum === corpus.count(), "copies conserved")
+    assert(out.exists(r => r.isNullAt(0) && r.getLong(1) === 4L),
+      "null-text group kept with its doc id")
+  }
+
+  test("minhash pairs: the real dup survives, the null doc never pairs") {
+    val pairs = TextDedup.minhashPairs(corpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 6L)), "the genuine duplicate pair survives")
+    assert(pairs.forall { case (a, b) => a != 4L && b != 4L },
+      "null-text doc produced a candidate pair")
+  }
+
+  test("simhash pairs (wide): no crash, null doc never pairs") {
+    val out = TextDedup.simhashPairs60(corpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(out.contains((1L, 6L)))
+    assert(out.forall { case (a, b) => a != 4L && b != 4L })
+  }
+
+  test("repeated spans ignore null and sub-shingle docs") {
+    val out = TextDedup.repeatedSpans(corpus).collect()
+    assert(out.forall(r => !Set(2L, 3L, 4L)(r.getLong(0))),
+      "a degenerate doc emitted a span")
+  }
+
+  test("bloom dedup handles null text in index AND increment") {
+    val out = BloomDedup.bloomNewDocs(corpus, corpus).collect()
+    // every real text exists in the index so nothing is new; the null
+    // row can't equal anything under either engine's join semantics,
+    // so it alone stays "new"
+    assert(out.map(_.getLong(0)).toSet === Set(4L))
+  }
+
+  test("quality features keep every row and never go negative") {
+    val out = TextStats.qualityFeatures(corpus).collect()
+    assert(out.length === corpus.count())
+    out.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getAs[Number](1).longValue >= 0L,
+        s"negative n_tokens for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("pii / repetition row stats keep one row per input row") {
+    Seq[DataFrame => DataFrame](
+      CorpusFilters.piiStats, CorpusFilters.repetitionStats)
+      .foreach { op =>
+        val out = op(corpus)
+        assert(out.count() === corpus.count(), out.columns.mkString(","))
+      }
+  }
+
+  test("sequence packing keeps every doc's slot; degenerate docs pack zero tokens") {
+    val packed = TrainPrep.sequencePack(corpus).collect()
+    assert(packed.length === corpus.count(), "one packing row per doc")
+    packed.filter(r => Set(2L, 3L, 4L)(r.getLong(0))).foreach { r =>
+      assert(r.isNullAt(2) || r.getLong(2) === 0L,
+        s"degenerate doc ${r.getLong(0)} packed ${r.get(2)} tokens")
+    }
+  }
+
+  test("empty input frames flow through the pipeline operators") {
+    val empty = corpus.limit(0)
+    assert(TextDedup.exactDedup(empty).count() === 0)
+    assert(TextDedup.minhashPairs(empty).count() === 0)
+    assert(TrainPrep.sequencePack(empty).count() === 0)
+    assert(CorpusFilters.piiStats(empty).count() === 0)
+    assert(TextStats.qualityFeatures(empty).count() === 0)
+  }
+}
