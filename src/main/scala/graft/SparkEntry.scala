@@ -33,6 +33,11 @@ object SparkEntry {
     "q_event_gaps"         -> (graft.streaming.Events.qEventGaps _),
     "q_resample_hourly"    -> (graft.streaming.Events.qResampleHourly _),
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
+    // product-analytics surface (cohorts / funnel / SCD2 / robust stats)
+    "q_retention_cohorts"  -> (Analytics.qRetentionCohorts _),
+    "q_funnel"             -> (Analytics.qFunnel _),
+    "q_scd2_history"       -> (Analytics.qScd2History _),
+    "q_median_outliers"    -> (Analytics.qMedianOutliers _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
@@ -1475,6 +1480,85 @@ object SparkEntry {
          FROM e
          GROUP BY CUBE (event_type, day)
          ORDER BY gid, event_type NULLS FIRST, day NULLS FIRST""",
+    // weekly cohort retention: both engines' date_trunc('week', ·) is
+    // Monday-start, and the day diff of two week-starts is an exact
+    // multiple of 7, so integer division carries no rounding
+    "q_retention_cohorts" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_w
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT e.user_id, f.cohort_w,
+             date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS w
+           FROM events e JOIN f ON e.user_id = f.user_id)
+         SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', CAST(cohort_w AS DATE), CAST(w AS DATE)) // 7
+             AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM a GROUP BY cohort_w, week_offset
+         ORDER BY cohort_week, week_offset""",
+    // strictly-ordered funnel; each stage binds to the user's earliest
+    // valid µs timestamp, next stage requires ts STRICTLY after it
+    "q_funnel" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+           FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS ts_us FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.ts_us
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.ts_us
+                GROUP BY e.user_id)
+         SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                CAST(count(*) AS BIGINT) AS n_users FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+         ORDER BY stage_idx""",
+    // SCD2 validity intervals; the event_id tie-break pins same-µs
+    // events to one order in both engines (same rule as q_event_gaps)
+    "q_scd2_history" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us, value
+           FROM events)
+         SELECT user_id, event_type,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts_us AS valid_from_us,
+           lead(ts_us) OVER w AS valid_to_us,
+           value,
+           CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+             AS BIGINT) AS is_current
+         FROM e
+         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+         ORDER BY user_id, event_type, version""",
+    // exact median/MAD rounded to 6 decimals BEFORE the outlier
+    // comparison, so classification never reads digits the two engines'
+    // percentile interpolation could disagree on
+    "q_median_outliers" ->
+      """WITH t AS (SELECT event_type, value FROM events),
+         m AS (SELECT event_type,
+                 round(quantile_cont(value, 0.5), 6) AS med
+               FROM t GROUP BY event_type),
+         d AS (SELECT t.event_type, m.med,
+                 round(quantile_cont(abs(t.value - m.med), 0.5), 6) AS mad
+               FROM t JOIN m ON t.event_type = m.event_type
+               GROUP BY t.event_type, m.med)
+         SELECT t.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           any_value(d.med) AS med,
+           any_value(d.mad) AS mad,
+           CAST(sum(CASE WHEN abs(t.value - d.med) > d.mad * 3.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM t JOIN d ON t.event_type = d.event_type
+         GROUP BY t.event_type
+         ORDER BY t.event_type""",
     "q_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey

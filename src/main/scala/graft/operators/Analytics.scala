@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Product-analytics surface over the `events` table: cohort retention,
+  * ordered funnels, SCD2 history, and robust (median/MAD) outlier
+  * screens. These are the "how is the corpus/traffic behaving" queries a
+  * data-pipeline team runs next to the corpus-hygiene ones — the same
+  * shapes the reference's yearly `legislator_bill_counts` pivot serves
+  * (`legislator_bill_counts_run.R:21-38`), generalized to event streams.
+  *
+  * Scale stance (100 TB): every operator here is groupBy/join on a
+  * real key (`user_id`, `event_type`) with map-side partial aggregation;
+  * the per-user aggregates and the event scan shuffle on the SAME key so
+  * Catalyst reuses one exchange for the self-join patterns. The only
+  * deliberately non-scalable piece is the EXACT median in
+  * [[medianOutliers]] (per-group value buffering) — the 100 TB spelling
+  * is `approx_percentile` (see `TextStats.qApproxQuantiles`); the exact
+  * form exists because it is oracle-checkable. Group count there is
+  * |event_type| (small), so the buffering is bounded by the largest
+  * single type's row count — documented, not hidden.
+  */
+object Analytics {
+
+  private def tsUs(c: Column): Column = unix_micros(c)
+
+  // ---------------------------------------------------------------------
+  // Weekly cohort retention
+  // ---------------------------------------------------------------------
+
+  /** Weekly cohort retention matrix: users bucketed by the Monday-start
+    * week of their FIRST event; for each (cohort week, week offset), the
+    * number of distinct cohort members active that week.
+    *
+    * Plan: `groupBy(user_id)` for first-seen, then an inner join back to
+    * the weekly activity on `user_id` — both sides hash-partition on
+    * `user_id`, so the join reuses the aggregate's exchange — then one
+    * final shuffle on the (cohort, offset) pair. No window over an
+    * unpartitioned frame, no driver collect.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val cohorts = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), date_trunc("week", col("first_ts")).as("cohort_w"))
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+    weekly
+      .join(cohorts, "user_id")
+      .groupBy(
+        col("cohort_w"),
+        // both sides are week-truncated, so the day diff is an exact
+        // multiple of 7 — `div` keeps it integral end-to-end
+        (datediff(to_date(col("w")), to_date(col("cohort_w")))
+          .cast("long") / lit(7L)).cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
+  def qRetentionCohorts(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables.events(spark, dir))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  // ---------------------------------------------------------------------
+  // Ordered funnel
+  // ---------------------------------------------------------------------
+
+  val FunnelStages: Seq[String] = Seq("view", "click", "purchase")
+
+  /** Strictly-ordered funnel: a user converts stage i+1 only with an
+    * event of that type STRICTLY AFTER their stage-i conversion time
+    * (earliest-completion semantics: each stage binds to the user's
+    * earliest valid timestamp). Returns one row per stage with the
+    * surviving user count.
+    *
+    * Each stage is a `groupBy(user_id)` min joined to the next stage's
+    * filtered events on `user_id` — K-1 self-joins all partitioned on
+    * the same key, so the exchanges line up; K is the (tiny) stage list,
+    * not data-dependent. The final union is K one-row aggregates.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val typed = events.select(
+      col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_us"))
+    var cur = typed
+      .filter(col("event_type") === stages.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("ts_us"))
+    val perStage = Seq.newBuilder[DataFrame]
+    perStage += cur.select(lit(1L).as("stage_idx"),
+      lit(stages.head).as("stage"), col("user_id"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = typed
+        .filter(col("event_type") === st)
+        .join(cur.select(col("user_id"), col("ts_us").as("prev_us")), "user_id")
+        .where(col("ts_us") > col("prev_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("ts_us"))
+      perStage += nxt.select(lit((i + 1).toLong).as("stage_idx"),
+        lit(st).as("stage"), col("user_id"))
+      cur = nxt
+    }
+    perStage.result().reduce(_ unionAll _)
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir)).orderBy(col("stage_idx"))
+
+  // ---------------------------------------------------------------------
+  // SCD2 history
+  // ---------------------------------------------------------------------
+
+  /** Slowly-changing-dimension (type 2) history: each (user, event type)
+    * stream becomes versioned validity intervals — `valid_from_us` =
+    * the event's timestamp, `valid_to_us` = the next event's (NULL while
+    * current), `version` = 1-based change sequence. The standard landing
+    * shape for attribute streams in a lakehouse dimension table.
+    *
+    * One window over `(user_id, event_type)` ordered by `(ts_us,
+    * event_id)` — the id tie-break pins same-microsecond events to one
+    * order in both engines. Single shuffle, no global window.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        tsUs(col("ts")).as("ts_us"), col("value"))
+      .select(
+        col("user_id"), col("event_type"),
+        row_number().over(w).cast("long").as("version"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        col("value"),
+        when(lead(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_current"))
+  }
+
+  def qScd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2History(Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("event_type"), col("version"))
+
+  // ---------------------------------------------------------------------
+  // Median / MAD outlier screen
+  // ---------------------------------------------------------------------
+
+  /** Robust per-type outlier screen: exact median and MAD (median
+    * absolute deviation), plus the count of values beyond
+    * `3 × MAD` of the median. Both stats are rounded to 6 decimals
+    * BEFORE the outlier comparison so the classification depends only on
+    * digits both engines agree on (exact-percentile interpolation can
+    * differ in the last ULP across engines).
+    *
+    * Scale note: `percentile` is Spark's exact percentile — it buffers
+    * each group's values, bounded here by the largest single
+    * `event_type`'s rows. That is the deliberate trade for an
+    * oracle-checkable answer on a LOW-cardinality dimension; at 100 TB,
+    * or on a high-cardinality key, the spelling is `approx_percentile`
+    * (see [[TextStats.qApproxQuantiles]]'s t-digest twin). The stats
+    * frame is |event_type| rows, so the join back is an explicit
+    * broadcast — no second shuffle of the event scan.
+    */
+  def medianOutliers(events: DataFrame): DataFrame = {
+    val typed = events.select(col("event_type"), col("value"))
+    val med = typed
+      .groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val mad = typed
+      .join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        round(percentile(col("adev"), lit(0.5)), 6).as("mad"))
+    typed
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) > col("mad") * 3.0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
+  def qMedianOutliers(spark: SparkSession, dir: String): DataFrame =
+    medianOutliers(Tables.events(spark, dir)).orderBy(col("event_type"))
+}

@@ -1,0 +1,166 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** (event_id, ts, user_id, event_type, value) rows as an events frame. */
+  private def ev(rows: (Long, String, Long, String, Double)*): DataFrame =
+    rows.map { case (id, t, u, ty, v) => (id, ts(t), u, ty, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  // --- retention cohorts ---
+
+  test("retentionCohorts buckets users by first-seen week and counts return weeks") {
+    // user 1 first seen week of Mon 2024-01-01, active again 2 weeks later;
+    // user 2 first seen the next week; user 3 shares user 1's cohort, week 0 only
+    val out = Analytics.retentionCohorts(ev(
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-16 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-10 09:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-03 12:00:00", 3L, "view", 0.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> 2L,
+      ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
+
+  test("retentionCohorts counts a user once per active week") {
+    val out = Analytics.retentionCohorts(ev(
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-03 10:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-04 10:00:00", 1L, "view", 0.0)))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(2) === 1L)
+  }
+
+  // --- funnel ---
+
+  test("funnel enforces strict stage order") {
+    // user 1 completes view→click→purchase in order; user 2 clicks BEFORE
+    // their first view (never re-clicks) so stalls at stage 1; user 3
+    // views and clicks but purchases before the click, so stalls at stage 2
+    val out = Analytics.funnel(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 11:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 09:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (6L, "2024-01-01 10:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 12:00:00", 3L, "click", 0.0),
+      (8L, "2024-01-01 11:00:00", 3L, "purchase", 0.0)))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 3L, "click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("funnel binds each stage to the EARLIEST valid completion") {
+    // user's earliest view is 10:00; the 10:30 click converts stage 2 even
+    // though a later 12:00 click exists; purchase at 11:00 is after the
+    // earliest click, so it converts — earliest-binding, not latest
+    val out = Analytics.funnel(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "click", 0.0),
+      (4L, "2024-01-01 11:00:00", 1L, "purchase", 0.0)))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("funnel same-timestamp events do NOT advance a stage (strictly after)") {
+    val out = Analytics.funnel(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 0.0)))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 1L))
+  }
+
+  // --- SCD2 history ---
+
+  test("scd2History chains validity intervals with one current row per key") {
+    val out = Analytics.scd2History(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-02 10:00:00", 1L, "view", 2.0),
+      (3L, "2024-01-03 10:00:00", 1L, "view", 3.0),
+      (4L, "2024-01-01 10:00:00", 1L, "click", 9.0)))
+      .orderBy("user_id", "event_type", "version").collect()
+    val views = out.filter(_.getString(1) == "view")
+    assert(views.map(_.getLong(2)).toSeq === Seq(1L, 2L, 3L))
+    // each valid_to equals the next version's valid_from
+    views.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) === b.getLong(3),
+        s"interval break between v${a.getLong(2)} and v${b.getLong(2)}")
+    }
+    assert(views.count(_.getLong(6) == 1L) === 1)
+    assert(views.last.isNullAt(4) && views.last.getLong(6) === 1L)
+    val clicks = out.filter(_.getString(1) == "click")
+    assert(clicks.length === 1 && clicks.head.getLong(6) === 1L)
+  }
+
+  test("scd2History breaks same-microsecond ties by event_id") {
+    val out = Analytics.scd2History(ev(
+      (7L, "2024-01-01 10:00:00", 1L, "view", 7.0),
+      (2L, "2024-01-01 10:00:00", 1L, "view", 2.0)))
+      .orderBy("version").collect()
+    assert(out.map(_.getDouble(5)).toSeq === Seq(2.0, 7.0))
+  }
+
+  // --- median / MAD outliers ---
+
+  test("medianOutliers computes exact median, MAD, and the 3-MAD count") {
+    // values 1..9 plus a 100.0 spike: median 5.5, adevs {0.5..4.5, 94.5},
+    // MAD 2.5 -> threshold 7.5 -> only the spike exceeds it
+    val rows = (1 to 9).map(i => (i.toLong, s"2024-01-01 10:00:0$i",
+      1L, "view", i.toDouble)) :+
+      (10L, "2024-01-01 10:01:00", 1L, "view", 100.0)
+    val out = Analytics.medianOutliers(ev(rows: _*)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 10L)
+    assert(r.getDouble(2) === 5.5)
+    assert(r.getDouble(3) === 2.5)
+    assert(r.getLong(4) === 1L)
+  }
+
+  // --- plan shape ---
+
+  test("plans: stats joins broadcast, and nothing falls to a nested loop") {
+    def physical(df: DataFrame): SparkPlan = {
+      df.collect() // let AQE finalize
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    val dir = sfSmoke
+    val frames = Seq(
+      Analytics.qRetentionCohorts(spark, dir),
+      Analytics.qFunnel(spark, dir),
+      Analytics.qScd2History(spark, dir),
+      Analytics.qMedianOutliers(spark, dir))
+    frames.foreach { df =>
+      // string-match the finalized plan: AQE wraps exchanges in
+      // QueryStage nodes whose subtree collect() will not enter, but
+      // toString renders through them (same approach as PlanSpec)
+      val s = physical(df).toString()
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop/cartesian in:\n$s")
+    }
+    // medianOutliers joins the tiny per-type stats frames back twice —
+    // both must be broadcasts, never a second shuffle of the event scan
+    val s = physical(Analytics.qMedianOutliers(spark, dir)).toString()
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+    assert(bhj >= 2, s"expected 2 broadcast joins, got:\n$s")
+  }
+}
