@@ -139,6 +139,11 @@ object SparkEntry {
     "q_epoch_shuffle"      -> (TrainPrep.qEpochShuffle _),
     "q_source_similarity"  -> (TextDedup.qSourceSimilarity _),
     "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
+    // corpus analytics (n-gram LM / stratified sample / postings / survivorship)
+    "q_bigram_next"        -> (CorpusAnalytics.qBigramNext _),
+    "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
+    "q_postings"           -> (CorpusAnalytics.qPostings _),
+    "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -352,6 +357,44 @@ object SparkEntry {
          SELECT e.src AS node, re.r FROM edges e JOIN reach re ON e.dst = re.node)
        SELECT node AS doc_id, min(r) AS cluster_id
        FROM reach GROUP BY node ORDER BY doc_id"""
+  }
+
+  /** Survivorship oracle: the cluster CTE chain of [[dedupClustersOracle]]
+    * plus the quality-score derivation of `q_quality_score` (same
+    * expressions, so the double is bit-identical to Spark's), then a
+    * per-cluster argmax window (quality DESC, doc_id ASC). */
+  private def survivorshipOracle: String = {
+    import TextDedup._
+    s"""WITH RECURSIVE $minhashCtes,
+       pairs AS (
+         SELECT doc_a, doc_b FROM scored
+         WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT src AS node, src AS r FROM edges
+         UNION
+         SELECT e.src AS node, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+       labels AS (SELECT node AS doc_id, min(r) AS cluster_id
+                  FROM reach GROUP BY node),
+       qt AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+       qf AS (SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok_d,
+           CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+         FROM qt),
+       q AS (SELECT doc_id,
+           (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+             + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+             - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
+         FROM qf)
+       SELECT l.doc_id, l.cluster_id, q.quality_score,
+         CAST(CASE WHEN row_number() OVER (PARTITION BY l.cluster_id
+             ORDER BY q.quality_score DESC, l.doc_id) = 1
+           THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+       FROM labels l JOIN q ON l.doc_id = q.doc_id
+       ORDER BY l.doc_id"""
   }
 
   /** Oracle for the 16-bit simhash, generated bit by bit over the
@@ -1896,5 +1939,59 @@ object SparkEntry {
            CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_id
          FROM d ORDER BY doc_id, copy_id"""
     },
+    // bigram LM head: adjacency from 1-based list positions; head list
+    // and per-head ranks tie-break on the token text in both engines
+    "q_bigram_next" -> {
+      val h = CorpusAnalytics.BigramHeads
+      val p = CorpusAnalytics.BigramPerHead
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         ix AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t WHERE len(toks) > 1),
+         b AS (SELECT toks[i] AS head, toks[i + 1] AS next_token FROM ix),
+         pc AS (SELECT head, next_token, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM b GROUP BY head, next_token),
+         ht AS (SELECT head, CAST(sum(n_pairs) AS BIGINT) AS n_total
+                FROM pc GROUP BY head
+                ORDER BY n_total DESC, head LIMIT $h),
+         r AS (SELECT pc.head, ht.n_total, pc.next_token, pc.n_pairs,
+                 CAST(row_number() OVER (PARTITION BY pc.head
+                   ORDER BY pc.n_pairs DESC, pc.next_token) AS BIGINT) AS pair_rank
+               FROM pc JOIN ht ON pc.head = ht.head)
+         SELECT head, n_total, pair_rank, next_token, n_pairs
+         FROM r WHERE pair_rank <= $p ORDER BY head, pair_rank"""
+    },
+    // stratified equalizing downsample: integer threshold arithmetic and
+    // the salted 60-bit md5 bucket, same recipe as q_domain_upsample
+    "q_stratified_sample" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+                     FROM documents GROUP BY lang),
+         mn AS (SELECT min(n_l) AS min_n FROM c),
+         thr AS (SELECT lang, (min_n * 10000) // n_l AS thr
+                 FROM c CROSS JOIN mn),
+         h AS (SELECT doc_id, lang, source,
+                 md5('strat:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents)
+         SELECT doc_id, h.lang, source
+         FROM h JOIN thr ON h.lang = thr.lang
+         WHERE ${md5b60Sql("hx")} % 10000 < thr.thr
+         ORDER BY doc_id""",
+    // positional postings for the top-K tokens; 0-based positions match
+    // Spark's posexplode
+    "q_postings" -> {
+      val k = CorpusAnalytics.PostingsK
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                FROM t WHERE len(toks) > 0),
+         tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+                 FROM ix),
+         top AS (SELECT token FROM tok GROUP BY token
+                 ORDER BY count(*) DESC, token LIMIT $k),
+         p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf,
+                 min(pos) AS first_pos, max(pos) AS last_pos
+               FROM tok JOIN top USING (token) GROUP BY token, doc_id)
+         SELECT token, doc_id, tf, first_pos, last_pos
+         FROM p ORDER BY token, doc_id"""
+    },
+    "q_survivorship" -> survivorshipOracle,
   )
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.tables.Tables
+
+/** Corpus-level analytics beyond hygiene filtering: n-gram language-model
+  * statistics, stratified rebalancing, the positional inverted index, and
+  * near-dup cluster survivorship. These compose the primitives the dedup
+  * and stats operators already expose — the point of this file is the
+  * COMPOSITIONS a training-data team actually ships.
+  *
+  * Scale stance: every candidate set is keyed (doc_id, token, cluster_id)
+  * with map-side partial aggregation; the only broadcasts are fixed-K
+  * frames (top-K vocab, per-stratum thresholds, a 1-row global min).
+  * Windows are partitioned by doc or cluster — never global.
+  */
+object CorpusAnalytics {
+
+  // ---------------------------------------------------------------------
+  // Bigram next-token statistics
+  // ---------------------------------------------------------------------
+
+  val BigramHeads = 20
+  val BigramPerHead = 3
+
+  /** Bigram language-model head: for the `heads` most frequent bigram
+    * first-tokens, the `perHead` most frequent next tokens with counts —
+    * the "what follows X" table a data-quality reviewer reads to spot
+    * boilerplate and the first stage of an n-gram LM.
+    *
+    * Adjacency comes from a `lead` window over `(doc_id, pos)` — one
+    * shuffle of the exploded tokens on `doc_id`, never a self-join of
+    * position against position+1 (two shuffles of the same frame). The
+    * head list is `limit(heads)` of an aggregate (bounded rows on the
+    * driver path) and joins back as an explicit broadcast.
+    */
+  def bigramNext(docs: DataFrame,
+                 heads: Int = BigramHeads,
+                 perHead: Int = BigramPerHead): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("next_token", lead(col("token"), 1).over(byDoc))
+      .where(col("next_token").isNotNull)
+      .groupBy(col("token"), col("next_token"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val headTotals = pairs
+      .groupBy(col("token"))
+      .agg(sum(col("n_pairs")).as("n_total"))
+      .orderBy(col("n_total").desc, col("token"))
+      .limit(heads)
+    val byHead = Window.partitionBy(col("token"))
+      .orderBy(col("n_pairs").desc, col("next_token"))
+    pairs
+      .join(broadcast(headTotals), "token")
+      .withColumn("pair_rank", row_number().over(byHead).cast("long"))
+      .where(col("pair_rank") <= perHead)
+      .select(col("token").as("head"), col("n_total"), col("pair_rank"),
+        col("next_token"), col("n_pairs"))
+  }
+
+  def qBigramNext(spark: SparkSession, dir: String): DataFrame =
+    bigramNext(Tables.documents(spark, dir))
+      .orderBy(col("head"), col("pair_rank"))
+
+  // ---------------------------------------------------------------------
+  // Stratified rebalancing sample
+  // ---------------------------------------------------------------------
+
+  /** Deterministic stratified downsample that EQUALIZES strata: each
+    * language keeps ~`min_lang_count` docs via a portable md5 bucket in
+    * [0, 10000) — the downsampling twin of
+    * [[TrainPrep.domainUpsample]] (same integer threshold arithmetic,
+    * same engine-portable hash, opposite direction). Never `sampleBy`:
+    * its Bernoulli draw depends on partitioning and seed plumbing, so a
+    * reshuffled corpus would keep a different subset.
+    *
+    * The per-stratum thresholds are one tiny aggregate crossed with a
+    * 1-row global min — both explicit broadcasts; the corpus scan itself
+    * is filtered map-side with no extra shuffle.
+    */
+  def stratifiedSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val minN = counts.agg(min(col("n_l")).as("min_n"))
+    val thresholds = counts
+      .crossJoin(broadcast(minN))
+      .select(col("lang"), ((col("min_n") * 10000L) / col("n_l"))
+        .cast("long").as("thr"))
+    docs
+      .join(broadcast(thresholds), "lang")
+      .where(md5Bits60(concat(lit("strat:"), col("doc_id").cast("string")))
+        % 10000L < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Positional inverted index
+  // ---------------------------------------------------------------------
+
+  val PostingsK = 10
+
+  /** Positional postings for the `k` most frequent tokens: per (token,
+    * doc) the term frequency and first/last 0-based positions — the
+    * inverted-index slice a phrase-search or span-highlight layer reads.
+    *
+    * The vocabulary is a bounded `limit(k)` aggregate broadcast into a
+    * semi-filter of the exploded scan; the postings aggregate shuffles
+    * once on (token, doc_id). At 100 TB the full index materializes the
+    * same plan without the top-k cap, partitioned by token prefix.
+    */
+  def postings(docs: DataFrame, k: Int = PostingsK): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val top = toks
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+      .select(col("token"))
+    toks
+      .join(broadcast(top), "token")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(
+        count(lit(1)).as("tf"),
+        min(col("pos")).cast("long").as("first_pos"),
+        max(col("pos")).cast("long").as("last_pos"))
+  }
+
+  def qPostings(spark: SparkSession, dir: String): DataFrame =
+    postings(Tables.documents(spark, dir)).orderBy(col("token"), col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Near-dup cluster survivorship
+  // ---------------------------------------------------------------------
+
+  /** Survivorship over the minhash near-dup clusters: every clustered
+    * doc labeled with its cluster and whether it is the cluster's
+    * SURVIVOR — the highest-quality member (ties to the lowest doc_id).
+    * This is the policy step between "find the dup clusters" and "emit
+    * the deduped corpus": keep the best spelling of each duplicated
+    * document, not an arbitrary one.
+    *
+    * Quality comes from [[TextStats.qualityFeatures]] — both engines
+    * derive the score identically (bit-proven by `q_quality_score`), so
+    * ordering on the raw double is portable. The cluster labels ride the
+    * same parquet-spill handoff as `q_dedup_clusters` (bounded driver
+    * loop, no collect); the quality join keys on doc_id, the survivor
+    * pick is a per-cluster window.
+    */
+  def survivorship(docs: DataFrame): DataFrame = {
+    import TextDedup.{minhashPairs, spillPath, withDedupClusters}
+    val spark = docs.sparkSession
+    withDedupClusters(minhashPairs(docs)) { labels =>
+      val quality = TextStats.qualityFeatures(docs)
+        .select(col("doc_id"), col("quality_score"))
+      val byCluster = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val out = labels
+        .join(quality, "doc_id")
+        .withColumn("is_survivor",
+          (row_number().over(byCluster) === 1).cast("long"))
+        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+          col("is_survivor"))
+      val dir = spillPath(spark, "survivorship")
+      out.write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+    }
+  }
+
+  def qSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    survivorship(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
+}
