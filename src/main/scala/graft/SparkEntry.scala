@@ -144,6 +144,7 @@ object SparkEntry {
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
+    "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -1993,5 +1994,20 @@ object SparkEntry {
          FROM p ORDER BY token, doc_id"""
     },
     "q_survivorship" -> survivorshipOracle,
+    // near-dup graph degrees from the same banded candidate chain; max
+    // over identical rational jaccards is portable
+    "q_dup_degree" -> {
+      import TextDedup._
+      s"""WITH $minhashCtes,
+         pj AS (SELECT doc_a, doc_b,
+             CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
+           FROM scored
+           WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+         b AS (SELECT doc_a AS doc_id, jaccard FROM pj
+               UNION ALL SELECT doc_b, jaccard FROM pj)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           max(jaccard) AS max_jaccard
+         FROM b GROUP BY doc_id ORDER BY doc_id"""
+    },
   )
 }

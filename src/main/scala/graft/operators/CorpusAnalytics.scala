@@ -177,4 +177,31 @@ object CorpusAnalytics {
     graft.expressions.GraftFunctions.register(spark)
     survivorship(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // Duplicate-graph degree profile
+  // ---------------------------------------------------------------------
+
+  /** Degree profile of the near-dup graph: per clustered doc, how many
+    * neighbors it pairs with and its strongest Jaccard — the triage view
+    * for "is this corpus's duplication a few giant templates or many
+    * small pairs", read before choosing cluster-vs-pairwise removal.
+    *
+    * One unionAll of the (already banded, already thresholded) pair list
+    * with itself reversed, then a single keyed aggregate — degree never
+    * materializes adjacency lists, so a mega-hub doc costs one counter,
+    * not one row per neighbor.
+    */
+  def dupDegree(docs: DataFrame): DataFrame = {
+    val pairs = TextDedup.minhashPairs(docs)
+    pairs.select(col("doc_a").as("doc_id"), col("jaccard"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_neighbors"), max(col("jaccard")).as("max_jaccard"))
+  }
+
+  def qDupDegree(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    dupDegree(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
 }

@@ -386,6 +386,51 @@ object Events {
         sessionizeGroupTimeout)
   }
 
+  // --- streaming funnel ---
+
+  case class FunnelHit(user_id: Long, stage_idx: Long, stage: String,
+                       ts_us: Long)
+  case class FunnelState(stage: Int, boundUs: Long)
+
+  /** Stateful streaming twin of [[graft.operators.Analytics.funnel]]:
+    * per-user progress (completed stage count + the binding timestamp)
+    * lives in `GroupState`; each micro-batch's events are scanned in
+    * event-time order and a stage advances on the first event of the
+    * next stage's type STRICTLY after the current binding — an in-order
+    * scan reproduces the batch operator's earliest-binding semantics
+    * exactly. Emits one [[FunnelHit]] per transition (Append mode);
+    * counting hits per stage equals the batch funnel's counts once the
+    * stream drains. */
+  def funnelGroup(stages: Seq[String])(
+      userId: Long, batch: Iterator[(Long, String, Long)],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    val evs = batch.toArray.sortBy(e => (e._3, e._2))
+    var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+    val hits = Seq.newBuilder[FunnelHit]
+    evs.foreach { case (_, ty, ts) =>
+      if (st.stage < stages.length && ty == stages(st.stage) && ts > st.boundUs) {
+        hits += FunnelHit(userId, (st.stage + 1).toLong, ty, ts)
+        st = FunnelState(st.stage + 1, ts)
+      }
+    }
+    state.update(st)
+    hits.result().iterator
+  }
+
+  /** flatMapGroupsWithState funnel over the event file stream. */
+  def streamingFunnel(spark: SparkSession, dir: String): Dataset[FunnelHit] = {
+    import spark.implicits._
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEvents(stream)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        funnelGroup(graft.operators.Analytics.FunnelStages))
+  }
+
   /** The streaming twin: same transform over a file stream with a
     * watermark (exercised by the streaming spec; not an oracle query —
     * the oracle sees the batch twin above). */

@@ -337,4 +337,47 @@ class StreamingSpec extends SparkSpec {
       .select(from_json(col("props"), Events.propsSchema).getField("k").as("k"))
     assert(df.as[Option[Int]].collect().toSeq === Seq(Some(4), None, None))
   }
+
+  test("stateful funnel: streamed stage counts == batch funnel counts") {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft-ckpt-funnel").toString
+    val q = Events.streamingFunnel(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_funnel")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_funnel")
+      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Analytics
+      .qFunnel(spark, sfSmoke)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("funnelGroup state never regresses: a late pre-bound event cannot advance") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.streaming.Events.{FunnelState, funnelGroup}
+    val stages = graft.operators.Analytics.FunnelStages
+    def state(s: Option[FunnelState]) = TestGroupState.create[FunnelState](
+      s.map(org.apache.spark.api.java.Optional.of[FunnelState])
+        .getOrElse(org.apache.spark.api.java.Optional.empty[FunnelState]()),
+      GroupStateTimeout.NoTimeout(), 0L,
+      org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // batch 1: view@100 binds stage 1
+    val s1 = state(None)
+    val h1 = funnelGroup(stages)(1L, Iterator((1L, "view", 100L)), s1).toSeq
+    assert(h1.map(_.stage_idx) === Seq(1L))
+    // batch 2: a click at ts=50 (before the stage-1 bound) must NOT
+    // advance; a click at 150 must
+    val s2 = state(Some(s1.get))
+    val h2 = funnelGroup(stages)(1L,
+      Iterator((1L, "click", 50L), (1L, "click", 150L)), s2).toSeq
+    assert(h2.map(h => (h.stage_idx, h.ts_us)) === Seq((2L, 150L)))
+  }
 }
