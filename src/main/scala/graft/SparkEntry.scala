@@ -145,6 +145,7 @@ object SparkEntry {
     "q_postings"           -> (CorpusAnalytics.qPostings _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
+    "q_ann_recall"         -> (Similarity.qAnnRecall _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -2009,5 +2010,43 @@ object SparkEntry {
            max(jaccard) AS max_jaccard
          FROM b GROUP BY doc_id ORDER BY doc_id"""
     },
+    // recall@3 of the banded ANN vs brute force: both CTE chains are the
+    // same SQL the two underlying oracles run; overlap + rational n/k
+    "q_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE $isQuerySql),
+         scored_x AS (
+           SELECT q.query_id, e.vec_id, ${cosineSql("q.qv", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         ranked_x AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored_x),
+         ex AS (SELECT query_id, vec_id FROM ranked_x WHERE rk <= 3),
+         bands AS ($bandedIndexSql),
+         qb AS (SELECT vec_id AS query_id, band, sig FROM bands WHERE $isQuerySql),
+         cand AS (SELECT DISTINCT b.vec_id, q.query_id
+                  FROM bands b JOIN qb q ON b.band = q.band AND b.sig = q.sig
+                  WHERE b.vec_id <> q.query_id),
+         scored_a AS (
+           SELECT c.query_id, c.vec_id,
+             ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings qe ON qe.vec_id = c.query_id),
+         ranked_a AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored_a),
+         an AS (SELECT query_id, vec_id FROM ranked_a WHERE rk <= 3),
+         hits AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                  FROM ex JOIN an ON ex.query_id = an.query_id
+                    AND ex.vec_id = an.vec_id
+                  GROUP BY ex.query_id)
+         SELECT q.query_id,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall
+         FROM q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
   )
 }

@@ -234,6 +234,23 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSet === Set(1L))
   }
 
+  test("annRecall charges the ANN for the invisible neighbor, credits the found ones") {
+    // exact top-2 for query 0: vec 1 (cosine 62/64) and vec 2 (48/64);
+    // the ANN sees only vec 1 (vec 2 shares no intact band with 0), so
+    // recall@2 = 1/2 — the metric detects exactly the blocking loss the
+    // candidates test above pins
+    val emb = Seq(
+      (0L, flipped(), 0),
+      (1L, flipped(1), 0),
+      (2L, flipped(1, 9, 17, 25, 33, 41, 49, 57), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.annRecall(emb, k = 2).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 0L)
+    assert(r.head.getLong(1) === 1L)
+    assert(r.head.getDouble(2) === 0.5)
+  }
+
   test("embedding cross-pairs pair the probe against the index only") {
     // probe 0 near-dups index 1; index vectors 3 and 4 are identical to
     // each other but both index-side, so they must never pair
