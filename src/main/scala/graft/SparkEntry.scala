@@ -37,6 +37,9 @@ object SparkEntry {
     "q_retention_cohorts"  -> (Analytics.qRetentionCohorts _),
     "q_funnel"             -> (Analytics.qFunnel _),
     "q_scd2_history"       -> (Analytics.qScd2History _),
+    // contract: merge(history(<T), delta(>=T)) == full recompute, so the
+    // oracle is q_scd2_history's SQL verbatim
+    "q_scd2_merge"         -> (Analytics.qScd2Merge _),
     "q_median_outliers"    -> (Analytics.qMedianOutliers _),
     "q14_promo_revenue"    -> (Relational.q14PromoRevenue _),
     "q7_volume_shipping"   -> (Relational.q7VolumeShipping _),
@@ -360,6 +363,25 @@ object SparkEntry {
        SELECT node AS doc_id, min(r) AS cluster_id
        FROM reach GROUP BY node ORDER BY doc_id"""
   }
+
+  /** SCD2 full-recompute SQL — the oracle for BOTH `q_scd2_history` and
+    * `q_scd2_merge` (the merge's contract is exact equality with the
+    * recompute over the same events). */
+  private def scd2HistorySql: String =
+    """WITH e AS (
+         SELECT user_id, event_type, event_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us, value
+         FROM events)
+       SELECT user_id, event_type,
+         CAST(row_number() OVER w AS BIGINT) AS version,
+         ts_us AS valid_from_us,
+         lead(ts_us) OVER w AS valid_to_us,
+         value,
+         CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
+           AS BIGINT) AS is_current
+       FROM e
+       WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
+       ORDER BY user_id, event_type, version"""
 
   /** Survivorship oracle: the cluster CTE chain of [[dedupClustersOracle]]
     * plus the quality-score derivation of `q_quality_score` (same
@@ -1568,21 +1590,9 @@ object SparkEntry {
          ORDER BY stage_idx""",
     // SCD2 validity intervals; the event_id tie-break pins same-µs
     // events to one order in both engines (same rule as q_event_gaps)
-    "q_scd2_history" ->
-      """WITH e AS (
-           SELECT user_id, event_type, event_id,
-             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us, value
-           FROM events)
-         SELECT user_id, event_type,
-           CAST(row_number() OVER w AS BIGINT) AS version,
-           ts_us AS valid_from_us,
-           lead(ts_us) OVER w AS valid_to_us,
-           value,
-           CAST(CASE WHEN lead(ts_us) OVER w IS NULL THEN 1 ELSE 0 END
-             AS BIGINT) AS is_current
-         FROM e
-         WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_us, event_id)
-         ORDER BY user_id, event_type, version""",
+    "q_scd2_history" -> scd2HistorySql,
+    // the merge's contract is equality with the full recompute — same SQL
+    "q_scd2_merge" -> scd2HistorySql,
     // exact median/MAD rounded to 6 decimals BEFORE the outlier
     // comparison, so classification never reads digits the two engines'
     // percentile interpolation could disagree on

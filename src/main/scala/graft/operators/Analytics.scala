@@ -148,6 +148,69 @@ object Analytics {
     scd2History(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("event_type"), col("version"))
 
+  /** Incremental SCD2 merge: apply a DELTA batch of events (all strictly
+    * later than the standing dimension's rows, the append-only landing
+    * contract) to an existing [[scd2History]] table WITHOUT recomputing
+    * it — at 100 TB the dimension is orders of magnitude larger than a
+    * day's delta, so the merge touches the delta, the per-key version
+    * head, and the (at most one per touched key) open row; the closed
+    * history rows stream through untouched.
+    *
+    * Three keyed steps, all on the same (user_id, event_type) hash
+    * partitioning: the standing per-key MAX version (an aggregate over
+    * the dim — in a real lakehouse this is the bucketed dim's metadata),
+    * the delta's own window chain continuing that numbering, and the
+    * close-the-open-row update driven by each key's first delta
+    * timestamp. `merge(history(≤T), delta(>T)) == scd2History(all)` is
+    * the operator's contract — the oracle IS the full recompute.
+    */
+  def scd2Merge(dim: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = Seq("user_id", "event_type")
+    val d = delta.select(col("user_id"), col("event_type"), col("event_id"),
+      tsUs(col("ts")).as("ts_us"), col("value"))
+    val versionHead = dim.groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("version")).as("v0"))
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val newRows = d
+      .join(versionHead, keys, "left") // new keys start at version 1
+      .select(
+        col("user_id"), col("event_type"),
+        (row_number().over(w).cast("long") + coalesce(col("v0"), lit(0L)))
+          .as("version"),
+        col("ts_us").as("valid_from_us"),
+        lead(col("ts_us"), 1).over(w).as("valid_to_us"),
+        col("value"),
+        when(lead(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L)
+          .as("is_current"))
+    val firstNew = d.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("ts_us")).as("first_new_us"))
+    val touched = col("is_current") === 1L && col("first_new_us").isNotNull
+    val closed = dim
+      .join(firstNew, keys, "left")
+      .select(
+        col("user_id"), col("event_type"), col("version"),
+        col("valid_from_us"),
+        when(touched, col("first_new_us")).otherwise(col("valid_to_us"))
+          .as("valid_to_us"),
+        col("value"),
+        when(touched, 0L).otherwise(col("is_current")).as("is_current"))
+    closed.unionByName(newRows)
+  }
+
+  /** Split day for the merge query: history strictly before, delta from
+    * it on — mid-corpus so both sides are non-trivial at every SF. */
+  val MergeSplit = "2024-01-20 00:00:00"
+
+  def qScd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val cut = to_timestamp(lit(MergeSplit))
+    scd2Merge(
+      scd2History(events.filter(col("ts") < cut)),
+      events.filter(col("ts") >= cut))
+      .orderBy(col("user_id"), col("event_type"), col("version"))
+  }
+
   // ---------------------------------------------------------------------
   // Median / MAD outlier screen
   // ---------------------------------------------------------------------

@@ -115,6 +115,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getDouble(5)).toSeq === Seq(2.0, 7.0))
   }
 
+  // --- SCD2 incremental merge ---
+
+  test("scd2Merge(history, delta) equals the full recompute") {
+    val all = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-05 10:00:00", 1L, "view", 2.0),
+      (3L, "2024-01-25 10:00:00", 1L, "view", 3.0),   // delta: existing key
+      (4L, "2024-01-26 10:00:00", 1L, "view", 4.0),   // delta: same key again
+      (5L, "2024-01-02 10:00:00", 2L, "click", 9.0),  // history-only key
+      (6L, "2024-01-27 10:00:00", 3L, "view", 7.0))   // delta-only (new) key
+    val cut = ts("2024-01-20 00:00:00")
+    val merged = Analytics.scd2Merge(
+      Analytics.scd2History(all.where(col("ts") < cut)),
+      all.where(col("ts") >= cut))
+      .orderBy("user_id", "event_type", "version").collect().toSeq
+    val recomputed = Analytics.scd2History(all)
+      .orderBy("user_id", "event_type", "version").collect().toSeq
+    assert(merged === recomputed)
+  }
+
+  test("scd2Merge with an empty delta is the identity") {
+    val hist = Analytics.scd2History(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-05 10:00:00", 1L, "view", 2.0)))
+    val merged = Analytics.scd2Merge(hist, ev())
+      .orderBy("version").collect().toSeq
+    assert(merged === hist.orderBy("version").collect().toSeq)
+  }
+
   // --- median / MAD outliers ---
 
   test("medianOutliers computes exact median, MAD, and the 3-MAD count") {
