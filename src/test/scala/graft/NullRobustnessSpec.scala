@@ -105,4 +105,46 @@ class NullRobustnessSpec extends SparkSpec {
     assert(CorpusFilters.piiStats(empty).count() === 0)
     assert(TextStats.qualityFeatures(empty).count() === 0)
   }
+
+  test("corpus analytics on degenerate docs: no crash, null doc never indexed") {
+    import graft.operators.CorpusAnalytics
+    val docs = corpus.withColumn("lang", lit("en"))
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+    // bigrams/postings: degenerate docs contribute nothing, others work
+    val bigrams = CorpusAnalytics.bigramNext(docs, heads = 100, perHead = 100)
+    assert(bigrams.count() > 0)
+    val posted = CorpusAnalytics.postings(docs, k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!posted.contains(4L) && !posted.contains(2L) && !posted.contains(3L))
+    // stratified sample survives a null-lang row: it falls out of the
+    // inner threshold join in BOTH engines (SQL inner join on NULL)
+    val withNullLang = docs.withColumn("lang",
+      when(col("doc_id") === 5L, lit(null.asInstanceOf[String]))
+        .otherwise(col("lang")))
+    val kept = CorpusAnalytics.stratifiedSample(withNullLang)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(5L))
+  }
+
+  test("event analytics on empty frames and null values") {
+    import graft.operators.Analytics
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Analytics.retentionCohorts(empty).count() === 0)
+    assert(Analytics.funnel(empty).count() === 0)
+    assert(Analytics.scd2History(empty).count() === 0)
+    assert(Analytics.medianOutliers(empty).count() === 0)
+    // a null value row: percentile skips it, counts still include it,
+    // and its outlier comparison is NULL -> not counted (same in SQL)
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view", Some(1.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 1L, "view", Some(3.0)),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "view", None))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Analytics.medianOutliers(ev).collect().head
+    assert(r.getLong(1) === 3L)      // n_events counts the null row
+    assert(r.getDouble(2) === 2.0)   // median over non-null values
+    assert(r.getLong(4) === 0L)      // null comparison never flags
+  }
 }
