@@ -149,6 +149,10 @@ object SparkEntry {
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
+    "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
+    "q_event_transitions"  -> (Analytics.qEventTransitions _),
+    "q_value_histogram"    -> (Analytics.qValueHistogram _),
+    "q_label_centroids"    -> (Similarity.qLabelCentroids _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -2058,5 +2062,89 @@ object SparkEntry {
            CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall
          FROM q LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
+    // stage-to-stage latency over the funnel's per-user times; BIGINT
+    // gap sums keep the mean a portable rational
+    "q_funnel_latency" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+           FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS ts_us FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.ts_us
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.ts_us
+                GROUP BY e.user_id),
+         t1 AS (SELECT s2.ts_us - s1.ts_us AS gap
+                FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+         t2 AS (SELECT s3.ts_us - s2.ts_us AS gap
+                FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+         SELECT CAST(1 AS BIGINT) AS stage_idx,
+           'view->click' AS transition,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(gap) AS DOUBLE) / count(*) AS avg_us,
+           CAST(max(gap) AS BIGINT) AS max_us
+         FROM t1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click->purchase',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(gap) AS DOUBLE) / count(*),
+           CAST(max(gap) AS BIGINT)
+         FROM t2
+         ORDER BY stage_idx""",
+    // first-order Markov matrix; p is a BIGINT/BIGINT rational
+    "q_event_transitions" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+           FROM events),
+         x AS (
+           SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type,
+                 CAST(count(*) AS BIGINT) AS n_transitions
+               FROM x WHERE to_type IS NOT NULL
+               GROUP BY from_type, to_type)
+         SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) /
+             CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+         FROM c ORDER BY from_type, to_type""",
+    // fixed-width histogram: floor of the same double quotient both
+    // engines; min/max over identical value sets
+    "q_value_histogram" ->
+      """WITH b AS (
+           SELECT event_type,
+             CAST(floor(value / 50.0) AS BIGINT) AS bin, value
+           FROM events)
+         SELECT event_type, bin,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS min_value,
+           max(value) AS max_value,
+           CAST(bin AS DOUBLE) * 50.0 AS bin_lo
+         FROM b GROUP BY event_type, bin
+         ORDER BY event_type, bin""",
+    // per-(label, dim) EXACT integer sums of millionth-quantized
+    // components (the q_embed_quantize rounding); mean is a rational
+    "q_label_centroids" ->
+      """WITH ix AS (
+           SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         q AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS qv
+               FROM ix)
+         SELECT label, dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(qv) AS BIGINT) AS sum_q,
+           CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+         FROM q GROUP BY label, dim
+         ORDER BY label, dim""",
   )
 }

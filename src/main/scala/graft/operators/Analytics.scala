@@ -83,8 +83,10 @@ object Analytics {
     * the same key, so the exchanges line up; K is the (tiny) stage list,
     * not data-dependent. The final union is K one-row aggregates.
     */
-  def funnel(events: DataFrame,
-             stages: Seq[String] = FunnelStages): DataFrame = {
+  /** Per-user stage completion times — the funnel's underlying table:
+    * one row per (user, reached stage) with the binding timestamp. */
+  def funnelTimes(events: DataFrame,
+                  stages: Seq[String] = FunnelStages): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val typed = events.select(
       col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_us"))
@@ -94,7 +96,7 @@ object Analytics {
       .agg(min(col("ts_us")).as("ts_us"))
     val perStage = Seq.newBuilder[DataFrame]
     perStage += cur.select(lit(1L).as("stage_idx"),
-      lit(stages.head).as("stage"), col("user_id"))
+      lit(stages.head).as("stage"), col("user_id"), col("ts_us"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
       val nxt = typed
         .filter(col("event_type") === st)
@@ -103,16 +105,101 @@ object Analytics {
         .groupBy(col("user_id"))
         .agg(min(col("ts_us")).as("ts_us"))
       perStage += nxt.select(lit((i + 1).toLong).as("stage_idx"),
-        lit(st).as("stage"), col("user_id"))
+        lit(st).as("stage"), col("user_id"), col("ts_us"))
       cur = nxt
     }
     perStage.result().reduce(_ unionAll _)
+  }
+
+  def funnel(events: DataFrame,
+             stages: Seq[String] = FunnelStages): DataFrame =
+    funnelTimes(events, stages)
       .groupBy(col("stage_idx"), col("stage"))
       .agg(count(lit(1)).as("n_users"))
-  }
 
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(spark, dir)).orderBy(col("stage_idx"))
+
+  /** Stage-to-stage conversion latency: per adjacent stage pair, the
+    * converting population with exact integer-µs gap aggregates (BIGINT
+    * sums, rational mean — no order-dependent float accumulation). The
+    * lead window rides [[funnelTimes]]'s per-user rows: partitions are
+    * at most |stages| rows each. */
+  def funnelLatency(events: DataFrame,
+                    stages: Seq[String] = FunnelStages): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("stage_idx"))
+    funnelTimes(events, stages)
+      .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("next_stage", lead(col("stage"), 1).over(w))
+      .where(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("ts_us"))
+      .groupBy(col("stage_idx"),
+        concat(col("stage"), lit("->"), col("next_stage")).as("transition"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("gap_us")).as("sum_gap"),
+        max(col("gap_us")).as("max_us"))
+      .select(col("stage_idx"), col("transition"), col("n_users"),
+        (col("sum_gap").cast("double") / col("n_users")).as("avg_us"),
+        col("max_us"))
+  }
+
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame =
+    funnelLatency(Tables.events(spark, dir)).orderBy(col("stage_idx"))
+
+  // ---------------------------------------------------------------------
+  // Event-type transition matrix
+  // ---------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: counts of consecutive (from, to) event-type pairs and the
+    * per-from conditional probability (a BIGINT/BIGINT rational — both
+    * engines divide the same integers). One per-user lead window, one
+    * keyed aggregate, one |types|²-row probability window. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsUs(col("ts")).as("ts_us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts.select(col("from_type"), col("to_type"), col("n_transitions"),
+      (col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(byFrom).cast("double")).as("p"))
+  }
+
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.events(spark, dir))
+      .orderBy(col("from_type"), col("to_type"))
+
+  // ---------------------------------------------------------------------
+  // Value histogram
+  // ---------------------------------------------------------------------
+
+  val HistBinWidth = 50.0
+
+  /** Fixed-width value histogram per event type: bin index from a
+    * map-side `floor(value / width)` (portable double arithmetic — both
+    * engines floor the same quotient), with per-bin min/max over the
+    * identical value set. No windows, one aggregate — the shape survives
+    * any scale. */
+  def valueHistogram(events: DataFrame,
+                     width: Double = HistBinWidth): DataFrame =
+    events
+      .select(col("event_type"),
+        floor(col("value") / width).cast("long").as("bin"), col("value"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("bin_lo", col("bin") * width)
+
+  def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
+    valueHistogram(Tables.events(spark, dir))
+      .orderBy(col("event_type"), col("bin"))
 
   // ---------------------------------------------------------------------
   // SCD2 history

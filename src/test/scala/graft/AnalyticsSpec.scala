@@ -115,6 +115,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getDouble(5)).toSeq === Seq(2.0, 7.0))
   }
 
+  // --- funnel latency ---
+
+  test("funnelLatency reports exact µs gaps between the binding times") {
+    // user 1: view@10:00 -> click@10:30 (1800s) -> purchase@11:30 (3600s)
+    // user 2: view@09:00 -> click@09:10 (600s), never purchases
+    val out = Analytics.funnelLatency(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 11:30:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 09:10:00", 2L, "click", 0.0)))
+      .orderBy("stage_idx").collect()
+    assert(out.length === 2)
+    val vc = out(0)
+    assert(vc.getString(1) === "view->click" && vc.getLong(2) === 2L)
+    assert(vc.getDouble(3) === (1800e6 + 600e6) / 2)
+    assert(vc.getLong(4) === 1800000000L)
+    val cp = out(1)
+    assert(cp.getString(1) === "click->purchase" && cp.getLong(2) === 1L)
+    assert(cp.getDouble(3) === 3600e6 && cp.getLong(4) === 3600000000L)
+  }
+
+  // --- event transitions ---
+
+  test("eventTransitions counts consecutive pairs per user with rational p") {
+    // user 1: a b a b  -> a->b ×2, b->a ×1; user 2: a a -> a->a ×1
+    val out = Analytics.eventTransitions(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "a", 0.0),
+      (4L, "2024-01-01 10:03:00", 1L, "b", 0.0),
+      (5L, "2024-01-01 10:00:00", 2L, "a", 0.0),
+      (6L, "2024-01-01 10:05:00", 2L, "a", 0.0)))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      ("a", "b") -> ((2L, 2.0 / 3.0)),
+      ("a", "a") -> ((1L, 1.0 / 3.0)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
+  // --- value histogram ---
+
+  test("valueHistogram bins by floor(value/width) with per-bin extremes") {
+    val out = Analytics.valueHistogram(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "x", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "x", 49.99),
+      (3L, "2024-01-01 10:02:00", 1L, "x", 50.0),
+      (4L, "2024-01-01 10:03:00", 1L, "x", 120.5)))
+      .orderBy("bin").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    assert(out.toSeq === Seq(
+      0L -> ((2L, 0.0, 49.99, 0.0)),
+      1L -> ((1L, 50.0, 50.0, 50.0)),
+      2L -> ((1L, 120.5, 120.5, 100.0))))
+  }
+
   // --- SCD2 incremental merge ---
 
   test("scd2Merge(history, delta) equals the full recompute") {

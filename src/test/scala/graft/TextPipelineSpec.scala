@@ -234,6 +234,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.toSet === Set(1L))
   }
 
+  test("labelCentroids sums exact quantized components per (label, dim)") {
+    val emb = Seq(
+      (1L, Array(0.25f, -0.5f), 0),
+      (2L, Array(0.75f, 0.5f), 0),
+      (3L, Array(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out === Map(
+      (0, 0) -> ((2L, 1000000L, 500000.0)),
+      (0, 1) -> ((2L, 0L, 0.0)),
+      (1, 0) -> ((1L, 1000000L, 1000000.0)),
+      (1, 1) -> ((1L, 0L, 0.0))))
+  }
+
   test("annRecall charges the ANN for the invisible neighbor, credits the found ones") {
     // exact top-2 for query 0: vec 1 (cosine 62/64) and vec 2 (48/64);
     // the ANN sees only vec 1 (vec 2 shares no intact band with 0), so
