@@ -32,6 +32,7 @@ object SparkEntry {
     "q_events_cube"        -> (graft.streaming.Events.qEventsCube _),
     "q_event_gaps"         -> (graft.streaming.Events.qEventGaps _),
     "q_resample_hourly"    -> (graft.streaming.Events.qResampleHourly _),
+    "q_hourly_anomaly"     -> (graft.streaming.Events.qHourlyAnomaly _),
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     // product-analytics surface (cohorts / funnel / SCD2 / robust stats)
     "q_retention_cohorts"  -> (Analytics.qRetentionCohorts _),
@@ -1542,6 +1543,41 @@ object SparkEntry {
            COALESCE(sum_value, 0.0) AS sum_value
          FROM s LEFT JOIN c ON s.hour = c.hour
          ORDER BY hour""",
+    // trailing-24h z-score on the gap-filled spine: integer window sums
+    // make mean/variance rationals; z is identical IEEE arithmetic.
+    // The exclusive frame (24 PRECEDING .. 1 PRECEDING) keeps the tested
+    // hour out of its own baseline; flat baselines give NULL z, flag 0
+    "q_hourly_anomaly" ->
+      """WITH ev AS (
+           SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour
+           FROM events),
+         c AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_events
+               FROM ev GROUP BY hour),
+         b AS (SELECT min(hour) AS lo, max(hour) AS hi FROM ev),
+         s AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+         f AS (SELECT s.hour, COALESCE(n_events, 0) AS n_events
+               FROM s LEFT JOIN c ON s.hour = c.hour),
+         wst AS (SELECT hour, n_events,
+             count(*) OVER w AS n_prior,
+             CAST(sum(n_events) OVER w AS BIGINT) AS sum_prior,
+             CAST(sum(n_events * n_events) OVER w AS BIGINT) AS sumsq_prior
+           FROM f
+           WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         zed AS (SELECT hour, n_events,
+             CAST(sum_prior AS DOUBLE) / 24 AS mean24,
+             CASE WHEN (24 * sumsq_prior - sum_prior * sum_prior) > 0 THEN
+               (CAST(n_events AS DOUBLE) - CAST(sum_prior AS DOUBLE) / 24)
+                 / sqrt(CAST(24 * sumsq_prior - sum_prior * sum_prior
+                     AS DOUBLE) / 576)
+             END AS z
+           FROM wst WHERE n_prior = 24)
+         SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n_events,
+           mean24, z,
+           CAST(CASE
+             WHEN z IS NOT NULL THEN CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END
+             WHEN CAST(n_events AS DOUBLE) <> mean24 THEN 1
+             ELSE 0 END AS BIGINT) AS is_anomaly
+         FROM zed ORDER BY hour""",
     "q_events_cube" ->
       """WITH e AS (
            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day

@@ -177,8 +177,8 @@ object Events {
     * data size (a decade is <10^5 hours), so the single-task generate
     * is a bounded operator, not a scale risk; the left join back to
     * the hourly aggregate is spine-side-tiny and AQE-broadcast. */
-  def qResampleHourly(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def resampleHourly(events: DataFrame): DataFrame = {
+    val ev = events
       .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
     val counts = ev.groupBy(col("hour"))
       .agg(count(lit(1)).as("n_events"),
@@ -190,7 +190,48 @@ object Events {
       .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
-      .orderBy(col("hour"))
+  }
+
+  def qResampleHourly(spark: SparkSession, dir: String): DataFrame =
+    resampleHourly(Tables.events(spark, dir)).orderBy(col("hour"))
+
+  /** Trailing-day anomaly screen over the gap-filled hourly series: each
+    * hour's count against the mean/variance of the PRIOR 24 hours
+    * (exclusive frame — the tested point never contaminates its own
+    * baseline). The rolling stats are INTEGER window sums (n, Σx, Σx²),
+    * so mean and variance are rationals both engines derive from the
+    * same BIGINTs, and z = (x−μ)/σ is identical IEEE arithmetic — no
+    * order-dependent float accumulation anywhere. The window is global
+    * but bounded by CALENDAR TIME like the spine itself (<10⁵ rows per
+    * decade) — the same documented O(time) exception as the resample.
+    * Hours with var=0 (flat baseline) report a NULL z and never flag. */
+  def qHourlyAnomaly(spark: SparkSession, dir: String): DataFrame =
+    hourlyAnomaly(Tables.events(spark, dir)).orderBy(col("hour"))
+
+  def hourlyAnomaly(events: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("hour")).rowsBetween(-24, -1)
+    val n = col("n_events")
+    resampleHourly(events)
+      .select(col("hour"), n)
+      .withColumn("n_prior", count(lit(1)).over(w))
+      .withColumn("sum_prior", sum(n).over(w))
+      .withColumn("sumsq_prior", sum(n * n).over(w))
+      .where(col("n_prior") === 24)
+      .withColumn("mean24", col("sum_prior").cast("double") / 24d)
+      .withColumn("var24",
+        (lit(24L) * col("sumsq_prior") - col("sum_prior") * col("sum_prior"))
+          .cast("double") / 576d)
+      .withColumn("z", when(col("var24") > 0d,
+        (n.cast("double") - col("mean24")) / sqrt(col("var24"))))
+      // flat baseline (var 0): z is undefined, but ANY deviation from a
+      // perfectly constant prior day is anomalous — without this branch
+      // a spike over a flat baseline is invisible to the pure z-score
+      .withColumn("is_anomaly",
+        when(col("var24") > 0d,
+          when(abs(col("z")) > 2d, 1L).otherwise(0L))
+        .otherwise(
+          when(n.cast("double") =!= col("mean24"), 1L).otherwise(0L)))
+      .select(col("hour"), n, col("mean24"), col("z"), col("is_anomaly"))
   }
 
   /** ROLLUP hierarchy (type → type×hour → grand total) as one pass —

@@ -338,6 +338,32 @@ class StreamingSpec extends SparkSpec {
     assert(df.as[Option[Int]].collect().toSeq === Seq(Some(4), None, None))
   }
 
+  test("hourly anomaly flags a planted spike against its trailing day, not itself") {
+    import spark.implicits._
+    // 26 hours of a flat 10-events baseline, then one 100-event spike
+    // hour, then a normal hour. Flat baseline -> var 0 -> NULL z until
+    // the spike enters a window; the spike hour itself tests against the
+    // flat PRIOR day (exclusive frame) and flags.
+    def hourEvents(h: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until n).map { i =>
+        val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        (h * 1000L + i, new java.sql.Timestamp(ts.getTime + h * 3600000L + i * 1000L),
+          1L, "view", 1.0)
+      }
+    val rows = (0 until 26).flatMap(hourEvents(_, 10)) ++
+      hourEvents(26, 100) ++ hourEvents(27, 10)
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.hourlyAnomaly(events).orderBy("hour").collect()
+    // hours 24..27 (indices 0..3 here) have a full prior frame
+    assert(out.length === 4)
+    assert(out(0).getLong(4) === 0L && out(0).isNullAt(3)) // flat: null z
+    assert(out(2).getLong(4) === 1L, "spike not flagged")
+    assert(out(2).getDouble(2) === 10.0) // baseline mean excludes the spike
+    // the hour AFTER the spike: baseline now contains the spike, the
+    // normal count is within 2 sigma of the inflated-variance window
+    assert(out(3).getLong(4) === 0L)
+  }
+
   test("stateful funnel: streamed stage counts == batch funnel counts") {
     import spark.implicits._
     val checkpoint = Files.createTempDirectory("graft-ckpt-funnel").toString
