@@ -79,6 +79,7 @@ object SparkEntry {
     // LLM-data-pipeline operators over documents/embeddings/events
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
+    "q_containment_pairs"  -> (TextDedup.qContainmentPairs _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
@@ -2045,6 +2046,25 @@ object SparkEntry {
          FROM p ORDER BY token, doc_id"""
     },
     "q_survivorship" -> survivorshipOracle,
+    // containment verify over the same banded candidates; the Jaccard
+    // `scored` CTE in the chain goes unreferenced and unevaluated
+    "q_containment_pairs" -> {
+      import TextDedup._
+      s"""WITH $minhashCtes,
+         sc AS (
+           SELECT doc_a, doc_b,
+             CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS inter,
+             CAST(least(len(sa.hs), len(sb.hs)) AS DOUBLE) AS mn
+           FROM cand
+           JOIN shs sa ON sa.doc_id = doc_a
+           JOIN shs sb ON sb.doc_id = doc_b)
+         SELECT doc_a, doc_b,
+           CASE WHEN mn = 0 THEN 0.0 ELSE inter / mn END AS containment
+         FROM sc
+         WHERE CASE WHEN mn = 0 THEN 0.0 ELSE inter / mn END
+           >= $ContainmentThreshold
+         ORDER BY doc_a, doc_b"""
+    },
     // near-dup graph degrees from the same banded candidate chain; max
     // over identical rational jaccards is portable
     "q_dup_degree" -> {

@@ -124,6 +124,49 @@ object TextDedup {
     minhashPairs(Tables.documents(spark, dir)).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  val ContainmentThreshold = 0.9
+
+  /** Containment of the smaller shingle set in the larger:
+    * `|A∩B| / min(|A|,|B|)` — the ASYMMETRIC dup signal Jaccard dilutes.
+    * A short document wholly quoted inside a long one has containment
+    * 1.0 while its Jaccard shrinks with the length ratio, so a
+    * Jaccard-thresholded pass never sees it. */
+  def containmentScore(a: Column, b: Column): Column = {
+    val inter = call_function("sorted_intersect_size", a, b).cast("double")
+    val mn = least(size(a), size(b)).cast("double")
+    when(mn === 0, 0.0).otherwise(inter / mn)
+  }
+
+  /** Near-dup pairs scored by CONTAINMENT instead of Jaccard — same
+    * banded candidate generation (one (band, sig) equi-join, never
+    * all-pairs), different verify. Catches quote-style subset dups down
+    * to the banding's Jaccard operating point (~0.5 at 4×4 bands);
+    * below that the pair never collides in a band, and the honest fix
+    * is an asymmetric blocking (per-prefix minhash of the SHORT side),
+    * not a bigger threshold — documented, not implemented. */
+  def containmentPairs(docs: DataFrame,
+                       threshold: Double = ContainmentThreshold): DataFrame = {
+    val hs = hashedShingles(docs, ShingleN)
+    val idx = minhashIndex(hs)
+    val a = idx.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = idx.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    val candidates = a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    candidates
+      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        containmentScore(col("hs_a"), col("hs_b")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    containmentPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-corpus near-dup: verified MinHash-LSH pairs BETWEEN a probe
     * corpus (a new ingest increment) and an indexed corpus — the
     * incremental form of [[minhashPairs]], which compares a corpus to

@@ -36,6 +36,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches the subset-dup Jaccard dilutes") {
+    // doc 7 = doc 1's text plus a trailing paragraph: every shingle of 1
+    // appears in 7 (containment 1.0), but the extension drags Jaccard
+    // under the 0.8 near-dup threshold — minhashPairs misses the pair,
+    // containmentPairs reports it. (The banding still collides: the
+    // fixture's Jaccard sits above the 4x4 LSH operating point and the
+    // permutations are fixed, so candidate recall is deterministic.)
+    val extended = docs.unionByName(Seq(
+      (7L, base + " today and the story then continues onward with detail", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    val jac = TextDedup.minhashPairs(extended)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cont = TextDedup.containmentPairs(extended)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont.contains((1L, 7L)), s"subset pair missing: $cont")
+    assert(cont((1L, 7L)) === 1.0)
+    assert(!jac.contains((1L, 7L)),
+      "fixture no longer demonstrates the Jaccard blind spot")
+  }
+
   test("cross-corpus near-dup pairs the probe against the index only") {
     val probe = docs.filter(col("doc_id") === 2L)
     val index = docs.filter(col("doc_id") =!= 2L)
