@@ -157,7 +157,14 @@ object CorpusAnalytics {
     import TextDedup.{minhashPairs, spillPath, withDedupClusters}
     val spark = docs.sparkSession
     withDedupClusters(minhashPairs(docs)) { labels =>
-      val quality = TextStats.qualityFeatures(docs)
+      // score quality ONLY over the clustered population (a left-semi
+      // against the labels): at web-crawl dup rates that is a fraction
+      // of the corpus, and the tokenize/profile pass is the expensive
+      // part — the full-corpus spelling would re-profile every document
+      // just to discard the unclustered majority at the join
+      val clustered = docs.join(
+        labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val quality = TextStats.qualityFeatures(clustered)
         .select(col("doc_id"), col("quality_score"))
       val byCluster = Window.partitionBy(col("cluster_id"))
         .orderBy(col("quality_score").desc, col("doc_id"))

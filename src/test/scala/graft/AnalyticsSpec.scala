@@ -218,6 +218,47 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(4) === 1L)
   }
 
+  // --- cross-operator invariants on real data (sf0.001) ---
+
+  test("invariants: funnel monotone, transitions stochastic, histogram conserves") {
+    val dir = sfSmoke
+    val events = graft.tables.Tables.events(spark, dir)
+    val total = events.count()
+
+    // funnel counts never increase stage over stage
+    val funnel = Analytics.qFunnel(spark, dir).collect().map(_.getLong(2))
+    assert(funnel.sliding(2).forall { case Array(a, b) => b <= a })
+
+    // transition matrix: each from_type's probabilities sum to 1, and
+    // total transitions = events - one per user (no lead for the last)
+    val trans = Analytics.qEventTransitions(spark, dir).collect()
+    val byFrom = trans.groupBy(_.getString(0))
+    byFrom.values.foreach { rows =>
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"p sums to $p")
+    }
+    val nUsers = events.select("user_id").distinct().count()
+    assert(trans.map(_.getLong(2)).sum === total - nUsers)
+
+    // histogram conserves the event count
+    val hist = Analytics.qValueHistogram(spark, dir).collect()
+    assert(hist.map(_.getLong(2)).sum === total)
+
+    // retention: week-0 cohort sizes sum to the distinct user count
+    val ret = Analytics.qRetentionCohorts(spark, dir).collect()
+    assert(ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum === nUsers)
+
+    // scd2: exactly one current row per (user, type); version count
+    // equals the event count
+    val scd2 = Analytics.qScd2History(spark, dir).collect()
+    assert(scd2.length.toLong === total)
+    val currents = scd2.filter(_.getLong(6) == 1L)
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(currents.length === currents.distinct.length)
+    assert(currents.length ===
+      events.select("user_id", "event_type").distinct().count().toInt)
+  }
+
   // --- plan shape ---
 
   test("plans: stats joins broadcast, and nothing falls to a nested loop") {
