@@ -85,6 +85,7 @@ object SparkEntry {
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
+    "q_split_manifest"     -> (TextStats.qSplitManifest _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
@@ -1253,6 +1254,23 @@ object SparkEntry {
                       ELSE 'test' END AS split
                FROM documents)
          GROUP BY split, lang ORDER BY split, lang"""
+    },
+    // per-split reproducibility manifest: xor of 60-bit content hashes
+    // commutes, so the checksum is partitioning-independent; null text
+    // hashes to NULL and is skipped by bit_xor in both engines
+    "q_split_manifest" -> {
+      val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
+      s"""WITH s AS (SELECT n_chars, text,
+             CASE WHEN $b % 100 < 80 THEN 'train'
+                  WHEN $b % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         h AS (SELECT split, n_chars, md5(text) AS hx FROM s)
+         SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(bit_xor(CAST(${md5b60Sql("hx")} AS BIGINT)) AS BIGINT)
+             AS content_xor60
+         FROM h GROUP BY split ORDER BY split"""
     },
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairs60Oracle,

@@ -139,6 +139,26 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Reproducibility manifest per split: row count, byte count, and an
+    * ORDER-INDEPENDENT content checksum (`bit_xor` of each doc's 60-bit
+    * text hash — xor commutes, so the checksum is identical under any
+    * partitioning, unlike a concatenated digest). The artifact a
+    * training run records so "same split, same bytes" is checkable
+    * across environments without moving the data. Null texts hash to
+    * NULL, which the xor aggregate skips in both engines — identically
+    * absent on both sides. */
+  def qSplitManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(splitBucket(col("doc_id")) < 80, "train")
+          .when(splitBucket(col("doc_id")) < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        bit_xor(md5Bits60(col("text"))).as("content_xor60"))
+      .orderBy(col("split"))
+
   // --- distribution readouts ---
 
   /** Exact interpolated length quantiles per language — the corpus

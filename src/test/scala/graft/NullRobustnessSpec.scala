@@ -127,6 +127,26 @@ class NullRobustnessSpec extends SparkSpec {
     assert(!kept.contains(5L))
   }
 
+  test("split manifest checksum is partitioning-independent and null-safe") {
+    import org.apache.spark.sql.functions.bit_xor
+    import graft.functions.md5Bits60
+    val docs = corpus.withColumn("lang", lit("en"))
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+    def checksum(df: DataFrame): Seq[(Long, Long)] =
+      df.groupBy(lit(1)).agg(
+        count(lit(1)).as("n"),
+        bit_xor(md5Bits60(col("text"))).as("x"))
+        .select("n", "x").as[(Long, Long)].collect().toSeq
+    // same rows, any partitioning -> identical xor (null text skipped)
+    assert(checksum(docs) === checksum(docs.repartition(7)))
+    // dropping the null-text row leaves the checksum unchanged (xor
+    // never saw it), while the count drops by one
+    val without = docs.where(col("text").isNotNull)
+    assert(checksum(docs).head._2 === checksum(without).head._2)
+    assert(checksum(docs).head._1 === checksum(without).head._1 + 1)
+  }
+
   test("event analytics on empty frames and null values") {
     import graft.operators.Analytics
     val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
