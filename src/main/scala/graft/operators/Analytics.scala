@@ -53,9 +53,10 @@ object Analytics {
       .groupBy(
         col("cohort_w"),
         // both sides are week-truncated, so the day diff is an exact
-        // multiple of 7 — `div` keeps it integral end-to-end
-        (datediff(to_date(col("w")), to_date(col("cohort_w")))
-          .cast("long") / lit(7L)).cast("long").as("week_offset"))
+        // multiple of 7; `div` is genuine integer division, matching
+        // the oracle's `//` with no float detour
+        expr("CAST(datediff(to_date(w), to_date(cohort_w)) div 7 AS BIGINT)")
+          .as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
       .select(
         date_format(col("cohort_w"), "yyyy-MM-dd").as("cohort_week"),
@@ -111,11 +112,24 @@ object Analytics {
     perStage.result().reduce(_ unionAll _)
   }
 
+  /** One row per configured stage ALWAYS — a drained stage reports 0,
+    * matching the oracle's ungrouped per-stage aggregates (a groupBy
+    * alone would silently drop it and hash-diverge on any corpus where
+    * nobody completes the chain). */
   def funnel(events: DataFrame,
-             stages: Seq[String] = FunnelStages): DataFrame =
-    funnelTimes(events, stages)
+             stages: Seq[String] = FunnelStages): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val frame = stages.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+      .toDF("stage_idx", "stage")
+    val counts = funnelTimes(events, stages)
       .groupBy(col("stage_idx"), col("stage"))
-      .agg(count(lit(1)).as("n_users"))
+      .agg(count(lit(1)).as("n_counted"))
+    frame.join(counts, Seq("stage_idx", "stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_counted"), lit(0L)).as("n_users"))
+  }
 
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(spark, dir)).orderBy(col("stage_idx"))
@@ -127,19 +141,28 @@ object Analytics {
     * at most |stages| rows each. */
   def funnelLatency(events: DataFrame,
                     stages: Seq[String] = FunnelStages): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // one row per configured transition ALWAYS (zero converters -> 0
+    // users, NULL gap stats), the oracle's ungrouped aggregate shape
+    val frame = stages.zip(stages.tail).zipWithIndex
+      .map { case ((a, b), i) => ((i + 1).toLong, s"$a->$b") }
+      .toDF("stage_idx", "transition")
     val w = Window.partitionBy(col("user_id")).orderBy(col("stage_idx"))
-    funnelTimes(events, stages)
+    val gaps = funnelTimes(events, stages)
       .withColumn("next_us", lead(col("ts_us"), 1).over(w))
       .withColumn("next_stage", lead(col("stage"), 1).over(w))
       .where(col("next_us").isNotNull)
       .withColumn("gap_us", col("next_us") - col("ts_us"))
       .groupBy(col("stage_idx"),
         concat(col("stage"), lit("->"), col("next_stage")).as("transition"))
-      .agg(count(lit(1)).as("n_users"),
+      .agg(count(lit(1)).as("n_counted"),
         sum(col("gap_us")).as("sum_gap"),
         max(col("gap_us")).as("max_us"))
-      .select(col("stage_idx"), col("transition"), col("n_users"),
-        (col("sum_gap").cast("double") / col("n_users")).as("avg_us"),
+    frame.join(gaps, Seq("stage_idx", "transition"), "left")
+      .select(col("stage_idx"), col("transition"),
+        coalesce(col("n_counted"), lit(0L)).as("n_users"),
+        (col("sum_gap").cast("double") / col("n_counted")).as("avg_us"),
         col("max_us"))
   }
 

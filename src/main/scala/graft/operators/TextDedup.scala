@@ -104,20 +104,27 @@ object TextDedup {
 
   /** Candidate pairs from band-bucket equality, verified by exact Jaccard.
     * Output: (doc_a, doc_b, jaccard) above threshold. */
-  def minhashPairs(docs: DataFrame): DataFrame = {
+  /** Banded candidate pairs with both shingle sets attached — the shared
+    * front half of every pair operator here (Jaccard and containment
+    * verifies differ only in the score expression they apply to these
+    * columns). Output: (doc_a, doc_b, hs_a, hs_b), doc_a < doc_b. */
+  private def candidatesWithSets(docs: DataFrame): DataFrame = {
     val hs = hashedShingles(docs, ShingleN)
     val idx = minhashIndex(hs)
     val a = idx.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = idx.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    val candidates = a.join(b, Seq("band", "sig"))
+    a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
-    candidates
       .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
       .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
   }
+
+  def minhashPairs(docs: DataFrame): DataFrame =
+    candidatesWithSets(docs)
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
@@ -145,21 +152,11 @@ object TextDedup {
     * is an asymmetric blocking (per-prefix minhash of the SHORT side),
     * not a bigger threshold — documented, not implemented. */
   def containmentPairs(docs: DataFrame,
-                       threshold: Double = ContainmentThreshold): DataFrame = {
-    val hs = hashedShingles(docs, ShingleN)
-    val idx = minhashIndex(hs)
-    val a = idx.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    val candidates = a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-    candidates
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+                       threshold: Double = ContainmentThreshold): DataFrame =
+    candidatesWithSets(docs)
       .select(col("doc_a"), col("doc_b"),
         containmentScore(col("hs_a"), col("hs_b")).as("containment"))
       .filter(col("containment") >= threshold)
-  }
 
   def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)

@@ -437,11 +437,19 @@ object Events {
     * per-user progress (completed stage count + the binding timestamp)
     * lives in `GroupState`; each micro-batch's events are scanned in
     * event-time order and a stage advances on the first event of the
-    * next stage's type STRICTLY after the current binding — an in-order
-    * scan reproduces the batch operator's earliest-binding semantics
-    * exactly. Emits one [[FunnelHit]] per transition (Append mode);
-    * counting hits per stage equals the batch funnel's counts once the
-    * stream drains. */
+    * next stage's type STRICTLY after the current binding. Emits one
+    * [[FunnelHit]] per transition (Append mode).
+    *
+    * Equivalence contract: counting hits per stage equals the batch
+    * funnel PROVIDED each user's events arrive event-time-ordered
+    * ACROSS micro-batches (the in-batch sort handles disorder within
+    * one batch). A cross-batch straggler that back-fills an EARLIER
+    * stage cannot resurrect a later-stage event already scanned past in
+    * a previous batch — the state machine never re-examines history
+    * (nothing is buffered). Sources that can't guarantee per-key order
+    * need a watermark-deep buffer in state before the scan; that
+    * trade (state growth vs. disorder tolerance) is deliberately not
+    * made here. */
   def funnelGroup(stages: Seq[String])(
       userId: Long, batch: Iterator[(Long, String, Long)],
       state: GroupState[FunnelState]): Iterator[FunnelHit] = {

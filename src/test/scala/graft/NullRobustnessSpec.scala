@@ -152,7 +152,14 @@ class NullRobustnessSpec extends SparkSpec {
     val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
       .toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(Analytics.retentionCohorts(empty).count() === 0)
-    assert(Analytics.funnel(empty).count() === 0)
+    // the funnel ALWAYS reports every configured stage (oracle shape);
+    // an empty corpus reports them all at zero
+    val f = Analytics.funnel(empty).collect()
+    assert(f.length === Analytics.FunnelStages.length)
+    assert(f.forall(_.getLong(2) === 0L))
+    val fl = Analytics.funnelLatency(empty).collect()
+    assert(fl.length === Analytics.FunnelStages.length - 1)
+    assert(fl.forall(r => r.getLong(2) === 0L && r.isNullAt(3) && r.isNullAt(4)))
     assert(Analytics.scd2History(empty).count() === 0)
     assert(Analytics.medianOutliers(empty).count() === 0)
     // a null value row: percentile skips it, counts still include it,
