@@ -228,6 +228,20 @@ class PlanSpec extends SparkSpec {
       s"pii pass should read only doc_id+text:\n$s")
   }
 
+  test("analytics scans prune to their used columns") {
+    // each new analytics family reads exactly what it computes on —
+    // a 100 TB scan that drags unused columns is the regression here
+    Seq(
+      "q_label_centroids" -> "ReadSchema: struct<embedding:array<float>,label:int>",
+      "q_split_manifest" -> "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>",
+      "q_bigram_next" -> "ReadSchema: struct<doc_id:bigint,text:string>",
+      "q_retention_cohorts" -> "ReadSchema: struct<ts:bigint,user_id:bigint>"
+    ).foreach { case (q, schema) =>
+      val s = formattedPlan(q)
+      assert(s.contains(schema), s"$q scan not pruned:\n$s")
+    }
+  }
+
   test("q2/q17/q20: key-granular filters stay semi-joined below the supply aggregate") {
     // the hand-pushdown RelationalX documents: Catalyst won't move a
     // join through an aggregate, so a refactor that lifts the semi-join
