@@ -378,9 +378,12 @@ class StreamingSpec extends SparkSpec {
       .groupBy("stage_idx", "stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage_idx")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // the batch funnel reports drained stages as zero rows; the stream
+    // only ever emits transitions, so compare against the reached set
     val batch = graft.operators.Analytics
       .qFunnel(spark, sfSmoke)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(_._3 > 0L).toSeq
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
