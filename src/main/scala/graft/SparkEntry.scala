@@ -156,6 +156,7 @@ object SparkEntry {
     "q_event_transitions"  -> (Analytics.qEventTransitions _),
     "q_value_histogram"    -> (Analytics.qValueHistogram _),
     "q_label_centroids"    -> (Similarity.qLabelCentroids _),
+    "q_dim_variance"       -> (Similarity.qDimVariance _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -2220,5 +2221,24 @@ object SparkEntry {
            CAST(sum(qv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
          FROM q GROUP BY label, dim
          ORDER BY label, dim""",
+    // per-dim variance from exact integer moments: DuckDB's sum over
+    // BIGINT is HUGEINT (int128), the twin of Spark's DECIMAL(38,0);
+    // n·Σq² − (Σq)² is exact on both, cast to double identically
+    "q_dim_variance" ->
+      """WITH ix AS (
+           SELECT embedding, unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         q AS (SELECT CAST(i - 1 AS INTEGER) AS dim,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS qv
+               FROM ix),
+         m AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs,
+                 sum(qv) AS sum_q, sum(qv * qv) AS sum_q2
+               FROM q GROUP BY dim)
+         SELECT dim, n_vecs,
+           CAST(sum_q AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q,
+           CAST(n_vecs * sum_q2 - sum_q * sum_q AS DOUBLE)
+             / CAST(n_vecs * n_vecs AS DOUBLE) AS var_q
+         FROM m ORDER BY dim""",
   )
 }

@@ -466,6 +466,50 @@ object Events {
     hits.result().iterator
   }
 
+  // --- streaming transition matrix ---
+
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        ts_us: Long)
+  case class LastEvent(ty: String, tsUs: Long, eventId: Long)
+
+  /** Stateful streaming twin of
+    * [[graft.operators.Analytics.eventTransitions]]: the per-user LAST
+    * event rides in `GroupState`; each micro-batch's events are scanned
+    * in (ts, event_id) order and every consecutive pair emits one
+    * [[Transition]]. Counting emissions per (from, to) equals the batch
+    * matrix under the same cross-batch ordering precondition as
+    * [[funnelGroup]] (in-batch disorder is sorted away; a cross-batch
+    * straggler would pair with the wrong predecessor — nothing is
+    * buffered). */
+  def transitionsGroup(userId: Long,
+                       batch: Iterator[(Long, String, Long, Long)],
+                       state: GroupState[LastEvent]): Iterator[Transition] = {
+    val evs = batch.toArray.sortBy(e => (e._3, e._4))
+    var st = state.getOption
+    val out = Seq.newBuilder[Transition]
+    evs.foreach { case (_, ty, ts, id) =>
+      st.foreach(prev => out += Transition(userId, prev.ty, ty, ts))
+      st = Some(LastEvent(ty, ts, id))
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
+
+  def streamingTransitions(spark: SparkSession,
+                           dir: String): Dataset[Transition] = {
+    import spark.implicits._
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEvents(stream)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        transitionsGroup)
+  }
+
   /** flatMapGroupsWithState funnel over the event file stream. */
   def streamingFunnel(spark: SparkSession, dir: String): Dataset[FunnelHit] = {
     import spark.implicits._

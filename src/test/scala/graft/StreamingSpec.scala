@@ -388,6 +388,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful transitions: streamed (from,to) counts == batch matrix") {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft-ckpt-trans").toString
+    val q = Events.streamingTransitions(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_transitions")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ev_transitions")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      .orderBy("from_type", "to_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Analytics
+      .qEventTransitions(spark, sfSmoke)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("funnelGroup state never regresses: a late pre-bound event cannot advance") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import graft.streaming.Events.{FunnelState, funnelGroup}

@@ -273,6 +273,21 @@ class TextPipelineSpec extends SparkSpec {
       (1, 1) -> ((1L, 0L, 0.0))))
   }
 
+  test("dimVariance: exact integer moments give the population variance") {
+    // dim 0 values {0.25, 0.75} -> q {250000, 750000}: mean 500000,
+    // var = ((2*(250000²+750000²)) - 1000000²)/4 = 62500000000
+    // dim 1 constant 0.5 -> variance exactly 0
+    val emb = Seq(
+      (1L, Array(0.25f, 0.5f), 0),
+      (2L, Array(0.75f, 0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.dimVariance(emb).orderBy("dim").collect()
+    assert(out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) === 500000.0)
+    assert(out(0).getDouble(3) === 6.25e10)
+    assert(out(1).getDouble(3) === 0.0)
+  }
+
   test("annRecall charges the ANN for the invisible neighbor, credits the found ones") {
     // exact top-2 for query 0: vec 1 (cosine 62/64) and vec 2 (48/64);
     // the ANN sees only vec 1 (vec 2 shares no intact band with 0), so
