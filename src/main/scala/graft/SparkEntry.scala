@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_split_manifest"     -> (TextStats.qSplitManifest _),
+    "q_quality_pctl"       -> (TextStats.qQualityPercentiles _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
@@ -1256,6 +1257,27 @@ object SparkEntry {
                FROM documents)
          GROUP BY split, lang ORDER BY split, lang"""
     },
+    // per-source rank statistics over the shared quality derivation;
+    // the doc_id tie-break makes both rank rationals exact
+    "q_quality_pctl" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok_d,
+             CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM t),
+         q AS (SELECT doc_id,
+             (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+               + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+               - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
+           FROM f)
+         SELECT q.doc_id, d.source, q.quality_score,
+           percent_rank() OVER w AS pctl,
+           cume_dist() OVER w AS cd
+         FROM q JOIN documents d ON q.doc_id = d.doc_id
+         WINDOW w AS (PARTITION BY d.source ORDER BY q.quality_score, q.doc_id)
+         ORDER BY q.doc_id""",
     // per-split reproducibility manifest: xor of 60-bit content hashes
     // commutes, so the checksum is partitioning-independent; null text
     // hashes to NULL and is skipped by bit_xor in both engines

@@ -139,6 +139,28 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Quality percentile normalization per source: each doc's
+    * `percent_rank` and `cume_dist` within its source — the
+    * distribution-free form quality gates want when sources score on
+    * different absolute scales (keep each source's top X%, not a global
+    * threshold a verbose source would monopolize). The doc_id tie-break
+    * makes ranks unique, so both rank statistics are exact rationals —
+    * (rank−1)/(n−1) and rank/n of the same integers — on both engines.
+    * One window per source partition; no global ordering. */
+  def qQualityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality_score"), col("doc_id"))
+    qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        percent_rank().over(w).as("pctl"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reproducibility manifest per split: row count, byte count, and an
     * ORDER-INDEPENDENT content checksum (`bit_xor` of each doc's 60-bit
     * text hash — xor commutes, so the checksum is identical under any
