@@ -80,6 +80,7 @@ object SparkEntry {
     "q_dedup_exact"        -> (TextDedup.qDedupExact _),
     "q_dedup_minhash"      -> (TextDedup.qDedupMinhash _),
     "q_containment_pairs"  -> (TextDedup.qContainmentPairs _),
+    "q_minhash_est"        -> (TextDedup.qMinhashEstimation _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
@@ -2087,6 +2088,29 @@ object SparkEntry {
          FROM p ORDER BY token, doc_id"""
     },
     "q_survivorship" -> survivorshipOracle,
+    // minhash estimator vs exact over the same banded candidates; the
+    // mh CTE already carries all 16 slots per doc
+    "q_minhash_est" -> {
+      import TextDedup._
+      val matchSum = (0 until NumHashes).map(k =>
+        s"(CASE WHEN a.mh$k = b.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $minhashCtes,
+         est AS (
+           SELECT c.doc_a, c.doc_b,
+             CAST($matchSum AS BIGINT) AS n_slot_matches
+           FROM cand c
+           JOIN mh a ON a.doc_id = c.doc_a
+           JOIN mh b ON b.doc_id = c.doc_b),
+         j AS (
+           SELECT doc_a, doc_b,
+             CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END AS jaccard
+           FROM scored)
+         SELECT j.doc_a, j.doc_b, j.jaccard, e.n_slot_matches,
+           CAST(e.n_slot_matches AS DOUBLE) / $NumHashes AS est_jaccard,
+           abs(CAST(e.n_slot_matches AS DOUBLE) / $NumHashes - j.jaccard) AS abs_err
+         FROM j JOIN est e ON j.doc_a = e.doc_a AND j.doc_b = e.doc_b
+         ORDER BY j.doc_a, j.doc_b"""
+    },
     // containment verify over the same banded candidates; the Jaccard
     // `scored` CTE in the chain goes unreferenced and unevaluated
     "q_containment_pairs" -> {

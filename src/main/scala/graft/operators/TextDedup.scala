@@ -164,6 +164,34 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sketch calibration readout: for every banded candidate pair, the
+    * minhash ESTIMATE of Jaccard (agreeing signature slots / K — the
+    * unbiased estimator the LSH is built on) next to the exact value,
+    * with the absolute error. The table an operator owner reads to
+    * decide whether [[NumHashes]] is enough for the corpus's similarity
+    * profile — estimator variance J(1−J)/K is a theory number; this is
+    * the empirical check. Candidates only (never all pairs): the
+    * estimator matters exactly where the banding surfaces pairs. */
+  def minhashEstimation(docs: DataFrame): DataFrame = {
+    val slotMatches = aggregate(
+      zip_with(minhashSig(col("hs_a")), minhashSig(col("hs_b")),
+        (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m)
+    candidatesWithSets(docs)
+      .select(col("doc_a"), col("doc_b"),
+        jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
+        slotMatches.cast("long").as("n_slot_matches"))
+      .withColumn("est_jaccard",
+        col("n_slot_matches").cast("double") / NumHashes.toDouble)
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
+  def qMinhashEstimation(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    minhashEstimation(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-corpus near-dup: verified MinHash-LSH pairs BETWEEN a probe
     * corpus (a new ingest increment) and an indexed corpus — the
     * incremental form of [[minhashPairs]], which compares a corpus to

@@ -36,6 +36,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash estimation: exact dups estimate 1.0 exactly; error bounded by slots") {
+    val out = TextDedup.minhashEstimation(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // 1 and 4 are byte-identical: every slot agrees, estimate and exact
+    // both 1.0, error exactly 0
+    val (j14, m14, e14, err14) = out((1L, 4L))
+    assert(j14 === 1.0 && m14 === 16L && e14 === 1.0 && err14 === 0.0)
+    // the planted near-dup (1,2): estimator lives on the K-slot grid
+    val (_, m12, e12, err12) = out((1L, 2L))
+    assert(e12 === m12.toDouble / 16)
+    assert(err12 >= 0.0 && err12 <= 1.0)
+  }
+
   test("containment catches the subset-dup Jaccard dilutes") {
     // doc 7 = doc 1's text plus a trailing paragraph: every shingle of 1
     // appears in 7 (containment 1.0), but the extension drags Jaccard
