@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.operators.Analytics
+import graft.streaming.Events
+
+/** Property fuzz for the two equivalence CONTRACTS the analytics
+  * surface documents: the streaming funnel equals the batch funnel
+  * under per-user event-time-ordered delivery (any batch slicing), and
+  * the incremental SCD2 merge equals the full recompute at ANY time
+  * split. Deterministic ScalaCheck seeds via [[SparkSpec.samples]]. */
+class AnalyticsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  /** Random event stream: n events across u users over the 5 funnel-ish
+    * types, strictly increasing global timestamps (seconds apart). */
+  private def genEvents(maxN: Int): Gen[Seq[(Long, Timestamp, Long, String, Double)]] =
+    for {
+      n <- Gen.choose(1, maxN)
+      users <- Gen.choose(1, 5)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(1, users),
+        Gen.oneOf("view", "click", "purchase", "signup", "error"),
+        Gen.choose(0.0, 100.0)))
+    } yield rows.zipWithIndex.map { case ((u, ty, v), i) =>
+      ((i + 1).toLong, new Timestamp(base + i * 1000L), u.toLong, ty, v)
+    }
+
+  private def toDf(rows: Seq[(Long, Timestamp, Long, String, Double)]): DataFrame =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("PROPERTY: funnelGroup over ordered batch slices == batch funnel") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val stages = Analytics.FunnelStages
+    samples(Gen.zip(genEvents(60), Gen.choose(1, 4)), 25).foreach {
+      case (rows, nSlices) =>
+        // drive the group function directly: per user, the ordered
+        // event list cut into nSlices consecutive batches
+        val byUser = rows.groupBy(_._3)
+        val streamedCounts = byUser.toSeq.flatMap { case (uid, evs) =>
+          var state = TestGroupState.create[Events.FunnelState](
+            org.apache.spark.api.java.Optional.empty[Events.FunnelState](),
+            GroupStateTimeout.NoTimeout(), 0L,
+            org.apache.spark.api.java.Optional.empty[Long](),
+            hasTimedOut = false)
+          val slices = evs.grouped(math.max(1, evs.length / nSlices)).toSeq
+          slices.flatMap { slice =>
+            val batch = slice.map(e => (e._3, e._4, e._2.getTime * 1000L))
+            val hits = Events.funnelGroup(stages)(uid, batch.iterator, state).toSeq
+            if (state.exists) {
+              val kept = state.get
+              state = TestGroupState.create[Events.FunnelState](
+                org.apache.spark.api.java.Optional.of(kept),
+                GroupStateTimeout.NoTimeout(), 0L,
+                org.apache.spark.api.java.Optional.empty[Long](),
+                hasTimedOut = false)
+            }
+            hits
+          }
+        }.groupBy(_.stage_idx).view.mapValues(_.size.toLong).toMap
+        val batchCounts = Analytics.funnel(toDf(rows), stages).collect()
+          .filter(_.getLong(2) > 0L)
+          .map(r => r.getLong(0) -> r.getLong(2)).toMap
+        assert(streamedCounts === batchCounts,
+          s"slices=$nSlices rows=${rows.length}")
+    }
+  }
+
+  test("PROPERTY: scd2Merge at any time split == full recompute") {
+    samples(Gen.zip(genEvents(50), Gen.choose(0, 50)), 20).foreach {
+      case (rows, cutIdx) =>
+        val all = toDf(rows)
+        val cutTs = new Timestamp(base + cutIdx * 1000L)
+        val merged = Analytics.scd2Merge(
+          Analytics.scd2History(all.where(col("ts") < lit(cutTs))),
+          all.where(col("ts") >= lit(cutTs)))
+          .orderBy("user_id", "event_type", "version").collect().toSeq
+        val recomputed = Analytics.scd2History(all)
+          .orderBy("user_id", "event_type", "version").collect().toSeq
+        assert(merged === recomputed, s"cut=$cutIdx rows=${rows.length}")
+    }
+  }
+}
