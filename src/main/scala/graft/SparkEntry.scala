@@ -37,6 +37,7 @@ object SparkEntry {
     // product-analytics surface (cohorts / funnel / SCD2 / robust stats)
     "q_retention_cohorts"  -> (Analytics.qRetentionCohorts _),
     "q_funnel"             -> (Analytics.qFunnel _),
+    "q_funnel_windowed"    -> (Analytics.qFunnelWindowed _),
     "q_scd2_history"       -> (Analytics.qScd2History _),
     // contract: merge(history(<T), delta(>=T)) == full recompute, so the
     // oracle is q_scd2_history's SQL verbatim
@@ -1671,6 +1672,34 @@ object SparkEntry {
          UNION ALL
          SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
          ORDER BY stage_idx""",
+    // 24h-conversion-window funnel: same chain with a bounded join
+    // predicate (strictly after AND within the window of the binding)
+    "q_funnel_windowed" -> {
+      val w = Analytics.FunnelWindowUs
+      s"""WITH e AS (
+           SELECT user_id, event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) AS ts_us
+           FROM events),
+         s1 AS (SELECT user_id, min(ts_us) AS ts_us FROM e
+                WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts_us > s1.ts_us
+                  AND e.ts_us <= s1.ts_us + $w
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts_us) AS ts_us
+                FROM e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts_us > s2.ts_us
+                  AND e.ts_us <= s2.ts_us + $w
+                GROUP BY e.user_id)
+         SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                CAST(count(*) AS BIGINT) AS n_users FROM s1
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+         ORDER BY stage_idx"""
+    },
     // SCD2 validity intervals; the event_id tie-break pins same-µs
     // events to one order in both engines (same rule as q_event_gaps)
     "q_scd2_history" -> scd2HistorySql,

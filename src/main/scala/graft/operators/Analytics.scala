@@ -85,9 +85,13 @@ object Analytics {
     * not data-dependent. The final union is K one-row aggregates.
     */
   /** Per-user stage completion times — the funnel's underlying table:
-    * one row per (user, reached stage) with the binding timestamp. */
+    * one row per (user, reached stage) with the binding timestamp.
+    * `windowUs` bounds each conversion: stage i+1 must land within that
+    * many µs of the stage-i binding (None = unbounded) — the
+    * "converted within 24h" spelling product funnels usually want. */
   def funnelTimes(events: DataFrame,
-                  stages: Seq[String] = FunnelStages): DataFrame = {
+                  stages: Seq[String] = FunnelStages,
+                  windowUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val typed = events.select(
       col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_us"))
@@ -99,10 +103,12 @@ object Analytics {
     perStage += cur.select(lit(1L).as("stage_idx"),
       lit(stages.head).as("stage"), col("user_id"), col("ts_us"))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val inWindow = windowUs.fold(lit(true))(w =>
+        col("ts_us") <= col("prev_us") + w)
       val nxt = typed
         .filter(col("event_type") === st)
         .join(cur.select(col("user_id"), col("ts_us").as("prev_us")), "user_id")
-        .where(col("ts_us") > col("prev_us"))
+        .where(col("ts_us") > col("prev_us") && inWindow)
         .groupBy(col("user_id"))
         .agg(min(col("ts_us")).as("ts_us"))
       perStage += nxt.select(lit((i + 1).toLong).as("stage_idx"),
@@ -117,19 +123,27 @@ object Analytics {
     * alone would silently drop it and hash-diverge on any corpus where
     * nobody completes the chain). */
   def funnel(events: DataFrame,
-             stages: Seq[String] = FunnelStages): DataFrame = {
+             stages: Seq[String] = FunnelStages,
+             windowUs: Option[Long] = None): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val frame = stages.zipWithIndex
       .map { case (s, i) => ((i + 1).toLong, s) }
       .toDF("stage_idx", "stage")
-    val counts = funnelTimes(events, stages)
+    val counts = funnelTimes(events, stages, windowUs)
       .groupBy(col("stage_idx"), col("stage"))
       .agg(count(lit(1)).as("n_counted"))
     frame.join(counts, Seq("stage_idx", "stage"), "left")
       .select(col("stage_idx"), col("stage"),
         coalesce(col("n_counted"), lit(0L)).as("n_users"))
   }
+
+  /** Funnel with a 24-hour conversion window per stage. */
+  val FunnelWindowUs: Long = 24L * 3600 * 1000000
+
+  def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir), FunnelStages, Some(FunnelWindowUs))
+      .orderBy(col("stage_idx"))
 
   def qFunnel(spark: SparkSession, dir: String): DataFrame =
     funnel(Tables.events(spark, dir)).orderBy(col("stage_idx"))

@@ -116,6 +116,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getDouble(5)).toSeq === Seq(2.0, 7.0))
   }
 
+  test("windowed funnel rejects a conversion outside the 24h window") {
+    // user 1 clicks 25h after viewing: converts in the unbounded funnel,
+    // not in the windowed one; user 2 clicks within the window
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-02 11:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 12:00:00", 2L, "click", 0.0))
+    val unbounded = Analytics.funnel(events)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val windowed = Analytics
+      .funnel(events, Analytics.FunnelStages, Some(Analytics.FunnelWindowUs))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(unbounded("click") === 2L)
+    assert(windowed("click") === 1L)
+  }
+
   // --- funnel latency ---
 
   test("funnelLatency reports exact µs gaps between the binding times") {
