@@ -36,6 +36,7 @@ object SparkEntry {
     "q_user_event_types"   -> (graft.streaming.Events.qUserEventTypes _),
     // product-analytics surface (cohorts / funnel / SCD2 / robust stats)
     "q_retention_cohorts"  -> (Analytics.qRetentionCohorts _),
+    "q_retention_rates"    -> (Analytics.qRetentionRates _),
     "q_funnel"             -> (Analytics.qFunnel _),
     "q_funnel_windowed"    -> (Analytics.qFunnelWindowed _),
     "q_scd2_history"       -> (Analytics.qScd2History _),
@@ -1648,6 +1649,29 @@ object SparkEntry {
            CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
          FROM a GROUP BY cohort_w, week_offset
          ORDER BY cohort_week, week_offset""",
+    // rates = the same matrix over its offset-0 count (cohort size by
+    // construction); count/count rational
+    "q_retention_rates" ->
+      """WITH f AS (
+           SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_w
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT e.user_id, f.cohort_w,
+             date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS w
+           FROM events e JOIN f ON e.user_id = f.user_id),
+         m AS (
+           SELECT strftime(cohort_w, '%Y-%m-%d') AS cohort_week,
+             CAST(datediff('day', CAST(cohort_w AS DATE), CAST(w AS DATE)) // 7
+               AS BIGINT) AS week_offset,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+           FROM a GROUP BY cohort_w, week_offset)
+         SELECT cohort_week, week_offset, n_users,
+           first_value(n_users) OVER (PARTITION BY cohort_week
+             ORDER BY week_offset) AS cohort_size,
+           CAST(n_users AS DOUBLE) / CAST(first_value(n_users)
+             OVER (PARTITION BY cohort_week ORDER BY week_offset)
+             AS DOUBLE) AS rate
+         FROM m ORDER BY cohort_week, week_offset""",
     // strictly-ordered funnel; each stage binds to the user's earliest
     // valid µs timestamp, next stage requires ts STRICTLY after it
     "q_funnel" ->

@@ -67,6 +67,23 @@ object Analytics {
     retentionCohorts(Tables.events(spark, dir))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Retention RATES: the cohort matrix normalized by cohort size.
+    * Every cohort member is active in their first week by construction
+    * (the cohort week IS their first event's week), so the offset-0
+    * count is the size — a first_value window over each cohort's
+    * offset-ordered rows, and the rate a count/count rational. */
+  def retentionRates(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+    retentionCohorts(events)
+      .withColumn("cohort_size", first(col("n_users")).over(w))
+      .withColumn("rate",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  def qRetentionRates(spark: SparkSession, dir: String): DataFrame =
+    retentionRates(Tables.events(spark, dir))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   // ---------------------------------------------------------------------
   // Ordered funnel
   // ---------------------------------------------------------------------

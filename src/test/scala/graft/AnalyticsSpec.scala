@@ -116,6 +116,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getDouble(5)).toSeq === Seq(2.0, 7.0))
   }
 
+  test("retentionRates normalizes each cohort row by its week-0 size") {
+    val out = Analytics.retentionRates(ev(
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-16 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-03 12:00:00", 2L, "view", 0.0)))
+      .orderBy("week_offset").collect()
+    // one cohort (week of Jan 1) of size 2; week 2 retains 1 of 2
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+      === Seq((0L, 2L, 2L, 1.0), (2L, 1L, 2L, 0.5)))
+  }
+
   test("windowed funnel rejects a conversion outside the 24h window") {
     // user 1 clicks 25h after viewing: converts in the unbounded funnel,
     // not in the windowed one; user 2 clicks within the window
