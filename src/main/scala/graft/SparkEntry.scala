@@ -90,6 +90,7 @@ object SparkEntry {
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_split_manifest"     -> (TextStats.qSplitManifest _),
     "q_quality_pctl"       -> (TextStats.qQualityPercentiles _),
+    "q_langid_eval"        -> (TextStats.qLangIdEval _),
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
@@ -1336,6 +1337,22 @@ object SparkEntry {
            lang = (CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
                 WHEN h_en > h_de THEN 'en' ELSE 'de' END) AS correct
          FROM h ORDER BY doc_id""",
+    // confusion matrix over the same prediction CASE; frac is a
+    // count/count rational within each true language
+    "q_langid_eval" ->
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+         h AS (SELECT doc_id, lang, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
+               ${hitsSql("fr")} AS h_fr FROM t),
+         p AS (SELECT lang,
+             CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
+                  WHEN h_en > h_de THEN 'en' ELSE 'de' END AS predicted
+           FROM h),
+         c AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+               FROM p GROUP BY lang, predicted)
+         SELECT lang, predicted, n_docs,
+           CAST(n_docs AS DOUBLE) /
+             CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+         FROM c ORDER BY lang, predicted""",
     "q_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
          f AS (SELECT doc_id,

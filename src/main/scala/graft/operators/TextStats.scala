@@ -139,6 +139,24 @@ object TextStats {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"), col("lang"))
 
+  /** Language-ID confusion matrix: the n-gram heuristic's prediction
+    * against the labeled `lang` column, with per-true-language recall
+    * fractions (count/count rationals over a |langs|-partition window).
+    * The classifier-evaluation twin of `q_ann_recall` — every heuristic
+    * the engine ships gets an empirical scorecard, not just a spec. */
+  def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val w = Window.partitionBy(col("lang"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("frac",
+        col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   /** Quality percentile normalization per source: each doc's
     * `percent_rank` and `cume_dist` within its source — the
     * distribution-free form quality gates want when sources score on
