@@ -49,6 +49,7 @@ object SparkEntry {
     "q18_large_orders"     -> (Relational.q18LargeOrders _),
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
     "q_set_ops"            -> (Relational.qSetOps _),
+    "q_price_ranks"        -> (Relational.qPriceRanks _),
     "q_sql_surface"        -> (Relational.qSqlSurface _),
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -152,10 +153,15 @@ object SparkEntry {
     "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
     // corpus analytics (n-gram LM / stratified sample / postings / survivorship)
     "q_bigram_next"        -> (CorpusAnalytics.qBigramNext _),
+    "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
+    "q_bm25_search"        -> (CorpusAnalytics.qBm25Search _),
+    "q_temperature_mix"    -> (CorpusAnalytics.qTemperatureMix _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
+    "q_last_touch"         -> (Analytics.qLastTouch _),
+    "q_zorder_curve"       -> (LakeLayout.qZOrderCurve _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
     "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
     "q_event_transitions"  -> (Analytics.qEventTransitions _),
@@ -853,6 +859,18 @@ object SparkEntry {
              EXCEPT
              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
          ORDER BY op""",
+    // rank/dense_rank are value functions, so price ties carry no
+    // cross-engine order ambiguity
+    "q_price_ranks" ->
+      """WITH r AS (
+           SELECT p_brand, p_partkey, p_retailprice,
+             CAST(rank() OVER w AS BIGINT) AS price_rank,
+             CAST(dense_rank() OVER w AS BIGINT) AS price_dense
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC))
+         SELECT p_brand, p_partkey, p_retailprice, price_rank, price_dense
+         FROM r WHERE price_rank <= 10
+         ORDER BY p_brand, price_rank, p_partkey""",
     "q_sql_surface" ->
       """SELECT c_mktsegment,
          count(*) AS n_orders,
@@ -1817,6 +1835,51 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
          ORDER BY event_id""",
+    // Morton curve bit parity: the same 4-step mask/shift spread chain
+    // as graft.functions.spread16, staged through CTEs; all integer
+    // & | << ops, so the interleave is engine-exact
+    "q_zorder_curve" ->
+      """WITH e AS (SELECT event_id,
+           CAST(user_id % 65536 AS BIGINT) AS xq,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             % 65536 AS BIGINT) AS yq
+         FROM events),
+         s0 AS (SELECT event_id, xq, yq,
+                  xq & 65535 AS ax, yq & 65535 AS ay FROM e),
+         s1 AS (SELECT event_id, xq, yq,
+                  (ax | (ax << 8)) & 16711935 AS bx,
+                  (ay | (ay << 8)) & 16711935 AS by FROM s0),
+         s2 AS (SELECT event_id, xq, yq,
+                  (bx | (bx << 4)) & 252645135 AS cx,
+                  (by | (by << 4)) & 252645135 AS cy FROM s1),
+         s3 AS (SELECT event_id, xq, yq,
+                  (cx | (cx << 2)) & 858993459 AS dx,
+                  (cy | (cy << 2)) & 858993459 AS dy FROM s2),
+         s4 AS (SELECT event_id, xq, yq,
+                  (dx | (dx << 1)) & 1431655765 AS ex,
+                  (dy | (dy << 1)) & 1431655765 AS ey FROM s3)
+         SELECT event_id, xq, yq, ex | (ey << 1) AS zval
+         FROM s4 ORDER BY event_id""",
+    // last-touch attribution: the running last-click window. Ordering
+    // and the gap both run on epoch MICROS (same ns-truncation rule as
+    // q_asof_join); the strictly-prior ROWS frame plus the event_id tie
+    // break make the credited click deterministic in both engines.
+    "q_last_touch" ->
+      """WITH w AS (
+           SELECT event_id, user_id, event_type, value,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER lastw AS click_id,
+             last_value(CASE WHEN event_type = 'click'
+                 THEN CAST(epoch_us(ts) AS BIGINT) END
+               IGNORE NULLS) OVER lastw AS click_us
+           FROM events
+           WINDOW lastw AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, value, click_id,
+           ts_us - click_us AS gap_us
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
     // regex patterns are RE2-and-Java-identical (explicit classes, no
     // lookaround); redaction order (email -> phone -> ip) is part of the
     // contract — a dotted phone contains an IPv4-shaped substring
@@ -2157,6 +2220,85 @@ object SparkEntry {
          SELECT token, doc_id, tf, first_pos, last_pos
          FROM p ORDER BY token, doc_id"""
     },
+    // bigram lift: rational PMI twin — integer counts, one fixed
+    // multiply/divide chain; the min-pair gate applies before the joins
+    "q_bigram_lift" -> {
+      val m = CorpusAnalytics.LiftMinPairs
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+                FROM t WHERE len(toks) > 0),
+         tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+                 FROM ix),
+         uni AS (SELECT token, CAST(count(*) AS BIGINT) AS n_tok
+                 FROM tok GROUP BY token),
+         tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS n_total FROM uni),
+         ix2 AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                 FROM t WHERE len(toks) > 1),
+         b AS (SELECT toks[i] AS head, toks[i + 1] AS next_token FROM ix2),
+         pc AS (SELECT head, next_token, CAST(count(*) AS BIGINT) AS n_pair
+                FROM b GROUP BY head, next_token
+                HAVING count(*) >= $m)
+         SELECT pc.head, pc.next_token, pc.n_pair,
+           h.n_tok AS n_head, n.n_tok AS n_next,
+           (CAST(pc.n_pair AS DOUBLE) * CAST(tot.n_total AS DOUBLE)) /
+             (CAST(h.n_tok AS DOUBLE) * CAST(n.n_tok AS DOUBLE)) AS lift
+         FROM pc
+         JOIN uni h ON pc.head = h.token
+         JOIN uni n ON pc.next_token = n.token
+         CROSS JOIN tot
+         ORDER BY pc.head, pc.next_token"""
+    },
+    // BM25 over the same tokenization: rational idf (no log — the
+    // tfidf precedent), per-term pivot columns added LEFT-TO-RIGHT so
+    // the double sum has one evaluation order in both engines; every
+    // other float op is correctly-rounded on identical operands. The
+    // (1.2 + 1.0) spelling matters: both engines fold the literals with
+    // one IEEE add rather than parsing a 2.2 that may differ in ULP.
+    "q_bm25_search" -> {
+      val terms = CorpusAnalytics.Bm25Terms
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val pivots = terms.map(t =>
+        s"max(CASE WHEN token = '$t' THEN score END) AS s_$t").mkString(",\n                ")
+      val total = terms.map(t => s"coalesce(s_$t, 0.0)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM t),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                  sum(dl) / count(*) AS avgdl FROM d),
+         tok AS (SELECT doc_id, dl, unnest(toks) AS token FROM d),
+         tf AS (SELECT doc_id, dl, token, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE token IN ($inList) GROUP BY doc_id, dl, token),
+         dfq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+         sc AS (SELECT tf.doc_id, tf.token,
+                  ((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+                    * ((tf.tf * (1.2 + 1.0)) /
+                       (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (tf.dl / st.avgdl)))) AS score
+                FROM tf JOIN dfq USING (token) CROSS JOIN st),
+         p AS (SELECT doc_id,
+                $pivots
+               FROM sc GROUP BY doc_id)
+         SELECT doc_id, ${terms.map(t => s"s_$t").mkString(", ")},
+           $total AS bm25
+         FROM p ORDER BY bm25 DESC, doc_id LIMIT ${CorpusAnalytics.Bm25TopK}"""
+    },
+    // τ=1/2 temperature mix: thresholds are floor(√(n/max)·10000) — a
+    // single sqrt/divide/floor chain, correctly rounded — and the kept
+    // set is the salted 60-bit md5 bucket (the upsample recipe)
+    "q_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l
+                     FROM documents GROUP BY lang),
+         mx AS (SELECT max(n_l) AS max_n FROM c),
+         thr AS (SELECT lang, n_l,
+                   CAST(floor(sqrt(CAST(n_l AS DOUBLE) / CAST(max_n AS DOUBLE))
+                     * 10000.0) AS BIGINT) AS thr
+                 FROM c CROSS JOIN mx),
+         h AS (SELECT doc_id, lang,
+                 md5('temp:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents)
+         SELECT h.lang, n_l, thr,
+           CAST(sum(CASE WHEN ${md5b60Sql("hx")} % 10000 < thr
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM h JOIN thr ON h.lang = thr.lang
+         GROUP BY h.lang, n_l, thr ORDER BY h.lang""",
     "q_survivorship" -> survivorshipOracle,
     // minhash estimator vs exact over the same banded candidates; the
     // mh CTE already carries all 16 slots per doc

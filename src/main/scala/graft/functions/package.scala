@@ -101,4 +101,25 @@ package object functions {
     * bitwise identical, which is this definition's job now. */
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Spread the low 16 bits of a long so bit i lands at bit 2i — the
+    * Morton-interleave half, as the standard 4-step mask/shift chain.
+    * Pure integer `& | <<` on constants: bit-identical in any engine
+    * (DuckDB twin: `SparkEntry.spreadSql`). */
+  def spread16(c: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L))
+      .foldLeft(c.cast("long").bitwiseAND(lit(0xFFFFL))) {
+        case (acc, (s, m)) =>
+          acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+      }
+
+  /** Morton (Z-order) position of a 16-bit × 16-bit point: x in the even
+    * bits, y in the odd. Sorting on this value clusters points so that
+    * any axis-aligned box maps to FEW curve ranges — per-file min/max
+    * stats then prune multi-dimensional predicates, which a single-column
+    * sort can only do for its leading column (see
+    * [[graft.operators.LakeLayout.writeZOrdered]]). */
+  def mortonZ(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 }

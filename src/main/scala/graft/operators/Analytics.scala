@@ -397,4 +397,44 @@ object Analytics {
 
   def qMedianOutliers(spark: SparkSession, dir: String): DataFrame =
     medianOutliers(Tables.events(spark, dir)).orderBy(col("event_type"))
+
+  // ---------------------------------------------------------------------
+  // Last-touch attribution
+  // ---------------------------------------------------------------------
+
+  /** Last-touch purchase attribution: each purchase credits the user's
+    * most recent STRICTLY-prior click (any lookback — the unbounded
+    * complement of the 30-minute interval-join attribution in
+    * `Events.purchaseClickJoin`); purchases with no prior click surface
+    * with a NULL `click_id` — the "organic" bucket an attribution
+    * report must not silently drop.
+    *
+    * One window over `(user_id, ts, event_id)` — `last(...ignoreNulls)`
+    * over the strictly-preceding frame carries the click forward, so
+    * the plan is a single shuffle on `user_id` with no self-join and no
+    * state proportional to the click history (the running `last` is one
+    * value per row). Ordering ties break on `event_id`, so the credited
+    * click is deterministic even for equal timestamps. Emitted values
+    * are ids and integer microsecond gaps — no float arithmetic.
+    */
+  def lastTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("event_type") === "click", tsUs(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("click_id"), (tsUs(col("ts")) - col("click_us")).as("gap_us"))
+  }
+
+  def qLastTouch(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
 }

@@ -67,6 +67,50 @@ object CorpusAnalytics {
     bigramNext(Tables.documents(spark, dir))
       .orderBy(col("head"), col("pair_rank"))
 
+  val LiftMinPairs = 5L
+
+  /** Bigram LIFT: observed adjacent-pair frequency over the frequency
+    * expected if tokens were independent — n_xy · N_tok / (n_x · n_y),
+    * the rational (log-free, hence bit-portable — the
+    * [[TextStats.tfidfTopTerms]] precedent) monotone twin of PMI. Lift
+    * ≫ 1 marks collocations (multi-word terms a tokenizer or phrase
+    * miner should fuse); lift ≪ 1 marks boilerplate boundaries.
+    *
+    * Reuses the [[bigramNext]] adjacency shape (one `lead` window over
+    * `(doc_id, pos)`); unigram counts ride the SAME exploded frame, and
+    * the two count frames join on the pair's endpoints. The min-count
+    * gate keeps the emitted surface to statistically meaningful pairs —
+    * applied to n_xy BEFORE the joins, so rare pairs never reach them.
+    * All arithmetic is integer counts and one fixed multiply/divide
+    * chain per row. */
+  def bigramLift(docs: DataFrame, minPairs: Long = LiftMinPairs): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val nTotal = uni.agg(sum(col("n_tok")).as("n_total"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = toks
+      .withColumn("next_token", lead(col("token"), 1).over(byDoc))
+      .where(col("next_token").isNotNull)
+      .groupBy(col("token"), col("next_token"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairs)
+    pairs
+      .join(uni.select(col("token"), col("n_tok").as("n_head")), "token")
+      .join(uni.select(col("token").as("next_token"),
+        col("n_tok").as("n_next")), "next_token")
+      .crossJoin(broadcast(nTotal))
+      .select(col("token").as("head"), col("next_token"),
+        col("n_pair"), col("n_head"), col("n_next"),
+        (col("n_pair").cast("double") * col("n_total").cast("double") /
+          (col("n_head").cast("double") * col("n_next").cast("double")))
+          .as("lift"))
+  }
+
+  def qBigramLift(spark: SparkSession, dir: String): DataFrame =
+    bigramLift(Tables.documents(spark, dir))
+      .orderBy(col("head"), col("next_token"))
+
   // ---------------------------------------------------------------------
   // Stratified rebalancing sample
   // ---------------------------------------------------------------------
@@ -211,4 +255,115 @@ object CorpusAnalytics {
     graft.expressions.GraftFunctions.register(spark)
     dupDegree(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // BM25 ranked search
+  // ---------------------------------------------------------------------
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Terms: Seq[String] = Seq("join", "merge", "window")
+
+  /** BM25-ranked retrieval for a fixed query-term set: the ranking layer
+    * over the [[postings]] inverted index. Two portability choices make
+    * the doubles engine-exact: the idf stays RATIONAL
+    * ((N − df + 0.5)/(df + 0.5), same monotone ranking as the log form —
+    * the [[TextStats.tfidfTopTerms]] precedent), and the per-term scores
+    * pivot into FIXED columns added left-to-right, because a `sum()`
+    * over doubles would be partition-order-dependent. Every remaining
+    * op (±, ×, ÷ on identically-ordered operands) is IEEE
+    * correctly-rounded, hence bit-identical across engines. dl is
+    * integer-valued, so even `sum(dl)` for avgdl is exact.
+    *
+    * Plan: the doc-length pass is map-side (`size(tokens)`); tf shuffles
+    * once on (doc_id, token) with the query-term filter pushed below the
+    * explode; df and the corpus stats are bounded aggregates joined back
+    * as explicit broadcasts; top-k is TakeOrderedAndProject, never a
+    * global window. */
+  def bm25Search(docs: DataFrame,
+                 terms: Seq[String] = Bm25Terms,
+                 k1: Double = Bm25K1,
+                 b: Double = Bm25B,
+                 topK: Int = Bm25TopK): DataFrame = {
+    val withDl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("double").as("dl"), col("text"))
+    val stats = withDl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl")) / count(lit(1))).as("avgdl"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("norm",
+        lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl"))))
+      .withColumn("score",
+        col("idf") * ((col("tf") * (lit(k1) + lit(1.0))) /
+          (col("tf") + col("norm"))))
+    val pivots = terms.map(t =>
+      max(when(col("token") === t, col("score"))).as(s"s_$t"))
+    val total = terms.map(t => coalesce(col(s"s_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    scored.groupBy(col("doc_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("bm25", total)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  def qBm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(Tables.documents(spark, dir))
+      .orderBy(col("bm25").desc, col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Temperature-scaled language mix
+  // ---------------------------------------------------------------------
+
+  val MixTempBuckets = 10000L
+
+  /** Temperature-flattened language sampling (τ = 1/2): each language's
+    * keep probability is √(n_l / n_max) — the standard multilingual
+    * rebalance that up-weights tail languages RELATIVE to the head
+    * without equalizing them (the τ → 0 limit, which
+    * [[stratifiedSample]] implements). Anchoring to the LARGEST
+    * language (not the normalized Σ p^τ form) keeps every double op a
+    * single correctly-rounded sqrt/divide/floor chain — portable — and
+    * means the head language keeps everything while each tail keeps a
+    * √-flattened fraction.
+    *
+    * The per-language thresholds are one tiny aggregate crossed with a
+    * 1-row max — both broadcast; membership is the same salted-md5
+    * integer bucket as [[TrainPrep.domainUpsample]], so the realized
+    * sample is deterministic under any partitioning, with no `rand()`.
+    * Emits the audit view (counts + threshold + realized keeps); the
+    * kept rows themselves are the same filter without the final
+    * aggregate. */
+  def temperatureMix(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val maxN = counts.agg(max(col("n_l")).as("max_n"))
+    val thresholds = counts
+      .crossJoin(broadcast(maxN))
+      .select(col("lang"), col("n_l"),
+        floor(sqrt(col("n_l").cast("double") / col("max_n").cast("double"))
+          * lit(MixTempBuckets.toDouble)).cast("long").as("thr"))
+    docs
+      .join(broadcast(thresholds), "lang")
+      .withColumn("kept",
+        (md5Bits60(concat(lit("temp:"), col("doc_id").cast("string")))
+          % MixTempBuckets < col("thr")).cast("long"))
+      .groupBy(col("lang"), col("n_l"), col("thr"))
+      .agg(sum(col("kept")).as("n_kept"))
+  }
+
+  def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMix(Tables.documents(spark, dir)).orderBy(col("lang"))
 }

@@ -83,4 +83,52 @@ object LakeLayout {
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Land a table Z-ORDERED on two dimensions: rows are range-split and
+    * sorted by their Morton curve position ([[graft.functions.mortonZ]]),
+    * so each file covers one contiguous curve segment — a TIGHT
+    * bounding box in (x, y). Per-file min/max stats then prune
+    * predicates on EITHER dimension (or a 2-D box), where a plain sort
+    * only ever prunes its leading column: the query the leading-column
+    * layout must full-scan (a filter on the second dimension alone)
+    * touches ~√F of F z-ordered files. This is the layout move for the
+    * two-axis scans a corpus store serves daily — (source, date),
+    * (lang, length-bucket) — without maintaining two copies.
+    *
+    * `x`/`y` are expressions quantized by the caller into [0, 2^16) —
+    * layout only needs the ORDER, so any monotone bucketing of the raw
+    * values works (day numbers, hash prefixes, size buckets).
+    * `repartitionByRange` samples split points, so file boundaries are
+    * approximate — irrelevant for pruning, which reads the stats that
+    * ARE exact. The curve column is dropped before write; it is cheap
+    * to recompute and pruning consumes the per-file (x, y) stats, not z.
+    */
+  def writeZOrdered(df: DataFrame, outDir: String,
+                    x: org.apache.spark.sql.Column,
+                    y: org.apache.spark.sql.Column,
+                    files: Int): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    df.withColumn("__z", graft.functions.mortonZ(x, y))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** The curve itself as an oracle surface: each event's Morton position
+    * over its (user, day) quantization — the bit-parity proof that both
+    * engines interleave identically, which is what makes
+    * [[writeZOrdered]]'s layout reproducible anywhere. Map-side only:
+    * project + integer mask/shift chain, no shuffle but the
+    * canonical-order sort. */
+  def qZOrderCurve(spark: SparkSession, dir: String): DataFrame = {
+    val days = datediff(to_date(col("ts")),
+      lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+    graft.tables.Tables.events(spark, dir)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("xq"),
+        pmod(days, lit(65536L)).as("yq"))
+      .withColumn("zval", graft.functions.mortonZ(col("xq"), col("yq")))
+      .orderBy(col("event_id"))
+  }
 }

@@ -367,6 +367,25 @@ object Relational {
     both.unionByName(onlySeg).orderBy($"op")
   }
 
+  /** Gap-aware ranking: `rank` (ties share a rank, gaps follow) and
+    * `dense_rank` (no gaps) over retail price within brand, kept to
+    * the top 10 ranks — the two tie semantics `row_number` (used
+    * throughout for determinism) deliberately does NOT have. Both
+    * rank values are functions of the VALUE, not the row order, so
+    * ties cost no cross-engine ambiguity; the rank filter compiles
+    * to WindowGroupLimit like every other top-k here. */
+  def qPriceRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+    Tables.part(spark, dir)
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+      .withColumn("price_rank", rank().over(w).cast("long"))
+      .withColumn("price_dense", dense_rank().over(w).cast("long"))
+      .filter($"price_rank" <= 10)
+      .orderBy($"p_brand", $"price_rank", $"p_partkey")
+  }
+
   /** The SQL-text surface: the same library serves `spark.sql` over
     * registered views — Catalyst plans text and DataFrame calls
     * identically, so every scale property (pushdown, AQE strategy

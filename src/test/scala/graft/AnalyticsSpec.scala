@@ -319,4 +319,43 @@ class AnalyticsSpec extends SparkSpec {
     val bhj = "BroadcastHashJoin".r.findAllIn(s).length
     assert(bhj >= 2, s"expected 2 broadcast joins, got:\n$s")
   }
+
+  // --- last-touch attribution ---
+
+  test("lastTouchAttribution credits the latest strictly-prior click") {
+    val out = Analytics.lastTouchAttribution(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:06:00", 1L, "view", 0.0),
+      (4L, "2024-01-01 10:07:00", 1L, "purchase", 9.5),
+      (5L, "2024-01-01 10:08:00", 1L, "purchase", 1.0)))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // both purchases credit click 2 (latest prior), never the view
+    assert(out(4L) === ((2L, 120L * 1000000L)))
+    assert(out(5L) === ((2L, 180L * 1000000L)))
+  }
+
+  test("lastTouchAttribution leaves organic purchases NULL, per user") {
+    val out = Analytics.lastTouchAttribution(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "purchase", 5.0), // before any click
+      (2L, "2024-01-01 11:00:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 12:00:00", 1L, "purchase", 6.0),
+      (4L, "2024-01-01 09:00:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 13:00:00", 3L, "purchase", 7.0))) // other user's click
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(out === Map(1L -> None, 3L -> Some(2L), 5L -> None))
+  }
+
+  test("lastTouchAttribution breaks same-microsecond ties by event_id") {
+    // click 2 and purchase 3 share a timestamp: the strictly-prior ROWS
+    // frame with the event_id tie break sees the click (2 < 3)
+    val out = Analytics.lastTouchAttribution(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:30:00", 1L, "purchase", 2.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((3L, 2L, 0L)))
+  }
 }

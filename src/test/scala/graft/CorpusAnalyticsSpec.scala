@@ -93,4 +93,97 @@ class CorpusAnalyticsSpec extends SparkSpec {
     // tie breaks to the lower doc_id
     assert(survivors === Seq(1L))
   }
+
+  // --- bigram lift ---
+
+  test("bigramLift computes n_xy·N/(n_x·n_y) and gates rare pairs") {
+    val docs = docsOf(
+      (1L, "a b a b", "en", "s1"),
+      (2L, "a b", "en", "s1"))
+    // tokens: a×3, b×3, N=6; pairs: (a,b)×3, (b,a)×1
+    val all = CorpusAnalytics.bigramLift(docs, minPairs = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5)))).toMap
+    assert(all(("a", "b")) === ((3L, 3.0 * 6.0 / 9.0)))
+    assert(all(("b", "a")) === ((1L, 1.0 * 6.0 / 9.0)))
+    // the min-pair gate drops (b, a)
+    val gated = CorpusAnalytics.bigramLift(docs, minPairs = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gated.toSeq === Seq(("a", "b")))
+  }
+
+  // --- BM25 ---
+
+  test("bm25Search matches the hand-computed score on a two-doc corpus") {
+    val docs = docsOf(
+      (1L, "a b a", "en", "s1"),
+      (2L, "b b", "en", "s1"))
+    // N=2, avgdl=2.5; term 'a': df=1, doc 1 tf=2, dl=3
+    // idf = (2-1+0.5)/(1+0.5) = 1.0
+    // score = 1.0 * (2*2.2) / (2 + 1.2*(1-0.75+0.75*(3/2.5)))
+    //       = 4.4 / 3.38
+    val out = CorpusAnalytics.bm25Search(docs, terms = Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set(1L), "only doc 1 contains the term")
+    assert(math.abs(out(1L) - 4.4 / 3.38) < 1e-12)
+  }
+
+  test("bm25Search: more on-term occurrences outrank fewer at equal length") {
+    val docs = docsOf(
+      (1L, "q q q x", "en", "s1"),
+      (2L, "q x x x", "en", "s1"),
+      (3L, "x x x x", "en", "s1"))
+    val rows = CorpusAnalytics.bm25Search(docs, terms = Seq("q"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSet === Set(1L, 2L))
+    val byDoc = rows.toMap
+    assert(byDoc(1L) > byDoc(2L), "tf=3 must outrank tf=1 at equal dl")
+  }
+
+  test("bm25Search sums per-term pivots and caps at topK") {
+    val docs = docsOf(
+      (1L, "a b", "en", "s1"),
+      (2L, "a c", "en", "s1"),
+      (3L, "c c", "en", "s1"))
+    val out = CorpusAnalytics.bm25Search(docs, terms = Seq("a", "b"), topK = 2)
+      .collect()
+    assert(out.length == 2, "topK caps the result")
+    out.foreach { r =>
+      // bm25 = s_a + s_b with nulls as 0, added left-to-right
+      val s_a = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+      val s_b = if (r.isNullAt(2)) 0.0 else r.getDouble(2)
+      assert(r.getDouble(3) == s_a + s_b)
+    }
+  }
+
+  // --- temperature mix ---
+
+  test("temperatureMix keeps the head language whole and flattens tails") {
+    val docs = docsOf(
+      (1 to 16).map(i => (i.toLong, "t", "en", "s1")) ++
+        (17 to 20).map(i => (i.toLong, "t", "fr", "s1")): _*)
+    val out = CorpusAnalytics.temperatureMix(docs)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (enN, enThr, enKept) = out("en")
+    val (frN, frThr, frKept) = out("fr")
+    assert((enN, frN) === ((16L, 4L)))
+    assert(enThr == 10000L && enKept == 16L, "head language keeps everything")
+    // √(4/16) = 0.5 exactly → threshold 5000; kept is a subset
+    assert(frThr == 5000L)
+    assert(frKept <= frN)
+    // √-flattening beats proportional: thr(τ=1/2)=5000 > thr(τ=1)=2500
+    assert(frThr > frN * 10000L / enN)
+  }
+
+  test("temperatureMix is repartition-stable (salted-hash membership)") {
+    val docs = docsOf(
+      (1 to 30).map(i =>
+        (i.toLong, "t", if (i % 3 == 0) "fr" else "en", "s1")): _*)
+    val a = CorpusAnalytics.temperatureMix(docs)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    val b = CorpusAnalytics.temperatureMix(docs.repartition(7))
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSet
+    assert(a === b)
+  }
 }

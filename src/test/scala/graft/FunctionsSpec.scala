@@ -46,4 +46,33 @@ class FunctionsSpec extends SparkSpec {
     val df = Seq(0.1, 0.2, 0.3).toDF("v")
     assert(df.select(moneySum(money(col("v")))).as[Double].head() === 0.6)
   }
+
+  /** Bit-by-bit reference Morton interleave. */
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("mortonZ matches the bit-by-bit reference interleave") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (43690L, 21845L)) // 0xAAAA, 0x5555
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), mortonZ(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === mortonRef(x, y), s"($x, $y)")
+    }
+    // the two extremes: x fills even bits, y fills odd bits
+    assert(mortonRef(65535L, 0L) === 0x55555555L)
+    assert(mortonRef(0L, 65535L) === 0xAAAAAAAAL)
+  }
+
+  test("mortonZ equals the reference on random 16-bit points") {
+    val xs = samples(Gen.chooseNum(0L, 65535L))
+    val ys = samples(Gen.chooseNum(0L, 65535L))
+    val got = xs.zip(ys).toDF("x", "y")
+      .select(col("x"), col("y"), mortonZ(col("x"), col("y")).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z === mortonRef(x, y), s"($x, $y)") }
+  }
 }

@@ -114,4 +114,36 @@ class LakeLayoutSpec extends SparkSpec {
     }
     assert(scanned === Seq(1), s"expected 1 pruned partition, got $scanned")
   }
+
+  test("writeZOrdered: 2-D layout prunes the box a linear sort full-scans") {
+    val zdir = tmp("graft_zorder")
+    val ldir = tmp("graft_linear")
+    // a 64×64 grid: two dimensions with no correlation to exploit
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    LakeLayout.writeZOrdered(grid, zdir, col("x"), col("y"), files = 16)
+    // the contender: range-sorted by y alone (the layout that wins for
+    // y-filters and loses everything else)
+    grid.repartitionByRange(16, col("y")).sortWithinPartitions(col("y"))
+      .write.mode("overwrite").parquet(ldir)
+    // files whose [min(x), max(x)] stats intersect the predicate
+    // x ∈ [8, 15] — what parquet row-group/file skipping would read
+    def xFilesTouched(dir: String): (Long, Long) = {
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("x")).as("minx"), max(col("x")).as("maxx"))
+      (boxes.filter(col("minx") <= 15L && col("maxx") >= 8L).count(),
+        boxes.count())
+    }
+    val (zTouched, zTotal) = xFilesTouched(zdir)
+    val (linTouched, linTotal) = xFilesTouched(ldir)
+    assert(zTotal === 16L && linTotal === 16L)
+    // y-sorted files each span the full x range: zero pruning
+    assert(linTouched === 16L, s"linear layout should full-scan, got $linTouched")
+    // z-ordered files are ~16×16 tiles: only the x ∈ [0,15]-column
+    // tiles (plus boundary spill from sampled split points) intersect
+    assert(zTouched <= 8L, s"expected ≤ 8 of 16 z-files, got $zTouched")
+    // both layouts hold the same rows
+    assert(spark.read.parquet(zdir).count() === 4096L)
+  }
 }

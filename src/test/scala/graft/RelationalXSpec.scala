@@ -127,4 +127,31 @@ class RelationalXSpec extends SparkSpec {
       assert(loops.isEmpty, "cross-table inequality fell out of the hash join")
     }
   }
+
+  test("q_price_ranks: rank gaps follow tie multiplicity, dense_rank has none") {
+    val rows = graft.operators.Relational.qPriceRanks(spark, sfSmoke)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (brand, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._2))
+      // rank of a row = 1 + number of strictly-higher prices in the brand
+      // (checkable within the emitted top-10 because rank ≤ 10 implies
+      // every strictly-higher price also ranked ≤ 10 and was emitted)
+      sorted.foreach { case (_, price, rank, _) =>
+        val higher = rs.count(_._2 > price)
+        assert(rank == higher + 1, s"$brand: rank $rank != 1+$higher")
+      }
+      // dense_rank is the count of DISTINCT higher prices + 1 — no gaps
+      sorted.foreach { case (_, price, _, dense) =>
+        val distinctHigher = rs.map(_._2).distinct.count(_ > price)
+        assert(dense == distinctHigher + 1)
+      }
+      // equal prices share both ranks
+      rs.groupBy(_._2).values.foreach { tie =>
+        assert(tie.map(_._3).distinct.length == 1)
+        assert(tie.map(_._4).distinct.length == 1)
+      }
+    }
+  }
 }
