@@ -158,9 +158,12 @@ object SparkEntry {
     "q_postings"           -> (CorpusAnalytics.qPostings _),
     "q_bm25_search"        -> (CorpusAnalytics.qBm25Search _),
     "q_temperature_mix"    -> (CorpusAnalytics.qTemperatureMix _),
+    "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
+    "q_growth_accounting"  -> (Analytics.qGrowthAccounting _),
+    "q_stickiness"         -> (Analytics.qStickiness _),
     "q_zorder_curve"       -> (LakeLayout.qZOrderCurve _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
     "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
@@ -1835,6 +1838,49 @@ object SparkEntry {
          FROM p ASOF LEFT JOIN c
            ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
          ORDER BY event_id""",
+    // growth accounting: dense Monday-epoch week integers make
+    // adjacency wi−1; right-censored churn on the last week by design
+    "q_growth_accounting" ->
+      """WITH weekly AS (
+           SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+           FROM events),
+         widx AS (
+           SELECT user_id,
+             CAST(datediff('day', DATE '1970-01-05', CAST(w AS DATE)) // 7
+               AS BIGINT) AS wi
+           FROM weekly),
+         lbl AS (
+           SELECT wi,
+             lag(wi) OVER (PARTITION BY user_id ORDER BY wi) AS prev,
+             lead(wi) OVER (PARTITION BY user_id ORDER BY wi) AS nxt
+           FROM widx)
+         SELECT wi,
+           CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN prev = wi - 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND prev < wi - 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(sum(CASE WHEN nxt IS NULL OR nxt > wi + 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_churning
+         FROM lbl GROUP BY wi ORDER BY wi""",
+    // DAU/WAU stickiness: the ×7 scatter spelling of the trailing
+    // window — one distinct + one count, no day-range self-join
+    "q_stickiness" ->
+      """WITH daily AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                 FROM daily GROUP BY d),
+         scat AS (
+           SELECT DISTINCT user_id, d + CAST(i AS INTEGER) AS d2
+           FROM daily CROSS JOIN
+             (SELECT unnest(generate_series(0, 6)) AS i) s),
+         wau AS (SELECT d2, CAST(count(*) AS BIGINT) AS wau
+                 FROM scat GROUP BY d2)
+         SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+         FROM dau JOIN wau ON dau.d = wau.d2 ORDER BY day""",
     // Morton curve bit parity: the same 4-step mask/shift spread chain
     // as graft.functions.spread16, staged through CTEs; all integer
     // & | << ops, so the interleave is engine-exact
@@ -2280,6 +2326,19 @@ object SparkEntry {
            $total AS bm25
          FROM p ORDER BY bm25 DESC, doc_id LIMIT ${CorpusAnalytics.Bm25TopK}"""
     },
+    // incremental stats contract: the oracle recomputes in ONE pass
+    // what the Spark side assembles as merge(state(80%), delta(20%)) —
+    // equality IS the mergeability proof (all-integer sums)
+    "q_stats_merge" ->
+      s"""WITH t AS (SELECT source, lang, n_chars,
+             len(${toksSql("text")}) AS n_toks FROM documents)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en
+         FROM t GROUP BY source ORDER BY source""",
     // τ=1/2 temperature mix: thresholds are floor(√(n/max)·10000) — a
     // single sqrt/divide/floor chain, correctly rounded — and the kept
     // set is the salted 60-bit md5 bucket (the upsample recipe)

@@ -437,4 +437,87 @@ object Analytics {
 
   def qLastTouch(spark: SparkSession, dir: String): DataFrame =
     lastTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
+
+  // ---------------------------------------------------------------------
+  // Growth accounting
+  // ---------------------------------------------------------------------
+
+  /** Weekly growth accounting: every active (user, week) labeled
+    * `new` (first-ever week), `retained` (active the immediately
+    * previous week) or `resurrected` (active before, but with a gap),
+    * plus the week's `n_churning` — users active now whose NEXT active
+    * week is not the adjacent one (the last observed week therefore
+    * counts everyone, the standard right-censoring caveat). These four
+    * counts are the growth-team identity: WAU(w) = new + retained +
+    * resurrected, and WAU(w+1) = WAU(w) − churning(w) + new(w+1) +
+    * resurrected(w+1).
+    *
+    * Weeks become DENSE integers (Monday-epoch day diff `div` 7 — pure
+    * integer arithmetic, same spelling as the oracle) so adjacency is
+    * `wi − 1`, not date arithmetic in the window. One distinct over
+    * (user, week), one per-user lag/lead window, one week aggregate —
+    * two key shuffles total, both on real keys. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+      .withColumn("wi",
+        expr("CAST(datediff(to_date(w), DATE '1970-01-05') div 7 AS BIGINT)"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("wi"))
+    weekly
+      .withColumn("prev", lag(col("wi"), 1).over(byUser))
+      .withColumn("next", lead(col("wi"), 1).over(byUser))
+      .withColumn("state",
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("wi") - 1L, "retained")
+          .otherwise("resurrected"))
+      .groupBy(col("wi"))
+      .agg(
+        sum(when(col("state") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("state") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("state") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("next").isNull || col("next") > col("wi") + 1L, 1L)
+          .otherwise(0L)).as("n_churning"))
+  }
+
+  def qGrowthAccounting(spark: SparkSession, dir: String): DataFrame =
+    growthAccounting(Tables.events(spark, dir)).orderBy(col("wi"))
+
+  // ---------------------------------------------------------------------
+  // DAU/WAU stickiness
+  // ---------------------------------------------------------------------
+
+  /** Daily stickiness: DAU, trailing-7-day WAU, and their ratio per
+    * observed day. WAU comes from the scatter spelling — each active
+    * (user, day) contributes membership to the 7 target days it covers
+    * (`explode(sequence(0,6))` + date_add), then one distinct and one
+    * count — NOT a day-range self-join, which at 100 TB re-scans the
+    * activity table per day with a non-equi predicate. The scatter is
+    * a fixed ×7 map-side expansion on one (user, day) shuffle.
+    *
+    * Days with zero activity have no row (DAU = 0 ⇒ undefined ratio);
+    * WAU is reported only for days that appear, keyed by the inner
+    * join back to DAU. The ratio is one double division of two exact
+    * integers — portable. */
+  def stickiness(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val dau = daily.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"), col("d"))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("d"))
+      .distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "d")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+  }
+
+  def qStickiness(spark: SparkSession, dir: String): DataFrame =
+    stickiness(Tables.events(spark, dir)).orderBy(col("day"))
 }

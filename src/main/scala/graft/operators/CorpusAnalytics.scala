@@ -366,4 +366,45 @@ object CorpusAnalytics {
 
   def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(spark, dir)).orderBy(col("lang"))
+
+  // ---------------------------------------------------------------------
+  // Mergeable per-source stats (incremental maintenance)
+  // ---------------------------------------------------------------------
+
+  /** Per-source corpus stats where EVERY measure is a sum/count —
+    * deliberately: sums merge, so yesterday's materialized stats plus a
+    * new batch's stats equal the full recompute without touching
+    * history ([[mergeSourceStats]]; the [[Analytics.scd2Merge]]
+    * incremental-contract precedent). At 100 TB this is the difference
+    * between a nightly full-corpus aggregate and folding in one day's
+    * landing. Means/ratios are derived at READ time from the summed
+    * numerators/denominators — storing them would break mergeability. */
+  def sourceStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col("text"))).cast("long")).as("n_toks"),
+      sum(col("n_chars")).as("n_chars_sum"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+
+  /** Fold a delta batch's stats into the standing state: unionByName +
+    * re-sum. All-integer arithmetic, so merge(state, delta) is EXACTLY
+    * the full recompute (spec'd, plus the oracle re-derives from
+    * scratch). */
+  def mergeSourceStats(state: DataFrame, delta: DataFrame): DataFrame =
+    state.unionByName(delta)
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("n_chars_sum")).as("n_chars_sum"),
+        sum(col("n_en")).as("n_en"))
+
+  /** The contract as an oracle query: stats of a standing 80% merged
+    * with the 20% delta (deterministic doc_id split), checked against
+    * the oracle's single-pass recompute over everything. */
+  def qSourceStatsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val state = sourceStats(docs.filter(col("doc_id") % 5 =!= 0))
+    val delta = sourceStats(docs.filter(col("doc_id") % 5 === 0))
+    mergeSourceStats(state, delta).orderBy(col("source"))
+  }
 }

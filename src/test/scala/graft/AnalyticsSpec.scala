@@ -348,6 +348,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Map(1L -> None, 3L -> Some(2L), 5L -> None))
   }
 
+  test("growthAccounting labels new/retained/resurrected and right-censors churn") {
+    // user 1: weeks A,B (adjacent); user 2: week A only; user 3: weeks A,C (gap)
+    val out = Analytics.growthAccounting(ev(
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),  // A
+      (2L, "2024-01-09 10:00:00", 1L, "view", 0.0),  // B
+      (3L, "2024-01-03 10:00:00", 2L, "view", 0.0),  // A
+      (4L, "2024-01-04 10:00:00", 3L, "view", 0.0),  // A
+      (5L, "2024-01-23 10:00:00", 3L, "view", 0.0))) // C (2-week gap)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val Seq(a, b, c) = out.keys.toSeq.sorted
+    assert(b === a + 1 && c === a + 3)
+    assert(out(a) === ((3L, 0L, 0L, 2L)), "A: all new; 2 and 3 churn after")
+    assert(out(b) === ((0L, 1L, 0L, 1L)), "B: 1 retained, censored churn")
+    assert(out(c) === ((0L, 0L, 1L, 1L)), "C: 3 resurrected, censored churn")
+    // identity: WAU(w) = new + retained + resurrected
+    assert(out.values.forall { case (n, r, s, _) => n + r + s > 0 })
+  }
+
+  test("stickiness counts trailing-7-day WAU via the scatter, DAU/WAU exact") {
+    val out = Analytics.stickiness(ev(
+      (1L, "2024-01-10 09:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-10 10:00:00", 2L, "view", 0.0),
+      (3L, "2024-01-11 10:00:00", 1L, "view", 0.0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // day 1: both users; WAU window [Jan 4..10] = {1, 2}
+    assert(out("2024-01-10") === ((2L, 2L, 1.0)))
+    // day 2: only user 1 active; WAU window [Jan 5..11] still = {1, 2}
+    assert(out("2024-01-11") === ((1L, 2L, 0.5)))
+    // no row for inactive days (no DAU ⇒ no ratio), even inside WAU reach
+    assert(!out.contains("2024-01-12"))
+  }
+
   test("lastTouchAttribution breaks same-microsecond ties by event_id") {
     // click 2 and purchase 3 share a timestamp: the strictly-prior ROWS
     // frame with the event_id tie break sees the click (2 < 3)

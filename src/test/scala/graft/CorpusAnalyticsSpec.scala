@@ -156,6 +156,30 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- mergeable source stats ---
+
+  test("mergeSourceStats(state, delta) equals the full recompute") {
+    val docs = docsOf(
+      (1L, "a b c", "en", "s1"),
+      (2L, "d e", "fr", "s1"),
+      (3L, "f", "en", "s2"),
+      (4L, "g h i j", "en", "s3"), // s3 exists only in the delta
+      (5L, "k l", "de", "s2"))
+    val full = CorpusAnalytics.sourceStats(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    val state = CorpusAnalytics.sourceStats(docs.filter($"doc_id" <= 2))
+    val delta = CorpusAnalytics.sourceStats(docs.filter($"doc_id" > 2))
+    val merged = CorpusAnalytics.mergeSourceStats(state, delta)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(merged === full)
+    // empty delta is the identity
+    val idem = CorpusAnalytics.mergeSourceStats(state,
+      CorpusAnalytics.sourceStats(docs.filter($"doc_id" < 0)))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+    assert(idem === CorpusAnalytics.sourceStats(docs.filter($"doc_id" <= 2))
+      .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap)
+  }
+
   // --- temperature mix ---
 
   test("temperatureMix keeps the head language whole and flattens tails") {

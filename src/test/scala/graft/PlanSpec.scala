@@ -269,4 +269,31 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("ReusedExchange"),
       s"expected the repartition(doc_id) exchange to be reused across consumers:\n$s")
   }
+
+  test("bm25: df/stats join back as broadcasts, top-k is TakeOrdered") {
+    val df = SparkEntry.queries("q_bm25_search")(spark, sf("sf0.001"))
+    df.collect()
+    val s = physical(df).toString()
+    // the bounded df and 1-row stats frames must never reshuffle the
+    // corpus-side tf frame
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+    assert(bhj >= 1, s"df join fell out of broadcast:\n$s")
+    // the 1-row stats crossJoin legitimately plans a broadcast
+    // nested-loop (bounded side); a CartesianProduct would not be
+    assert(!s.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k did not compile to TakeOrderedAndProject:\n$s")
+  }
+
+  test("attribution/growth/stickiness plans stay single-key, no nested loop") {
+    Seq("q_last_touch", "q_growth_accounting", "q_stickiness").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.collect()
+      val s = physical(df).toString()
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+      // the ×7 scatter and the per-user windows are key-partitioned;
+      // nothing here may fall to a nested loop
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$s")
+    }
+  }
 }
