@@ -164,6 +164,8 @@ object SparkEntry {
     "q_last_touch"         -> (Analytics.qLastTouch _),
     "q_growth_accounting"  -> (Analytics.qGrowthAccounting _),
     "q_stickiness"         -> (Analytics.qStickiness _),
+    "q_top_journeys"       -> (Analytics.qTopJourneys _),
+    "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_zorder_curve"       -> (LakeLayout.qZOrderCurve _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
     "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
@@ -1881,6 +1883,53 @@ object SparkEntry {
          SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, wau.wau,
            CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
          FROM dau JOIN wau ON dau.d = wau.d2 ORDER BY day""",
+    // top journeys: first-5 event types per user as a path string;
+    // ordering on epoch MICROS + event_id (the ns-truncation rule)
+    "q_top_journeys" -> {
+      val len = Analytics.JourneyLen
+      val k = Analytics.JourneyTopK
+      s"""WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         j AS (
+           SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+           FROM r WHERE rn <= $len GROUP BY user_id)
+         SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+         FROM j GROUP BY journey
+         ORDER BY n_users DESC, journey LIMIT $k"""
+    },
+    // RFM octants: decimal-exact monetary sums, integer recency days
+    // off the stream's own max, medians rounded BEFORE the compare
+    "q_rfm_segments" ->
+      """WITH p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us, value
+                    FROM events WHERE event_type = 'purchase'),
+         mx AS (SELECT max(us) AS now_us FROM p),
+         per AS (SELECT user_id, max(us) AS last_us,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+                     AS monetary
+                 FROM p GROUP BY user_id),
+         r AS (SELECT user_id,
+                 (now_us - last_us) // 86400000000 AS recency_days,
+                 frequency, monetary
+               FROM per CROSS JOIN mx),
+         med AS (SELECT
+                   round(quantile_cont(recency_days, 0.5), 6) AS med_r,
+                   round(quantile_cont(frequency, 0.5), 6) AS med_f,
+                   round(quantile_cont(monetary, 0.5), 6) AS med_m
+                 FROM r)
+         SELECT
+           CAST(CASE WHEN recency_days <= med_r THEN 1 ELSE 0 END AS BIGINT)
+             AS r_hi,
+           CAST(CASE WHEN frequency >= med_f THEN 1 ELSE 0 END AS BIGINT)
+             AS f_hi,
+           CAST(CASE WHEN monetary >= med_m THEN 1 ELSE 0 END AS BIGINT)
+             AS m_hi,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM r CROSS JOIN med
+         GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
     // Morton curve bit parity: the same 4-step mask/shift spread chain
     // as graft.functions.spread16, staged through CTEs; all integer
     // & | << ops, so the interleave is engine-exact

@@ -520,4 +520,96 @@ object Analytics {
 
   def qStickiness(spark: SparkSession, dir: String): DataFrame =
     stickiness(Tables.events(spark, dir)).orderBy(col("day"))
+
+  // ---------------------------------------------------------------------
+  // Top user journeys
+  // ---------------------------------------------------------------------
+
+  val JourneyLen = 5
+  val JourneyTopK = 20
+
+  /** Path analysis: the `topK` most common event-type journeys, where a
+    * journey is each user's first `len` events joined `a>b>c`. The
+    * canonical "how do users actually start" report, and the input to
+    * any funnel-design review.
+    *
+    * The first-N filter is a per-user `row_number` ≤ len — WindowGroupLimit
+    * prunes rank > len before the sort buffers them — and the journey
+    * string assembles from `sort_array(collect_list(struct(rn, type)))`,
+    * whose per-user array is BOUNDED by len (never a whole history;
+    * that cap is what makes collect_list safe here). Both aggregates
+    * key on `user_id`, so the second reuses the first's exchange; the
+    * final journey count is its own keyed aggregate with a TakeOrdered
+    * top-k. Ties break on the journey string. */
+  def topJourneys(events: DataFrame,
+                  len: Int = JourneyLen,
+                  topK: Int = JourneyTopK): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val journeys = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+      .where(col("rn") <= len)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          s => s.getField("event_type"))).as("journey"))
+    journeys.groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(topK)
+  }
+
+  def qTopJourneys(spark: SparkSession, dir: String): DataFrame =
+    topJourneys(Tables.events(spark, dir))
+      .orderBy(col("n_users").desc, col("journey"))
+
+  // ---------------------------------------------------------------------
+  // RFM segmentation
+  // ---------------------------------------------------------------------
+
+  /** RFM segmentation: purchasers split into the 8 median-threshold
+    * (recency, frequency, monetary) octants, with the user count per
+    * octant. Three portability choices: monetary is the decimal-exact
+    * [[graft.functions.moneySum]] (a raw double sum would be
+    * partition-order-dependent); recency is INTEGER day arithmetic off
+    * the stream's own max timestamp (no wall clock — reruns are
+    * bit-identical); the medians round to 6 decimals BEFORE the
+    * threshold compare (the [[medianOutliers]] rule — exact-percentile
+    * interpolation can differ in the last ULP across engines).
+    *
+    * One keyed aggregate builds the per-user frame; the global max and
+    * the 3-median frame are 1-row broadcasts; the octant count is a
+    * ≤8-group aggregate. The exact `percentile` buffers the per-user
+    * frame's values — bounded by |purchasers|, the same deliberate
+    * exact-vs-approx trade as [[medianOutliers]], and
+    * `approx_percentile` is the swap at 100 TB. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+    val nowUs = p.agg(max(tsUs(col("ts"))).as("now_us"))
+    val per = p.groupBy(col("user_id"))
+      .agg(
+        max(tsUs(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        graft.functions.moneySum(graft.functions.money(col("value")))
+          .as("monetary"))
+      .crossJoin(broadcast(nowUs))
+      .withColumn("recency_days",
+        expr("(now_us - last_us) div 86400000000"))
+    val meds = per.agg(
+      round(percentile(col("recency_days"), lit(0.5)), 6).as("med_r"),
+      round(percentile(col("frequency"), lit(0.5)), 6).as("med_f"),
+      round(percentile(col("monetary"), lit(0.5)), 6).as("med_m"))
+    per.crossJoin(broadcast(meds))
+      .select(
+        (col("recency_days") <= col("med_r")).cast("long").as("r_hi"),
+        (col("frequency") >= col("med_f")).cast("long").as("f_hi"),
+        (col("monetary") >= col("med_m")).cast("long").as("m_hi"))
+      .groupBy(col("r_hi"), col("f_hi"), col("m_hi"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.events(spark, dir))
+      .orderBy(col("r_hi"), col("f_hi"), col("m_hi"))
 }

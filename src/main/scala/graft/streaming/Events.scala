@@ -510,6 +510,53 @@ object Events {
         transitionsGroup)
   }
 
+  // --- streaming last-touch attribution ---
+
+  case class Attribution(event_id: Long, user_id: Long,
+                         value: Option[Double], click_id: Option[Long],
+                         gap_us: Option[Long])
+  case class LastClick(clickId: Long, tsUs: Long)
+
+  /** Stateful streaming twin of
+    * [[graft.operators.Analytics.lastTouchAttribution]]: the per-user
+    * last CLICK rides in `GroupState` (one fixed-size value — the
+    * streaming analogue of the batch running-`last` window); each
+    * micro-batch scans in (ts_us, event_id) order, clicks update the
+    * state, purchases emit one attribution row against it (None =
+    * organic). Same cross-batch ordering precondition as
+    * [[funnelGroup]]; StreamingSpec proves streamed rows == the batch
+    * twin's rows on the fixture stream. */
+  def attributionGroup(userId: Long,
+                       batch: Iterator[(Long, Long, String, Long, Option[Double])],
+                       state: GroupState[LastClick]): Iterator[Attribution] = {
+    val evs = batch.toArray.sortBy(e => (e._4, e._2))
+    var st = state.getOption
+    val out = Seq.newBuilder[Attribution]
+    evs.foreach { case (_, id, ty, ts, value) =>
+      if (ty == "click") st = Some(LastClick(id, ts))
+      else if (ty == "purchase")
+        out += Attribution(id, userId, value,
+          st.map(_.clickId), st.map(ts - _.tsUs))
+    }
+    st.foreach(state.update)
+    out.result().iterator
+  }
+
+  def streamingAttribution(spark: SparkSession,
+                           dir: String): Dataset[Attribution] = {
+    import spark.implicits._
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEvents(stream)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, String, Long, Option[Double])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        attributionGroup)
+  }
+
   /** flatMapGroupsWithState funnel over the event file stream. */
   def streamingFunnel(spark: SparkSession, dir: String): Dataset[FunnelHit] = {
     import spark.implicits._

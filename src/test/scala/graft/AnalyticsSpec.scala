@@ -382,6 +382,60 @@ class AnalyticsSpec extends SparkSpec {
     assert(!out.contains("2024-01-12"))
   }
 
+  test("topJourneys caps at the first N events and counts path strings") {
+    val out = Analytics.topJourneys(ev(
+      // users 1 and 2 share view>click>purchase
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 09:01:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 09:02:00", 2L, "purchase", 0.0),
+      // user 3: a single event is a length-1 journey
+      (7L, "2024-01-01 08:00:00", 3L, "signup", 0.0),
+      // user 4: 7 events — only the first 5 shape the journey
+      (8L, "2024-01-01 07:00:00", 4L, "view", 0.0),
+      (9L, "2024-01-01 07:01:00", 4L, "view", 0.0),
+      (10L, "2024-01-01 07:02:00", 4L, "view", 0.0),
+      (11L, "2024-01-01 07:03:00", 4L, "view", 0.0),
+      (12L, "2024-01-01 07:04:00", 4L, "view", 0.0),
+      (13L, "2024-01-01 07:05:00", 4L, "purchase", 0.0),
+      (14L, "2024-01-01 07:06:00", 4L, "purchase", 0.0)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.head === (("view>click>purchase", 2L)))
+    assert(out.toMap === Map(
+      "view>click>purchase" -> 2L,
+      "signup" -> 1L,
+      "view>view>view>view>view" -> 1L))
+  }
+
+  test("rfmSegments buckets purchasers into hand-computed median octants") {
+    val out = Analytics.rfmSegments(ev(
+      // u1: freq 2, last = now (r=0 d), monetary 10.00
+      (1L, "2024-01-25 10:00:00", 1L, "purchase", 4.0),
+      (2L, "2024-02-01 10:00:00", 1L, "purchase", 6.0),
+      // u2: freq 1, 10 d ago, monetary 50.00
+      (3L, "2024-01-22 10:00:00", 2L, "purchase", 50.0),
+      // u3: freq 3, 1 d ago, monetary 20.00
+      (4L, "2024-01-10 10:00:00", 3L, "purchase", 5.0),
+      (5L, "2024-01-20 10:00:00", 3L, "purchase", 5.0),
+      (6L, "2024-01-31 10:00:00", 3L, "purchase", 10.0),
+      // u4: freq 1, 20 d ago, monetary 1.00
+      (7L, "2024-01-12 10:00:00", 4L, "purchase", 1.0),
+      // non-purchases are invisible to RFM
+      (8L, "2024-02-01 11:00:00", 4L, "click", 99.0)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // recency 0,10,1,20 → med 5.5; freq 2,1,3,1 → med 1.5;
+    // monetary 10,50,20,1 → med 15.0
+    assert(out === Map(
+      (1L, 1L, 0L) -> 1L,  // u1: recent, frequent, low spend
+      (0L, 0L, 1L) -> 1L,  // u2: lapsed whale
+      (1L, 1L, 1L) -> 1L,  // u3: best octant
+      (0L, 0L, 0L) -> 1L)) // u4: lapsed low-value
+  }
+
   test("lastTouchAttribution breaks same-microsecond ties by event_id") {
     // click 2 and purchase 3 share a timestamp: the strictly-prior ROWS
     // frame with the event_id tie break sees the click (2 < 3)

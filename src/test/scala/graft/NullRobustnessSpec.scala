@@ -174,4 +174,38 @@ class NullRobustnessSpec extends SparkSpec {
     assert(r.getDouble(2) === 2.0)   // median over non-null values
     assert(r.getLong(4) === 0L)      // null comparison never flags
   }
+
+  test("round-7 analytics on degenerate input: empty frames, absent terms") {
+    import graft.operators.{Analytics, CorpusAnalytics}
+    val emptyEv = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Analytics.lastTouchAttribution(emptyEv).count() === 0)
+    assert(Analytics.growthAccounting(emptyEv).count() === 0)
+    assert(Analytics.stickiness(emptyEv).count() === 0)
+    // a click-free stream: every purchase is organic, none dropped
+    val noClicks = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "purchase", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "purchase", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val organic = Analytics.lastTouchAttribution(noClicks).collect()
+    assert(organic.length === 2 && organic.forall(_.isNullAt(3)))
+    // degenerate corpus: bm25 over terms present nowhere is empty, not
+    // an error; lift and the merge contract survive nulls/empties
+    val docs = corpus.withColumn("lang", lit("en"))
+      .withColumn("n_chars",
+        coalesce(length(col("text")).cast("long"), lit(0L)))
+    assert(CorpusAnalytics.bm25Search(docs,
+      terms = Seq("zzz_absent")).count() === 0)
+    assert(CorpusAnalytics.bm25Search(docs.limit(0)).count() === 0)
+    assert(CorpusAnalytics.bigramLift(docs.limit(0)).count() === 0)
+    val mergedEmpty = CorpusAnalytics.mergeSourceStats(
+      CorpusAnalytics.sourceStats(docs.limit(0)),
+      CorpusAnalytics.sourceStats(docs.limit(0)))
+    assert(mergedEmpty.count() === 0)
+    // temperature mix on a single language keeps everything (thr=10000)
+    val one = CorpusAnalytics.temperatureMix(
+      docs.where(col("text").isNotNull)).collect()
+    assert(one.length === 1 && one.head.getLong(2) === 10000L &&
+      one.head.getLong(3) === one.head.getLong(1))
+  }
 }

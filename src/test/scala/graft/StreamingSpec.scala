@@ -388,6 +388,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("stateful attribution: streamed rows == batch last-touch rows") {
+    import spark.implicits._
+    val checkpoint = Files.createTempDirectory("graft-ckpt-attr").toString
+    val q = Events.streamingAttribution(spark, sfSmoke).writeStream
+      .format("memory").queryName("ev_attribution")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    val streamed = spark.table("ev_attribution")
+      .select("event_id", "user_id", "value", "click_id", "gap_us")
+      .collect().map(key).sortBy(_._1).toSeq
+    val batch = graft.operators.Analytics
+      .qLastTouch(spark, sfSmoke)
+      .collect().map(key).sortBy(_._1).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // the organic (no-prior-click) bucket must survive the state path
+    assert(streamed.exists(_._3.isEmpty) || batch.forall(_._3.nonEmpty))
+  }
+
   test("stateful transitions: streamed (from,to) counts == batch matrix") {
     import spark.implicits._
     val checkpoint = Files.createTempDirectory("graft-ckpt-trans").toString
