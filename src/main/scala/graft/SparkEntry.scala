@@ -109,6 +109,9 @@ object SparkEntry {
     "q_length_quantiles"   -> (TextStats.qLengthQuantiles _),
     // no oracle entry (t-digest sketch is engine-specific): rows-only gate
     "q_approx_quantiles"   -> (TextStats.qApproxQuantiles _),
+    // rows-only: deflate ratio has no DuckDB twin (no zlib there);
+    // the expression's contract is pinned in ExpressionsSpec
+    "q_compress_ratio"     -> (TextStats.qCompressRatio _),
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
@@ -162,6 +165,7 @@ object SparkEntry {
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
+    "q_first_touch"        -> (Analytics.qFirstTouch _),
     "q_growth_accounting"  -> (Analytics.qGrowthAccounting _),
     "q_stickiness"         -> (Analytics.qStickiness _),
     "q_top_journeys"       -> (Analytics.qTopJourneys _),
@@ -1970,6 +1974,23 @@ object SparkEntry {
                IGNORE NULLS) OVER lastw AS click_us
            FROM events
            WINDOW lastw AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, value, click_id,
+           ts_us - click_us AS gap_us
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    // first-touch twin: FIRST_VALUE over the same strictly-prior frame
+    "q_first_touch" ->
+      """WITH w AS (
+           SELECT event_id, user_id, event_type, value,
+             CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             first_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER firstw AS click_id,
+             first_value(CASE WHEN event_type = 'click'
+                 THEN CAST(epoch_us(ts) AS BIGINT) END
+               IGNORE NULLS) OVER firstw AS click_us
+           FROM events
+           WINDOW firstw AS (PARTITION BY user_id
              ORDER BY epoch_us(ts), event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
          SELECT event_id, user_id, value, click_id,

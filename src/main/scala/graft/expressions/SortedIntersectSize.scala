@@ -140,9 +140,15 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
     (children: Seq[Expression]) => SimHash60(children.head))
 
+  val deflateRatio: Registration = (
+    FunctionIdentifier("deflate_ratio"),
+    new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+    (children: Seq[Expression]) => DeflateRatio(children.head))
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
-      simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60)
+      simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
+      deflateRatio)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

@@ -438,6 +438,34 @@ object Analytics {
   def qLastTouch(spark: SparkSession, dir: String): DataFrame =
     lastTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
 
+  /** First-touch twin of [[lastTouchAttribution]]: each purchase
+    * credits the user's EARLIEST strictly-prior click — the acquisition
+    * view, where last-touch is the conversion view; marketing reports
+    * ship both and the delta between them is the report. Identical
+    * plan shape (`first(..., ignoreNulls)` over the same strictly-prior
+    * running frame — still one value per row, no join), so the two
+    * reports share one shuffle when computed together. */
+  def firstTouchAttribution(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .withColumn("click_id",
+        first(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        first(when(col("event_type") === "click", tsUs(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("click_id"), (tsUs(col("ts")) - col("click_us")).as("gap_us"))
+  }
+
+  def qFirstTouch(spark: SparkSession, dir: String): DataFrame =
+    firstTouchAttribution(Tables.events(spark, dir)).orderBy(col("event_id"))
+
   // ---------------------------------------------------------------------
   // Growth accounting
   // ---------------------------------------------------------------------

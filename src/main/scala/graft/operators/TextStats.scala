@@ -319,4 +319,26 @@ object TextStats {
         call_function("rolling_fingerprint", col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  // --- compression-ratio quality signal ---
+
+  val CompressSuspectBelow = 0.45
+
+  /** Deflate-ratio quality screen ([[graft.expressions.DeflateRatio]]):
+    * template spam and boilerplate compress far below natural prose, so
+    * a low ratio flags a doc with no language model in the loop — the
+    * CCNet/Gopher-family signal the repetition gate approximates with
+    * n-gram fractions. Rows-only gate like the t-digest/HLL entries:
+    * DuckDB carries no zlib, so the monotonicity/bounds contract lives
+    * in ExpressionsSpec instead of the hash oracle. Map-side only —
+    * one native eval per row inside the scan projection. */
+  def qCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        call_function("deflate_ratio", col("text")).as("deflate_ratio"))
+      .withColumn("is_suspect",
+        (col("deflate_ratio") < CompressSuspectBelow).cast("long"))
+      .orderBy(col("doc_id"))
+  }
 }

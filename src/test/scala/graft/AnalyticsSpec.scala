@@ -336,6 +336,17 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5L) === ((2L, 180L * 1000000L)))
   }
 
+  test("firstTouchAttribution credits the EARLIEST prior click (vs last)") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:07:00", 1L, "purchase", 9.5))
+    val first = Analytics.firstTouchAttribution(events).collect().head
+    val last = Analytics.lastTouchAttribution(events).collect().head
+    assert(first.getLong(3) === 1L && first.getLong(4) === 420L * 1000000L)
+    assert(last.getLong(3) === 2L, "the two models must diverge here")
+  }
+
   test("lastTouchAttribution leaves organic purchases NULL, per user") {
     val out = Analytics.lastTouchAttribution(ev(
       (1L, "2024-01-01 10:00:00", 1L, "purchase", 5.0), // before any click

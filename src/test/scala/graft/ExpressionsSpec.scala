@@ -191,4 +191,31 @@ class ExpressionsSpec extends SparkSpec {
       .as[Int].collect()
     assert(out.forall(_ == 2))
   }
+
+  test("deflate_ratio: monotone over redundancy, bounded, empty=1, null=null") {
+    graft.expressions.GraftFunctions.register(spark)
+    val repetitive = ("spam " * 200).trim
+    val prose = "the quick brown fox jumps over the lazy dog while a " +
+      "farmer watches from an old wooden gate near the quiet river " +
+      "bank and considers the long afternoon ahead of the harvest"
+    // high-entropy input: base64 of md5 bytes — a 64-symbol alphabet
+    // Huffman can't squeeze (hex's 16 symbols would compress ~2×)
+    val noise = (1 to 40).map(i =>
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes))).mkString(" ")
+    val vals = Seq(("rep", repetitive), ("prose", prose), ("noise", noise))
+      .toDF("k", "t")
+      .select(col("k"), call_function("deflate_ratio", col("t")).as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(vals("rep") < 0.1, s"repetition should crush: ${vals("rep")}")
+    assert(vals("rep") < vals("prose") && vals("prose") < vals("noise"),
+      s"monotone over redundancy: $vals")
+    assert(vals.values.forall(r => r > 0.0 && r < 1.2))
+    val edge = spark.sql(
+      "SELECT deflate_ratio(''), deflate_ratio(CAST(NULL AS STRING))")
+      .collect().head
+    assert(edge.getDouble(0) === 1.0)
+    assert(edge.isNullAt(1))
+  }
 }
