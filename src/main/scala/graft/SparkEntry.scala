@@ -162,6 +162,7 @@ object SparkEntry {
     "q_bm25_search"        -> (CorpusAnalytics.qBm25Search _),
     "q_temperature_mix"    -> (CorpusAnalytics.qTemperatureMix _),
     "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
+    "q_setsim_join"        -> (TextDedup.qSetSimJoin _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
@@ -2395,6 +2396,25 @@ object SparkEntry {
          SELECT doc_id, ${terms.map(t => s"s_$t").mkString(", ")},
            $total AS bm25
          FROM p ORDER BY bm25 DESC, doc_id LIMIT ${CorpusAnalytics.Bm25TopK}"""
+    },
+    // set-similarity EXACTNESS contract: the oracle is brute force —
+    // prefix filtering promises zero recall loss, so the banded Spark
+    // plan must equal the all-pairs ground truth bit for bit
+    "q_setsim_join" -> {
+      import TextDedup._
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+               FROM shs WHERE len(hs) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sa, b.sz AS sb
+               FROM v a JOIN v b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+         FROM p
+         WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= $SetSimThreshold
+         ORDER BY doc_a, doc_b"""
     },
     // incremental stats contract: the oracle recomputes in ONE pass
     // what the Spark side assembles as merge(state(80%), delta(20%)) —

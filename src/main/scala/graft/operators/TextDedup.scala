@@ -786,4 +786,78 @@ object TextDedup {
     ngramJaccardPairs(Tables.documents(spark, dir), 0.7)
       .pairs.orderBy(col("source"), col("doc_a"), col("doc_b"))
   }
+
+  // ---------------------------------------------------------------------
+  // Exact set-similarity join (prefix filtering)
+  // ---------------------------------------------------------------------
+
+  val SetSimThreshold = 0.8
+
+  /** EXACT set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family) — the third candidate paradigm next to
+    * minhash-LSH and simhash banding, and the only one with NO recall
+    * loss: J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉ (because
+    * |A|+|B|−I ≥ |A|), so a pair sharing no element among each side's
+    * first |X| − ⌈t·|X|⌉ + 1 elements — under one global element
+    * order — cannot qualify. Candidates therefore come from an
+    * equi-join on PREFIX elements only, and the exact verify leaves
+    * precisely the brute-force thresholded pairs. The oracle exploits
+    * that: it computes ground truth by brute force, so equality IS the
+    * exactness proof.
+    *
+    * The sets are hashed 3-shingle sets (same base sets as the minhash
+    * verify — unigram sets over this corpus's small shared vocabulary
+    * are non-discriminative: at t = 0.5, 74% of ALL sf0.01 pairs
+    * qualify, a workload no filter can prune). The verify intersect is
+    * the codegen'd [[graft.expressions.SortedIntersectSize]] — the
+    * hashed sets arrive sorted by construction.
+    *
+    * Scale shape: the global order is (set-frequency ASC, hash) —
+    * prefixes deliberately hold each doc's RAREST shingles, so the
+    * candidate join's per-key fan-out is bounded by rare-shingle
+    * frequencies (the algorithm's own skew defense; a frequency-blind
+    * order would funnel every doc through its boilerplate). One df
+    * aggregate, one per-doc rank window, one prefix equi-join, one
+    * verify join — all keyed; nothing all-pairs. */
+  def setSimilarityJoin(docs: DataFrame,
+                        t: Double = SetSimThreshold): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"),
+        call_function("hashed_shingle_set", col("text"), lit(ShingleN))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .where(col("sz") > 0L)
+    val elems = sets.select(col("doc_id"), col("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = elems.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = elems
+      .join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1L))
+      .select(col("doc_id"), col("h"))
+    val cand = prefixes.select(col("doc_id").as("doc_a"), col("h"))
+      .join(prefixes.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("sz").as("sb")), "doc_b")
+      .withColumn("inter",
+        call_function("sorted_intersect_size", col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+  }
+
+  def qSetSimJoin(spark: SparkSession, dir: String): DataFrame =
+    setSimilarityJoin(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
 }

@@ -745,4 +745,40 @@ class TextPipelineSpec extends SparkSpec {
       chunk = 1024, every = 3).collect()
     assert(tail.map(f => (f.frame_idx, f.frame_len)).toSeq === Seq((0L, 1024L), (3L, 28L)))
   }
+
+  test("setSimilarityJoin equals Scala brute force — zero recall loss") {
+    // threshold 0.75: the planted near-dup pair's shingle Jaccard is
+    // ~0.87 (2 of 24 trigrams differ), safely inside; doc 3/5 far out
+    val t = 0.75
+    val got = TextDedup.setSimilarityJoin(docs, t)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    // ground truth by brute force over independently-derived hashed
+    // 3-shingle sets (md5 top 16 bits, straight from MessageDigest)
+    def h16(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    val sets: Map[Long, Set[Int]] = docs.collect().map { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      r.getLong(0) -> toks.sliding(TextDedup.ShingleN)
+        .filter(_.length == TextDedup.ShingleN)
+        .map(s => h16(s.mkString(" "))).toSet
+    }.toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      denom = sets(a).size + sets(b).size - inter
+      j = inter.toDouble / denom.toDouble
+      if j >= t
+    } yield (a, b) -> ((inter.toLong, j))).toMap
+    assert(got === brute)
+    // the planted near/exact dups must be present with exact overlap
+    assert(got.contains((1L, 2L)) && got.contains((1L, 4L)))
+    assert(got((1L, 4L))._2 === 1.0, "exact dup pairs at Jaccard 1.0")
+    // unrelated docs never reach the output
+    assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
+  }
 }
