@@ -171,6 +171,8 @@ object SparkEntry {
     "q_stickiness"         -> (Analytics.qStickiness _),
     "q_top_journeys"       -> (Analytics.qTopJourneys _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
+    "q_value_drift"        -> (Analytics.qValueDrift _),
+    "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
     "q_zorder_curve"       -> (LakeLayout.qZOrderCurve _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
     "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
@@ -1904,6 +1906,48 @@ object SparkEntry {
          SELECT journey, CAST(count(*) AS BIGINT) AS n_users
          FROM j GROUP BY journey
          ORDER BY n_users DESC, journey LIMIT $k"""
+    },
+    // drift: both halves from the stream's own integer µs midpoint;
+    // shares and the ratio are fixed-order divisions of exact counts
+    "q_value_drift" -> {
+      val w = Analytics.HistBinWidth
+      s"""WITH b AS (SELECT value, CAST(epoch_us(ts) AS BIGINT) AS us
+                     FROM events WHERE value IS NOT NULL),
+         mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM b),
+         binned AS (SELECT CAST(floor(value / $w) AS BIGINT) AS bin,
+                      CASE WHEN us < mid_us THEN 1 ELSE 0 END AS in_a
+                    FROM b CROSS JOIN mid),
+         c AS (SELECT bin, CAST(sum(in_a) AS BIGINT) AS n_a,
+                 CAST(sum(1 - in_a) AS BIGINT) AS n_b
+               FROM binned GROUP BY bin),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                 CAST(sum(n_b) AS BIGINT) AS tot_b FROM c)
+         SELECT bin, n_a, n_b,
+           CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE) AS share_a,
+           CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE) AS share_b,
+           CASE WHEN n_a > 0 THEN
+             (CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE)) /
+             (CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE)) END AS drift_ratio
+         FROM c CROSS JOIN t ORDER BY bin"""
+    },
+    // per-source duplication rate over the banded minhash pairs
+    "q_dedup_rates" -> {
+      import TextDedup._
+      s"""WITH $minhashCtes,
+         pj AS (SELECT doc_a, doc_b FROM scored
+                WHERE CASE WHEN sz - inter = 0 THEN 0.0
+                  ELSE inter / (sz - inter) END >= $JaccardThreshold),
+         duped AS (SELECT DISTINCT doc_id FROM
+           (SELECT doc_a AS doc_id FROM pj
+            UNION ALL SELECT doc_b FROM pj)),
+         j AS (SELECT d.source,
+                 CASE WHEN duped.doc_id IS NULL THEN 0 ELSE 1 END AS is_duped
+               FROM documents d LEFT JOIN duped ON d.doc_id = duped.doc_id)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(is_duped) AS BIGINT) AS n_duped,
+           CAST(sum(is_duped) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS dup_rate
+         FROM j GROUP BY source ORDER BY source"""
     },
     // RFM octants: decimal-exact monetary sums, integer recency days
     // off the stream's own max, medians rounded BEFORE the compare

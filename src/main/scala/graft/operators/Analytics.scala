@@ -593,6 +593,49 @@ object Analytics {
       .orderBy(col("n_users").desc, col("journey"))
 
   // ---------------------------------------------------------------------
+  // Distribution drift report
+  // ---------------------------------------------------------------------
+
+  /** Value-distribution drift between the stream's two time halves: the
+    * data-quality screen run before trusting a pipeline change — per
+    * value bin, each half's share and the share RATIO (the log-free,
+    * hence bit-portable, per-bin core of a PSI report; the monotone
+    * log/weighting is a read-time decoration). The split point is the
+    * stream's own midpoint timestamp (integer µs arithmetic, no wall
+    * clock), bins reuse [[valueHistogram]]'s map-side floor(value/width).
+    * Null ratio = the bin is NEW in the second half — the exact rows a
+    * drift alert must not average away.
+    *
+    * One 1-row min/max broadcast, one binned aggregate, one 1-row
+    * totals broadcast — the event scan shuffles once on `bin`. */
+  def valueDrift(events: DataFrame,
+                 width: Double = HistBinWidth): DataFrame = {
+    val base = events
+      .select(col("value"), tsUs(col("ts")).as("us"))
+      .where(col("value").isNotNull)
+    val mid = base.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+    val binned = base.crossJoin(broadcast(mid))
+      .select(floor(col("value") / width).cast("long").as("bin"),
+        when(col("us") < col("mid_us"), 1L).otherwise(0L).as("in_a"))
+    val counts = binned.groupBy(col("bin"))
+      .agg(sum(col("in_a")).as("n_a"),
+        sum(lit(1L) - col("in_a")).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        (col("n_a").cast("double") / col("tot_a").cast("double"))
+          .as("share_a"),
+        (col("n_b").cast("double") / col("tot_b").cast("double"))
+          .as("share_b"))
+      .withColumn("drift_ratio",
+        when(col("n_a") > 0L, col("share_b") / col("share_a")))
+  }
+
+  def qValueDrift(spark: SparkSession, dir: String): DataFrame =
+    valueDrift(Tables.events(spark, dir)).orderBy(col("bin"))
+
+  // ---------------------------------------------------------------------
   // RFM segmentation
   // ---------------------------------------------------------------------
 

@@ -368,6 +368,37 @@ object CorpusAnalytics {
     temperatureMix(Tables.documents(spark, dir)).orderBy(col("lang"))
 
   // ---------------------------------------------------------------------
+  // Per-source duplication rates
+  // ---------------------------------------------------------------------
+
+  /** Duplication observability: per source, how many docs sit in at
+    * least one near-dup pair and the duplicated fraction — the triage
+    * report that decides WHERE dedup budget goes (one boilerplate-heavy
+    * crawl source usually dominates). Rides the banded
+    * [[TextDedup.minhashPairs]] candidates (never all-pairs); the
+    * pair→doc projection is a distinct over ids, the rate one
+    * count/count rational per source. */
+  def dedupRates(docs: DataFrame): DataFrame = {
+    val pairs = TextDedup.minhashPairs(docs)
+    val duped = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    docs.select(col("doc_id"), col("source"))
+      .join(duped.withColumn("is_duped", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_duped"), lit(0L))).as("n_duped"))
+      .withColumn("dup_rate",
+        col("n_duped").cast("double") / col("n_docs").cast("double"))
+  }
+
+  def qDedupRates(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    dedupRates(Tables.documents(spark, dir)).orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------------------------
   // Mergeable per-source stats (incremental maintenance)
   // ---------------------------------------------------------------------
 

@@ -420,6 +420,22 @@ class AnalyticsSpec extends SparkSpec {
       "view>view>view>view>view" -> 1L))
   }
 
+  test("valueDrift splits at the stream midpoint; new bins get NULL ratio") {
+    // ts 0,10,20,25,30 min → midpoint 15 min: half a = {0,10}, b = rest
+    val out = Analytics.valueDrift(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 10.0),   // a, bin 0
+      (2L, "2024-01-01 10:10:00", 1L, "view", 60.0),   // a, bin 1
+      (3L, "2024-01-01 10:20:00", 1L, "view", 10.0),   // b, bin 0
+      (4L, "2024-01-01 10:25:00", 1L, "view", 120.0),  // b, bin 2 (new)
+      (5L, "2024-01-01 10:30:00", 1L, "view", 10.0)))  // b, bin 0
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+    assert(out(0L) === ((1L, 2L, Some((2.0 / 3.0) / (1.0 / 2.0)))))
+    assert(out(1L) === ((1L, 0L, Some(0.0))))
+    assert(out(2L) === ((0L, 1L, None)), "a bin new in half b must be NULL")
+  }
+
   test("rfmSegments buckets purchasers into hand-computed median octants") {
     val out = Analytics.rfmSegments(ev(
       // u1: freq 2, last = now (r=0 d), monetary 10.00

@@ -156,6 +156,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- per-source dup rates ---
+
+  test("dedupRates counts each doc once and rates per source") {
+    val base = "the quick brown fox jumps over the lazy dog and runs away " +
+      "while the farmer watches from the old wooden gate near the quiet river bank"
+    val docs = docsOf(
+      (1L, base + " today", "en", "s1"),
+      (2L, base + " yesterday", "en", "s1"),   // near-dup of 1
+      (3L, "completely different text about spark shuffles here", "en", "s1"),
+      (4L, base + " today", "en", "s2"),       // exact dup of 1
+      (5L, "der hund und die katze und das haus sind da", "de", "s2"))
+    val out = CorpusAnalytics.dedupRates(docs)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // duped set {1,2,4}: a doc in several pairs still counts ONCE
+    assert(out("s1") === ((3L, 2L, 2.0 / 3.0)))
+    assert(out("s2") === ((2L, 1L, 0.5)))
+  }
+
   // --- mergeable source stats ---
 
   test("mergeSourceStats(state, delta) equals the full recompute") {

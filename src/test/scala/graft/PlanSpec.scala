@@ -286,7 +286,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("attribution/growth/stickiness plans stay single-key, no nested loop") {
-    Seq("q_last_touch", "q_growth_accounting", "q_stickiness").foreach { q =>
+    Seq("q_last_touch", "q_growth_accounting", "q_stickiness",
+      "q_setsim_join", "q_dedup_rates").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
       df.collect()
       val s = physical(df).toString()
