@@ -175,6 +175,7 @@ object SparkEntry {
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
     "q_zorder_curve"       -> (LakeLayout.qZOrderCurve _),
     "q_ann_recall"         -> (Similarity.qAnnRecall _),
+    "q_quant_recall"       -> (Similarity.qQuantRecall _),
     "q_funnel_latency"     -> (Analytics.qFunnelLatency _),
     "q_event_transitions"  -> (Analytics.qEventTransitions _),
     "q_value_histogram"    -> (Analytics.qValueHistogram _),
@@ -1443,6 +1444,51 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
+    // recall@3 of int8-quantized retrieval: the same floor(x/s·127+½)
+    // codes as q_embed_quantize, reconstruction one */÷ chain, cosines
+    // accumulated in index order — both rankings re-derived exactly
+    "q_quant_recall" ->
+      s"""WITH sc AS (SELECT vec_id, embedding,
+           greatest(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+           FROM embeddings),
+         rec AS (SELECT vec_id,
+           list_transform(embedding,
+             x -> floor(CAST(x AS DOUBLE) / s * 127.0 + 0.5) * s / 127.0)
+             AS recon
+           FROM sc),
+         q AS (SELECT vec_id AS query_id, recon AS qv
+               FROM rec WHERE $isQuerySql),
+         scored_a AS (
+           SELECT q.query_id, r.vec_id, ${cosineSql("q.qv", "r.recon")} AS cosine
+           FROM rec r CROSS JOIN q WHERE r.vec_id <> q.query_id),
+         ranked_a AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored_a),
+         ap AS (SELECT query_id, vec_id FROM ranked_a WHERE rk <= 3),
+         qx AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE $isQuerySql),
+         scored_x AS (
+           SELECT qx.query_id, e.vec_id,
+             ${cosineSql("qx.qv", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN qx WHERE e.vec_id <> qx.query_id),
+         ranked_x AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored_x),
+         ex AS (SELECT query_id, vec_id FROM ranked_x WHERE rk <= 3),
+         hits AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                  FROM ex JOIN ap ON ex.query_id = ap.query_id
+                    AND ex.vec_id = ap.vec_id
+                  GROUP BY ex.query_id)
+         SELECT q.query_id,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall
+         FROM qx q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     "q_similar_ann" ->
       s"""WITH bands AS ($bandedIndexSql),
          qb AS (SELECT vec_id AS query_id, band, sig FROM bands WHERE $isQuerySql),

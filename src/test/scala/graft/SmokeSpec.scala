@@ -11,10 +11,12 @@ class SmokeSpec extends SparkSpec {
 
   /** Rows-only entries: results are engine-specific (sketches; learned
     * k-means centroids whose distributed float means are
-    * partitioning-dependent in the last ULP) with no portable oracle;
-    * their accuracy is pinned by dedicated specs. */
+    * partitioning-dependent in the last ULP; deflate output, which has
+    * no DuckDB-side zlib) with no portable oracle; their accuracy is
+    * pinned by dedicated specs. */
   val oracleExempt: Set[String] =
-    Set("q_approx_users", "q_approx_quantiles", "q_similar_kmeans")
+    Set("q_approx_users", "q_approx_quantiles", "q_similar_kmeans",
+      "q_compress_ratio")
 
   test("every query has an oracle or is explicitly exempt") {
     val noOracle =

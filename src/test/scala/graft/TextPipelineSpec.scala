@@ -238,6 +238,21 @@ class TextPipelineSpec extends SparkSpec {
     assert(top(1)._2 === 3L)
   }
 
+  test("quantRecall is perfect when vectors sit exactly on the int8 grid") {
+    // every component in {-1, 0, 1} with max |x| = 1: the code is ±127
+    // or 0 exactly, reconstruction is lossless, rankings identical
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 1f), 0), // the query (isQueryId: id 0)
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 1f), 0),
+      (3L, Array(1f, 1f, 0f, 1f), 0),
+      (4L, Array(0f, 0f, 1f, -1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantRecall(emb, k = 3).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L && out.head.getDouble(2) === 1.0)
+  }
+
   // 64-dim all-positive base vector with the given dims (1-based) sign-flipped
   private def flipped(dims: Int*): Array[Float] =
     (1 to 64).map(i => if (dims.contains(i)) -1f else 1f).toArray
