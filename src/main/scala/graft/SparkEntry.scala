@@ -152,6 +152,7 @@ object SparkEntry {
     "q_repeated_spans"     -> (TextDedup.qRepeatedSpans _),
     "q_eval_sample"        -> (TrainPrep.qEvalSample _),
     "q_epoch_shuffle"      -> (TrainPrep.qEpochShuffle _),
+    "q_domain_interleave"  -> (TrainPrep.qDomainInterleave _),
     "q_source_similarity"  -> (TextDedup.qSourceSimilarity _),
     "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
     // corpus analytics (n-gram LM / stratified sample / postings / survivorship)
@@ -2301,6 +2302,23 @@ object SparkEntry {
          SELECT doc_id, CAST(off + rk - 1 AS BIGINT) AS pos
          FROM r JOIN o USING (bucket)
          ORDER BY doc_id""",
+    // domain-balanced strike interleave: pos = (rn−1)·S + (src_idx−1)
+    "q_domain_interleave" ->
+      """WITH src AS (SELECT source,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+           FROM (SELECT DISTINCT source FROM documents)),
+         ns AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM src),
+         d AS (SELECT doc_id, source,
+                 md5('il:' || CAST(doc_id AS VARCHAR)) AS h
+               FROM documents),
+         r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY h, doc_id) AS BIGINT) AS rn
+               FROM d)
+         SELECT r.doc_id, r.source,
+           (rn - 1) * n_src + (src_idx - 1) AS pos
+         FROM r JOIN src ON r.source = src.source CROSS JOIN ns
+         ORDER BY pos""",
     "q_eval_sample" ->
       s"""SELECT doc_id, source, rank FROM (
            SELECT doc_id, source,

@@ -253,6 +253,43 @@ object TrainPrep {
   def qEpochShuffle(spark: SparkSession, dir: String): DataFrame =
     epochShuffle(Tables.documents(spark, dir), epoch = 1).orderBy(col("doc_id"))
 
+  // --- domain-balanced interleave ---
+
+  /** Domain-balanced training order: documents from the S sources
+    * strike-interleave — position = (rank within source − 1)·S +
+    * (source index − 1) — so every run of S consecutive positions
+    * holds at most one doc per source while each source's internal
+    * order stays hash-shuffled (same salted-md5 trick as
+    * [[epochShuffle]]). The ordering a curriculum uses when
+    * consecutive same-domain batches hurt; `epochShuffle` is the
+    * unconditioned alternative. Positions are dense per source but
+    * globally SPARSE once sources exhaust (a short source stops
+    * claiming its residue class) — consumers order by `pos`, they do
+    * not index by it.
+    *
+    * Source indices come from a tiny sorted aggregate broadcast back;
+    * the per-source rank is one keyed window. No global window, no
+    * skew beyond the largest source. */
+  def domainInterleave(docs: DataFrame): DataFrame = {
+    val srcIdx = docs.select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))).cast("long"))
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    val h = md5(concat(lit("il:"), col("doc_id").cast("string")))
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), col("source")).withColumn("h", h)
+      .withColumn("rn", row_number().over(bySource).cast("long"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSrc))
+      .select(col("doc_id"), col("source"),
+        ((col("rn") - 1L) * col("n_src") + (col("src_idx") - 1L)).as("pos"))
+  }
+
+  def qDomainInterleave(spark: SparkSession, dir: String): DataFrame =
+    domainInterleave(Tables.documents(spark, dir)).orderBy(col("pos"))
+
   // --- deterministic per-group evaluation sample ---
 
   /** Docs kept per source by [[evalSample]]. */

@@ -86,4 +86,39 @@ class AnalyticsPropertySpec extends SparkSpec {
         assert(merged === recomputed, s"cut=$cutIdx rows=${rows.length}")
     }
   }
+
+  test("PROPERTY: attributionGroup over ordered batch slices == batch last-touch") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    samples(Gen.zip(genEvents(60), Gen.choose(1, 4)), 25).foreach {
+      case (rows, nSlices) =>
+        val byUser = rows.groupBy(_._3)
+        val streamed = byUser.toSeq.flatMap { case (uid, evs) =>
+          var state = TestGroupState.create[Events.LastClick](
+            org.apache.spark.api.java.Optional.empty[Events.LastClick](),
+            GroupStateTimeout.NoTimeout(), 0L,
+            org.apache.spark.api.java.Optional.empty[Long](),
+            hasTimedOut = false)
+          val slices = evs.grouped(math.max(1, evs.length / nSlices)).toSeq
+          slices.flatMap { slice =>
+            val batch = slice.map(e =>
+              (e._3, e._1, e._4, e._2.getTime * 1000L, Option(e._5)))
+            val out = Events.attributionGroup(uid, batch.iterator, state).toSeq
+            if (state.exists) {
+              val kept = state.get
+              state = TestGroupState.create[Events.LastClick](
+                org.apache.spark.api.java.Optional.of(kept),
+                GroupStateTimeout.NoTimeout(), 0L,
+                org.apache.spark.api.java.Optional.empty[Long](),
+                hasTimedOut = false)
+            }
+            out
+          }
+        }.map(a => a.event_id -> ((a.click_id, a.gap_us))).toMap
+        val batch = Analytics.lastTouchAttribution(toDf(rows)).collect()
+          .map(r => r.getLong(0) -> ((
+            if (r.isNullAt(3)) None else Some(r.getLong(3)),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+        assert(streamed === batch, s"slices=$nSlices rows=${rows.length}")
+    }
+  }
 }

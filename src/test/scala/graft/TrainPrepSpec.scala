@@ -313,4 +313,29 @@ class TrainPrepSpec extends SparkSpec {
       .select("doc_id", "copy_id").as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+
+  test("domain interleave: each S-stride holds at most one doc per source") {
+    val docs = ((0L until 6L).map(i => doc(i, 2, "sa")) ++
+      (10L until 14L).map(i => doc(i, 2, "sb")) ++
+      (20L until 22L).map(i => doc(i, 2, "sc")))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.domainInterleave(docs)
+      .select("doc_id", "source", "pos").as[(Long, String, Long)].collect()
+    assert(out.length === 12)
+    assert(out.map(_._3).distinct.length === 12, "positions are unique")
+    val s = 3 // sources
+    // residue class = source identity: a stride never doubles a source
+    out.groupBy(_._3 % s).foreach { case (_, grp) =>
+      assert(grp.map(_._2).distinct.length === 1)
+    }
+    // per-source positions are the dense ladder rn*S + idx
+    out.groupBy(_._2).values.foreach { grp =>
+      val ps = grp.map(_._3).sorted
+      assert(ps.zip(ps.tail).forall { case (a, b) => b - a == s })
+    }
+    // reshuffle-stable
+    val again = TrainPrep.domainInterleave(docs.repartition(5))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toSet
+    assert(again === out.map(r => (r._1, r._3)).toSet)
+  }
 }
