@@ -164,6 +164,7 @@ object SparkEntry {
     "q_temperature_mix"    -> (CorpusAnalytics.qTemperatureMix _),
     "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
     "q_setsim_join"        -> (TextDedup.qSetSimJoin _),
+    "q_strip_spans"        -> (TextDedup.qStripSpans _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
@@ -2282,6 +2283,56 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_grams
          FROM j GROUP BY doc_id, island
          ORDER BY doc_id, span_start"""
+    },
+    // strip = the repeated-spans chain + a positional anti-filter and
+    // an ordered re-join of the surviving tokens
+    "q_strip_spans" -> {
+      val k = TextDedup.SpanGram
+      val nib60 = (0 until 15).map { j =>
+        val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+        s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - $k)) AS pos
+               FROM t),
+         g0 AS (SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
+               FROM s),
+         g AS (SELECT doc_id, pos, $nib60 AS sh FROM g0),
+         hh AS (SELECT doc_id, pos FROM
+                 (SELECT doc_id, pos, count(*) OVER (PARTITION BY sh) AS nn
+                  FROM g) AS q1
+               WHERE nn >= 2),
+         i AS (SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= $k
+                      THEN 0 ELSE 1 END AS newi
+               FROM hh),
+         j AS (SELECT doc_id, pos,
+                 sum(newi) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM i),
+         spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s0,
+                     CAST(max(pos) + $k AS BIGINT) AS s1
+                   FROM j GROUP BY doc_id, island),
+         tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+                 FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                       FROM t WHERE len(toks) > 0) z),
+         kept AS (SELECT doc_id, pos, token FROM tok
+                  WHERE NOT EXISTS (SELECT 1 FROM spans
+                    WHERE spans.doc_id = tok.doc_id
+                      AND tok.pos >= spans.s0 AND tok.pos < spans.s1)),
+         agg AS (SELECT doc_id,
+                   string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                   CAST(count(*) AS BIGINT) AS n_after
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_before,
+           coalesce(agg.n_after, 0) AS n_after
+         FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+         ORDER BY t.doc_id"""
     },
     "q_epoch_shuffle" ->
       s"""WITH d AS (SELECT doc_id,

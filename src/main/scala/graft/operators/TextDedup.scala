@@ -635,6 +635,46 @@ object TextDedup {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** The REMOVAL step [[repeatedSpans]] detects for: each document with
+    * its repeated passages' tokens cut out — exact-substring dedup as
+    * a transform, not just a report (the Lee-et-al "dedup the
+    * training set, not the document list" step the curation gates
+    * approximate by dropping whole docs). Span lists ride a per-doc
+    * `collect_list` BOUNDED by the doc's own span count; the cut is a
+    * per-row filter over token positions (one pass, no join per
+    * token). Docs without spans pass through verbatim — including
+    * empty and null-text rows, which carry no tokens to cut. */
+  def stripSpans(docs: DataFrame, k: Int = SpanGram): DataFrame = {
+    val spans = repeatedSpans(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("spans"))
+    docs
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("idx",
+        when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1))
+          .otherwise(array().cast("array<integer>")))
+      .withColumn("keep",
+        when(col("spans").isNull, col("idx"))
+          .otherwise(filter(col("idx"), i =>
+            !exists(col("spans"), s =>
+              i.cast("long") >= s.getField("span_start") &&
+                i.cast("long") < s.getField("span_end")))))
+      .select(col("doc_id"),
+        concat_ws(" ",
+          transform(col("keep"), i => element_at(col("toks"), i + 1)))
+          .as("clean_text"),
+        size(col("toks")).cast("long").as("n_before"),
+        size(col("keep")).cast("long").as("n_after"))
+  }
+
+  def qStripSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    stripSpans(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
+
   // --- wide (60-bit) simhash banding: the scale path ---
 
   /** 4 bands × 15 bits over the 60-bit fingerprint: 32768 signature

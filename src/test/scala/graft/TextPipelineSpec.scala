@@ -238,6 +238,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(top(1)._2 === 3L)
   }
 
+  test("stripSpans cuts the shared passage and keeps unique prose verbatim") {
+    val boiler = "subscribe to our newsletter for updates every single day " +
+      "and follow the links below for more content like this one"  // 20 toks
+    val docs = Seq(
+      (1L, "alpha beta gamma " + boiler + " delta epsilon", "en", "s1"),
+      (2L, boiler + " zeta eta", "en", "s1"),
+      (3L, "totally unique text with no repeated passage inside it at all",
+        "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = TextDedup.stripSpans(docs)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // the boilerplate tokens vanish from both carriers
+    assert(!out(1L)._1.contains("newsletter") && !out(2L)._1.contains("newsletter"))
+    // unique prose survives in order
+    assert(out(1L)._1.startsWith("alpha beta gamma"))
+    assert(out(1L)._1.endsWith("delta epsilon"))
+    assert(out(2L)._1 === "zeta eta")
+    // the span-free doc passes through verbatim, counts conserved
+    assert(out(3L)._1 ===
+      "totally unique text with no repeated passage inside it at all")
+    assert(out(3L)._2 === out(3L)._3)
+    out.values.foreach { case (_, before, after) => assert(after <= before) }
+  }
+
   test("quantRecall is perfect when vectors sit exactly on the int8 grid") {
     // every component in {-1, 0, 1} with max |x| = 1: the code is ±127
     // or 0 exactly, reconstruction is lossless, rankings identical
