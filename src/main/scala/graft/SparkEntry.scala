@@ -95,6 +95,7 @@ object SparkEntry {
     "q_curate_corpus"      -> (Curate.qCurateCorpus _),
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
+    "q_curate_v4"          -> (Curate.qCurateV4 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     // canonical pair path = the WIDE (60-bit) banding; the 16-bit
     // spelling is the demoted parity/teaching variant on a ¼ sample
@@ -633,17 +634,14 @@ object SparkEntry {
        $curateV2Ctes
        ${curateV2Select()}"""
 
-  /** DuckDB twin of [[graft.operators.Curate.curateV3]]: v2 plus the
-    * integer-exact rare-token gate (corpus frequency join-back) and the
-    * repeated-span boilerplate gate (positional 60-bit shingle hashes →
-    * window count → islands → coverage vs token count). */
-  private def curateV3Oracle: String = {
+  /** v3's gate CTEs (rare-token gate + repeated-span boilerplate gate)
+    * — shared by the v3 and v4 oracles; assumes the v2 chain. Ends
+    * with `spk(doc_id, island, s, e)` (the span list, which v4's strip
+    * step reuses) and `boiler`. */
+  private def curateV3Ctes: String = {
     import TextDedup._
     val k = SpanGram
-    s"""WITH $minhashCtes,
-       $curateBaseCtes,
-       $curateV2Ctes,
-       ccnt AS (SELECT term, count(*) AS cnt FROM rterm GROUP BY term),
+    s"""ccnt AS (SELECT term, count(*) AS cnt FROM rterm GROUP BY term),
        rarekeep AS (
          SELECT doc_id FROM rterm JOIN ccnt USING (term)
          GROUP BY doc_id
@@ -675,11 +673,62 @@ object SparkEntry {
        boiler AS (SELECT spcov.doc_id
                   FROM spcov JOIN (SELECT doc_id, len(toks) AS ntk FROM t) AS tt
                     USING (doc_id)
-                  WHERE 2 * covered > ntk)
+                  WHERE 2 * covered > ntk)"""
+  }
+
+  /** DuckDB twin of [[graft.operators.Curate.curateV3]]: v2 plus the
+    * integer-exact rare-token gate (corpus frequency join-back) and the
+    * repeated-span boilerplate gate (positional 60-bit shingle hashes →
+    * window count → islands → coverage vs token count). */
+  private def curateV3Oracle: String =
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       $curateV2Ctes,
+       $curateV3Ctes
        ${curateV2Select(
          extraJoins = "JOIN rarekeep USING (doc_id)",
          extraWhere = "AND q.doc_id NOT IN (SELECT doc_id FROM boiler)")}"""
-  }
+
+  /** DuckDB twin of [[graft.operators.Curate.curateV4]]: the v3 keep
+    * set emitting the TRAINING text — span-stripped via the same `spk`
+    * span list the boilerplate gate derived. */
+  private def curateV4Oracle: String =
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       $curateV2Ctes,
+       $curateV3Ctes,
+       v4keep AS (
+         SELECT q.doc_id, q.quality_score
+         FROM quality q
+         JOIN keep USING (doc_id)
+         JOIN train USING (doc_id)
+         JOIN repkeep USING (doc_id)
+         JOIN notcontam USING (doc_id)
+         JOIN rarekeep USING (doc_id)
+         WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+           AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
+           AND q.doc_id NOT IN (SELECT doc_id FROM boiler)),
+       stok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks))) AS i
+                      FROM t WHERE len(toks) > 0) z),
+       skept AS (SELECT doc_id, pos, token FROM stok
+                 WHERE NOT EXISTS (SELECT 1 FROM spk
+                   WHERE spk.doc_id = stok.doc_id
+                     AND stok.pos >= spk.s AND stok.pos < spk.e)),
+       sagg AS (SELECT doc_id,
+                  string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_after
+                FROM skept GROUP BY doc_id)
+       SELECT k.doc_id,
+         coalesce(sagg.clean_text, '') AS clean_text,
+         CAST(len(t.toks) AS BIGINT) AS n_before,
+         coalesce(sagg.n_after, 0) AS n_after,
+         k.quality_score
+       FROM v4keep k
+       JOIN t ON k.doc_id = t.doc_id
+       LEFT JOIN sagg ON k.doc_id = sagg.doc_id
+       ORDER BY k.doc_id"""
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -1283,6 +1332,7 @@ object SparkEntry {
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,
     "q_curate_v3" -> curateV3Oracle,
+    "q_curate_v4" -> curateV4Oracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

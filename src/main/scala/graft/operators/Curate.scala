@@ -121,6 +121,27 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** v4 — the EMIT step: v3's keep set carrying the actual training
+    * text, with the repeated passages the boilerplate gate measured
+    * CUT OUT ([[TextDedup.stripSpans]]) rather than merely thresholded
+    * on. This is what lands in the training shard: a doc can pass the
+    * 50%-coverage gate yet still shed its residual boilerplate. One
+    * more `doc_id` equi-join on the partitioning every other stage
+    * already uses; the span list is computed once (the gate and the
+    * strip read the same detection). */
+  def curateV4(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    curateV3(docs, embeddings)
+      .select(col("doc_id"), col("quality_score"))
+      .join(TextDedup.stripSpans(docs), Seq("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_before"),
+        col("n_after"), col("quality_score"))
+
+  def qCurateV4(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV4(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Typed curation parameters — the training-data twin of the LegiScan
     * [[graft.JobConfig]]: one immutable object instead of scattered
     * flags. Stage TOGGLES (which gates run) and the two tunable

@@ -738,6 +738,14 @@ class TextPipelineSpec extends SparkSpec {
     // v2 keeps everything; v3's new gates drop exactly 42 and 52
     assert(v2Ids === Set(2L, 4L, 8L, 14L, 42L, 52L))
     assert(v3Ids === Set(2L, 4L, 8L, 14L))
+    // v4 = the same keep set, emitting span-STRIPPED text: its ids
+    // match v3 and its clean_text matches stripSpans row for row
+    val v4 = Curate.curateV4(cdocs, emb).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(v4.keySet === v3Ids)
+    val stripped = graft.operators.TextDedup.stripSpans(cdocs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    v4.foreach { case (id, text) => assert(text === stripped(id)) }
   }
 
   test("curate config toggles remove gates: spammy doc survives without the repetition gate") {
