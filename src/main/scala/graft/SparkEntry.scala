@@ -166,6 +166,7 @@ object SparkEntry {
     "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
     "q_setsim_join"        -> (TextDedup.qSetSimJoin _),
     "q_strip_spans"        -> (TextDedup.qStripSpans _),
+    "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
@@ -2624,6 +2625,25 @@ object SparkEntry {
          FROM p
          WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= $SetSimThreshold
          ORDER BY doc_a, doc_b"""
+    },
+    // incremental setsim exactness: brute force probe×index ground
+    // truth again — the filter may not lose a cross pair either
+    "q_setsim_incremental" -> {
+      import TextDedup._
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+               FROM shs WHERE len(hs) > 0),
+         p AS (SELECT a.doc_id AS probe_id, b.doc_id AS index_id,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sa, b.sz AS sb
+               FROM v a JOIN v b
+                 ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+         SELECT probe_id, index_id, inter,
+           CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+         FROM p
+         WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= $SetSimThreshold
+         ORDER BY probe_id, index_id"""
     },
     // incremental stats contract: the oracle recomputes in ONE pass
     // what the Spark side assembles as merge(state(80%), delta(20%)) —

@@ -900,4 +900,65 @@ object TextDedup {
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame =
     setSimilarityJoin(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental (probe vs index) form of [[setSimilarityJoin]] — the
+    * same zero-recall-loss prefix filter, but candidates pair a PROBE
+    * batch's prefixes against a standing INDEX's prefixes: the
+    * nightly-increment shape every dedup paradigm here ships
+    * ([[minhashIncremental]], [[Similarity.embedCrossPairs]]). Element
+    * frequencies come from the UNION (the theorem needs one global
+    * order over both sides — index-only frequencies would order probe
+    * prefixes inconsistently and could lose pairs). The index-side
+    * prefix table is stable modulo that order and should be
+    * pre-materialized by the caller at scale. */
+  def setSimilarityIncremental(probe: DataFrame, index: DataFrame,
+                               t: Double = SetSimThreshold): DataFrame = {
+    graft.expressions.GraftFunctions.register(probe.sparkSession)
+    def sets(df: DataFrame) = df
+      .select(col("doc_id"),
+        call_function("hashed_shingle_set", col("text"), lit(ShingleN))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .where(col("sz") > 0L)
+    val ps = sets(probe)
+    val is = sets(index)
+    val dfreq = ps.select(explode(col("hs")).as("h"))
+      .unionAll(is.select(explode(col("hs")).as("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def prefixes(s: DataFrame) = {
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      s.select(col("doc_id"), col("sz"), explode(col("hs")).as("h"))
+        .join(dfreq, "h")
+        .withColumn("rk", row_number().over(byRarity))
+        .where(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1L))
+        .select(col("doc_id"), col("h"))
+    }
+    val cand = prefixes(ps).select(col("doc_id").as("probe_id"), col("h"))
+      .join(prefixes(is).select(col("doc_id").as("index_id"), col("h")), "h")
+      .select(col("probe_id"), col("index_id"))
+      .distinct()
+    cand
+      .join(ps.select(col("doc_id").as("probe_id"),
+        col("hs").as("ha"), col("sz").as("sa")), "probe_id")
+      .join(is.select(col("doc_id").as("index_id"),
+        col("hs").as("hb"), col("sz").as("sb")), "index_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_size", col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
+      .where(col("jaccard") >= t)
+      .select(col("probe_id"), col("index_id"), col("inter"), col("jaccard"))
+  }
+
+  /** Probe = every 5th doc (a deterministic increment), index = the
+    * rest — the same split recipe as `q_dedup_incremental`. */
+  def qSetSimIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    setSimilarityIncremental(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
 }

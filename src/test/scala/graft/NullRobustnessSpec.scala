@@ -208,4 +208,26 @@ class NullRobustnessSpec extends SparkSpec {
     assert(one.length === 1 && one.head.getLong(2) === 10000L &&
       one.head.getLong(3) === one.head.getLong(1))
   }
+
+  test("span strip and setsim joins survive degenerate docs") {
+    // stripSpans: every row survives; degenerate rows emit empty clean
+    // text (null text has NULL counts — no tokens were ever counted)
+    val out = TextDedup.stripSpans(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(2L) === (("", 0L)), "empty text: empty clean, zero tokens")
+    assert(out(4L)._1 === "" && out(4L)._2 === -1L, "null text: NULL count")
+    // the genuine dup pair's shared run is cut from both copies
+    assert(!out(1L)._1.contains("quick") && !out(6L)._1.contains("quick"))
+    // setsim: sub-shingle docs fall out of the set builder; the dup
+    // pair is found; the null doc never pairs (both forms)
+    val pairs = TextDedup.setSimilarityJoin(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSet === Set((1L, 6L)))
+    val inc = TextDedup.setSimilarityIncremental(
+      corpus.where($"doc_id" === 1L), corpus.where($"doc_id" =!= 1L))
+      .select("probe_id", "index_id").as[(Long, Long)].collect()
+    assert(inc.toSet === Set((1L, 6L)))
+  }
 }
