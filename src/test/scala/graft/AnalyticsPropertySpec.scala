@@ -87,6 +87,33 @@ class AnalyticsPropertySpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: growth accounting conserves users and the WAU identity") {
+    // genEvents spaces events seconds apart — one week, a degenerate
+    // fuzz. Stretch to 36-hour steps so histories span many weeks.
+    val sparse = genEvents(50).map(_.map { case (id, ts, u, ty, v) =>
+      (id, new Timestamp(base + (ts.getTime - base) * 129600L), u, ty, v)
+    })
+    samples(sparse, 20).foreach { rows =>
+      val out = Analytics.growthAccounting(toDf(rows)).collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val users = rows.map(_._3).distinct.length.toLong
+      // every user is new exactly once, ever
+      assert(out.map(_._1).sum === users)
+      // WAU(w) = new + retained + resurrected; churn can't exceed WAU
+      out.foreach { case (n, r, s, c) =>
+        assert(c <= n + r + s, "churning users must be active this week")
+      }
+      // Σ_w WAU(w) == |distinct (user, Monday week)| — no activity row
+      // lost or double-counted by the dense-int rebucketing
+      val mondayWeeks = rows.map { e =>
+        val ld = e._2.toLocalDateTime.toLocalDate
+        (e._3, ld.`with`(java.time.temporal.TemporalAdjusters
+          .previousOrSame(java.time.DayOfWeek.MONDAY)))
+      }.distinct.length.toLong
+      assert(out.map { case (n, r, s, _) => n + r + s }.sum === mondayWeeks)
+    }
+  }
+
   test("PROPERTY: attributionGroup over ordered batch slices == batch last-touch") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     samples(Gen.zip(genEvents(60), Gen.choose(1, 4)), 25).foreach {

@@ -796,6 +796,61 @@ class TextPipelineSpec extends SparkSpec {
     assert(tail.map(f => (f.frame_idx, f.frame_len)).toSeq === Seq((0L, 1024L), (3L, 28L)))
   }
 
+  /** Independent reference: hashed 3-shingle set per doc, md5 top 16
+    * bits straight from MessageDigest (no graft code in the loop). */
+  private def refShingleSets(docs: org.apache.spark.sql.DataFrame): Map[Long, Set[Int]] = {
+    def h16(s: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    }
+    docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
+      r.getLong(0) -> toks.sliding(TextDedup.ShingleN)
+        .filter(_.length == TextDedup.ShingleN)
+        .map(s => h16(s.mkString(" "))).toSet
+    }.toMap
+  }
+
+  private def refBrute(sets: Map[Long, Set[Int]],
+                       t: Double): Map[(Long, Long), (Long, Double)] =
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      denom = sets(a).size + sets(b).size - inter
+      if denom > 0
+      j = inter.toDouble / denom.toDouble
+      if j >= t
+    } yield (a, b) -> ((inter.toLong, j))).toMap
+
+  test("PROPERTY: setSimilarityJoin == brute force on random mutated corpora") {
+    import org.scalacheck.Gen
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val genCorpus = for {
+      n <- Gen.choose(3, 7)
+      texts <- Gen.listOfN(n, Gen.choose(8, 20).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+      dupOf <- Gen.choose(0, n - 1)
+      editPos <- Gen.choose(0, 19)
+    } yield {
+      val src = texts(dupOf).toVector
+      val mutated = src.updated(editPos min (src.length - 1), "zz")
+      texts :+ mutated.toList // a planted near-dup of one random doc
+    }
+    samples(genCorpus, 12).foreach { corpus =>
+      val docs = corpus.zipWithIndex.map { case (toks, i) =>
+        (i.toLong, toks.mkString(" "), "en", "s1")
+      }.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val t = 0.6
+      val got = TextDedup.setSimilarityJoin(docs, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      val brute = refBrute(refShingleSets(docs), t)
+      assert(got === brute, s"corpus=${corpus.map(_.mkString(" "))}")
+    }
+  }
+
   test("setSimilarityJoin equals Scala brute force — zero recall loss") {
     // threshold 0.75: the planted near-dup pair's shingle Jaccard is
     // ~0.87 (2 of 24 trigrams differ), safely inside; doc 3/5 far out
@@ -806,17 +861,7 @@ class TextPipelineSpec extends SparkSpec {
       .toMap
     // ground truth by brute force over independently-derived hashed
     // 3-shingle sets (md5 top 16 bits, straight from MessageDigest)
-    def h16(s: String): Int = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-      ((d(0) & 0xff) << 8) | (d(1) & 0xff)
-    }
-    val sets: Map[Long, Set[Int]] = docs.collect().map { r =>
-      val toks = r.getString(1).split("\\s+").filter(_.nonEmpty).toSeq
-      r.getLong(0) -> toks.sliding(TextDedup.ShingleN)
-        .filter(_.length == TextDedup.ShingleN)
-        .map(s => h16(s.mkString(" "))).toSet
-    }.toMap
+    val sets: Map[Long, Set[Int]] = refShingleSets(docs)
     val brute = (for {
       a <- sets.keys; b <- sets.keys if a < b
       inter = (sets(a) & sets(b)).size
