@@ -127,8 +127,12 @@ object Curate {
     * on. This is what lands in the training shard: a doc can pass the
     * 50%-coverage gate yet still shed its residual boilerplate. One
     * more `doc_id` equi-join on the partitioning every other stage
-    * already uses; the span list is computed once (the gate and the
-    * strip read the same detection). */
+    * already uses. The gate and the strip declare the SAME detection
+    * subtree, and Catalyst reuses its shuffles at runtime
+    * (ReusedExchange — asserted in PlanSpec); the map-side shingle-hash
+    * pass re-runs per consumer by [[TextDedup.repeatedSpans]]'s own
+    * documented trade (a codegen'd 8-byte-hash pass over the scan is
+    * cheaper at corpus scale than persisting exploded positions). */
   def curateV4(docs: DataFrame, embeddings: DataFrame): DataFrame =
     curateV3(docs, embeddings)
       .select(col("doc_id"), col("quality_score"))

@@ -270,6 +270,14 @@ class PlanSpec extends SparkSpec {
       s"expected the repartition(doc_id) exchange to be reused across consumers:\n$s")
   }
 
+  test("curate v4 reuses the span-detection exchanges between gate and strip") {
+    val df = SparkEntry.queries("q_curate_v4")(spark, sf("sf0.001"))
+    df.collect() // finalize AQE
+    val s = df.queryExecution.executedPlan.toString()
+    assert(s.contains("ReusedExchange"),
+      s"gate and strip re-shuffled the same detection subtree:\n$s")
+  }
+
   test("bm25: df/stats join back as broadcasts, top-k is TakeOrdered") {
     val df = SparkEntry.queries("q_bm25_search")(spark, sf("sf0.001"))
     df.collect()
