@@ -823,6 +823,64 @@ class TextPipelineSpec extends SparkSpec {
       if j >= t
     } yield (a, b) -> ((inter.toLong, j))).toMap
 
+  test("PROPERTY: repeatedSpans/stripSpans == brute-force reference on random corpora") {
+    import org.scalacheck.Gen
+    val k = TextDedup.SpanGram
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh",
+      "ii", "jj", "kk", "ll", "mm", "nn")
+    // random docs plus one verbatim copy of a random doc — guarantees
+    // at least one repeated run without hand-placing it
+    val genCorpus = for {
+      n <- Gen.choose(3, 6)
+      texts <- Gen.listOfN(n, Gen.choose(k + 1, 18).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+      dupOf <- Gen.choose(0, n - 1)
+    } yield texts :+ texts(dupOf)
+    // independent reference: string k-grams counted globally, hits
+    // merged into islands when gaps ≤ k (the operator's contract)
+    def refSpans(corpus: Map[Long, Seq[String]]): Map[Long, Seq[(Long, Long)]] = {
+      val grams = corpus.toSeq.flatMap { case (id, toks) =>
+        toks.sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (g, p) => (id, p.toLong, g.mkString(" ")) }
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.filter(g => counts(g._3) >= 2)
+        .groupBy(_._1).view.mapValues { hits =>
+          val ps = hits.map(_._2).sorted
+          ps.foldLeft(Vector.empty[(Long, Long)]) { case (acc, p) =>
+            acc.lastOption match {
+              case Some((s, e)) if p - (e - k) <= k =>
+                acc.init :+ ((s, p + k))
+              case _ => acc :+ ((p, p + k))
+            }
+          }
+        }.toMap
+    }
+    samples(genCorpus, 12).foreach { corpus =>
+      val byId = corpus.zipWithIndex
+        .map { case (toks, i) => i.toLong -> toks.toSeq }.toMap
+      val docs = byId.toSeq.map { case (id, toks) =>
+        (id, toks.mkString(" "), "en", "s1")
+      }.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val gotSpans = TextDedup.repeatedSpans(docs).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+      val expSpans = refSpans(byId)
+      assert(gotSpans === expSpans, s"spans diverge on $byId")
+      // strip: exactly the uncovered positions survive, in order
+      val gotClean = TextDedup.stripSpans(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      byId.foreach { case (id, toks) =>
+        val cover = expSpans.getOrElse(id, Seq.empty)
+        val kept = toks.zipWithIndex.collect {
+          case (tok, p) if !cover.exists(s => p >= s._1 && p < s._2) => tok
+        }
+        assert(gotClean(id) === kept.mkString(" "), s"doc $id of $byId")
+      }
+    }
+  }
+
   test("PROPERTY: setSimilarityJoin == brute force on random mutated corpora") {
     import org.scalacheck.Gen
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
