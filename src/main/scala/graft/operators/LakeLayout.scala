@@ -106,13 +106,74 @@ object LakeLayout {
   def writeZOrdered(df: DataFrame, outDir: String,
                     x: org.apache.spark.sql.Column,
                     y: org.apache.spark.sql.Column,
-                    files: Int): Unit = {
+                    files: Int, keepCurve: Boolean = false): Unit = {
     require(files > 0, s"files must be positive, got $files")
-    df.withColumn("__z", graft.functions.mortonZ(x, y))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    val z = df.withColumn("zval", graft.functions.mortonZ(x, y))
+      .repartitionByRange(files, col("zval"))
+      .sortWithinPartitions(col("zval"))
+    (if (keepCurve) z else z.drop("zval"))
       .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Driver-side Morton interleave (16-bit × 16-bit) — the same value
+    * [[graft.functions.mortonZ]] computes per row, needed here to name
+    * curve positions of quadrant corners. */
+  private def mortonOf(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** Covering curve ranges for an axis-aligned box — the QUERY half of
+    * the Z-order layout (the litmax/bigmin idea as explicit quadtree
+    * descent): recurse the 2^16-square's quadrants in curve order,
+    * emit whole cells fully inside the box as single [z, z+size²−1]
+    * ranges, skip disjoint cells, split boundary cells. Emission order
+    * IS curve order, so contiguous ranges merge in one linear pass.
+    * Range count is O(perimeter) of the box — driver-side integers,
+    * no data touched. With [[writeZOrdered]]`(keepCurve = true)` the
+    * ranges become BETWEEN predicates on the stored sorted `zval`
+    * column, which parquet row-group stats prune almost exactly. */
+  def zRangesForBox(x0: Long, y0: Long, x1: Long, y1: Long): Seq[(Long, Long)] = {
+    require(0 <= x0 && x0 <= x1 && x1 < 65536 &&
+      0 <= y0 && y0 <= y1 && y1 < 65536, s"bad box ($x0,$y0)-($x1,$y1)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def go(xb: Long, yb: Long, size: Long): Unit = {
+      val xe = xb + size - 1
+      val ye = yb + size - 1
+      if (xe < x0 || xb > x1 || ye < y0 || yb > y1) ()
+      else if (xb >= x0 && xe <= x1 && yb >= y0 && ye <= y1) {
+        val z = mortonOf(xb, yb)
+        out += ((z, z + size * size - 1))
+      } else {
+        val h = size / 2
+        // children in CURVE order: (0,0), (1,0), (0,1), (1,1)
+        go(xb, yb, h); go(xb + h, yb, h); go(xb, yb + h, h); go(xb + h, yb + h, h)
+      }
+    }
+    go(0L, 0L, 65536L)
+    out.foldLeft(Vector.empty[(Long, Long)]) { case (acc, (lo, hi)) =>
+      acc.lastOption match {
+        case Some((plo, phi)) if lo == phi + 1 => acc.init :+ ((plo, hi))
+        case _ => acc :+ ((lo, hi))
+      }
+    }
+  }
+
+  /** Box read over a `keepCurve` Z-ordered layout: the covering curve
+    * ranges push down as BETWEEN predicates on the sorted `zval`
+    * column (row-group stats skip non-matching groups); the exact box
+    * filter on the dimension columns removes nothing when the ranges
+    * are exact, but stays as the correctness guard. */
+  def readZBox(spark: SparkSession, dir: String,
+               xCol: String, yCol: String,
+               x0: Long, y0: Long, x1: Long, y1: Long): DataFrame = {
+    val ranges = zRangesForBox(x0, y0, x1, y1)
+    val rangePred = ranges.map { case (lo, hi) =>
+      col("zval").between(lo, hi)
+    }.reduce(_ || _)
+    spark.read.parquet(dir)
+      .where(rangePred)
+      .where(col(xCol).between(x0, x1) && col(yCol).between(y0, y1))
   }
 
   /** The curve itself as an oracle surface: each event's Morton position

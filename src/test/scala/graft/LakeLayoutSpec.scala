@@ -146,4 +146,38 @@ class LakeLayoutSpec extends SparkSpec {
     // both layouts hold the same rows
     assert(spark.read.parquet(zdir).count() === 4096L)
   }
+
+  test("zRangesForBox decomposes exactly; the range read returns the box") {
+    import graft.operators.LakeLayout.zRangesForBox
+    // an aligned 8×8 quadrant is ONE contiguous curve range of 64 cells
+    assert(zRangesForBox(8, 8, 15, 15) === Seq((mortonRef(8, 8), mortonRef(8, 8) + 63)))
+    // unaligned box: ranges cover exactly the box's curve positions
+    val box = for { x <- 3L to 12L; y <- 5L to 9L } yield mortonRef(x, y)
+    val ranges = zRangesForBox(3, 5, 12, 9)
+    val covered = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(covered === box.toSet, "ranges must equal the box, no slack")
+    // contiguity merge happened: no two adjacent ranges touch
+    ranges.sliding(2).foreach {
+      case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+      case _ =>
+    }
+    // the data path: range predicates prune files, result is the box
+    val dir = tmp("graft_zrange")
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    graft.operators.LakeLayout.writeZOrdered(
+      grid, dir, col("x"), col("y"), files = 16, keepCurve = true)
+    val out = graft.operators.LakeLayout.readZBox(
+      spark, dir, "x", "y", 3, 5, 12, 9)
+    val rows = out.select("x", "y").as[(Long, Long)].collect().toSet
+    assert(rows === (for { x <- 3L to 12L; y <- 5L to 9L } yield (x, y)).toSet)
+    val touched = out.select(input_file_name()).distinct().count()
+    assert(touched < 16, s"range predicates pruned nothing: $touched files")
+  }
+
+  /** Bit-by-bit reference interleave (same as FunctionsSpec's). */
+  private def mortonRef(x: Long, y: Long): Long =
+    (0 until 16).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
 }
