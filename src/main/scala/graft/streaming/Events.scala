@@ -583,4 +583,21 @@ object Events {
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     windowedCounts(Tables.normalizeEvents(stream).withWatermark("ts", "2 hours"))
   }
+
+  // --- exactly-once landing (idempotent foreachBatch sink) ---
+
+  /** Replay-safe `foreachBatch` body: each micro-batch lands in its own
+    * `batch_id=N` directory with `overwrite` — Structured Streaming
+    * guarantees at-least-once batch DELIVERY after recovery, and the
+    * per-batch overwrite turns replays into no-ops, which together are
+    * exactly-once at the sink. Pass to
+    * `writeStream.foreachBatch(Events.idempotentBatchWrite(dir) _)`.
+    * The directory layout doubles as the lineage index (which batch
+    * produced which rows); [[readLanded]] reads it back as one table
+    * with `batch_id` as a partition column. */
+  def idempotentBatchWrite(outDir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
+  def readLanded(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
 }

@@ -388,6 +388,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("idempotent batch sink: replaying a batch is a no-op, new batches append") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-idem").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    val write = Events.idempotentBatchWrite(dir) _
+    write(b0, 0L)
+    write(b0, 0L) // recovery replays batch 0 — must not duplicate
+    write(b1, 1L)
+    val landed = Events.readLanded(spark, dir)
+    assert(landed.count() === 3L)
+    assert(landed.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // the partition layout is the lineage index
+    assert(landed.select("batch_id").distinct().as[Int].collect().toSet
+      === Set(0, 1))
+    // a replay with DIFFERENT content for the same id overwrites, not appends
+    write(Seq((9L, "z")).toDF("id", "v"), 1L)
+    assert(Events.readLanded(spark, dir).count() === 3L)
+  }
+
   test("stateful attribution: streamed rows == batch last-touch rows") {
     import spark.implicits._
     val checkpoint = Files.createTempDirectory("graft-ckpt-attr").toString
