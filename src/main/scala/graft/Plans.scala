@@ -23,7 +23,13 @@ object Plans {
     "q_repeated_spans", "q_epoch_shuffle", "q_similar_kmeans",
     "q_embed_quantize", "q_source_similarity",
     "q2_min_cost_supplier", "q4_priority_orders", "q8_market_share",
-    "q17_small_qty_revenue", "q21_waiting_suppliers", "q_events_cube")
+    "q17_small_qty_revenue", "q21_waiting_suppliers", "q_events_cube",
+    // round-7 additions
+    "q_bm25_search", "q_setsim_join", "q_setsim_incremental",
+    "q_strip_spans", "q_curate_v4", "q_last_touch", "q_first_touch",
+    "q_growth_accounting", "q_stickiness", "q_top_journeys",
+    "q_rfm_segments", "q_value_drift", "q_zorder_curve",
+    "q_bigram_lift", "q_temperature_mix", "q_quant_recall")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline
