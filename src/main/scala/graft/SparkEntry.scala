@@ -174,6 +174,7 @@ object SparkEntry {
     "q_growth_accounting"  -> (Analytics.qGrowthAccounting _),
     "q_stickiness"         -> (Analytics.qStickiness _),
     "q_top_journeys"       -> (Analytics.qTopJourneys _),
+    "q_journey_conversion" -> (Analytics.qJourneyConversion _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_value_drift"        -> (Analytics.qValueDrift _),
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
@@ -2078,6 +2079,30 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM r CROSS JOIN med
          GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
+    // journey-prefix conversion: strictly-after-the-prefix purchases,
+    // rational rate of two exact counts; NULL-condition CASE = false
+    // mirrors Spark's null-comparison coalesce
+    "q_journey_conversion" -> {
+      val len = Analytics.PrefixLen
+      s"""WITH r AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         p AS (SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS prefix,
+                 CAST(max(rn) AS BIGINT) AS prefix_end
+               FROM r WHERE rn <= $len GROUP BY user_id),
+         c AS (SELECT user_id, CAST(max(rn) AS BIGINT) AS lp
+               FROM r WHERE event_type = 'purchase' GROUP BY user_id)
+         SELECT prefix, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN c.lp > p.prefix_end THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_converted,
+           CAST(sum(CASE WHEN c.lp > p.prefix_end THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(count(*) AS DOUBLE) AS conversion_rate
+         FROM p LEFT JOIN c USING (user_id)
+         GROUP BY prefix ORDER BY prefix"""
+    },
     // Morton curve bit parity: the same 4-step mask/shift spread chain
     // as graft.functions.spread16, staged through CTEs; all integer
     // & | << ops, so the interleave is engine-exact

@@ -635,6 +635,54 @@ object Analytics {
   def qValueDrift(spark: SparkSession, dir: String): DataFrame =
     valueDrift(Tables.events(spark, dir)).orderBy(col("bin"))
 
+  val PrefixLen = 2
+
+  /** Conversion by journey prefix: for each first-`len`-events path,
+    * how many users start that way and how many later purchase — the
+    * outcome column [[topJourneys]] lacks, and the evidence for
+    * reordering onboarding steps. "Later" is STRICTLY after the
+    * prefix's last event in (ts, event_id) order, so a purchase inside
+    * the prefix does not count itself as its own conversion.
+    *
+    * Same bounded shapes as the journey report: `row_number ≤ len`
+    * prune, a len-bounded `collect_list` per user (with the prefix's
+    * closing rank carried alongside), and one per-user any-later-
+    * purchase flag from the SAME ranked frame — both aggregates key on
+    * `user_id`, then one final keyed count. The rate is a rational of
+    * two exact counts. */
+  def journeyConversion(events: DataFrame,
+                        len: Int = PrefixLen): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(byUser))
+    val prefixes = ranked
+      .where(col("rn") <= len)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(">",
+          transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+            s => s.getField("event_type"))).as("prefix"),
+        max(col("rn")).as("prefix_end"))
+    val converted = ranked
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("rn")).as("last_purchase_rn"))
+    prefixes
+      .join(converted, Seq("user_id"), "left")
+      .withColumn("converted",
+        (col("last_purchase_rn") > col("prefix_end")).cast("long"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+      .withColumn("conversion_rate",
+        col("n_converted").cast("double") / col("n_users").cast("double"))
+  }
+
+  def qJourneyConversion(spark: SparkSession, dir: String): DataFrame =
+    journeyConversion(Tables.events(spark, dir)).orderBy(col("prefix"))
+
   // ---------------------------------------------------------------------
   // RFM segmentation
   // ---------------------------------------------------------------------

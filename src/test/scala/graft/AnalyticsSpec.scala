@@ -436,6 +436,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L, None)), "a bin new in half b must be NULL")
   }
 
+  test("journeyConversion counts only strictly-after-the-prefix purchases") {
+    val out = Analytics.journeyConversion(ev(
+      // u1: view>click then a purchase → converted
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 5.0),
+      // u2: same prefix, never purchases → not converted
+      (4L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 09:01:00", 2L, "click", 0.0),
+      (6L, "2024-01-01 09:02:00", 2L, "view", 0.0),
+      // u3: purchase INSIDE the prefix, nothing after → not converted
+      (7L, "2024-01-01 08:00:00", 3L, "view", 0.0),
+      (8L, "2024-01-01 08:01:00", 3L, "purchase", 2.0),
+      // u4: a one-event journey forms a length-1 prefix, no purchase
+      (9L, "2024-01-01 07:00:00", 4L, "signup", 0.0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("view>click") === ((2L, 1L, 0.5)))
+    assert(out("view>purchase") === ((1L, 0L, 0.0)),
+      "a purchase inside the prefix is not its own conversion")
+    assert(out("signup") === ((1L, 0L, 0.0)))
+  }
+
   test("rfmSegments buckets purchasers into hand-computed median octants") {
     val out = Analytics.rfmSegments(ev(
       // u1: freq 2, last = now (r=0 d), monetary 10.00
