@@ -175,6 +175,7 @@ object SparkEntry {
     "q_stickiness"         -> (Analytics.qStickiness _),
     "q_top_journeys"       -> (Analytics.qTopJourneys _),
     "q_journey_conversion" -> (Analytics.qJourneyConversion _),
+    "q_channel_retention"  -> (Analytics.qChannelRetention _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_value_drift"        -> (Analytics.qValueDrift _),
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
@@ -2079,6 +2080,29 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM r CROSS JOIN med
          GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
+    // channel = first event type (first-touch applied to retention);
+    // week-1 = the Monday week exactly 7 days after the first week
+    "q_channel_retention" ->
+      """WITH r AS (
+           SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+           FROM events),
+         f AS (SELECT user_id, event_type AS channel,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w0
+               FROM r WHERE rn = 1),
+         weekly AS (SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w
+           FROM events)
+         SELECT channel,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT CASE WHEN weekly.w = f.w0 + 7
+             THEN f.user_id END) AS BIGINT) AS n_retained_w1,
+           CAST(count(DISTINCT CASE WHEN weekly.w = f.w0 + 7
+             THEN f.user_id END) AS DOUBLE)
+             / CAST(count(DISTINCT f.user_id) AS DOUBLE) AS retention_w1
+         FROM f LEFT JOIN weekly ON f.user_id = weekly.user_id
+         GROUP BY channel ORDER BY channel""",
     // journey-prefix conversion: strictly-after-the-prefix purchases,
     // rational rate of two exact counts; NULL-condition CASE = false
     // mirrors Spark's null-comparison coalesce

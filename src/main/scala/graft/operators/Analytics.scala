@@ -635,6 +635,44 @@ object Analytics {
   def qValueDrift(spark: SparkSession, dir: String): DataFrame =
     valueDrift(Tables.events(spark, dir)).orderBy(col("bin"))
 
+  /** Week-1 retention by ACQUISITION CHANNEL — the user's first event
+    * type standing in for the acquiring channel (the first-touch idea
+    * applied to retention): per channel, cohort size, how many were
+    * active again the immediately following week, and the rational
+    * retention rate. The report that decides which acquisition source
+    * deserves budget — volume and stickiness on one row.
+    *
+    * The first event comes from the same ranked frame the journey
+    * operators use (`row_number = 1`, deterministic via the event_id
+    * tie-break); week-1 activity is a semi-join of the user's distinct
+    * week set against first_week + 7 days — all `user_id`-keyed until
+    * the final |channels|-row aggregate. */
+  def channelRetention(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val first = events
+      .withColumn("rn", row_number().over(byUser))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("channel"),
+        date_trunc("week", col("ts")).as("w0"))
+    val weekly = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    first
+      .join(weekly, Seq("user_id"), "left")
+      .groupBy(col("channel"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(
+          when(to_date(col("w")) === date_add(to_date(col("w0")), 7),
+            col("user_id"))).as("n_retained_w1"))
+      .withColumn("retention_w1",
+        col("n_retained_w1").cast("double") / col("n_users").cast("double"))
+  }
+
+  def qChannelRetention(spark: SparkSession, dir: String): DataFrame =
+    channelRetention(Tables.events(spark, dir)).orderBy(col("channel"))
+
   val PrefixLen = 2
 
   /** Conversion by journey prefix: for each first-`len`-events path,

@@ -436,6 +436,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L, None)), "a bin new in half b must be NULL")
   }
 
+  test("channelRetention ties week-1 returns to the FIRST event's type") {
+    val out = Analytics.channelRetention(ev(
+      // u1 acquired via signup (Mon 1/1 week), back the next week
+      (1L, "2024-01-02 10:00:00", 1L, "signup", 0.0),
+      (2L, "2024-01-09 10:00:00", 1L, "view", 0.0),
+      // u2 acquired via signup, back only 2 weeks later (NOT week-1)
+      (3L, "2024-01-03 10:00:00", 2L, "signup", 0.0),
+      (4L, "2024-01-16 10:00:00", 2L, "view", 0.0),
+      // u3 acquired via view (same-ts tie breaks to lower event_id),
+      // never returns
+      (5L, "2024-01-04 10:00:00", 3L, "view", 0.0),
+      (6L, "2024-01-04 10:00:00", 3L, "click", 0.0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      "signup" -> ((2L, 1L, 0.5)),
+      "view" -> ((1L, 0L, 0.0))))
+  }
+
   test("journeyConversion counts only strictly-after-the-prefix purchases") {
     val out = Analytics.journeyConversion(ev(
       // u1: view>click then a purchase → converted
