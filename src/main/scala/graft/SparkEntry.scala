@@ -176,6 +176,8 @@ object SparkEntry {
     "q_top_journeys"       -> (Analytics.qTopJourneys _),
     "q_journey_conversion" -> (Analytics.qJourneyConversion _),
     "q_channel_retention"  -> (Analytics.qChannelRetention _),
+    "q_power_users"        -> (Analytics.qPowerUsers _),
+    "q_vocab_growth"       -> (CorpusAnalytics.qVocabGrowth _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_value_drift"        -> (Analytics.qValueDrift _),
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
@@ -2080,6 +2082,34 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM r CROSS JOIN med
          GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
+    // whale concentration: threshold cut (not rank) at the rounded
+    // p90 of per-user counts — deterministic under ties
+    "q_power_users" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                      FROM events GROUP BY user_id),
+         thr AS (SELECT round(quantile_cont(n_events, 0.9), 6) AS p90 FROM per)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_events > p90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_users,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           CAST(sum(CASE WHEN n_events > p90 THEN n_events ELSE 0 END)
+             AS BIGINT) AS top_events,
+           CAST(sum(CASE WHEN n_events > p90 THEN n_events ELSE 0 END)
+             AS DOUBLE) / CAST(sum(n_events) AS DOUBLE) AS top_share
+         FROM per CROSS JOIN thr""",
+    // Heaps-law vocabulary growth over nested doc_id prefixes; the
+    // checkpoint bounds are integer // arithmetic in both engines
+    "q_vocab_growth" -> {
+      val k = CorpusAnalytics.GrowthCheckpoints
+      val cols = (1 to k).map(i =>
+        s"""CAST(count(DISTINCT CASE WHEN doc_id < (n_ids * $i) // $k
+           THEN token END) AS BIGINT) AS vocab_at_$i""").mkString(",\n           ")
+      s"""WITH mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+         t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token
+               FROM documents)
+         SELECT $cols
+         FROM t CROSS JOIN mx"""
+    },
     // channel = first event type (first-touch applied to retention);
     // week-1 = the Monday week exactly 7 days after the first week
     "q_channel_retention" ->

@@ -635,6 +635,36 @@ object Analytics {
   def qValueDrift(spark: SparkSession, dir: String): DataFrame =
     valueDrift(Tables.events(spark, dir)).orderBy(col("bin"))
 
+  /** Power-user concentration: what share of all events comes from the
+    * users STRICTLY above the 90th percentile of per-user activity —
+    * the "1% rule" readout that tells a capacity planner whether load
+    * is broad or a handful of whales. The top set is defined by the
+    * percentile THRESHOLD (rounded 6dp, the [[medianOutliers]] rule),
+    * not by rank: a rank cut needs a global sort with arbitrary tie
+    * outcomes, where the threshold cut is deterministic and one
+    * broadcast compare. Exact percentile buffers the per-USER count
+    * frame (|users|, the RFM trade); everything else is exact longs
+    * and one final division. */
+  def powerUsers(events: DataFrame): DataFrame = {
+    val per = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val thr = per.agg(
+      round(percentile(col("n_events"), lit(0.9)), 6).as("p90"))
+    per.crossJoin(broadcast(thr))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_events") > col("p90"), 1L).otherwise(0L))
+          .as("n_top_users"),
+        sum(col("n_events")).as("total_events"),
+        sum(when(col("n_events") > col("p90"), col("n_events"))
+          .otherwise(0L)).as("top_events"))
+      .withColumn("top_share",
+        col("top_events").cast("double") / col("total_events").cast("double"))
+  }
+
+  def qPowerUsers(spark: SparkSession, dir: String): DataFrame =
+    powerUsers(Tables.events(spark, dir))
+
   /** Week-1 retention by ACQUISITION CHANNEL — the user's first event
     * type standing in for the acquiring channel (the first-touch idea
     * applied to retention): per channel, cohort size, how many were

@@ -367,6 +367,34 @@ object CorpusAnalytics {
   def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(spark, dir)).orderBy(col("lang"))
 
+  val GrowthCheckpoints = 5
+
+  /** Vocabulary growth curve (the Heaps-law readout): distinct token
+    * count within each of [[GrowthCheckpoints]] nested doc_id prefixes
+    * of the corpus — sublinear growth says the vocabulary is
+    * saturating (dedup what remains); near-linear growth says new
+    * material keeps arriving. Checkpoints are integer fractions of
+    * (max doc_id + 1), so the same query self-scales to any corpus
+    * size. ONE exploded pass with K conditional `count(DISTINCT)`
+    * aggregates — never K scans; the max-id frame is a 1-row
+    * broadcast. */
+  def vocabGrowth(docs: DataFrame): DataFrame = {
+    val k = GrowthCheckpoints
+    val mx = docs.agg((max(col("doc_id")) + 1L).as("n_ids"))
+    val toks = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+    // `div`, not `/`: Column./ is double division; the checkpoint must
+    // stay an exact integer id bound in both engines
+    val aggs = (1 to k).map(i =>
+      countDistinct(when(col("doc_id") < expr(s"n_ids * $i div $k"),
+        col("token"))).as(s"vocab_at_$i"))
+    toks.crossJoin(broadcast(mx))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame =
+    vocabGrowth(Tables.documents(spark, dir))
+
   // ---------------------------------------------------------------------
   // Per-source duplication rates
   // ---------------------------------------------------------------------

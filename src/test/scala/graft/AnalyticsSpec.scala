@@ -436,6 +436,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L, None)), "a bin new in half b must be NULL")
   }
 
+  test("powerUsers cuts at the rounded p90 threshold, strictly above") {
+    // per-user counts 1,1,1,1,10 → p90 = quantile_cont 0.9 = 6.4;
+    // only the 10-event whale is above: share 10/14
+    val rows = (1L to 4L).map(u =>
+      (u, s"2024-01-0$u 10:00:00", u, "view", 0.0)) ++
+      (5L to 14L).map(i => (i + 10L, "2024-01-05 10:00:00", 9L, "view", 0.0))
+    val r = Analytics.powerUsers(ev(rows.map(t =>
+      (t._1, t._2, t._3, t._4, t._5)): _*)).collect().head
+    assert(r.getLong(0) === 5L && r.getLong(1) === 1L)
+    assert(r.getLong(2) === 14L && r.getLong(3) === 10L)
+    assert(r.getDouble(4) === 10.0 / 14.0)
+  }
+
   test("channelRetention ties week-1 returns to the FIRST event's type") {
     val out = Analytics.channelRetention(ev(
       // u1 acquired via signup (Mon 1/1 week), back the next week

@@ -156,6 +156,20 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- vocabulary growth ---
+
+  test("vocabGrowth counts distinct tokens within nested doc_id prefixes") {
+    // ids 0..4 (n_ids=5): checkpoints are doc_id < 1,2,3,4,5
+    val docs = docsOf(
+      (0L, "a b", "en", "s1"),
+      (1L, "a c", "en", "s1"),
+      (2L, "a b c", "en", "s1"),   // no new tokens
+      (3L, "d", "en", "s1"),
+      (4L, "e f", "en", "s1"))
+    val r = CorpusAnalytics.vocabGrowth(docs).collect().head
+    assert((0 until 5).map(r.getLong) === Seq(2L, 3L, 3L, 4L, 6L))
+  }
+
   // --- per-source dup rates ---
 
   test("dedupRates counts each doc once and rates per source") {
