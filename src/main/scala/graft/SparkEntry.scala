@@ -50,6 +50,8 @@ object SparkEntry {
     "q6_forecast_revenue"  -> (Relational.q6ForecastRevenue _),
     "q_set_ops"            -> (Relational.qSetOps _),
     "q_price_ranks"        -> (Relational.qPriceRanks _),
+    "q_repeat_customers"   -> (Relational.qRepeatCustomers _),
+    "q_session_depths"     -> (graft.streaming.Events.qSessionDepths _),
     "q_sql_surface"        -> (Relational.qSqlSurface _),
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
@@ -2082,6 +2084,43 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM r CROSS JOIN med
          GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
+    // repeat rate over ALL customers (order-less ones in the base)
+    "q_repeat_customers" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+                     FROM orders GROUP BY o_custkey)
+         SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS repeat_rate
+         FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // session-depth histogram over the sessionization chain; the 10+
+    // terminal bucket keeps the report fixed-width
+    "q_session_depths" ->
+      """WITH x AS (
+           SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         y AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+           FROM x),
+         z AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_seq
+           FROM y),
+         s AS (SELECT user_id, session_seq,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+               FROM z GROUP BY user_id, session_seq)
+         SELECT least(n_events, 10) AS depth_bucket,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+         FROM s GROUP BY depth_bucket ORDER BY depth_bucket""",
     // whale concentration: threshold cut (not rank) at the rounded
     // p90 of per-user counts — deterministic under ties
     "q_power_users" ->

@@ -367,6 +367,27 @@ object Relational {
     both.unionByName(onlySeg).orderBy($"op")
   }
 
+  /** Repeat-customer rate per market segment: customers with ≥ 2
+    * orders over ALL customers of the segment (zero-order customers
+    * count in the base — the retention denominator a marketer means).
+    * One per-customer count (left join keeps order-less customers as
+    * 0), one |segments|-row aggregate, a rational rate. */
+  def qRepeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_mktsegment")
+      .join(perCust, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when($"n_orders" >= 2L, 1L).otherwise(0L)).as("n_repeat"))
+      .withColumn("repeat_rate",
+        $"n_repeat".cast("double") / $"n_customers".cast("double"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** Gap-aware ranking: `rank` (ties share a rank, gaps follow) and
     * `dense_rank` (no gaps) over retail price within brand, kept to
     * the top 10 ranks — the two tie semantics `row_number` (used

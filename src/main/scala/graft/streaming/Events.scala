@@ -333,6 +333,24 @@ object Events {
     sessionize(Tables.events(spark, dir))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Session-depth histogram over [[sessionize]]'s output: sessions
+    * bucketed by event count (1, 2, 3, … capped into a terminal "10+"
+    * bucket so the report is fixed-width), with per-bucket session
+    * counts and exact integer-µs duration sums — the engagement-shape
+    * readout (bounce-heavy vs deep-session traffic) a session gap
+    * tweak is judged by. One keyed aggregate over the session frame. */
+  def sessionDepths(events: DataFrame): DataFrame =
+    sessionize(events)
+      .select(
+        least(col("n_events"), lit(10L)).as("depth_bucket"),
+        (col("session_end_us") - col("session_start_us")).as("dur_us"))
+      .groupBy(col("depth_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("dur_us")).as("total_dur_us"))
+
+  def qSessionDepths(spark: SparkSession, dir: String): DataFrame =
+    sessionDepths(Tables.events(spark, dir)).orderBy(col("depth_bucket"))
+
   case class UserSession(user_id: Long, session_seq: Long,
                          session_start_us: Long, session_end_us: Long,
                          n_events: Long)

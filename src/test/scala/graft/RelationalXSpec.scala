@@ -128,6 +128,19 @@ class RelationalXSpec extends SparkSpec {
     }
   }
 
+  test("q_repeat_customers conserves the customer base across segments") {
+    val rows = graft.operators.Relational.qRepeatCustomers(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "repeat ⊆ base")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    val customers = graft.tables.Tables.customer(spark, sfSmoke).count()
+    assert(total === customers, "order-less customers stay in the base")
+  }
+
   test("q_price_ranks: rank gaps follow tie multiplicity, dense_rank has none") {
     val rows = graft.operators.Relational.qPriceRanks(spark, sfSmoke)
       .collect()

@@ -388,6 +388,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sessionDepths buckets by capped event count with exact durations") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: a 2-event session (10 min) then a 1-event session;
+    // user 2: 12 events one minute apart → the 10+ terminal bucket
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (2L, t("2024-01-01 10:10:00"), 1L, "view", 0.0),
+      (3L, t("2024-01-01 12:00:00"), 1L, "view", 0.0)) ++
+      (0 until 12).map(i =>
+        ((10 + i).toLong, t(f"2024-01-01 09:${i}%02d:00"), 2L, "view", 0.0))
+    val out = Events.sessionDepths(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 0L)))
+    assert(out(2L) === ((1L, 600L * 1000000L)))
+    assert(out(10L) === ((1L, 11L * 60L * 1000000L)), "12 events cap at 10+")
+  }
+
   test("idempotent batch sink: replaying a batch is a no-op, new batches append") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-idem").toString
