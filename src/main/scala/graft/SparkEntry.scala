@@ -180,6 +180,7 @@ object SparkEntry {
     "q_channel_retention"  -> (Analytics.qChannelRetention _),
     "q_power_users"        -> (Analytics.qPowerUsers _),
     "q_vocab_growth"       -> (CorpusAnalytics.qVocabGrowth _),
+    "q_corpus_cube"        -> (CorpusAnalytics.qCorpusCube _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_value_drift"        -> (Analytics.qValueDrift _),
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
@@ -2136,6 +2137,17 @@ object SparkEntry {
            CAST(sum(CASE WHEN n_events > p90 THEN n_events ELSE 0 END)
              AS DOUBLE) / CAST(sum(n_events) AS DOUBLE) AS top_share
          FROM per CROSS JOIN thr""",
+    // corpus CUBE: cell + margin aggregates in one grouping-sets pass;
+    // ORDER matches Spark's gid bit layout (lang high bit)
+    "q_corpus_cube" ->
+      s"""WITH d AS (SELECT lang, source,
+             CAST(len(${toksSql("text")}) AS BIGINT) AS nt
+           FROM documents)
+         SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid
+         FROM d GROUP BY CUBE (lang, source)
+         ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""",
     // Heaps-law vocabulary growth over nested doc_id prefixes; the
     // checkpoint bounds are integer // arithmetic in both engines
     "q_vocab_growth" -> {

@@ -367,6 +367,24 @@ object CorpusAnalytics {
   def qTemperatureMix(spark: SparkSession, dir: String): DataFrame =
     temperatureMix(Tables.documents(spark, dir)).orderBy(col("lang"))
 
+  /** CUBE over the corpus dimensions — per (lang, source) cell plus
+    * all rollup margins in one pass (the documents twin of
+    * `q_events_cube`): doc counts and exact token sums, with the
+    * GROUPING id disambiguating a real NULL dimension from a margin
+    * row. Grouping sets share one shuffle; at 100 TB this replaces
+    * four separate aggregate jobs. */
+  def corpusCube(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("nt"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        grouping_id().as("gid"))
+
+  def qCorpusCube(spark: SparkSession, dir: String): DataFrame =
+    corpusCube(Tables.documents(spark, dir))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
   val GrowthCheckpoints = 5
 
   /** Vocabulary growth curve (the Heaps-law readout): distinct token

@@ -156,6 +156,25 @@ class CorpusAnalyticsSpec extends SparkSpec {
     }
   }
 
+  // --- corpus cube ---
+
+  test("corpusCube margins conserve the grand total") {
+    val docs = docsOf(
+      (1L, "a b", "en", "s1"), (2L, "c", "en", "s2"),
+      (3L, "d e f", "fr", "s1"), (4L, "g", "fr", "s1"))
+    val rows = CorpusAnalytics.corpusCube(docs).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val (grandDocs, grandToks, gid) = rows((None, None))
+    assert((grandDocs, grandToks, gid) === ((4L, 7L, 3L)))
+    // the finest cells sum back to the grand total on both measures
+    val cells = rows.filter(_._2._3 == 0L).values
+    assert(cells.map(_._1).sum === grandDocs)
+    assert(cells.map(_._2).sum === grandToks)
+    // one margin spot check: fr rollup = both fr cells
+    assert(rows((Some("fr"), None)) === ((2L, 4L, 1L)))
+  }
+
   // --- vocabulary growth ---
 
   test("vocabGrowth counts distinct tokens within nested doc_id prefixes") {
