@@ -51,6 +51,7 @@ object SparkEntry {
     "q_set_ops"            -> (Relational.qSetOps _),
     "q_price_ranks"        -> (Relational.qPriceRanks _),
     "q_repeat_customers"   -> (Relational.qRepeatCustomers _),
+    "q_supplier_share"     -> (Relational.qSupplierShare _),
     "q_session_depths"     -> (graft.streaming.Events.qSessionDepths _),
     "q_sql_surface"        -> (Relational.qSqlSurface _),
     "q10_returned_items"   -> (Relational.q10ReturnedItems _),
@@ -2085,6 +2086,29 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_users
          FROM r CROSS JOIN med
          GROUP BY 1, 2, 3 ORDER BY r_hi, f_hi, m_hi""",
+    // top-supplier concentration: decimal-exact numerator AND
+    // denominator from the same join; one final double division
+    "q_supplier_share" ->
+      """WITH j AS (
+           SELECT p_brand, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               AS rev_d
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         s AS (SELECT p_brand, l_suppkey,
+                 CAST(round(sum(rev_d), 2) AS DOUBLE) AS rev
+               FROM j GROUP BY p_brand, l_suppkey),
+         t AS (SELECT p_brand,
+                 CAST(count(*) AS BIGINT) AS n_suppliers,
+                 max(rev) AS top_rev
+               FROM s GROUP BY p_brand),
+         tot AS (SELECT p_brand,
+                 CAST(round(sum(rev_d), 2) AS DOUBLE) AS total_rev
+               FROM j GROUP BY p_brand)
+         SELECT t.p_brand, n_suppliers, top_rev, total_rev,
+           top_rev / total_rev AS top_share
+         FROM t JOIN tot ON t.p_brand = tot.p_brand
+         ORDER BY t.p_brand""",
     // repeat rate over ALL customers (order-less ones in the base)
     "q_repeat_customers" ->
       """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders

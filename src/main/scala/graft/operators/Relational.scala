@@ -367,6 +367,30 @@ object Relational {
     both.unionByName(onlySeg).orderBy($"op")
   }
 
+  /** Supplier concentration per part brand: the TOP supplier's share
+    * of the brand's discounted revenue — the procurement-risk readout
+    * (a brand at share ≈ 1 has a single point of failure). Both
+    * numerator and denominator are decimal-exact `moneySum`s computed
+    * from the SAME joined frame in separate aggregates — the brand
+    * total is never re-derived by summing per-supplier doubles (order-
+    * dependent); the one double op is the final share division. */
+  def qSupplierShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_suppkey",
+        discPrice($"l_extendedprice", $"l_discount").as("rev_d"))
+    val bySupp = joined.groupBy($"p_brand", $"l_suppkey")
+      .agg(round(sum($"rev_d"), 2).cast("double").as("rev"))
+    val top = bySupp.groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_suppliers"), max($"rev").as("top_rev"))
+    val total = joined.groupBy($"p_brand")
+      .agg(round(sum($"rev_d"), 2).cast("double").as("total_rev"))
+    top.join(total, "p_brand")
+      .withColumn("top_share", $"top_rev" / $"total_rev")
+      .orderBy($"p_brand")
+  }
+
   /** Repeat-customer rate per market segment: customers with ≥ 2
     * orders over ALL customers of the segment (zero-order customers
     * count in the base — the retention denominator a marketer means).

@@ -128,6 +128,20 @@ class RelationalXSpec extends SparkSpec {
     }
   }
 
+  test("q_supplier_share: top share bounded by [1/n_suppliers, 1]") {
+    val rows = graft.operators.Relational.qSupplierShare(spark, sfSmoke)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, top, total, share) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(top <= total + 1e-9)
+      assert(share <= 1.0 + 1e-12)
+      // the max of n shares can't be below the uniform share
+      assert(share >= 1.0 / n - 1e-12, s"share $share below uniform 1/$n")
+    }
+  }
+
   test("q_repeat_customers conserves the customer base across segments") {
     val rows = graft.operators.Relational.qRepeatCustomers(spark, sfSmoke)
       .collect()
