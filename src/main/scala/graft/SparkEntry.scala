@@ -182,6 +182,7 @@ object SparkEntry {
     "q_power_users"        -> (Analytics.qPowerUsers _),
     "q_vocab_growth"       -> (CorpusAnalytics.qVocabGrowth _),
     "q_corpus_cube"        -> (CorpusAnalytics.qCorpusCube _),
+    "q_vector_audit"       -> (Similarity.qVectorAudit _),
     "q_rfm_segments"       -> (Analytics.qRfmSegments _),
     "q_value_drift"        -> (Analytics.qValueDrift _),
     "q_dedup_rates"        -> (CorpusAnalytics.qDedupRates _),
@@ -2161,6 +2162,30 @@ object SparkEntry {
            CAST(sum(CASE WHEN n_events > p90 THEN n_events ELSE 0 END)
              AS DOUBLE) / CAST(sum(n_events) AS DOUBLE) AS top_share
          FROM per CROSS JOIN thr""",
+    // vector hygiene: index-order norm accumulation (engine-exact),
+    // integer counts; isnan/isinf on DuckDB floats via != itself and
+    // abs = 'inf' checks spelled portably
+    "q_vector_audit" ->
+      s"""WITH v AS (SELECT
+           CAST(len(embedding) AS BIGINT) AS dims,
+           sqrt(${foldSql("list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))",
+             "CAST(0 AS DOUBLE)", "(acc, x) -> acc + x")}) AS norm,
+           ${foldSql("""list_transform(embedding, x -> CASE
+             WHEN isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE))
+             THEN 1 ELSE 0 END)""",
+             "0", "(acc, x) -> acc + x")} AS n_bad
+         FROM embeddings)
+         SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT dims) AS BIGINT) AS n_distinct_dims,
+           CAST(min(dims) AS BIGINT) AS min_dims,
+           CAST(max(dims) AS BIGINT) AS max_dims,
+           CAST(sum(CASE WHEN norm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero_norm,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nonfinite,
+           min(CASE WHEN n_bad = 0 THEN norm END) AS min_norm,
+           max(CASE WHEN n_bad = 0 THEN norm END) AS max_norm
+         FROM v""",
     // corpus CUBE: cell + margin aggregates in one grouping-sets pass;
     // ORDER matches Spark's gid bit layout (lang high bit)
     "q_corpus_cube" ->

@@ -265,6 +265,23 @@ class TextPipelineSpec extends SparkSpec {
     out.values.foreach { case (_, before, after) => assert(after <= before) }
   }
 
+  test("vectorAudit flags zero norms, non-finite components, mixed dims") {
+    val emb = Seq(
+      (1L, Array(3f, 4f), 0),
+      (2L, Array(0f, 0f), 0),                 // zero norm
+      (3L, Array(Float.NaN, 1f), 0),          // non-finite
+      (4L, Array(1f, 2f, 2f), 0))             // width drift
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.vectorAudit(emb).collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getLong(1) === 2L, "two distinct widths must be flagged")
+    assert((r.getLong(2), r.getLong(3)) === ((2L, 3L)))
+    assert(r.getLong(4) === 1L, "the zero vector")
+    assert(r.getLong(5) === 1L, "the NaN vector")
+    // norm range excludes the non-finite vector: max is the 3-4-5
+    assert(r.getDouble(6) === 0.0 && r.getDouble(7) === 5.0)
+  }
+
   test("quantRecall is perfect when vectors sit exactly on the int8 grid") {
     // every component in {-1, 0, 1} with max |x| = 1: the code is ±127
     // or 0 exactly, reconstruction is lossless, rankings identical
