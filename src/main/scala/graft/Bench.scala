@@ -22,13 +22,32 @@ import java.nio.file.{Files, Paths}
   *    count-based number for an expression-heavy query is just the scan
   *    floor. The noop sink executes every operator and row without
   *    accumulating results on the driver (collect() would).
+  *  - each query is timed SPARK_GRAFT_BENCH_PASSES times (default 2)
+  *    and the recorded value is the per-query MIN across passes
+  *    (`"timer":"noop-write-min2"`). Rationale: round-7 forensics
+  *    showed the same code timing 4.3 s vs 22.8 s on the same query
+  *    depending on when in a long session the bench ran (JIT/GC/page-
+  *    cache drift); a single-pass reading late in a session
+  *    misrepresents the engine by ~35%. The min across passes is the
+  *    standard noise-floor estimator for wall-clock microbenchmarks —
+  *    drift only ever ADDS time, so the min is the least-poisoned
+  *    observation. Pass structure: all queries pass 1 (sorted order),
+  *    then all queries pass 2 — not back-to-back per query — so pass 2
+  *    does not reuse query-local page-cache warmth that pass 1 just
+  *    created (which would under-time cold scans).
   *  - queries run in deterministic (sorted-name) order, so per-query
   *    numbers are comparable across rounds;
   *  - one warmup pass (the first query in sorted-name order) first, so
   *    JVM/codegen/first-scan startup cost is not attributed to whichever
   *    query happens to run first;
   *  - a failing query records `"errors":{name:msg}` and a wall-time of
-  *    its failure point — never silently recorded as fast/-1.
+  *    its failure point — never silently recorded as fast/-1; a query
+  *    that fails in ANY pass is an error (no min over a partial run).
+  *  - the compact stdout line additionally carries `"queries_top"` —
+  *    the 20 slowest per-query times — because the driver's output-tail
+  *    capture is bounded at 2000 chars and cannot hold the full
+  *    158-entry map; the full map still goes to bench_out.json and
+  *    bench_history.jsonl (both committed), keyed identically.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -88,13 +107,22 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try run(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    require(passes >= 1, "SPARK_GRAFT_BENCH_PASSES must be >= 1")
+    val ordered = selected.toSeq.sortBy(_._1)
+    // pass-major order (all queries pass 1, then pass 2): see scaladoc
+    val perPass = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try run(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = ordered.map { case (name, _) =>
+      name -> perPass.map(_.toMap.apply(name)).min
     }
 
     def jstr(s: String): String =
@@ -108,8 +136,12 @@ object Bench {
     // the query count grows round over round, so the cross-round
     // comparable figure is sec/query, not the total
     val perQuery = if (results.nonEmpty) total / results.size else 0.0
+    // bounded top-N slowest for the 2000-char stdout tail (see scaladoc)
+    val topQs = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"timer":"noop-write","errors":$errJson,"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"timer":"noop-write-min$passes","passes":$passes,"errors":$errJson,"queries_top":$topQs,"sf":${jstr(sfDir)}"""
     // stdout stays compact (the driver parses a bounded output tail);
     // the per-query map goes only to the files
     println(s"{$head}")

@@ -124,6 +124,8 @@ object SparkEntry {
     "q_embed_incremental"  -> (Similarity.qEmbedIncremental _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
+    "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
+    "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     // no oracle entry (learned centroids: distributed float means are
     // partitioning-dependent in the last ULP): rows-only gate
     "q_similar_kmeans"     -> (Similarity.qSimilarKmeans _),
@@ -357,6 +359,52 @@ object SparkEntry {
        SELECT doc_id, text_hash FROM inc
        WHERE text_hash NOT IN (SELECT text_hash FROM idx)
        ORDER BY doc_id"""
+  }
+
+  /** Multi-probe IVF oracle — shared verbatim by `q_similar_ivf2`
+    * (rebuild-per-call) and `q_similar_ivf_persisted` (standing parquet
+    * index): the persistence layer is answer-invariant by contract, so
+    * one SQL text pins both. */
+  private def ivfProbedOracle: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                   WHERE $isCentroidSql),
+       d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+               ${cosineSql("e.embedding", "c.cv")} AS dist
+             FROM embeddings e CROSS JOIN c),
+       ranked AS (SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist DESC, centroid_id) AS crk
+             FROM d),
+       a AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crk = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
+             FROM ranked WHERE $isQuerySql AND crk <= 2),
+       s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
+             FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             FROM s)
+       SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
+       ORDER BY query_id, rk"""
+
+  /** Incremental band-LSH near-dup oracle — shared verbatim by
+    * `q_embed_incremental` (bands computed in-query both sides) and
+    * `q_embed_neardup_persisted` (index side landed to parquet first):
+    * persistence is answer-invariant. */
+  private def embedIncrementalOracle: String = {
+    val m = Similarity.EmbedIncrementMod
+    s"""WITH bands AS ($bandedIndexSql),
+       pb AS (SELECT vec_id AS probe_id, band, sig FROM bands WHERE vec_id % $m = 0),
+       ib AS (SELECT vec_id AS index_id, band, sig FROM bands WHERE vec_id % $m <> 0),
+       cand AS (SELECT DISTINCT p.probe_id, i.index_id
+                FROM pb p JOIN ib i ON p.band = i.band AND p.sig = i.sig),
+       scored AS (
+         SELECT c.probe_id, c.index_id,
+           ${cosineSql("ep.embedding", "ei.embedding")} AS cosine
+         FROM cand c
+         JOIN embeddings ep ON ep.vec_id = c.probe_id
+         JOIN embeddings ei ON ei.vec_id = c.index_id)
+       SELECT probe_id, index_id, cosine FROM scored WHERE cosine >= 0.4
+       ORDER BY probe_id, index_id"""
   }
 
   /** CDC diff oracle: same derived new-snapshot CTE, same full-outer
@@ -1605,22 +1653,7 @@ object SparkEntry {
            JOIN embeddings eb ON eb.vec_id = c.vec_b)
          SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
          ORDER BY vec_a, vec_b""",
-    "q_embed_incremental" -> {
-      val m = Similarity.EmbedIncrementMod
-      s"""WITH bands AS ($bandedIndexSql),
-         pb AS (SELECT vec_id AS probe_id, band, sig FROM bands WHERE vec_id % $m = 0),
-         ib AS (SELECT vec_id AS index_id, band, sig FROM bands WHERE vec_id % $m <> 0),
-         cand AS (SELECT DISTINCT p.probe_id, i.index_id
-                  FROM pb p JOIN ib i ON p.band = i.band AND p.sig = i.sig),
-         scored AS (
-           SELECT c.probe_id, c.index_id,
-             ${cosineSql("ep.embedding", "ei.embedding")} AS cosine
-           FROM cand c
-           JOIN embeddings ep ON ep.vec_id = c.probe_id
-           JOIN embeddings ei ON ei.vec_id = c.index_id)
-         SELECT probe_id, index_id, cosine FROM scored WHERE cosine >= 0.4
-         ORDER BY probe_id, index_id"""
-    },
+    "q_embed_incremental" -> embedIncrementalOracle,
     "q_similar_ivf" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                      WHERE $isCentroidSql),
@@ -1640,26 +1673,11 @@ object SparkEntry {
                FROM s)
          SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
          ORDER BY query_id, rk""",
-    "q_similar_ivf2" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-                     WHERE $isCentroidSql),
-         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
-                 ${cosineSql("e.embedding", "c.cv")} AS dist
-               FROM embeddings e CROSS JOIN c),
-         ranked AS (SELECT vec_id, embedding, centroid_id,
-                 row_number() OVER (PARTITION BY vec_id
-                   ORDER BY dist DESC, centroid_id) AS crk
-               FROM d),
-         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crk = 1),
-         q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
-               FROM ranked WHERE $isQuerySql AND crk <= 2),
-         s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
-               FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
-         r AS (SELECT query_id, vec_id, cosine,
-                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
-               FROM s)
-         SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
-         ORDER BY query_id, rk""",
+    "q_similar_ivf2" -> ivfProbedOracle,
+    // the persisted-index probe MUST be answer-invariant vs the
+    // rebuilt-per-call form — same oracle, word for word
+    "q_similar_ivf_persisted" -> ivfProbedOracle,
+    "q_embed_neardup_persisted" -> embedIncrementalOracle,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n_events,

@@ -132,8 +132,10 @@ object CorpusAnalytics {
     val minN = counts.agg(min(col("n_l")).as("min_n"))
     val thresholds = counts
       .crossJoin(broadcast(minN))
-      .select(col("lang"), ((col("min_n") * 10000L) / col("n_l"))
-        .cast("long").as("thr"))
+      // integer floor division (`div`), NOT Column./: the latter is
+      // double division, which drifts from the oracle's integer `//`
+      // once min_n*10000 nears 2^53 (the domainUpsample precedent)
+      .select(col("lang"), expr("(min_n * 10000) div n_l").as("thr"))
     docs
       .join(broadcast(thresholds), "lang")
       .where(md5Bits60(concat(lit("strat:"), col("doc_id").cast("string")))
@@ -274,7 +276,11 @@ object CorpusAnalytics {
     * over doubles would be partition-order-dependent. Every remaining
     * op (±, ×, ÷ on identically-ordered operands) is IEEE
     * correctly-rounded, hence bit-identical across engines. dl is
-    * integer-valued, so even `sum(dl)` for avgdl is exact.
+    * integer-valued, so even `sum(dl)` for avgdl is exact. NB the
+    * rational idf preserves the log form's ranking PER TERM only; the
+    * summed multi-term score can order documents differently than
+    * log-idf BM25 would (engine parity is unaffected — both engines
+    * compute the identical rational formula).
     *
     * Plan: the doc-length pass is map-side (`size(tokens)`); tf shuffles
     * once on (doc_id, token) with the query-term filter pushed below the
@@ -395,7 +401,16 @@ object CorpusAnalytics {
     * (max doc_id + 1), so the same query self-scales to any corpus
     * size. ONE exploded pass with K conditional `count(DISTINCT)`
     * aggregates — never K scans; the max-id frame is a 1-row
-    * broadcast. */
+    * broadcast.
+    *
+    * COST CAVEAT: K count-distincts in one aggregate plan as an
+    * Expand ×K of the exploded token stream (Catalyst rewrites
+    * multi-distinct via Expand), so the shuffled volume is K× the
+    * token count. Acceptable for a one-shot corpus readout at small
+    * fixed K; do NOT call this inside a loop or with large K — a
+    * repeated readout should reuse one materialized (doc_id, token)
+    * frame and K separate filtered distinct-counts, or an HLL sketch
+    * per checkpoint. */
   def vocabGrowth(docs: DataFrame): DataFrame = {
     val k = GrowthCheckpoints
     val mx = docs.agg((max(col("doc_id")) + 1L).as("n_ids"))

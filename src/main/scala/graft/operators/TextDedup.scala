@@ -274,12 +274,30 @@ object TextDedup {
     * rows — each round is one distributed join + groupBy. Pointer
     * jumping (label-of-label self-join, O(log d) rounds) was measured
     * and REJECTED here: on the shallow graphs dedup produces it saves no
-    * rounds while adding a shuffle to every round. Adversarially deep
-    * chains would call for large-star/small-star contraction. The
+    * rounds while adding a shuffle to every round. The
     * per-round cache keeps lineage bounded (round k would otherwise
     * recompute rounds 1..k-1), and the edge list is pre-partitioned on
     * the join key and cached ONCE — each round then shuffles only the
     * (tiny) label frame, not the edges.
+    *
+    * Deep-graph fallback: propagation needs diameter-many rounds, and a
+    * long chain of pairwise-similar crawl pages CAN defeat any fixed
+    * budget at corpus scale. So propagation gets only HALF the budget;
+    * if still unconverged, the operator switches to the alternating
+    * large-star / small-star contraction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC'14): large-star rewires
+    * every strictly-larger neighbor of each node to the minimum of its
+    * closed neighborhood, small-star rewires the smaller-or-equal ones;
+    * alternating the two converges to per-component stars centered at
+    * the component minimum in O(log^2 n) rounds (2·log n in practice) —
+    * diameter no longer appears in the bound, so a 2^20-node path
+    * converges inside the same default budget that propagation would
+    * need a million rounds for. Each half-step is one groupBy(min) plus
+    * one equi-join on the current edge frame — the same shuffle shapes
+    * as a propagation round, still nothing collected. Propagation stays
+    * the primary path because on the shallow real-world graphs it
+    * converges in 2-4 rounds with one join each, vs two per contraction
+    * alternation.
     *
     * The RETURNED frame is still cached (one row per paired doc —
     * bounded by the near-dup population, not the corpus): unpersisting
@@ -288,8 +306,15 @@ object TextDedup {
     * result when done with it.
     */
   /** Rounds the last [[dedupClusters]] call took to converge — a dev /
-    * test probe (loop-cost tuning), not part of the operator contract. */
+    * test probe (loop-cost tuning), not part of the operator contract.
+    * Counts propagation rounds plus contraction alternations. */
   @volatile private[graft] var lastRounds: Int = 0
+
+  /** Contraction alternations the last [[dedupClusters]] call ran — 0
+    * when propagation converged on its own (the common shallow-graph
+    * case); >0 records that the deep-graph fallback engaged. Same
+    * dev/test-probe status as [[lastRounds]]. */
+  @volatile private[graft] var lastContractionRounds: Int = 0
 
   def dedupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // cache the PAIRS, not just the symmetrized edges: the union's two
@@ -315,11 +340,19 @@ object TextDedup {
     var prevSum = labelSum(labels)
     var converged = prevSum.isEmpty
     var iter = 0
-    while (!converged && iter < maxIter) {
+    // propagation gets HALF the budget; the rest funds the contraction
+    // fallback (which is log-bounded, so it needs no diameter headroom)
+    val propBudget = math.max(1, maxIter / 2)
+    while (!converged && iter < propBudget) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), col("label"))
+      // localCheckpoint, not cache: the union embeds TWO copies of the
+      // previous round's plan, so an uncut lineage is 2^rounds plan
+      // leaves — at the 10-round budget that tree OOMs the driver just
+      // being stringified for the SQL listener (measured). Same
+      // cluster-mode caveat as [[contractToStars]].
       val next = labels.unionByName(msgs)
-        .groupBy(col("node")).agg(min(col("label")).as("label")).cache()
+        .groupBy(col("node")).agg(min(col("label")).as("label")).localCheckpoint()
       // min-label sums decrease monotonically; equal sum == fixpoint
       val s = labelSum(next)
       labels.unpersist()
@@ -328,17 +361,128 @@ object TextDedup {
       prevSum = s
       iter += 1
     }
+    lastContractionRounds = 0
+    if (!converged) {
+      // Deep graph: switch to large-star/small-star contraction (see
+      // scaladoc). Operates on the ORIGINAL edge set — the partial
+      // propagation labels are not a valid seed for edge rewiring, and
+      // re-deriving from `edges` (still cached) costs one distinct.
+      labels.unpersist()
+      labels = contractToStars(edges, maxIter)
+      converged = true
+      iter += lastContractionRounds
+    }
     lastRounds = iter
     p.unpersist()
     edges.unpersist()
-    // an unconverged result is WRONG (labels are not yet the component
-    // minima) — fail loudly rather than hand back plausible garbage; a
-    // graph whose diameter defeats maxIter needs the large-star/small-star
-    // contraction noted above
-    if (!converged) throw new IllegalStateException(
-      s"dedupClusters did not converge in $maxIter rounds — component " +
-        "diameter exceeds the propagation budget")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * SoCC'14) over a symmetrized edge frame `(src,dst)`. Returns a
+    * cached `(node,label)` frame where `label` is the component
+    * minimum, converging in O(log^2 n) alternations independent of
+    * graph diameter.
+    *
+    * Per alternation: large-star attaches every strictly-larger
+    * neighbor of each center to the minimum of the center's closed
+    * neighborhood (connectivity-preserving, proven in the paper);
+    * small-star then attaches each center and its smaller neighbors to
+    * the center's minimum neighbor. Both are one groupBy(min) + one
+    * equi-join; self-loops are dropped and emissions deduped, so the
+    * edge multiset shrinks toward per-component stars centered at the
+    * minimum. Fixpoint test: a (count, sum-of-xxhash64(src,dst)) edge-
+    * set fingerprint compared round over round — sum-over-distinct-set
+    * is order-independent, and a 64-bit-hash-sum collision between two
+    * DIFFERENT consecutive edge sets is vanishingly unlikely (and the
+    * star fixpoint is absorbing, so a stable fingerprint is a stable
+    * set in every non-adversarial universe). One cheap aggregate per
+    * alternation, same driver-action discipline as the propagation
+    * loop.
+    *
+    * Budget: `maxAlt` alternations. log-bounded convergence makes the
+    * throw practically unreachable (a 2^20-node path needs ~20), but an
+    * unconverged edge set still must not be read as clusters.
+    *
+    * LINEAGE: each alternation's output is `localCheckpoint`ed, not
+    * cached. A cache bounds recomputation but NOT the logical plan —
+    * every round here embeds ~8 copies of the previous round's plan
+    * (the symmetrizing union + two self-derived joins), so by round 10
+    * an un-truncated tree is ~8^10 nodes and the driver OOMs just
+    * STRINGIFYING it (measured: heap death inside explainString). The
+    * propagation loop above tolerates plain caching only because its
+    * per-round growth is 2x and its real graphs converge in <5 rounds.
+    * localCheckpoint materializes to executor-local storage and cuts
+    * the plan; it is not fault-tolerant across executor loss — on a
+    * real cluster an iteration that must survive preemption should set
+    * `spark.graft.spillDir` and swap in reliable `checkpoint` (same
+    * call shape), paying the distributed-FS write per round. */
+  private[graft] def contractToStars(symEdges: DataFrame, maxAlt: Int): DataFrame = {
+    // canonical undirected pairs (small, large); also the small-star
+    // input shape of subsequent rounds
+    var cur = symEdges
+      .select(greatest(col("src"), col("dst")).as("src"),
+              least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    // every node that entered the graph — roots must be labeled even
+    // after contraction rewires all their incident edges
+    val nodes = symEdges.select(col("src").as("node")).distinct().cache()
+    // hash-sum in DECIMAL(38,0): a Long sum of 2^63-range hashes
+    // overflows (an ANSI-mode error, a silent wrap otherwise)
+    def edgeStat(df: DataFrame): (Long, BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+    var prev = edgeStat(cur)
+    var alt = 0
+    var fixed = prev._1 == 0L
+    while (!fixed && alt < maxAlt) {
+      // large-star over the symmetrized adjacency of the current edges
+      val sym = cur.select(col("src"), col("dst"))
+        .unionByName(cur.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+      val large = sym.join(mins, sym("src") === col("u"))
+        .where(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      // small-star over larger->smaller directed edges
+      val dir = large.select(greatest(col("src"), col("dst")).as("src"),
+                             least(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+      val smins = dir.groupBy(col("src")).agg(min(col("dst")).as("m"))
+        .select(col("src").as("u"), col("m"))
+      val next = dir.join(smins, dir("src") === col("u"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(smins.select(col("u").as("src"), col("m").as("dst")))
+        .where(col("src") =!= col("dst")).distinct().localCheckpoint()
+      val s = edgeStat(next)
+      cur.unpersist()
+      cur = next
+      fixed = s == prev
+      prev = s
+      alt += 1
+    }
+    lastContractionRounds = alt
+    if (!fixed) {
+      cur.unpersist(); nodes.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters contraction did not converge in $maxAlt " +
+          "alternations — edge set still changing")
+    }
+    // fixpoint = stars: every surviving edge points a node at its
+    // component minimum; nodes with no surviving edge are roots (their
+    // own minimum), including centers whose edges all self-looped away
+    val labels = nodes
+      .join(cur.select(col("src").as("node"), col("dst").as("lbl")),
+            Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("label"))
+      .cache()
+    labels.foreach(_ => ()) // materialize before releasing the inputs
+    cur.unpersist()
+    nodes.unpersist()
+    labels
   }
 
   /** Scoped clustering: runs `use` over the cached label frame and

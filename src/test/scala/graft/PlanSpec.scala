@@ -293,6 +293,39 @@ class PlanSpec extends SparkSpec {
       s"top-k did not compile to TakeOrderedAndProject:\n$s")
   }
 
+  test("persisted ANN probes read the standing index, never rebuild it") {
+    // the build-once/probe-many contract: after writeIvfIndex /
+    // writeBandIndex land, the PROBE plan may touch the corpus table
+    // only for the query/increment rows — cells, centroids, and band
+    // sigs must come from the index parquet. A regression that
+    // re-derives them in the probe shows up as extra corpus scans.
+    // AQE off for the walk: nested AdaptiveSparkPlan broadcast stages
+    // would otherwise hide/duplicate scan nodes (SnapshotSpec precedent)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def scanPaths(q: String): Seq[String] =
+        SparkEntry.queries(q)(spark, sf("sf0.001"))
+          .queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              f.relation.location.rootPaths.mkString(",")
+          }
+      val ivf = scanPaths("q_similar_ivf_persisted")
+      assert(ivf.count(_.contains("embeddings.parquet")) === 1,
+        s"IVF probe must scan the corpus exactly once (queries): $ivf")
+      assert(ivf.count(_.contains("ivf_index")) >= 2,
+        s"IVF probe must read cells AND centroids from the index: $ivf")
+      // the rebuilt-per-call twin re-reads the corpus for centroids +
+      // assignment + queries — the contrast that proves the probe is thin
+      assert(scanPaths("q_similar_ivf2").count(_.contains("embeddings.parquet")) >= 2)
+      val band = scanPaths("q_embed_neardup_persisted")
+      assert(band.count(_.contains("embeddings.parquet")) === 2,
+        s"band probe scans the corpus only for the increment (sigs + verify): $band")
+      assert(band.count(_.contains("band_index")) === 1,
+        s"band probe must read the standing band table, not re-band the index: $band")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("attribution/growth/stickiness plans stay single-key, no nested loop") {
     Seq("q_last_touch", "q_growth_accounting", "q_stickiness",
       "q_setsim_join", "q_dedup_rates").foreach { q =>

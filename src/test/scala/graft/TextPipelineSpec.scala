@@ -610,6 +610,71 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("deep chain: 1000-node path converges via the contraction fallback") {
+    // diameter 999 >> the propagation budget (maxIter/2 = 10 rounds);
+    // pre-fallback this threw. Now the large-star/small-star contraction
+    // engages and must still produce exact component minima — and in
+    // log-bounded rounds, not diameter-bounded ones.
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val clusters = TextDedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.size === 1000)
+    assert(clusters.values.forall(_ == 1L),
+      "every node on the path must label to the component minimum 1")
+    assert(TextDedup.lastContractionRounds > 0,
+      "the contraction fallback must have engaged (propagation cannot " +
+        "cover diameter 999 in 10 rounds)")
+    assert(TextDedup.lastContractionRounds <= 15,
+      s"contraction is log-bounded: a 1000-node path must converge in " +
+        s"~2*log2(1000)=20 alternations, got ${TextDedup.lastContractionRounds}")
+    clusters // keep the map referenced
+    ()
+  }
+
+  test("shallow graphs never pay for contraction") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = TextDedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(TextDedup.lastContractionRounds === 0,
+      "propagation converged, so the fallback must not have run")
+  }
+
+  test("property: contraction equals union-find on random pair graphs") {
+    import org.scalacheck.Gen
+    // exercises contractToStars DIRECTLY (dedupClusters only reaches it
+    // on deep graphs): random multigraphs with repeated/overlapping
+    // components, checked against the same union-find reference as the
+    // propagation property above
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 18L), Gen.choose(1L, 18L)))
+      .map(_.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct)
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val sym = edges.toDF("doc_a", "doc_b")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val symBoth = sym.unionByName(
+        sym.select(col("dst").as("src"), col("src").as("dst")))
+      val labels = TextDedup.contractToStars(symBoth, maxAlt = 30)
+      val got = labels.as[(Long, Long)].collect().toMap
+      labels.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val byRoot = nodes.groupBy(find)
+      val expected = byRoot.flatMap { case (_, ns) =>
+        val m = ns.min; ns.map(_ -> m)
+      }
+      assert(got === expected)
+    }
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
