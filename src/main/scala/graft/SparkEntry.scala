@@ -152,6 +152,7 @@ object SparkEntry {
     "q_seq_pack"           -> (TrainPrep.qSeqPack _),
     "q_token_chunks"       -> (TrainPrep.qTokenChunks _),
     "q_vocab_topk"         -> (TrainPrep.qVocabTopK _),
+    "q_bpe_merges"         -> (TrainPrep.qBpeMerges _),
     "q_tokenize_ids"       -> (TrainPrep.qTokenizeIds _),
     "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
@@ -359,6 +360,50 @@ object SparkEntry {
        SELECT doc_id, text_hash FROM inc
        WHERE text_hash NOT IN (SELECT text_hash FROM idx)
        ORDER BY doc_id"""
+  }
+
+  /** BPE merge-learning oracle: the K merge rounds UNROLLED as CTE
+    * layers (K = [[TrainPrep.BpeMergeK]] is a small workload constant,
+    * so unrolling is bounded) — DuckDB replays the identical
+    * deterministic induction: same pretokens, same bracket-encoded
+    * symbol strings, same weighted pair argmax with the same
+    * lexicographic tie-break, same self-delimiting `replace` merge
+    * step (see [[graft.operators.TrainPrep.BpeL]] for why replace ≡
+    * the greedy BPE fold under this encoding). Generated by a Scala
+    * loop — each layer reads the previous word table, takes its
+    * argmax, and rewrites the words. */
+  private def bpeMergesOracle: String = {
+    val k = graft.operators.TrainPrep.BpeMergeK
+    val (bl, br) = (graft.operators.TrainPrep.BpeL, graft.operators.TrainPrep.BpeR)
+    val pat = TextStats.BpePattern.replace("'", "''")
+    val w0 =
+      s"""w0 AS (
+         SELECT regexp_replace(word, '(.)', '$bl\\1$br', 'g') AS encoded, n
+         FROM (SELECT t.word AS word, count(*) AS n
+               FROM documents, UNNEST(regexp_extract_all(text, '$pat')) AS t(word)
+               WHERE t.word NOT LIKE '%$bl%' AND t.word NOT LIKE '%$br%'
+               GROUP BY t.word))"""
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
+         FROM (SELECT string_split(substring(encoded, 2, length(encoded) - 2),
+                        '$br$bl') AS l, n
+               FROM w${r - 1}),
+              UNNEST(range(1, len(l))) AS u(i)
+         GROUP BY 1, 2),
+       m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       w$r AS (
+         SELECT replace(encoded, '$bl' || a || '$br$bl' || b || '$br',
+                        '$bl' || a || b || '$br') AS encoded, n
+         FROM w${r - 1} CROSS JOIN m$r)"""
+    }
+    val finals = (1 to k).map(r =>
+      s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS support FROM m$r")
+    s"""WITH $w0,
+       ${rounds.mkString(",\n")}
+       SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged, support
+       FROM (${finals.mkString(" UNION ALL ")})
+       ORDER BY merge_rank"""
   }
 
   /** Multi-probe IVF oracle — shared verbatim by `q_similar_ivf2`
@@ -1527,6 +1572,7 @@ object SparkEntry {
          CAST(len(list_distinct(regexp_extract_all(text, '$pat'))) AS INTEGER) AS n_unique_bpe
          FROM documents ORDER BY doc_id"""
     },
+    "q_bpe_merges" -> bpeMergesOracle,
     // score keeps idf rational (tf * N / df, no log) so both engines
     // compute bit-identical doubles; ln is monotone so ranks are the
     // same as log-idf.

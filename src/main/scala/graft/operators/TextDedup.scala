@@ -727,14 +727,21 @@ object TextDedup {
     * Output: (doc_id, span_start, span_end, n_grams) — token index
     * ranges [start, end) with the count of repeated shingles merged
     * into the span. */
-  /** Salt fan-out for the two-phase occurrence count in
+  /** Default salt fan-out for the two-phase occurrence count in
     * [[repeatedSpans]]: a hot shingle's rows spread over this many
-    * tasks. Sizing: ≥ a small multiple of executor cores touched by
-    * one key; 16 bounds the replication of the (tiny, aggregated)
-    * totals side while giving 16× hot-key parallelism. */
+    * tasks. SIZING RULE: a small multiple of the executor cores one
+    * hot key should fan across — enough that no single task owns a
+    * boilerplate shingle's full occurrence stream, small enough that
+    * the per-shingle re-sum stays a trivial ≤salts-row aggregate; 16
+    * fits local[32], a 1000-executor cluster would run 64-256. The
+    * knob is PURE PARALLELISM: totals are a sum of per-salt partial
+    * counts, so any salts ≥ 1 yields byte-identical spans (pinned by
+    * the invariance spec) — tuning it can never change answers. */
   val SpanCountSalts = 16
 
-  def repeatedSpans(docs: DataFrame, k: Int = SpanGram): DataFrame = {
+  def repeatedSpans(docs: DataFrame, k: Int = SpanGram,
+                    salts: Int = SpanCountSalts): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
     import org.apache.spark.sql.expressions.Window
     val pos = docs
       .select(col("doc_id"),
@@ -743,10 +750,10 @@ object TextDedup {
     // two-phase salted occurrence count: the (sh, salt) partial count
     // combines MAP-SIDE (each task emits one row per local key before
     // any exchange — the actual skew protection for the count), the
-    // per-sh total then sums ≤ SpanCountSalts tiny rows
+    // per-sh total then sums ≤ salts tiny rows
     val totals = pos
       .groupBy(col("sh"),
-        pmod(col("doc_id"), lit(SpanCountSalts.toLong)).as("_salt"))
+        pmod(col("doc_id"), lit(salts.toLong)).as("_salt"))
       .agg(count(lit(1)).as("_c"))
       .groupBy(col("sh")).agg(sum(col("_c")).as("_n"))
       .filter(col("_n") >= 2)

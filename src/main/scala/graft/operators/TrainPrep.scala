@@ -356,4 +356,122 @@ object TrainPrep {
   def qDomainUpsample(spark: SparkSession, dir: String): DataFrame =
     domainUpsample(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("copy_id"))
+
+  // --- BPE merge learning (subword vocabulary induction) ---
+
+  /** Merge budget for [[bpeMerges]] — the workload constant that bounds
+    * the driver loop, the collected state (K 1-row argmaxes), and the
+    * encoder's expression depth. */
+  val BpeMergeK = 8
+
+  /** Symbol-boundary brackets for the merge replay. A word's symbol
+    * sequence is spelled `⟨sym⟩⟨sym⟩…` and one merge round is a plain
+    * non-overlapping left-to-right string replace of `⟨a⟩⟨b⟩` with
+    * `⟨ab⟩` — each unit is self-delimiting, so the replace consumes no
+    * shared separator and greedy replace equals the canonical
+    * left-to-right BPE fold (a space-separated spelling would NOT:
+    * replacing ` a b ` eats the boundary space and skips the next
+    * overlapping occurrence). The same replay runs verbatim in the
+    * DuckDB oracle, which is the whole reason to learn on strings
+    * instead of per-row symbol arrays. Words containing a bracket
+    * character are excluded from learning in BOTH engines (they would
+    * make the encoding grammar ambiguous); the synthetic corpus has
+    * none, and a production tokenizer would map them to escapes
+    * upstream. */
+  val BpeL = "⟨"
+  val BpeR = "⟩"
+
+  /** The distinct-word table BPE learns on: (encoded, n) where
+    * `encoded` is the char-wise bracket encoding of a pretoken
+    * ([[TextStats.bpeTokens]]) and `n` its corpus occurrence count.
+    * Distinct words, not occurrences — Heaps-law-bounded, the standard
+    * BPE trick that makes each merge round a vocabulary-sized pass
+    * instead of a corpus-sized one. */
+  def bpeWordTable(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(TextStats.bpeTokens(col("text"))).as("word"))
+      .where(!col("word").contains(BpeL) && !col("word").contains(BpeR))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        regexp_replace(col("word"), "(.)", s"$BpeL$$1$BpeR").as("encoded"),
+        col("n"))
+
+  /** Symbol array of an encoded word: strip the outer brackets, split
+    * on the inter-symbol boundary `⟩⟨`. */
+  private def symbolArray(encoded: Column): Column =
+    split(encoded.substr(lit(2), length(encoded) - 2),
+      java.util.regex.Pattern.quote(s"$BpeR$BpeL"))
+
+  /** Adjacent-symbol pairs of an encoded word, as (a, b) structs. */
+  private def symbolPairs(encoded: Column): Column = {
+    val syms = symbolArray(encoded)
+    zip_with(
+      slice(syms, lit(1), greatest(size(syms) - 1, lit(0))),
+      slice(syms, lit(2), greatest(size(syms) - 1, lit(0))),
+      (a, b) => struct(a.as("a"), b.as("b")))
+  }
+
+  /** Learned BPE merge table: `k` rounds of the classic pair-merge
+    * induction (Sennrich et al. 2016) over the corpus pretokens.
+    * Each round: one vocabulary-sized pass counts adjacent symbol
+    * pairs weighted by word frequency; the arg-max pair (ties broken
+    * lexicographically — pinned in both engines) becomes merge rank r;
+    * the merge is applied to every word by the self-delimiting string
+    * replace (see [[BpeL]]). The driver loop follows the
+    * [[TextDedup.dedupClusters]] discipline: K bounded rounds, ONE
+    * 1-row collect per round (the argmax), nothing corpus-sized on the
+    * driver. The word table is localCheckpoint'ed once after the
+    * explode+groupBy build; each round then recomputes only its ≤K
+    * nested replaces — a projection chain Catalyst collapses, linear
+    * plan growth, no per-round checkpoint needed.
+    *
+    * Returns (merge_rank, lhs, rhs, merged, support) — `support` is
+    * the weighted pair count that won the round. */
+  def bpeMerges(docs: DataFrame, k: Int = BpeMergeK): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = bpeWordTable(docs).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val top = words
+        .select(explode(symbolPairs(col("encoded"))).as("p"), col("n"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // bounded: exactly one row (the round's argmax)
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((r + 1L, a, b, a + b, cnt))
+        // call_function keeps token text out of SQL-literal escaping
+        words = words.select(
+          call_function("replace", col("encoded"),
+            lit(s"$BpeL$a$BpeR$BpeL$b$BpeR"), lit(s"$BpeL$a$b$BpeR")).as("encoded"),
+          col("n"))
+      }
+      r += 1
+    }
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "support")
+  }
+
+  /** Encode a word column with a learned merge sequence: the initial
+    * char-wise encoding followed by the K replaces in rank order — a
+    * static, codegen'd expression chain (K is [[BpeMergeK]]-bounded),
+    * no per-row vocabulary state. Returns the symbol ARRAY. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
+    val encoded = merges.foldLeft(
+      regexp_replace(word, "(.)", s"$BpeL$$1$BpeR")) { case (c, (a, b)) =>
+        call_function("replace", c,
+          lit(s"$BpeL$a$BpeR$BpeL$b$BpeR"), lit(s"$BpeL$a$b$BpeR"))
+    }
+    symbolArray(encoded)
+  }
+
+  def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir)).orderBy(col("merge_rank"))
 }

@@ -675,6 +675,21 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("repeated spans are invariant to the salt fan-out (scale knob)") {
+    // salts is pure parallelism: totals are a sum of per-salt partial
+    // counts, so 1, 4, and 64 salts must emit byte-identical spans
+    // (the epochShuffle-nibbles / sequencePack-shards precedent)
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val base = TextDedup.repeatedSpans(docs, salts = 1)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(base.nonEmpty)
+    Seq(4, 64).foreach { s =>
+      val got = TextDedup.repeatedSpans(docs, salts = s)
+        .orderBy("doc_id", "span_start").collect().toSeq
+      assert(got === base, s"salts=$s changed answers — the knob leaked into policy")
+    }
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)

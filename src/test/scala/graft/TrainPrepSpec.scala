@@ -338,4 +338,73 @@ class TrainPrepSpec extends SparkSpec {
       .select("doc_id", "pos").as[(Long, Long)].collect().toSet
     assert(again === out.map(r => (r._1, r._3)).toSet)
   }
+
+  /** Independent BPE reference: symbol ARRAYS with the canonical
+    * greedy left-to-right fold — the semantics the string-replace
+    * implementation must match (the equivalence that could silently
+    * break is exactly replace-on-bracket-strings ≡ array fold). */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var state: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val ms = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, syms) <- state; Seq(a, b) <- syms.sliding(2))
+        counts((a, b)) += words(w)
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+        ms += ((a, b, c))
+        state = state.map { case (w, syms) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (s <- syms) {
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.size - 1) = a + b
+            else out += s
+          }
+          w -> out.toVector
+        }
+      }
+    }
+    (ms.toSeq, state)
+  }
+
+  test("bpe merges match an independent fold reference; encoder round-trips") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "web"),
+      (2L, "the cats sat", "en", "web"),
+      (3L, "that cat, that mat! aaaa aaa", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val merges = TrainPrep.bpeMerges(docs, k = 6)
+      .orderBy("merge_rank")
+      .as[(Long, String, String, String, Long)].collect()
+    assert(merges.map(_._1).toSeq === (1L to merges.length))
+    assert(merges.forall { case (_, l, r, m, s) => m == l + r && s >= 1 })
+    // reference learn over the same weighted word table ("aaaa aaa"
+    // exercises the overlapping-pair greedy case)
+    val wordCounts = docs.select(
+        explode(graft.operators.TextStats.bpeTokens(col("text"))).as("word"))
+      .groupBy("word").count()
+      .as[(String, Long)].collect().toMap
+    val (refMerges, refState) = refBpe(wordCounts, k = 6)
+    assert(merges.map { case (_, l, r, _, s) => (l, r, s) }.toSeq === refMerges,
+      "learned merge sequence diverges from the fold reference")
+    // encoder: round-trips every word and reproduces the reference's
+    // final symbol state exactly (same replay, same greedy semantics)
+    val pairs = merges.map { case (_, l, r, _, _) => (l, r) }.toSeq
+    val words = docs
+      .select(explode(graft.operators.TextStats.bpeTokens(col("text"))).as("word"))
+      .distinct()
+      .select(col("word"),
+        TrainPrep.bpeEncode(col("word"), pairs).as("syms"))
+      .as[(String, Seq[String])].collect()
+    words.foreach { case (word, syms) =>
+      assert(syms.mkString("") === word, s"round-trip failed for '$word'")
+      assert(syms.toVector === refState(word),
+        s"encoder state diverges from reference for '$word'")
+    }
+  }
 }
