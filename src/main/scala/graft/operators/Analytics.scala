@@ -41,7 +41,21 @@ object Analytics {
     * final shuffle on the (cohort, offset) pair. No window over an
     * unpartitioned frame, no driver collect.
     */
-  def retentionCohorts(events: DataFrame): DataFrame = {
+  /** Null-identity guard, applied at every analytics entry on the keys
+    * that operator windows/joins/groups on. Rows lacking identity can
+    * neither key a window nor match a join — left in, they form
+    * phantom NULL groups in groupBy-shaped operators but silently
+    * vanish from join-shaped ones, a per-operator lottery (the
+    * BloomDedup null-probe precedent). The family contract, pinned by
+    * NullRobustnessSpec: such rows influence NO analytics answer;
+    * landing-quality problems belong in a quarantine audit, not
+    * smeared into funnel counts. The fixture events table is null-free,
+    * so every oracle is unaffected. */
+  private def keyed(events: DataFrame, keys: String*): DataFrame =
+    events.na.drop(keys.toSeq)
+
+  def retentionCohorts(events0: DataFrame): DataFrame = {
+    val events = keyed(events0, "user_id", "ts")
     val cohorts = events
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
@@ -110,7 +124,7 @@ object Analytics {
                   stages: Seq[String] = FunnelStages,
                   windowUs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val typed = events.select(
+    val typed = keyed(events, "user_id", "event_type", "ts").select(
       col("user_id"), col("event_type"), tsUs(col("ts")).as("ts_us"))
     var cur = typed
       .filter(col("event_type") === stages.head)
@@ -272,7 +286,7 @@ object Analytics {
   def scd2History(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("event_type"))
       .orderBy(col("ts_us"), col("event_id"))
-    events
+    keyed(events, "user_id", "event_type", "ts")
       .select(col("user_id"), col("event_type"), col("event_id"),
         tsUs(col("ts")).as("ts_us"), col("value"))
       .select(
@@ -307,8 +321,11 @@ object Analytics {
     */
   def scd2Merge(dim: DataFrame, delta: DataFrame): DataFrame = {
     val keys = Seq("user_id", "event_type")
-    val d = delta.select(col("user_id"), col("event_type"), col("event_id"),
-      tsUs(col("ts")).as("ts_us"), col("value"))
+    // delta gets the same guard as the full recompute — the
+    // merge ≡ recompute contract must hold on dirty landings too
+    val d = keyed(delta, "user_id", "event_type", "ts")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        tsUs(col("ts")).as("ts_us"), col("value"))
     val versionHead = dim.groupBy(col("user_id"), col("event_type"))
       .agg(max(col("version")).as("v0"))
     val w = Window.partitionBy(col("user_id"), col("event_type"))
@@ -421,7 +438,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    keyed(events, "user_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
       .withColumn("click_id",
@@ -449,7 +466,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    events
+    keyed(events, "user_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
       .withColumn("click_id",
@@ -486,7 +503,7 @@ object Analytics {
     * (user, week), one per-user lag/lead window, one week aggregate —
     * two key shuffles total, both on real keys. */
   def growthAccounting(events: DataFrame): DataFrame = {
-    val weekly = events
+    val weekly = keyed(events, "user_id", "ts")
       .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
       .distinct()
       .withColumn("wi",

@@ -230,4 +230,100 @@ class NullRobustnessSpec extends SparkSpec {
       .select("probe_id", "index_id").as[(Long, Long)].collect()
     assert(inc.toSet === Set((1L, 6L)))
   }
+
+  // --- analytics family: null identity rows influence NO answer ---
+
+  import java.sql.Timestamp
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Clean event rows + every null-identity mutation: null user_id,
+    * null ts, null event_type. The family contract (Analytics.keyed):
+    * output over the dirty frame == output over the clean subset, for
+    * every operator — never a throw, never a phantom NULL group, never
+    * a silently different count. */
+  private def cleanEvents: DataFrame = Seq(
+    (1L, 10L, "view", ts("2026-01-05 10:00:00"), 1.0),
+    (2L, 10L, "click", ts("2026-01-05 10:05:00"), 2.0),
+    (3L, 10L, "purchase", ts("2026-01-05 10:30:00"), 30.0),
+    (4L, 20L, "view", ts("2026-01-06 09:00:00"), 1.0),
+    (5L, 20L, "click", ts("2026-01-13 09:10:00"), 1.5),
+    (6L, 30L, "view", ts("2026-01-20 12:00:00"), 1.0),
+    (7L, 30L, "purchase", ts("2026-02-02 12:00:00"), 55.0))
+    .toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  private def dirtyEvents: DataFrame = {
+    val nullUser = Seq((100L, "view", ts("2026-01-05 10:00:01"), 9.0))
+      .toDF("event_id", "event_type", "ts", "value")
+      .withColumn("user_id", lit(null).cast("long"))
+    val nullTs = Seq((101L, 10L, "click", 9.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", lit(null).cast("timestamp"))
+    val nullType = Seq((102L, 20L, ts("2026-01-06 09:00:02"), 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .withColumn("event_type", lit(null).cast("string"))
+    val cols = Seq($"event_id", $"user_id", $"event_type", $"ts", $"value")
+    cleanEvents.select(cols: _*)
+      .unionByName(nullUser.select(cols: _*))
+      .unionByName(nullTs.select(cols: _*))
+      .unionByName(nullType.select(cols: _*))
+  }
+
+  private def assertSameRows(name: String,
+                             f: DataFrame => DataFrame): Unit = {
+    val clean = f(cleanEvents).collect().map(_.toSeq).toSeq
+    val dirty = f(dirtyEvents).collect().map(_.toSeq).toSeq
+    assert(dirty === clean,
+      s"$name: null-identity rows changed answers (dirty=$dirty clean=$clean)")
+    assert(clean.nonEmpty, s"$name: vacuous fixture")
+  }
+
+  test("funnels ignore null-identity rows entirely") {
+    assertSameRows("funnel",
+      e => graft.operators.Analytics.funnel(e).orderBy("stage_idx"))
+    assertSameRows("funnelWindowed",
+      e => graft.operators.Analytics.funnel(e,
+        windowUs = Some(graft.operators.Analytics.FunnelWindowUs))
+        .orderBy("stage_idx"))
+    assertSameRows("funnelLatency",
+      e => graft.operators.Analytics.funnelLatency(e).orderBy("stage_idx"))
+  }
+
+  test("attribution ignores null-identity rows entirely") {
+    assertSameRows("lastTouch",
+      e => graft.operators.Analytics.lastTouchAttribution(e).orderBy("event_id"))
+    assertSameRows("firstTouch",
+      e => graft.operators.Analytics.firstTouchAttribution(e).orderBy("event_id"))
+  }
+
+  test("retention and growth accounting ignore null-identity rows") {
+    assertSameRows("retentionCohorts",
+      e => graft.operators.Analytics.retentionCohorts(e)
+        .orderBy("cohort_week", "week_offset"))
+    assertSameRows("retentionRates",
+      e => graft.operators.Analytics.retentionRates(e)
+        .orderBy("cohort_week", "week_offset"))
+    assertSameRows("growthAccounting",
+      e => graft.operators.Analytics.growthAccounting(e).orderBy("wi"))
+  }
+
+  test("scd2: history and merge ignore null-identity rows; merge == recompute on dirty deltas") {
+    assertSameRows("scd2History",
+      e => graft.operators.Analytics.scd2History(e)
+        .orderBy("user_id", "event_type", "version"))
+    // merge ≡ recompute must hold when the DELTA carries null rows:
+    // split at 2026-01-10, dirty rows ride the delta side
+    val cut = ts("2026-01-10 00:00:00")
+    val dim = graft.operators.Analytics.scd2History(
+      cleanEvents.where($"ts" < cut))
+    val delta = dirtyEvents.where($"ts".isNull || $"ts" >= cut ||
+      $"user_id".isNull || $"event_type".isNull)
+    val merged = graft.operators.Analytics.scd2Merge(dim, delta)
+      .orderBy("user_id", "event_type", "version")
+      .collect().map(_.toSeq).toSeq
+    val recomputed = graft.operators.Analytics.scd2History(cleanEvents)
+      .orderBy("user_id", "event_type", "version")
+      .collect().map(_.toSeq).toSeq
+    assert(merged === recomputed,
+      "scd2Merge over a dirty delta diverged from the clean recompute")
+  }
 }
