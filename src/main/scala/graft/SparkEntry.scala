@@ -125,6 +125,7 @@ object SparkEntry {
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
+    "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     // no oracle entry (learned centroids: distributed float means are
     // partitioning-dependent in the last ULP): rows-only gate
@@ -1723,6 +1724,8 @@ object SparkEntry {
     // the persisted-index probe MUST be answer-invariant vs the
     // rebuilt-per-call form — same oracle, word for word
     "q_similar_ivf_persisted" -> ivfProbedOracle,
+    // build+append must equal the all-at-once build — same oracle again
+    "q_similar_ivf_appended" -> ivfProbedOracle,
     "q_embed_neardup_persisted" -> embedIncrementalOracle,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

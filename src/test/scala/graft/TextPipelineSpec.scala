@@ -690,6 +690,24 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf append: build(part1)+append(part2) lands the same cells as build(all)") {
+    import graft.operators.Similarity
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val isNew = col("vec_id") % Similarity.IvfAppendMod === Similarity.IvfAppendRem &&
+      !Similarity.isCentroidId(col("vec_id"))
+    val full = TextDedup.spillPath(spark, "spec_ivf_full")
+    val split = TextDedup.spillPath(spark, "spec_ivf_split")
+    Similarity.writeIvfIndex(emb, full)
+    Similarity.writeIvfIndex(emb.filter(!isNew), split)
+    Similarity.appendIvfIndex(spark, split, emb.filter(isNew))
+    def cells(p: String) = spark.read.parquet(s"$p/cells")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toSet
+    assert(cells(split) === cells(full),
+      "incremental append diverged from the all-at-once build")
+    // the append batch actually landed rows (non-vacuous)
+    assert(emb.filter(isNew).count() > 0)
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
