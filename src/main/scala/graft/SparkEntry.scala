@@ -165,6 +165,8 @@ object SparkEntry {
     "q_embed_quantize"     -> (Similarity.qEmbedQuantize _),
     // corpus analytics (n-gram LM / stratified sample / postings / survivorship)
     "q_bigram_next"        -> (CorpusAnalytics.qBigramNext _),
+    "q_rare_bigrams"       -> (CorpusAnalytics.qRareBigrams _),
+    "q_source_divergence"  -> (CorpusAnalytics.qSourceDivergence _),
     "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
@@ -2761,6 +2763,53 @@ object SparkEntry {
          SELECT head, n_total, pair_rank, next_token, n_pairs
          FROM r WHERE pair_rank <= $p ORDER BY head, pair_rank"""
     },
+    // per-occurrence bigram stream joined against its own aggregate;
+    // the ratio is ONE division of two exact BIGINTs — portable
+    "q_rare_bigrams" -> {
+      val t = CorpusAnalytics.RareBigramMax
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         ix AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+                FROM t WHERE len(toks) > 1),
+         occ AS (SELECT doc_id, toks[i] AS head, toks[i + 1] AS next_token FROM ix),
+         pc AS (SELECT head, next_token, CAST(count(*) AS BIGINT) AS n_corpus
+                FROM occ GROUP BY head, next_token)
+         SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CASE WHEN pc.n_corpus <= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           CAST(sum(CASE WHEN pc.n_corpus <= $t THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS rare_ratio
+         FROM occ JOIN pc ON occ.head = pc.head AND occ.next_token = pc.next_token
+         GROUP BY occ.doc_id ORDER BY occ.doc_id"""
+    },
+    // L1 numerator stays exact integers (HUGEINT ≙ Spark decimal(38,0));
+    // the absent-token tail folds closed-form, no source×vocab product
+    "q_source_divergence" ->
+      s"""WITH st AS (SELECT source, t.token AS token, CAST(count(*) AS BIGINT) AS n_st
+                      FROM (SELECT source, ${toksSql("text")} AS toks FROM documents),
+                           UNNEST(toks) AS t(token)
+                      GROUP BY source, t.token),
+         g AS (SELECT token, CAST(sum(n_st) AS BIGINT) AS n_t FROM st GROUP BY token),
+         tot AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_s FROM st GROUP BY source),
+         alln AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_all FROM tot),
+         d AS (SELECT st.source, tot.n_s, g.n_t, alln.n_all,
+                 abs(CAST(st.n_st AS HUGEINT) * n_all
+                     - CAST(g.n_t AS HUGEINT) * tot.n_s) AS dd
+               FROM st JOIN g USING (token)
+                    JOIN tot ON st.source = tot.source
+                    CROSS JOIN alln),
+         agg AS (SELECT source,
+                   min(n_s) AS n_tokens_src,
+                   sum(dd) AS present,
+                   CAST(sum(n_t) AS HUGEINT) AS g_s,
+                   min(n_all) AS n_all
+                 FROM d GROUP BY source)
+         SELECT source, n_tokens_src,
+           CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s)
+                AS DECIMAL(38,0)) AS l1_num,
+           CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s) AS DOUBLE)
+             / CAST(CAST(n_tokens_src AS HUGEINT) * CAST(n_all AS HUGEINT) AS DOUBLE)
+             AS l1
+         FROM agg ORDER BY source""",
     // stratified equalizing downsample: integer threshold arithmetic and
     // the salted 60-bit md5 bucket, same recipe as q_domain_upsample
     "q_stratified_sample" ->

@@ -112,6 +112,109 @@ object CorpusAnalytics {
       .orderBy(col("head"), col("next_token"))
 
   // ---------------------------------------------------------------------
+  // Rare-bigram novelty (per-document quality/novelty signal)
+  // ---------------------------------------------------------------------
+
+  /** Corpus-count ceiling under which a bigram counts as "rare". */
+  val RareBigramMax = 2L
+
+  /** Per-document rare-bigram novelty: of a document's adjacent token
+    * pairs, how many occur ≤ [[RareBigramMax]] times in the WHOLE
+    * corpus (the doc's own occurrences included). High ratio = novel
+    * or gibberish text; low ratio = boilerplate assembled from common
+    * transitions — the integer-exact cousin of an LM-perplexity
+    * filter, usable as a curation gate without a float log anywhere
+    * (n_rare/n_bigrams is one terminal division of two exact BIGINTs,
+    * IEEE-identical in both engines).
+    *
+    * Plan: ONE exploded pass with a per-doc `lead` window yields the
+    * occurrence stream; corpus pair counts aggregate that same stream
+    * (1 row per distinct bigram); the probe joins occurrences back on
+    * the (head, next) key — a keyed equi-join against an AGGREGATED
+    * side (AQE broadcasts it when small, skew-splits the stream side
+    * when a boilerplate bigram is hot; nothing all-pairs) — then one
+    * per-doc aggregate. Documents with fewer than two tokens carry no
+    * bigram and emit no row (the oracle's GROUP BY agrees). */
+  def rareBigramNovelty(docs: DataFrame, maxN: Long = RareBigramMax): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val occ = toks
+      .withColumn("next_token", lead(col("token"), 1).over(byDoc))
+      .where(col("next_token").isNotNull)
+      .select(col("doc_id"), col("token"), col("next_token"))
+    val counts = occ.groupBy(col("token"), col("next_token"))
+      .agg(count(lit(1)).as("n_corpus"))
+    occ.join(counts, Seq("token", "next_token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_corpus") <= maxN, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+          .as("rare_ratio"))
+  }
+
+  def qRareBigrams(spark: SparkSession, dir: String): DataFrame =
+    rareBigramNovelty(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // Source-vs-corpus token divergence (mixture drift)
+  // ---------------------------------------------------------------------
+
+  /** Per-source L1 divergence between the source's token distribution
+    * and the whole corpus's — the mixture-debugging readout ("which
+    * source is the outlier, and by how much") behind re-weighting
+    * decisions. The L1 sum stays EXACT integers until one terminal
+    * division: with n_st = source token counts, n_t = global counts,
+    * N_s/N the totals,
+    *
+    *   L1 = Σ_t |p_s(t) − p(t)|
+    *      = [ Σ_{t∈s} |n_st·N − n_t·N_s|  +  N_s·(N − G_s) ] / (N_s·N)
+    *
+    * where G_s = Σ_{t∈s} n_t — the absent-token tail folds into a
+    * closed form, so NO source×vocab cross product is ever built.
+    * Products run in DECIMAL(38,0) (the [[graft.operators.Similarity]]
+    * dimVariance precedent: n_st·N ~ 10¹²·10¹⁴ bursts a BIGINT long
+    * before a real corpus does; DuckDB's twin arithmetic is HUGEINT —
+    * both exact). One exploded pass → (source, token) counts; global
+    * counts re-aggregate THAT (never the corpus twice); the join back
+    * is on the token key. Output per source: total tokens, the exact
+    * integer numerator, and the one-division double. */
+  def sourceTokenDivergence(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val global = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+    val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    val bigN = totals.agg(sum(col("n_s")).as("n_all"))
+    val dec = "decimal(38,0)"
+    val num = (col("_present") +
+      col("n_tokens_src").cast(dec) * (col("_n_all") - col("_g_s")).cast(dec))
+      .cast(dec)
+    st.join(global, "token")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(bigN))
+      .select(col("source"), col("n_s"), col("n_t"), col("n_all"),
+        abs(col("n_st").cast(dec) * col("n_all").cast(dec) -
+            col("n_t").cast(dec) * col("n_s").cast(dec)).cast(dec).as("_d"))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_tokens_src"),
+        sum(col("_d")).cast(dec).as("_present"),
+        sum(col("n_t")).as("_g_s"),
+        first(col("n_all")).as("_n_all"))
+      .select(col("source"), col("n_tokens_src"),
+        num.as("l1_num"),
+        (num.cast("double") /
+          (col("n_tokens_src").cast(dec) * col("_n_all").cast(dec))
+            .cast("double")).as("l1"))
+  }
+
+  def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    sourceTokenDivergence(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  // ---------------------------------------------------------------------
   // Stratified rebalancing sample
   // ---------------------------------------------------------------------
 

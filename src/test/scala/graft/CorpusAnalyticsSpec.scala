@@ -262,4 +262,43 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(3))).toSet
     assert(a === b)
   }
+
+  test("rare bigrams: boilerplate scores 0, gibberish scores 1, short docs drop") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta", "en", "web"),   // common pairs
+      (2L, "alpha beta alpha beta", "en", "web"),              // same pairs
+      (3L, "zork quux fnord blarg", "en", "web"),              // all unique
+      (4L, "single", "en", "web"),                             // no bigram
+      (5L, "", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusAnalytics.rareBigramNovelty(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs without a bigram emit no row
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // alpha→beta occurs 5x, beta→alpha 3x: all of doc 1/2's pairs are
+    // common (corpus count > 2) → ratio 0
+    assert(out(1L)._3 === 0.0 && out(2L)._3 === 0.0)
+    // doc 3's three pairs each occur once → all rare
+    assert(out(3L) === ((3L, 3L, 1.0)))
+  }
+
+  test("source divergence: identical mixes score 0, a skewed source scores > 0, l1 <= 2") {
+    val same = Seq(
+      (1L, "aa bb cc", "en", "s1"), (2L, "aa bb cc", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    CorpusAnalytics.sourceTokenDivergence(same).collect().foreach { r =>
+      assert(r.getDouble(3) === 0.0,
+        s"identical distributions must diverge 0, got $r")
+    }
+    val skew = Seq(
+      (1L, "aa aa aa aa", "en", "s1"),
+      (2L, "bb bb bb bb", "en", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusAnalytics.sourceTokenDivergence(skew)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // each source holds half the corpus and shares NO token with the
+    // other: L1 = |1 - 1/2| + |0 - 1/2| = 1 exactly
+    assert(out === Map("s1" -> 1.0, "s2" -> 1.0))
+  }
 }
