@@ -154,6 +154,7 @@ object SparkEntry {
     "q_token_chunks"       -> (TrainPrep.qTokenChunks _),
     "q_vocab_topk"         -> (TrainPrep.qVocabTopK _),
     "q_bpe_merges"         -> (TrainPrep.qBpeMerges _),
+    "q_bpe_encode"         -> (TrainPrep.qBpeEncode _),
     "q_tokenize_ids"       -> (TrainPrep.qTokenizeIds _),
     "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
@@ -375,13 +376,15 @@ object SparkEntry {
     * the greedy BPE fold under this encoding). Generated by a Scala
     * loop — each layer reads the previous word table, takes its
     * argmax, and rewrites the words. */
-  private def bpeMergesOracle: String = {
+  /** Shared CTE chain for the BPE oracles: the K unrolled merge
+    * rounds, each word table carrying (word, encoded, n). */
+  private def bpeCtes: String = {
     val k = graft.operators.TrainPrep.BpeMergeK
     val (bl, br) = (graft.operators.TrainPrep.BpeL, graft.operators.TrainPrep.BpeR)
     val pat = TextStats.BpePattern.replace("'", "''")
     val w0 =
       s"""w0 AS (
-         SELECT regexp_replace(word, '(.)', '$bl\\1$br', 'g') AS encoded, n
+         SELECT word, regexp_replace(word, '(.)', '$bl\\1$br', 'g') AS encoded, n
          FROM (SELECT t.word AS word, count(*) AS n
                FROM documents, UNNEST(regexp_extract_all(text, '$pat')) AS t(word)
                WHERE t.word NOT LIKE '%$bl%' AND t.word NOT LIKE '%$br%'
@@ -396,17 +399,36 @@ object SparkEntry {
          GROUP BY 1, 2),
        m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
        w$r AS (
-         SELECT replace(encoded, '$bl' || a || '$br$bl' || b || '$br',
+         SELECT word, replace(encoded, '$bl' || a || '$br$bl' || b || '$br',
                         '$bl' || a || b || '$br') AS encoded, n
          FROM w${r - 1} CROSS JOIN m$r)"""
     }
+    s"""$w0,
+       ${rounds.mkString(",\n")}"""
+  }
+
+  private def bpeMergesOracle: String = {
+    val k = graft.operators.TrainPrep.BpeMergeK
     val finals = (1 to k).map(r =>
       s"SELECT $r AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS support FROM m$r")
-    s"""WITH $w0,
-       ${rounds.mkString(",\n")}
+    s"""WITH $bpeCtes
        SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, merged, support
        FROM (${finals.mkString(" UNION ALL ")})
        ORDER BY merge_rank"""
+  }
+
+  /** Byte-exact encode oracle: the final word table of the shared
+    * chain IS the encoded vocabulary. */
+  private def bpeEncodeOracle: String = {
+    val k = graft.operators.TrainPrep.BpeMergeK
+    val (bl, br) = (graft.operators.TrainPrep.BpeL, graft.operators.TrainPrep.BpeR)
+    val n = graft.operators.TrainPrep.BpeEncodeTopN
+    s"""WITH $bpeCtes
+       SELECT word, n,
+         CAST(len(string_split(substring(encoded, 2, length(encoded) - 2),
+           '$br$bl')) AS BIGINT) AS n_syms,
+         encoded
+       FROM w$k ORDER BY n DESC, word LIMIT $n"""
   }
 
   /** Multi-probe IVF oracle — shared verbatim by `q_similar_ivf2`
@@ -1576,6 +1598,7 @@ object SparkEntry {
          FROM documents ORDER BY doc_id"""
     },
     "q_bpe_merges" -> bpeMergesOracle,
+    "q_bpe_encode" -> bpeEncodeOracle,
     // score keeps idf rational (tf * N / df, no log) so both engines
     // compute bit-identical doubles; ln is monotone so ranks are the
     // same as log-idf.

@@ -462,16 +462,55 @@ object TrainPrep {
   /** Encode a word column with a learned merge sequence: the initial
     * char-wise encoding followed by the K replaces in rank order — a
     * static, codegen'd expression chain (K is [[BpeMergeK]]-bounded),
-    * no per-row vocabulary state. Returns the symbol ARRAY. */
-  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column = {
-    val encoded = merges.foldLeft(
+    * no per-row vocabulary state. Returns the bracket-encoded STRING
+    * (the byte-exact artifact the oracle compares); [[bpeEncode]]
+    * splits it into the symbol array. */
+  def bpeEncodeString(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(
       regexp_replace(word, "(.)", s"$BpeL$$1$BpeR")) { case (c, (a, b)) =>
         call_function("replace", c,
           lit(s"$BpeL$a$BpeR$BpeL$b$BpeR"), lit(s"$BpeL$a$b$BpeR"))
     }
-    symbolArray(encoded)
-  }
+
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    symbolArray(bpeEncodeString(word, merges))
 
   def qBpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.documents(spark, dir)).orderBy(col("merge_rank"))
+
+  /** Top-N output rows for [[qBpeEncode]] — bounded, deterministic
+    * (count desc, word — words are unique). */
+  val BpeEncodeTopN = 200
+
+  /** The corpus-application half of BPE: learn the merge table, then
+    * encode the distinct-word vocabulary with it and emit the
+    * byte-exact encoded strings for the [[BpeEncodeTopN]] most common
+    * words. The learn side collects only the K 1-row argmaxes; the
+    * encode side is one static expression chain over the
+    * Heaps-bounded word table — the corpus token stream itself would
+    * be encoded by the same broadcast-free chain (symbol lookup needs
+    * no join at all, unlike id assignment, which is [[tokenizeIds]]'
+    * job). The oracle replays the identical CTE chain and compares
+    * the full encoded string byte for byte. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = bpeMerges(docs)
+      .select(col("lhs"), col("rhs"), col("merge_rank"))
+      .collect() // O(K): the learned merge table, rank-ordered
+      .sortBy(_.getLong(2))
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    docs
+      .select(explode(TextStats.bpeTokens(col("text"))).as("word"))
+      .where(!col("word").contains(BpeL) && !col("word").contains(BpeR))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("word"), col("n"),
+        bpeEncodeString(col("word"), merges).as("encoded"))
+      .select(col("word"), col("n"),
+        size(split(col("encoded").substr(lit(2), length(col("encoded")) - 2),
+          java.util.regex.Pattern.quote(s"$BpeR$BpeL"))).cast("long").as("n_syms"),
+        col("encoded"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(BpeEncodeTopN)
+  }
 }

@@ -425,6 +425,46 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming increments probe the PERSISTED band index, same answers") {
+    // the full lifecycle: land the band index once, then stream
+    // increments against the read-back table — embedCrossPairs takes
+    // the standing side as a plain frame, so the parquet index slots
+    // straight in; answers must equal the in-memory-index stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx-stream")
+    val emb = Seq(
+      (0L, flipped(1), 0),
+      (1L, flipped(), 0),
+      (2L, flipped(2, 10, 18, 26, 34, 42, 50, 58), 0))
+      .toDF("vec_id", "embedding", "label")
+    val probe = emb.filter($"vec_id" === 0L)
+    val index = emb.filter($"vec_id" =!= 0L)
+    Similarity.writeBandIndex(index, dir.toString)
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = Similarity.bandProbeIndex(spark, dir.toString, batch, 0.9)
+          .select("probe_id", "index_id", "cosine")
+          .as[(Long, Long, Double)].collect()
+        got.synchronized { got ++= rows }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = Similarity.embedCrossPairs(probe, index, 0.9)
+        .select("probe_id", "index_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(got.sortBy(p => (p._1, p._2)).toSeq ===
+        batch.sortBy(p => (p._1, p._2)).toSeq)
+      assert(got.nonEmpty, "vacuous: the planted near-dup must be found")
+    } finally {
+      q.stop()
+    }
+  }
+
   test("multi-probe ann reaches neighbors plain ann's banding misses") {
     // vec 2 disagrees with the query by exactly one plane in EVERY band:
     // no intact band, so annTopK can't see it — each probe ring (one
