@@ -88,6 +88,7 @@ object SparkEntry {
     "q_containment_pairs"  -> (TextDedup.qContainmentPairs _),
     "q_minhash_est"        -> (TextDedup.qMinhashEstimation _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
+    "q_dedup_persisted"    -> (TextDedup.qDedupPersisted _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
@@ -1454,6 +1455,8 @@ object SparkEntry {
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
     "q_dedup_minhash" -> minhashOracle,
     "q_dedup_incremental" -> dedupIncrementalOracle,
+    // the persisted-index probe is answer-invariant — same oracle
+    "q_dedup_persisted" -> dedupIncrementalOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_dedup_clusters" -> dedupClustersOracle,

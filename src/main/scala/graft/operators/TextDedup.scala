@@ -224,6 +224,63 @@ object TextDedup {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
+  /** Persist the standing side of [[crossCorpusPairs]] as a parquet
+    * index — the text twin of
+    * [[graft.operators.Similarity.writeBandIndex]]: `bands/` holds the
+    * (band, sig, doc_id) LSH table, `sets/` the hashed shingle sets
+    * the Jaccard verify needs. Built ONCE per corpus snapshot; every
+    * subsequent increment probes it without re-shingling or re-banding
+    * a single standing document — the per-crawl-snapshot lifecycle at
+    * 100 TB. The shingle pass is shared by both tables via one
+    * localCheckpoint (two writes, one corpus scan). */
+  def writeDedupIndex(index: DataFrame, path: String): Unit = {
+    val ih = hashedShingles(index, ShingleN)
+      .select(col("doc_id"), col("hs")).localCheckpoint()
+    minhashIndex(ih).select(col("doc_id"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    ih.write.mode("overwrite").parquet(s"$path/sets")
+    ih.unpersist()
+    ()
+  }
+
+  /** Probe a standing dedup index with a fresh increment: shingles and
+    * bands are computed ONLY for `probe`; candidates come from
+    * (band, sig) equality against the parquet band table; the verify
+    * reads the standing shingle sets from `sets/`. Semantics equal
+    * [[crossCorpusPairs]] — persistence is answer-invariant. */
+  def dedupProbeIndex(spark: SparkSession, path: String,
+                      probe: DataFrame): DataFrame = {
+    val ph = hashedShingles(probe, ShingleN)
+    val bands = spark.read.parquet(s"$path/bands")
+    val pIdx = minhashIndex(ph)
+      .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
+    val cand = pIdx.join(bands.select(col("band"), col("sig"),
+        col("doc_id").as("index_id")), Seq("band", "sig"))
+      .select(col("probe_id"), col("index_id")).distinct()
+    cand
+      .join(ph.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
+        Seq("probe_id"))
+      .join(spark.read.parquet(s"$path/sets")
+        .select(col("doc_id").as("index_id"), col("hs").as("hs_i")),
+        Seq("index_id"))
+      .select(col("probe_id"), col("index_id"),
+        jaccard(col("hs_p"), col("hs_i")).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Harness entry: land the dedup index for the standing 90%, probe
+    * with the 10% increment — pinned to `q_dedup_incremental`'s
+    * oracle. */
+  def qDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = spillPath(spark, "dedup_index")
+    writeDedupIndex(docs.filter(col("doc_id") % IncrementMod =!= 0), path)
+    dedupProbeIndex(spark, path,
+        docs.filter(col("doc_id") % IncrementMod === 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
   /** Incremental-dedup query entry: documents with doc_id ≡ 0 (mod 10)
     * play the new increment; the rest are the standing corpus. */
   val IncrementMod = 10

@@ -372,6 +372,43 @@ class TrainPrepSpec extends SparkSpec {
     (ms.toSeq, state)
   }
 
+  test("PROPERTY: bpe learner == fold reference on random tiny-alphabet corpora") {
+    import org.scalacheck.Gen
+    // a 3-letter alphabet forces heavy pair overlap (aa/ab/ba chains),
+    // the regime where replace-vs-fold divergence would hide; short
+    // docs keep each case fast
+    val wordGen = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")).map(_.mkString))
+    val docGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    val corpusGen = Gen.choose(2, 5).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "web") }
+        .toDF("doc_id", "text", "lang", "source")
+      val merges = TrainPrep.bpeMerges(docs, k = 5)
+        .orderBy("merge_rank")
+        .as[(Long, String, String, String, Long)].collect()
+      val wordCounts = docs.select(
+          explode(graft.operators.TextStats.bpeTokens(col("text"))).as("word"))
+        .groupBy("word").count()
+        .as[(String, Long)].collect().toMap
+      val (refMerges, refState) = refBpe(wordCounts, k = 5)
+      assert(merges.map { case (_, l, r, _, s) => (l, r, s) }.toSeq === refMerges,
+        s"merge sequence diverged on corpus $texts")
+      val pairs = merges.map { case (_, l, r, _, _) => (l, r) }.toSeq
+      val enc = docs.select(
+          explode(graft.operators.TextStats.bpeTokens(col("text"))).as("word"))
+        .distinct()
+        .select(col("word"), TrainPrep.bpeEncode(col("word"), pairs).as("syms"))
+        .as[(String, Seq[String])].collect()
+      enc.foreach { case (w, syms) =>
+        assert(syms.toVector === refState(w),
+          s"encoded state diverged for '$w' on corpus $texts")
+      }
+    }
+  }
+
   test("bpe merges match an independent fold reference; encoder round-trips") {
     val docs = Seq(
       (1L, "the cat sat on the mat", "en", "web"),
