@@ -127,22 +127,27 @@ object CorpusAnalytics {
     * (n_rare/n_bigrams is one terminal division of two exact BIGINTs,
     * IEEE-identical in both engines).
     *
-    * Plan: ONE exploded pass with a per-doc `lead` window yields the
-    * occurrence stream; corpus pair counts aggregate that same stream
-    * (1 row per distinct bigram); the probe joins occurrences back on
-    * the (head, next) key — a keyed equi-join against an AGGREGATED
-    * side (AQE broadcasts it when small, skew-splits the stream side
-    * when a boilerplate bigram is hot; nothing all-pairs) — then one
-    * per-doc aggregate. Documents with fewer than two tokens carry no
-    * bigram and emit no row (the oracle's GROUP BY agrees). */
+    * Plan: adjacency comes from `zip_with` over two array slices —
+    * MAP-SIDE, no positional window, so neither consumer of the
+    * occurrence stream pays a token-stream shuffle (contrast
+    * [[bigramNext]], which needs positions and documents its window;
+    * here adjacency inside one row's array is enough). Corpus pair
+    * counts aggregate the stream (1 row per distinct bigram); the
+    * probe joins occurrences back on the (head, next) key — a keyed
+    * equi-join against an AGGREGATED side (AQE broadcasts it when
+    * small, skew-splits the stream side when a boilerplate bigram is
+    * hot; nothing all-pairs) — then one per-doc aggregate. Documents
+    * with fewer than two tokens carry no bigram and emit no row (the
+    * oracle's GROUP BY agrees). */
   def rareBigramNovelty(docs: DataFrame, maxN: Long = RareBigramMax): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "token")))
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val occ = toks
-      .withColumn("next_token", lead(col("token"), 1).over(byDoc))
-      .where(col("next_token").isNotNull)
-      .select(col("doc_id"), col("token"), col("next_token"))
+    val ts = tokens(col("text"))
+    val prs = zip_with(
+      slice(ts, lit(1), greatest(size(ts) - 1, lit(0))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))),
+      (a, b) => struct(a.as("token"), b.as("next_token")))
+    val occ = docs
+      .select(col("doc_id"), explode(prs).as("p"))
+      .select(col("doc_id"), col("p.token"), col("p.next_token"))
     val counts = occ.groupBy(col("token"), col("next_token"))
       .agg(count(lit(1)).as("n_corpus"))
     occ.join(counts, Seq("token", "next_token"))
@@ -179,12 +184,22 @@ object CorpusAnalytics {
     * both exact). One exploded pass → (source, token) counts; global
     * counts re-aggregate THAT (never the corpus twice); the join back
     * is on the token key. Output per source: total tokens, the exact
-    * integer numerator, and the one-division double. */
+    * integer numerator, and the one-division double.
+    *
+    * The (source, token) table is `localCheckpoint`ed: four downstream
+    * branches (global counts, source totals, the grand total, and the
+    * join spine) would otherwise EACH replay the corpus explode —
+    * static plans carry no common-subexpression sharing, and betting
+    * on runtime exchange reuse leaves a 4× corpus-scan cliff if any
+    * branch's exchange stops lining up. The checkpoint pins the scan
+    * count at one structurally; the materialized frame is
+    * vocabulary-sized (Heaps-bounded), not corpus-sized. */
   def sourceTokenDivergence(docs: DataFrame): DataFrame = {
     val st = docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n_st"))
+      .localCheckpoint()
     val global = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
     val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val bigN = totals.agg(sum(col("n_s")).as("n_all"))

@@ -129,7 +129,8 @@ class PlanSpec extends SparkSpec {
   test("banded-LSH similarity: candidates come from equi-joins, never a nested loop") {
     // the blocking step must stay a (band, sig) key join — a regression
     // to all-pairs would surface as a cartesian/nested-loop operator
-    Seq("q_similar_ann", "q_similar_ann2", "q_embed_neardup", "q_simhash_pairs")
+    Seq("q_similar_ann", "q_similar_ann2", "q_embed_neardup", "q_simhash_pairs",
+      "q_dedup_persisted", "q_embed_neardup_persisted")
       .foreach { q =>
         val s = planString(q)
         assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
