@@ -100,6 +100,7 @@ object SparkEntry {
     "q_curate_v2"          -> (Curate.qCurateV2 _),
     "q_curate_v3"          -> (Curate.qCurateV3 _),
     "q_curate_v4"          -> (Curate.qCurateV4 _),
+    "q_curate_v5"          -> (Curate.qCurateV5 _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     // canonical pair path = the WIDE (60-bit) banding; the 16-bit
     // spelling is the demoted parity/teaching variant on a ¼ sample
@@ -821,11 +822,16 @@ object SparkEntry {
   /** DuckDB twin of [[graft.operators.Curate.curateV4]]: the v3 keep
     * set emitting the TRAINING text — span-stripped via the same `spk`
     * span list the boilerplate gate derived. */
-  private def curateV4Oracle: String =
+  private def curateV4Oracle: String = curateV4OracleWith("", "")
+
+  /** v4 emit oracle, parameterized so v5 can splice in additional
+    * gate CTEs and keep-set predicates without duplicating the
+    * 60-line chain. */
+  private def curateV4OracleWith(extraCtes: String, extraWhere: String): String =
     s"""WITH $minhashCtes,
        $curateBaseCtes,
        $curateV2Ctes,
-       $curateV3Ctes,
+       $curateV3Ctes$extraCtes,
        v4keep AS (
          SELECT q.doc_id, q.quality_score
          FROM quality q
@@ -836,7 +842,7 @@ object SparkEntry {
          JOIN rarekeep USING (doc_id)
          WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
            AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
-           AND q.doc_id NOT IN (SELECT doc_id FROM boiler)),
+           AND q.doc_id NOT IN (SELECT doc_id FROM boiler)$extraWhere),
        stok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS token
                 FROM (SELECT doc_id, toks,
                         unnest(generate_series(1, len(toks))) AS i
@@ -858,6 +864,27 @@ object SparkEntry {
        JOIN t ON k.doc_id = t.doc_id
        LEFT JOIN sagg ON k.doc_id = sagg.doc_id
        ORDER BY k.doc_id"""
+
+  /** v5 = v4 + the rare-bigram gibberish gate: documents where MORE
+    * than half the adjacent-token transitions are corpus-rare leave
+    * (2·n_rare > n_bigrams — integer, engine-identical). */
+  private def curateV5Oracle: String = {
+    val mx = graft.operators.CorpusAnalytics.RareBigramMax
+    curateV4OracleWith(
+      s""",
+       bocc AS (SELECT doc_id, toks[i] AS h, toks[i + 1] AS x
+                FROM (SELECT doc_id, toks,
+                        unnest(generate_series(1, len(toks) - 1)) AS i
+                      FROM t WHERE len(toks) > 1) z),
+       bpc AS (SELECT h, x, count(*) AS nc FROM bocc GROUP BY h, x),
+       rbdrop AS (SELECT bocc.doc_id
+                  FROM bocc JOIN bpc USING (h, x)
+                  GROUP BY bocc.doc_id
+                  HAVING 2 * sum(CASE WHEN nc <= $mx THEN 1 ELSE 0 END)
+                           > count(*))""",
+      """
+           AND q.doc_id NOT IN (SELECT doc_id FROM rbdrop)""")
+  }
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -1464,6 +1491,7 @@ object SparkEntry {
     "q_curate_v2" -> curateV2Oracle,
     "q_curate_v3" -> curateV3Oracle,
     "q_curate_v4" -> curateV4Oracle,
+    "q_curate_v5" -> curateV5Oracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

@@ -146,6 +146,28 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** v5 — v4 plus the rare-bigram GIBBERISH gate: documents where
+    * more than half the adjacent-token transitions are corpus-rare
+    * leave ([[CorpusAnalytics.rareBigramNovelty]] — OCR noise and
+    * token salad that the per-token rare-token gate can miss, because
+    * individually-common tokens can still chain into nonsense). The
+    * comparison stays integer (2·n_rare > n_bigrams), so both engines
+    * decide identically; one more anti-join on the same doc_id
+    * partitioning. */
+  def curateV5(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val gibberish = CorpusAnalytics.rareBigramNovelty(docs)
+      .filter(col("n_rare") * 2 > col("n_bigrams"))
+      .select(col("doc_id"))
+    curateV4(docs, embeddings)
+      .join(gibberish, Seq("doc_id"), "left_anti")
+  }
+
+  def qCurateV5(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV5(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Typed curation parameters — the training-data twin of the LegiScan
     * [[graft.JobConfig]]: one immutable object instead of scattered
     * flags. Stage TOGGLES (which gates run) and the two tunable

@@ -746,6 +746,25 @@ class TextPipelineSpec extends SparkSpec {
       "incremental append diverged from the all-at-once build")
     // the append batch actually landed rows (non-vacuous)
     assert(emb.filter(isNew).count() > 0)
+    // compaction collapses the build+append small files but must not
+    // move a single row; probes read the compacted layout unchanged
+    def fileCount(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$p/cells"))
+    }
+    val before = fileCount(split)
+    Similarity.compactIvfIndex(spark, split)
+    assert(cells(split) === cells(full),
+      "compaction changed the cell set")
+    assert(fileCount(split) <= before,
+      "compaction must not increase the file count")
+    val probed = Similarity.ivfProbeIndex(spark, split,
+      emb.filter(Similarity.isQueryId(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("q")),
+      k = 3, nprobe = 2).count()
+    assert(probed > 0, "probe over the compacted index must still answer")
   }
 
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
@@ -822,6 +841,48 @@ class TextPipelineSpec extends SparkSpec {
     val byId = out.map(r => r.getLong(0) -> r).toMap
     assert(byId(2L).getDouble(3) === 5.0) // |(3,4)| attached
     assert(byId(5L).isNullAt(3))          // no vector → null norm, row kept
+  }
+
+  test("curation v5 drops stopword salad that every v4 gate waves through") {
+    import graft.operators.Curate
+    // the salad doc is built FROM stopwords (individually common, so
+    // the rare-TOKEN gate passes and quality's stopword ratio is
+    // high) but in a shuffled order no other doc uses — its bigram
+    // transitions are corpus-rare, which is exactly the signal only
+    // the v5 gate reads. The normal docs repeat a common phrasing so
+    // their own transitions stay corpus-frequent.
+    // Shared 4-token "quads" appear verbatim in every normal doc, so
+    // their internal bigrams are corpus-common (count 5); doc-unique
+    // separator words between quads cap every cross-doc repeated run
+    // at 4 tokens (< SpanGram=5 — no boilerplate span) and hold
+    // pairwise Jaccard far under the near-dup threshold. Per normal
+    // doc: 18 common + 11 rare bigrams → kept by the v5 gate.
+    val quads = Seq("of the green tree", "a small bird and",
+      "to the river stone", "of a quiet barn",
+      "and the silver moon", "to a hidden path")
+    def normal(seps: Seq[String]): String =
+      quads.zip(seps).map { case (q, s) => s"$q $s" }.mkString(" ")
+    // the salad reverses each quad: same (corpus-common) TOKENS — the
+    // rare-token gate passes — but transitions nobody else uses: all
+    // ~23 bigrams are corpus-rare → the v5 gate drops it
+    val salad = quads.map(_.split(" ").reverse.mkString(" ")).mkString(" ")
+    val cdocs = Seq(
+      (2L, normal(Seq("maple", "perch", "cedar", "otter", "heron", "aspen"))),
+      (3L, normal(Seq("birch", "trout", "alder", "badger", "crane", "rowan"))),
+      (4L, normal(Seq("pine", "bream", "willow", "marten", "stork", "hazel"))),
+      (5L, normal(Seq("oak", "roach", "poplar", "weasel", "egret", "elm"))),
+      (7L, normal(Seq("fir", "chub", "walnut", "stoat", "ibis", "yew"))),
+      (8L, salad)
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val v4 = Curate.curateV4(cdocs, emb).select("doc_id").as[Long].collect().toSet
+    val v5 = Curate.curateV5(cdocs, emb).select("doc_id").as[Long].collect().toSet
+    assert(v4.contains(8L),
+      "fixture broken: the salad doc must PASS every v4 gate " +
+        s"(v4 kept $v4) for the v5 delta to be the proven drop")
+    assert(v5 === v4 - 8L, s"v5 must drop exactly the salad doc: $v4 vs $v5")
   }
 
   test("curation v2 adds repetition, decontamination and pii gates") {
