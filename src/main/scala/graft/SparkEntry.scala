@@ -101,6 +101,7 @@ object SparkEntry {
     "q_curate_v3"          -> (Curate.qCurateV3 _),
     "q_curate_v4"          -> (Curate.qCurateV4 _),
     "q_curate_v5"          -> (Curate.qCurateV5 _),
+    "q_funnel_unordered"   -> (Analytics.qFunnelUnordered _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     // canonical pair path = the WIDE (60-bit) banding; the 16-bit
     // spelling is the demoted parity/teaching variant on a ¼ sample
@@ -1952,6 +1953,26 @@ object SparkEntry {
          FROM m ORDER BY cohort_week, week_offset""",
     // strictly-ordered funnel; each stage binds to the user's earliest
     // valid µs timestamp, next stage requires ts STRICTLY after it
+    // unordered reach: per-user boolean flags, K conditional sums
+    "q_funnel_unordered" ->
+      """WITH f AS (
+           SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f3
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IN ('view', 'click', 'purchase')
+           GROUP BY user_id)
+         SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                CAST(coalesce(sum(CASE WHEN f1 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_users FROM f
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 'click',
+                CAST(coalesce(sum(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), 'purchase',
+                CAST(coalesce(sum(CASE WHEN f1 = 1 AND f2 = 1 AND f3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
+         ORDER BY stage_idx""",
     "q_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type,

@@ -169,6 +169,51 @@ object Analytics {
         coalesce(col("n_counted"), lit(0L)).as("n_users"))
   }
 
+  /** UNORDERED funnel: stage i counts users who performed ALL of the
+    * first i stage event types in ANY order — the reach view product
+    * tools ship alongside the strictly-ordered funnel (ordered answers
+    * "how far does the designed path carry users", unordered "who has
+    * the ingredients regardless of sequence"; the gap between them
+    * localizes sequence-breakage). One pass: per-user boolean flags
+    * via K conditional max-aggregates on the user key, then K
+    * conditional sums in ONE ungrouped aggregate — two shuffles total,
+    * no joins, K is the tiny stage list. The all-stages-row frame
+    * keeps drained stages at 0 (the [[funnel]] precedent). */
+  def funnelUnordered(events: DataFrame,
+                      stages: Seq[String] = FunnelStages): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = keyed(events, "user_id", "event_type", "ts")
+      .filter(col("event_type").isin(stages: _*))
+    val flags = typed.groupBy(col("user_id"))
+      .agg(stages.map(s =>
+        max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s")).head,
+        stages.map(s =>
+          max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s")).tail: _*)
+    val counts = flags.agg(
+      stages.indices.map { i =>
+        val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
+        sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
+      }.head,
+      stages.indices.map { i =>
+        val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
+        sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
+      }.tail: _*)
+    val frame = stages.zipWithIndex
+      .map { case (s, i) => ((i + 1).toLong, s) }
+      .toDF("stage_idx", "stage")
+    frame.crossJoin(broadcast(counts))
+      .select(col("stage_idx"), col("stage"),
+        stages.indices.foldLeft(lit(0L)) { (acc, i) =>
+          when(col("stage_idx") === (i + 1).toLong,
+            coalesce(col(s"_n_$i"), lit(0L))).otherwise(acc)
+        }.as("n_users"))
+  }
+
+  def qFunnelUnordered(spark: SparkSession, dir: String): DataFrame =
+    funnelUnordered(Tables.events(spark, dir)).orderBy(col("stage_idx"))
+
   /** Funnel with a 24-hour conversion window per stage. */
   val FunnelWindowUs: Long = 24L * 3600 * 1000000
 

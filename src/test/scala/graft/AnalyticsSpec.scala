@@ -528,4 +528,26 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
     assert(out.toSeq === Seq((3L, 2L, 0L)))
   }
+
+  test("unordered funnel counts any-order completion the ordered funnel misses") {
+    // user 1 walks the designed path; user 2 has every ingredient but
+    // purchased BEFORE clicking — ordered credits them one stage,
+    // unordered all three; user 3 only viewed
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 5.0),
+      (4L, "2024-01-01 11:00:00", 2L, "view", 0.0),
+      (5L, "2024-01-01 11:01:00", 2L, "purchase", 7.0),
+      (6L, "2024-01-01 11:02:00", 2L, "click", 0.0),
+      (7L, "2024-01-01 12:00:00", 3L, "view", 0.0))
+    val ordered = Analytics.funnel(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val unordered = Analytics.funnelUnordered(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ordered === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    assert(unordered === Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    // reach dominates path at every stage
+    (1L to 3L).foreach(i => assert(unordered(i) >= ordered(i)))
+  }
 }

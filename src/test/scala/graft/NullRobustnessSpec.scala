@@ -286,6 +286,8 @@ class NullRobustnessSpec extends SparkSpec {
         .orderBy("stage_idx"))
     assertSameRows("funnelLatency",
       e => graft.operators.Analytics.funnelLatency(e).orderBy("stage_idx"))
+    assertSameRows("funnelUnordered",
+      e => graft.operators.Analytics.funnelUnordered(e).orderBy("stage_idx"))
   }
 
   test("attribution ignores null-identity rows entirely") {
