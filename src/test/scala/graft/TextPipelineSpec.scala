@@ -767,6 +767,26 @@ class TextPipelineSpec extends SparkSpec {
     assert(probed > 0, "probe over the compacted index must still answer")
   }
 
+  test("IndexJob lifecycle: build, append+compact, probe == all-at-once answers") {
+    import graft.operators.Similarity
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val isNew = col("vec_id") % Similarity.IvfAppendMod === Similarity.IvfAppendRem &&
+      !Similarity.isCentroidId(col("vec_id"))
+    val cfg = Similarity.IndexConfig(
+      path = TextDedup.spillPath(spark, "spec_ivf_job"))
+    Similarity.IndexJob.build(emb.filter(!isNew), cfg)
+    Similarity.IndexJob.append(spark, emb.filter(isNew), cfg)
+    val queries = emb.filter(Similarity.isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val viaJob = Similarity.IndexJob.probe(spark, queries, cfg)
+      .orderBy("query_id", "rk")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val allAtOnce = Similarity.qSimilarIvf2(spark, sfSmoke)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(viaJob === allAtOnce,
+      "the scheduled lifecycle must answer exactly like the all-at-once build")
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
