@@ -787,6 +787,26 @@ class TextPipelineSpec extends SparkSpec {
       "the scheduled lifecycle must answer exactly like the all-at-once build")
   }
 
+  test("learned k-means index persists through the same layout and probes identically") {
+    import graft.operators.Similarity
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val path = TextDedup.spillPath(spark, "spec_kmeans_idx")
+    Similarity.writeKmeansIndex(emb, path)
+    val queries = emb.filter(Similarity.isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    // the layout is centroid-agnostic: the SAME ivfProbeIndex answers
+    // over learned cells; (query, vec) hit sets must match the
+    // rebuilt-per-call learned path at equal (k, nprobe=1)
+    val persisted = Similarity.ivfProbeIndex(spark, path, queries,
+        k = 3, nprobe = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rebuilt = Similarity.ivfTopKKmeans(emb, k = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(persisted === rebuilt,
+      "probing the persisted learned index diverged from the in-memory path")
+    assert(persisted.nonEmpty)
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
