@@ -101,6 +101,7 @@ object SparkEntry {
     "q_curate_v3"          -> (Curate.qCurateV3 _),
     "q_curate_v4"          -> (Curate.qCurateV4 _),
     "q_curate_v5"          -> (Curate.qCurateV5 _),
+    "q_train_shards"       -> (Curate.qTrainShards _),
     "q_funnel_unordered"   -> (Analytics.qFunnelUnordered _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     // canonical pair path = the WIDE (60-bit) banding; the 16-bit
@@ -829,6 +830,21 @@ object SparkEntry {
     * gate CTEs and keep-set predicates without duplicating the
     * 60-line chain. */
   private def curateV4OracleWith(extraCtes: String, extraWhere: String): String =
+    s"""${curateEmitCtes(extraCtes, extraWhere)}
+       SELECT k.doc_id,
+         coalesce(sagg.clean_text, '') AS clean_text,
+         CAST(len(t.toks) AS BIGINT) AS n_before,
+         coalesce(sagg.n_after, 0) AS n_after,
+         k.quality_score
+       FROM v4keep k
+       JOIN t ON k.doc_id = t.doc_id
+       LEFT JOIN sagg ON k.doc_id = sagg.doc_id
+       ORDER BY k.doc_id"""
+
+  /** The emit chain WITHOUT a final select — shared by the v4/v5
+    * oracles and the train-shard capstone, which packs the emitted
+    * clean text instead of reporting it. */
+  private def curateEmitCtes(extraCtes: String, extraWhere: String): String =
     s"""WITH $minhashCtes,
        $curateBaseCtes,
        $curateV2Ctes,
@@ -855,24 +871,13 @@ object SparkEntry {
        sagg AS (SELECT doc_id,
                   string_agg(token, ' ' ORDER BY pos) AS clean_text,
                   CAST(count(*) AS BIGINT) AS n_after
-                FROM skept GROUP BY doc_id)
-       SELECT k.doc_id,
-         coalesce(sagg.clean_text, '') AS clean_text,
-         CAST(len(t.toks) AS BIGINT) AS n_before,
-         coalesce(sagg.n_after, 0) AS n_after,
-         k.quality_score
-       FROM v4keep k
-       JOIN t ON k.doc_id = t.doc_id
-       LEFT JOIN sagg ON k.doc_id = sagg.doc_id
-       ORDER BY k.doc_id"""
+                FROM skept GROUP BY doc_id)"""
 
-  /** v5 = v4 + the rare-bigram gibberish gate: documents where MORE
-    * than half the adjacent-token transitions are corpus-rare leave
-    * (2·n_rare > n_bigrams — integer, engine-identical). */
-  private def curateV5Oracle: String = {
+  /** v5's splice arguments, shared by the v5 oracle and the shard
+    * capstone. */
+  private def v5ExtraCtes: String = {
     val mx = graft.operators.CorpusAnalytics.RareBigramMax
-    curateV4OracleWith(
-      s""",
+    s""",
        bocc AS (SELECT doc_id, toks[i] AS h, toks[i + 1] AS x
                 FROM (SELECT doc_id, toks,
                         unnest(generate_series(1, len(toks) - 1)) AS i
@@ -882,10 +887,36 @@ object SparkEntry {
                   FROM bocc JOIN bpc USING (h, x)
                   GROUP BY bocc.doc_id
                   HAVING 2 * sum(CASE WHEN nc <= $mx THEN 1 ELSE 0 END)
-                           > count(*))""",
-      """
-           AND q.doc_id NOT IN (SELECT doc_id FROM rbdrop)""")
+                           > count(*))"""
   }
+  private def v5ExtraWhere: String =
+    """
+           AND q.doc_id NOT IN (SELECT doc_id FROM rbdrop)"""
+
+  /** Training-shard capstone oracle: the v5 emit chain feeding the
+    * sequence-packing arithmetic — shards packed from CLEAN text. */
+  private def trainShardsOracle: String = {
+    import graft.operators.TrainPrep.{PackBudget, PackShards}
+    s"""${curateEmitCtes(v5ExtraCtes, v5ExtraWhere)},
+       v5out AS (SELECT k.doc_id,
+                   coalesce(sagg.n_after, 0) AS n_tokens
+                 FROM v4keep k
+                 LEFT JOIN sagg ON k.doc_id = sagg.doc_id),
+       pk AS (SELECT doc_id, doc_id % $PackShards AS shard, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+              FROM v5out)
+       SELECT doc_id, shard, n_tokens,
+         prefix // $PackBudget AS seq_id, prefix % $PackBudget AS tok_offset
+       FROM pk ORDER BY doc_id"""
+  }
+
+  /** v5 = v4 + the rare-bigram gibberish gate: documents where MORE
+    * than half the adjacent-token transitions are corpus-rare leave
+    * (2·n_rare > n_bigrams — integer, engine-identical). */
+  private def curateV5Oracle: String =
+    curateV4OracleWith(v5ExtraCtes, v5ExtraWhere)
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -1493,6 +1524,7 @@ object SparkEntry {
     "q_curate_v3" -> curateV3Oracle,
     "q_curate_v4" -> curateV4Oracle,
     "q_curate_v5" -> curateV5Oracle,
+    "q_train_shards" -> trainShardsOracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

@@ -168,6 +168,24 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Training-shard capstone: the v5 emit packed into fixed-token-
+    * budget sequences — curation's OUTPUT wired straight into train
+    * prep's INPUT, the handoff a production pipeline schedules as one
+    * job. Packing consumes the emit's own `n_after` token counts
+    * ([[TrainPrep.sequencePackCounts]]), so the clean text is never
+    * re-tokenized; one prefix-sum window per shard on top of the
+    * curation chain's partitioning. */
+  def trainShards(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    TrainPrep.sequencePackCounts(
+      curateV5(docs, embeddings)
+        .select(col("doc_id"), col("n_after").as("n_tokens")))
+
+  def qTrainShards(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    trainShards(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Typed curation parameters — the training-data twin of the LegiScan
     * [[graft.JobConfig]]: one immutable object instead of scattered
     * flags. Stage TOGGLES (which gates run) and the two tunable

@@ -63,12 +63,22 @@ object TrainPrep {
     * [k·budget, (k+1)·budget). Integer arithmetic throughout (window
     * prefix-sum of token counts), so the assignment is engine-exact. */
   def sequencePack(docs: DataFrame, budget: Int = PackBudget,
-                   shards: Int = PackShards): DataFrame = {
+                   shards: Int = PackShards): DataFrame =
+    sequencePackCounts(
+      docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** The packing core over a pre-counted (doc_id, n_tokens) frame —
+    * lets pipelines that already carry token counts (e.g. the curated
+    * emit's `n_after`) pack without re-tokenizing. */
+  def sequencePackCounts(counts: DataFrame, budget: Int = PackBudget,
+                         shards: Int = PackShards): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    counts
       .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        col("n_tokens"))
       .withColumn("_prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
         expr(s"_prefix div $budget").as("seq_id"),

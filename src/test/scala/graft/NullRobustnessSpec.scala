@@ -231,6 +231,39 @@ class NullRobustnessSpec extends SparkSpec {
     assert(inc.toSet === Set((1L, 6L)))
   }
 
+  test("round-8 corpus ops on degenerate input") {
+    import graft.operators.{CorpusAnalytics, TrainPrep}
+    // rare bigrams: null/empty/one-token docs emit no row, never throw
+    val rb = CorpusAnalytics.rareBigramNovelty(corpus).collect()
+    assert(rb.forall(_.getLong(1) >= 1), "only docs with >= 1 bigram appear")
+    assert(!rb.exists(_.getLong(0) == 4L), "null-text doc emits no bigram row")
+    // divergence: a single-source corpus is its own distribution — L1
+    // exactly 0, and the numerator exactly 0 (not merely small)
+    val single = Seq((1L, "aa bb", "en", "s1"), (2L, "bb cc", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val d = CorpusAnalytics.sourceTokenDivergence(single).collect()
+    assert(d.length === 1 && d.head.getDouble(3) === 0.0)
+    assert(d.head.getDecimal(2).longValueExact() === 0L)
+    // null text: tokens(NULL) contributes nothing, the source row keeps
+    // its non-null counts
+    val withNull = single.unionByName(
+      Seq((3L, "s1")).toDF("doc_id", "source")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("lang", lit("en"))
+        .select($"doc_id", $"text", $"lang", $"source"))
+    val d2 = CorpusAnalytics.sourceTokenDivergence(withNull).collect()
+    assert(d2.length === 1 && d2.head.getLong(1) === 4L)
+    // bpe: an empty corpus learns zero merges instead of throwing; the
+    // empty merge table encodes every word as its characters
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    assert(TrainPrep.bpeMerges(empty).count() === 0)
+    val chars = Seq(("abc", 1)).toDF("word", "n")
+      .select(TrainPrep.bpeEncode(col("word"), Seq.empty).as("syms"))
+      .as[Seq[String]].collect().head
+    assert(chars === Seq("a", "b", "c"))
+  }
+
   // --- analytics family: null identity rows influence NO answer ---
 
   import java.sql.Timestamp

@@ -339,6 +339,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(again === out.map(r => (r._1, r._3)).toSet)
   }
 
+  test("train shards pack exactly the v5 keep set within the token budget") {
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val shards = graft.operators.Curate.trainShards(docs, emb)
+      .select("doc_id", "n_tokens", "tok_offset")
+      .as[(Long, Long, Long)].collect()
+    val keep = graft.operators.Curate.curateV5(docs, emb)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shards.map(_._1).toSet === keep,
+      "every curated doc gets exactly one shard slot, nothing else does")
+    assert(shards.forall(s => s._3 >= 0 &&
+      s._3 < graft.operators.TrainPrep.PackBudget))
+    assert(shards.nonEmpty)
+  }
+
   /** Independent BPE reference: symbol ARRAYS with the canonical
     * greedy left-to-right fold — the semantics the string-replace
     * implementation must match (the equivalence that could silently
