@@ -130,6 +130,7 @@ object SparkEntry {
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
+    "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     // no oracle entry (learned centroids: distributed float means are
     // partitioning-dependent in the last ULP): rows-only gate
@@ -459,6 +460,41 @@ object SparkEntry {
              FROM s)
        SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
        ORDER BY query_id, rk"""
+
+  /** Quantized-IVF probe oracle: the multi-probe chain with the
+    * candidate side scored on int8-reconstructed vectors — the same
+    * floor(x/s·127+0.5)·s/127 spelling as `quantizeStats`, cast
+    * through REAL exactly where the Spark side casts through float. */
+  private def ivfQuantizedOracle: String = {
+    val xhat =
+      """list_transform(a.embedding, x ->
+         CAST(floor(CAST(x AS DOUBLE) / sc.s * 127.0 + 0.5) * sc.s / 127.0 AS REAL))"""
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                   WHERE $isCentroidSql),
+       sc AS (SELECT vec_id,
+                greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+              FROM embeddings),
+       d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+               ${cosineSql("e.embedding", "c.cv")} AS dist
+             FROM embeddings e CROSS JOIN c),
+       ranked AS (SELECT vec_id, embedding, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist DESC, centroid_id) AS crk
+             FROM d),
+       a AS (SELECT vec_id, embedding, centroid_id AS cell FROM ranked WHERE crk = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
+             FROM ranked WHERE $isQuerySql AND crk <= 2),
+       s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", xhat)} AS cosine
+             FROM a JOIN q ON a.cell = q.cell
+                  JOIN sc ON sc.vec_id = a.vec_id
+             WHERE a.vec_id <> q.query_id),
+       r AS (SELECT query_id, vec_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+             FROM s)
+       SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
+       ORDER BY query_id, rk"""
+  }
 
   /** Incremental band-LSH near-dup oracle — shared verbatim by
     * `q_embed_incremental` (bands computed in-query both sides) and
@@ -1815,6 +1851,7 @@ object SparkEntry {
     "q_similar_ivf_persisted" -> ivfProbedOracle,
     // build+append must equal the all-at-once build — same oracle again
     "q_similar_ivf_appended" -> ivfProbedOracle,
+    "q_similar_ivf_quantized" -> ivfQuantizedOracle,
     "q_embed_neardup_persisted" -> embedIncrementalOracle,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

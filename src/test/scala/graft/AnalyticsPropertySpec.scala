@@ -148,4 +148,28 @@ class AnalyticsPropertySpec extends SparkSpec {
         assert(streamed === batch, s"slices=$nSlices rows=${rows.length}")
     }
   }
+
+  test("PROPERTY: unordered funnel == set reference; dominates the ordered funnel") {
+    val stages = Analytics.FunnelStages
+    samples(genEvents(40), 8).filter(_.nonEmpty).foreach { rows =>
+      val df = toDf(rows)
+      val unordered = Analytics.funnelUnordered(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // driver reference: per-user distinct type sets, superset count
+      val byUser = rows.groupBy(_._3)
+        .view.mapValues(_.map(_._4).toSet).toMap
+      val expected = stages.indices.map { i =>
+        val need = stages.take(i + 1).toSet
+        (i + 1).toLong ->
+          byUser.values.count(ts => need.subsetOf(ts)).toLong
+      }.toMap
+      assert(unordered === expected, s"rows=${rows.length}")
+      val ordered = Analytics.funnel(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      stages.indices.foreach { i =>
+        assert(unordered((i + 1).toLong) >= ordered((i + 1).toLong),
+          "reach must dominate the ordered path at every stage")
+      }
+    }
+  }
 }

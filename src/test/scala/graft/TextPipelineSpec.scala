@@ -807,6 +807,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(persisted.nonEmpty)
   }
 
+  test("quantized index probe: near-full recall vs the full-precision probe") {
+    import graft.operators.Similarity
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val path = TextDedup.spillPath(spark, "spec_ivf_q8")
+    Similarity.writeQuantizedIvfIndex(emb, path)
+    val queries = emb.filter(Similarity.isQueryId(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = hits(Similarity.ivfProbeQuantized(spark, path, queries, 3, 2))
+    val fullPath = TextDedup.spillPath(spark, "spec_ivf_full2")
+    Similarity.writeIvfIndex(emb, fullPath)
+    val full = hits(Similarity.ivfProbeIndex(spark, fullPath, queries, 3, 2))
+    assert(quant.keySet === full.keySet)
+    // int8 on 64 dims loses ~0.4% per coordinate — top-3 sets should
+    // nearly coincide; require mean overlap >= 2/3 (a real quantizer
+    // regression, e.g. a scale bug, craters this to ~0)
+    val overlaps = full.map { case (q, f) =>
+      quant(q).intersect(f).size.toDouble / f.size }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 2.0 / 3.0, s"mean quantized recall $mean too low")
+  }
+
   test("dedup clustering on an empty pair graph yields the empty cluster set") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(TextDedup.dedupClusters(empty).count() === 0)
