@@ -154,6 +154,7 @@ object SparkEntry {
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
     "q_media_resize"       -> (Multimodal.qMediaResize _),
+    "q_audio_energy"       -> (Multimodal.qAudioEnergy _),
     // training-batch preparation (packing / chunking / vocab / rebalance)
     "q_seq_pack"           -> (TrainPrep.qSeqPack _),
     "q_token_chunks"       -> (TrainPrep.qTokenChunks _),
@@ -2615,6 +2616,32 @@ object SparkEntry {
            CAST((octet_length(blob) % 640 + 1 + 1) // 2 AS INTEGER) AS width,
            CAST((octet_length(blob) * 7 % 480 + 1 + 1) // 2 AS INTEGER) AS height
          FROM b ORDER BY doc_id""",
+    // REAL s16le PCM decode replayed through hex()+nibble arithmetic:
+    // sample j = signed(byte(2j+1))*256 + byte(2j); exact integer
+    // energy per 256-sample frame
+    "q_audio_energy" -> {
+      val n = graft.operators.Multimodal.AudioFrameSamples
+      val th = graft.operators.Multimodal.SilenceEnergyPerSample
+      def nib(pos: String) =
+        s"(instr('0123456789ABCDEF', substring(hx, $pos, 1)) - 1)"
+      val lo = s"(${nib("4 * j + 1")} * 16 + ${nib("4 * j + 2")})"
+      val hi = s"(${nib("4 * j + 3")} * 16 + ${nib("4 * j + 4")})"
+      s"""WITH b AS (SELECT doc_id, hex(from_base64(payload_b64)) AS hx,
+                       octet_length(from_base64(payload_b64)) // 2 AS n_samples
+                     FROM ${fx("doc_payloads")}),
+         s AS (SELECT doc_id, hx,
+                 unnest(range(0, n_samples)) AS j
+               FROM b WHERE n_samples > 0),
+         v AS (SELECT doc_id, j // $n AS frame_idx,
+                 (CASE WHEN $hi >= 128 THEN $hi - 256 ELSE $hi END) * 256 + $lo AS smp
+               FROM s)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           CAST(sum(smp * smp) AS BIGINT) AS energy,
+           CAST(sum(smp * smp) AS BIGINT) < $th * count(*) AS silent
+         FROM v GROUP BY doc_id, frame_idx
+         ORDER BY doc_id, frame_idx"""
+    },
     "q_media_frames" ->
       s"""WITH b AS (SELECT doc_id, octet_length(from_base64(payload_b64)) AS n
                      FROM ${fx("doc_payloads")}),

@@ -127,4 +127,60 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     resize(blobs).map(_._1).toDF().orderBy(col("doc_id"))
   }
+
+  // --- audio: raw PCM interpretation (a REAL decode, no codec needed) ---
+
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Int,
+                        energy: Long, silent: Boolean)
+
+  val AudioFrameSamples = 256
+
+  /** Silence gate: a frame is silent when its MEAN sample energy is
+    * under this (≈ amplitude 1000 on the int16 scale). */
+  val SilenceEnergyPerSample = 1000000L
+
+  /** Frame energy over signed 16-bit little-endian PCM — unlike the
+    * image/video stubs, THIS decode is real: raw-PCM interpretation
+    * needs no codec, just byte arithmetic, so the whole path (including
+    * the oracle) runs on true sample values. Per blob: consecutive byte
+    * pairs become int16 samples (trailing odd byte dropped), frames of
+    * [[AudioFrameSamples]] samples each report an exact integer
+    * sum-of-squares energy and a silence flag — the trim/VAD front-end
+    * of an audio training pipeline. Emitted from the partition
+    * iterator like [[frameSample]]; integer arithmetic end to end, so
+    * the frame table is hash-oracle-checkable (the DuckDB twin reads
+    * the same bytes through `hex()` + nibble arithmetic). */
+  def pcmFrameEnergy(media: Dataset[(Long, Array[Byte])],
+                     frameSamples: Int = AudioFrameSamples): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { case (id, bytes) =>
+        val nSamples = bytes.length / 2
+        val nFrames = (nSamples + frameSamples - 1) / frameSamples
+        (0 until nFrames).iterator.map { f =>
+          val start = f * frameSamples
+          val end = math.min(nSamples, start + frameSamples)
+          var e = 0L
+          var i = start
+          while (i < end) {
+            val lo = bytes(2 * i) & 0xff
+            val hi = bytes(2 * i + 1).toInt // SIGNED high byte: s16le
+            val s = (hi << 8) | lo
+            e += s.toLong * s
+            i += 1
+          }
+          val n = end - start
+          AudioFrame(id, f.toLong, n, e, e < SilenceEnergyPerSample * n)
+        }
+      }
+    }
+  }
+
+  def qAudioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.docPayloads(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    pcmFrameEnergy(blobs).toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
 }

@@ -1049,6 +1049,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(ids(Curate.CurateConfig(qualityThreshold = 99.0)) === Set.empty)
   }
 
+  test("pcm frame energy decodes s16le exactly: sign, endianness, odd tail") {
+    import Multimodal.AudioFrame
+    // [0x01,0x00] = +1; [0x00,0x80] = -32768; [0xFF,0x7F] = +32767;
+    // a trailing odd byte carries no sample
+    val pcm = Array[Byte](0x01, 0x00, 0x00, 0x80.toByte, 0xFF.toByte, 0x7F, 0x2A)
+    val loud = Multimodal.pcmFrameEnergy(Seq((1L, pcm)).toDS(), frameSamples = 2)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(loud === Seq(
+      AudioFrame(1L, 0L, 2, 1L + 32768L * 32768L, silent = false),
+      AudioFrame(1L, 1L, 1, 32767L * 32767L, silent = false)))
+    // all-zero PCM is silent in every frame
+    val quiet = Multimodal.pcmFrameEnergy(
+      Seq((2L, new Array[Byte](8))).toDS(), frameSamples = 2).collect()
+    assert(quiet.length === 2 && quiet.forall(f => f.silent && f.energy == 0L))
+    // sub-sample blob (1 byte) emits no frame
+    assert(Multimodal.pcmFrameEnergy(
+      Seq((3L, Array[Byte](9))).toDS()).collect().isEmpty)
+  }
+
   test("multimodal meta extraction is deterministic over binary blobs") {
     val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
       .toDS()
