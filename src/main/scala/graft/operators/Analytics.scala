@@ -186,20 +186,15 @@ object Analytics {
     import spark.implicits._
     val typed = keyed(events, "user_id", "event_type", "ts")
       .filter(col("event_type").isin(stages: _*))
+    val flagCols = stages.map(s =>
+      max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s"))
     val flags = typed.groupBy(col("user_id"))
-      .agg(stages.map(s =>
-        max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s")).head,
-        stages.map(s =>
-          max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s")).tail: _*)
-    val counts = flags.agg(
-      stages.indices.map { i =>
-        val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
-        sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
-      }.head,
-      stages.indices.map { i =>
-        val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
-        sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
-      }.tail: _*)
+      .agg(flagCols.head, flagCols.tail: _*)
+    val countCols = stages.indices.map { i =>
+      val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
+      sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
+    }
+    val counts = flags.agg(countCols.head, countCols.tail: _*)
     val frame = stages.zipWithIndex
       .map { case (s, i) => ((i + 1).toLong, s) }
       .toDF("stage_idx", "stage")
