@@ -395,6 +395,12 @@ object SparkEntry {
                FROM documents, UNNEST(regexp_extract_all(text, '$pat')) AS t(word)
                WHERE t.word NOT LIKE '%$bl%' AND t.word NOT LIKE '%$br%'
                GROUP BY t.word))"""
+    // NB the word-table rewrite is a LEFT JOIN ON TRUE, not a CROSS
+    // JOIN: once the pair supply runs dry, m$r is EMPTY, and a cross
+    // join would empty every later word table — diverging from the
+    // Spark learner's exhausted-guard, which stops merging and keeps
+    // the table. With the left join the rows survive with NULL a/b and
+    // the CASE passes `encoded` through unchanged.
     val rounds = (1 to k).map { r =>
       s"""p$r AS (
          SELECT l[i] AS a, l[i + 1] AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -405,9 +411,11 @@ object SparkEntry {
          GROUP BY 1, 2),
        m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
        w$r AS (
-         SELECT word, replace(encoded, '$bl' || a || '$br$bl' || b || '$br',
-                        '$bl' || a || b || '$br') AS encoded, n
-         FROM w${r - 1} CROSS JOIN m$r)"""
+         SELECT word,
+           CASE WHEN a IS NULL THEN encoded
+                ELSE replace(encoded, '$bl' || a || '$br$bl' || b || '$br',
+                       '$bl' || a || b || '$br') END AS encoded, n
+         FROM w${r - 1} LEFT JOIN m$r ON TRUE)"""
     }
     s"""$w0,
        ${rounds.mkString(",\n")}"""
@@ -2021,8 +2029,6 @@ object SparkEntry {
              OVER (PARTITION BY cohort_week ORDER BY week_offset)
              AS DOUBLE) AS rate
          FROM m ORDER BY cohort_week, week_offset""",
-    // strictly-ordered funnel; each stage binds to the user's earliest
-    // valid µs timestamp, next stage requires ts STRICTLY after it
     // unordered reach: per-user boolean flags, K conditional sums
     "q_funnel_unordered" ->
       """WITH f AS (
@@ -2043,6 +2049,8 @@ object SparkEntry {
          SELECT CAST(3 AS BIGINT), 'purchase',
                 CAST(coalesce(sum(CASE WHEN f1 = 1 AND f2 = 1 AND f3 = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM f
          ORDER BY stage_idx""",
+    // strictly-ordered funnel; each stage binds to the user's earliest
+    // valid µs timestamp, next stage requires ts STRICTLY after it
     "q_funnel" ->
       """WITH e AS (
            SELECT user_id, event_type,

@@ -154,7 +154,9 @@ object Multimodal {
                      frameSamples: Int = AudioFrameSamples): Dataset[AudioFrame] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      batch.flatMap { case (id, bytes) =>
+      // null blobs carry no samples — drop, don't NPE (the oracle's
+      // octet_length(NULL) row-drop agrees; NullRobustness contract)
+      batch.filter(_._2 != null).flatMap { case (id, bytes) =>
         val nSamples = bytes.length / 2
         val nFrames = (nSamples + frameSamples - 1) / frameSamples
         (0 until nFrames).iterator.map { f =>

@@ -397,8 +397,13 @@ object TextDedup {
     var prevSum = labelSum(labels)
     var converged = prevSum.isEmpty
     var iter = 0
-    // propagation gets HALF the budget; the rest funds the contraction
-    // fallback (which is log-bounded, so it needs no diameter headroom)
+    // propagation gets HALF of maxIter; the contraction fallback then
+    // gets its own maxIter-alternation budget (NOT the remainder):
+    // contraction is log-bounded, so maxIter alternations covers
+    // ~2^maxIter-node components, and halving it would leave a
+    // 1000-node path (11 alternations) without margin. `maxIter`
+    // therefore bounds each PHASE, not their sum — lastRounds can
+    // reach 1.5×maxIter on a deep graph.
     val propBudget = math.max(1, maxIter / 2)
     while (!converged && iter < propBudget) {
       val msgs = edges.join(labels.withColumnRenamed("node", "src"), Seq("src"))
@@ -473,7 +478,13 @@ object TextDedup {
     * the plan; it is not fault-tolerant across executor loss — on a
     * real cluster an iteration that must survive preemption should set
     * `spark.graft.spillDir` and swap in reliable `checkpoint` (same
-    * call shape), paying the distributed-FS write per round. */
+    * call shape), paying the distributed-FS write per round. NB
+    * `Dataset.unpersist()` on a checkpointed frame is a no-op (the
+    * blocks live as RDD storage, not CacheManager entries); the
+    * per-round unpersist calls below release only genuinely cached
+    * frames, and checkpointed blocks are reclaimed by the
+    * ContextCleaner as the superseded frames become unreachable —
+    * bounded by the loop budget, not deterministic per round. */
   private[graft] def contractToStars(symEdges: DataFrame, maxAlt: Int): DataFrame = {
     // canonical undirected pairs (small, large); also the small-star
     // input shape of subsequent rounds

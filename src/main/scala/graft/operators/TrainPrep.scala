@@ -391,7 +391,7 @@ object TrainPrep {
   val BpeL = "⟨"
   val BpeR = "⟩"
 
-  /** The distinct-word table BPE learns on: (encoded, n) where
+  /** The distinct-word table BPE learns on: (word, encoded, n) where
     * `encoded` is the char-wise bracket encoding of a pretoken
     * ([[TextStats.bpeTokens]]) and `n` its corpus occurrence count.
     * Distinct words, not occurrences — Heaps-law-bounded, the standard
@@ -403,7 +403,7 @@ object TrainPrep {
       .where(!col("word").contains(BpeL) && !col("word").contains(BpeR))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
-      .select(
+      .select(col("word"),
         regexp_replace(col("word"), "(.)", s"$BpeL$$1$BpeR").as("encoded"),
         col("n"))
 
@@ -441,7 +441,8 @@ object TrainPrep {
   def bpeMerges(docs: DataFrame, k: Int = BpeMergeK): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = bpeWordTable(docs).localCheckpoint()
+    var words = bpeWordTable(docs).select(col("encoded"), col("n"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -509,16 +510,11 @@ object TrainPrep {
       .collect() // O(K): the learned merge table, rank-ordered
       .sortBy(_.getLong(2))
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    docs
-      .select(explode(TextStats.bpeTokens(col("text"))).as("word"))
-      .where(!col("word").contains(BpeL) && !col("word").contains(BpeR))
-      .groupBy(col("word"))
-      .agg(count(lit(1)).as("n"))
+    bpeWordTable(docs)
       .select(col("word"), col("n"),
         bpeEncodeString(col("word"), merges).as("encoded"))
       .select(col("word"), col("n"),
-        size(split(col("encoded").substr(lit(2), length(col("encoded")) - 2),
-          java.util.regex.Pattern.quote(s"$BpeR$BpeL"))).cast("long").as("n_syms"),
+        size(symbolArray(col("encoded"))).cast("long").as("n_syms"),
         col("encoded"))
       .orderBy(col("n").desc, col("word"))
       .limit(BpeEncodeTopN)

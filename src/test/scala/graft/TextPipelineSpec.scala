@@ -1066,6 +1066,10 @@ class TextPipelineSpec extends SparkSpec {
     // sub-sample blob (1 byte) emits no frame
     assert(Multimodal.pcmFrameEnergy(
       Seq((3L, Array[Byte](9))).toDS()).collect().isEmpty)
+    // null blob: no frames, no NPE (the oracle's octet_length(NULL)
+    // row-drop agrees)
+    assert(Multimodal.pcmFrameEnergy(
+      Seq((4L, null.asInstanceOf[Array[Byte]])).toDS()).collect().isEmpty)
   }
 
   test("multimodal meta extraction is deterministic over binary blobs") {
