@@ -231,11 +231,16 @@ object TextDedup {
     * the Jaccard verify needs. Built ONCE per corpus snapshot; every
     * subsequent increment probes it without re-shingling or re-banding
     * a single standing document — the per-crawl-snapshot lifecycle at
-    * 100 TB. The shingle pass is shared by both tables via one
-    * localCheckpoint (two writes, one corpus scan). */
+    * 100 TB. The shingle pass is shared by both tables via one cache
+    * (two writes, one corpus scan), released before returning. */
   def writeDedupIndex(index: DataFrame, path: String): Unit = {
+    // cache, not localCheckpoint: the lineage is linear (no iterative
+    // growth), and only a cached frame is actually RELEASED by the
+    // unpersist below — Dataset.unpersist is a no-op on checkpointed
+    // frames (see the contractToStars NB), which would strand the
+    // corpus-sized shingle blocks until GC in the shared harness JVM
     val ih = hashedShingles(index, ShingleN)
-      .select(col("doc_id"), col("hs")).localCheckpoint()
+      .select(col("doc_id"), col("hs")).cache()
     minhashIndex(ih).select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(s"$path/bands")
     ih.write.mode("overwrite").parquet(s"$path/sets")
@@ -356,11 +361,14 @@ object TextDedup {
     * converges in 2-4 rounds with one join each, vs two per contraction
     * alternation.
     *
-    * The RETURNED frame is still cached (one row per paired doc —
-    * bounded by the near-dup population, not the corpus): unpersisting
-    * here would force callers to recompute the whole round chain.
-    * Callers holding the session long-term should `unpersist()` the
-    * result when done with it.
+    * The RETURNED frame is MATERIALIZED (checkpointed per round — one
+    * row per paired doc, bounded by the near-dup population, not the
+    * corpus), so consumers never recompute the round chain. Release
+    * semantics: `unpersist()` on a checkpointed frame is a no-op (see
+    * the [[contractToStars]] NB), so the blocks are reclaimed by the
+    * ContextCleaner once the frame becomes unreachable — callers that
+    * spill-and-release ([[qDedupClusters]]) drop all references
+    * promptly, which is the release path in a long-lived JVM.
     */
   /** Rounds the last [[dedupClusters]] call took to converge — a dev /
     * test probe (loop-cost tuning), not part of the operator contract.
@@ -424,19 +432,24 @@ object TextDedup {
       iter += 1
     }
     lastContractionRounds = 0
-    if (!converged) {
-      // Deep graph: switch to large-star/small-star contraction (see
-      // scaladoc). Operates on the ORIGINAL edge set — the partial
-      // propagation labels are not a valid seed for edge rewiring, and
-      // re-deriving from `edges` (still cached) costs one distinct.
-      labels.unpersist()
-      labels = contractToStars(edges, maxIter)
-      converged = true
-      iter += lastContractionRounds
+    try {
+      if (!converged) {
+        // Deep graph: switch to large-star/small-star contraction (see
+        // scaladoc). Operates on the ORIGINAL edge set — the partial
+        // propagation labels are not a valid seed for edge rewiring, and
+        // re-deriving from `edges` (still cached) costs one distinct.
+        labels.unpersist()
+        labels = contractToStars(edges, maxIter)
+        converged = true
+        iter += lastContractionRounds
+      }
+      lastRounds = iter
+    } finally {
+      // release even when contraction throws — the cached pair/edge
+      // frames are corpus-pair-scale and the harness JVM is long-lived
+      p.unpersist()
+      edges.unpersist()
     }
-    lastRounds = iter
-    p.unpersist()
-    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -505,7 +518,12 @@ object TextDedup {
     var prev = edgeStat(cur)
     var alt = 0
     var fixed = prev._1 == 0L
-    while (!fixed && alt < maxAlt) {
+    // budget is maxAlt PRODUCTIVE alternations + 1: the fixpoint is
+    // only OBSERVED one round after it is reached (a round must
+    // reproduce the previous fingerprint), so a graph converging in
+    // exactly maxAlt rounds must not be failed by its confirmation
+    // round
+    while (!fixed && alt < maxAlt + 1) {
       // large-star over the symmetrized adjacency of the current edges
       val sym = cur.select(col("src"), col("dst"))
         .unionByName(cur.select(col("dst").as("src"), col("src").as("dst")))

@@ -438,11 +438,18 @@ object TrainPrep {
     *
     * Returns (merge_rank, lhs, rhs, merged, support) — `support` is
     * the weighted pair count that won the round. */
-  def bpeMerges(docs: DataFrame, k: Int = BpeMergeK): DataFrame = {
-    val spark = docs.sparkSession
+  def bpeMerges(docs: DataFrame, k: Int = BpeMergeK): DataFrame =
+    bpeMergesFrom(
+      bpeWordTable(docs).select(col("encoded"), col("n")).localCheckpoint(), k)
+
+  /** Learn from a pre-built (encoded, n) word table — lets callers
+    * that also need the table ([[qBpeEncode]]) build and checkpoint it
+    * ONCE instead of paying the corpus explode+aggregate twice. The
+    * caller owns the frame's lifecycle. */
+  def bpeMergesFrom(wordTable: DataFrame, k: Int = BpeMergeK): DataFrame = {
+    val spark = wordTable.sparkSession
     import spark.implicits._
-    var words = bpeWordTable(docs).select(col("encoded"), col("n"))
-      .localCheckpoint()
+    var words = wordTable
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 0
     var exhausted = false
@@ -504,13 +511,15 @@ object TrainPrep {
     * job). The oracle replays the identical CTE chain and compares
     * the full encoded string byte for byte. */
   def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val merges = bpeMerges(docs)
+    // ONE word-table build+checkpoint serves both the learn rounds and
+    // the encode pass (bpeMerges(docs) would rebuild it internally)
+    val words = bpeWordTable(Tables.documents(spark, dir)).localCheckpoint()
+    val merges = bpeMergesFrom(words.select(col("encoded"), col("n")))
       .select(col("lhs"), col("rhs"), col("merge_rank"))
       .collect() // O(K): the learned merge table, rank-ordered
       .sortBy(_.getLong(2))
       .map(r => (r.getString(0), r.getString(1))).toSeq
-    bpeWordTable(docs)
+    words
       .select(col("word"), col("n"),
         bpeEncodeString(col("word"), merges).as("encoded"))
       .select(col("word"), col("n"),
