@@ -102,6 +102,7 @@ object SparkEntry {
     "q_curate_v4"          -> (Curate.qCurateV4 _),
     "q_curate_v5"          -> (Curate.qCurateV5 _),
     "q_train_shards"       -> (Curate.qTrainShards _),
+    "q_shard_manifest"     -> (Curate.qShardManifest _),
     "q_funnel_unordered"   -> (Analytics.qFunnelUnordered _),
     "q_simhash"            -> (TextDedup.qSimhash _),
     // canonical pair path = the WIDE (60-bit) banding; the 16-bit
@@ -957,6 +958,28 @@ object SparkEntry {
        FROM pk ORDER BY doc_id"""
   }
 
+  /** Shard manifest oracle: the packed-shard CTE chain aggregated to
+    * per-(shard, seq) receipts with the xor membership checksum. */
+  private def shardManifestOracle: String = {
+    import graft.operators.TrainPrep.{PackBudget, PackShards}
+    val b = md5b60Sql("md5('shard:' || CAST(doc_id AS VARCHAR))")
+    s"""${curateEmitCtes(v5ExtraCtes, v5ExtraWhere)},
+       v5out AS (SELECT k.doc_id,
+                   coalesce(sagg.n_after, 0) AS n_tokens
+                 FROM v4keep k
+                 LEFT JOIN sagg ON k.doc_id = sagg.doc_id),
+       pk AS (SELECT doc_id, doc_id % $PackShards AS shard, n_tokens,
+                CAST(coalesce(sum(n_tokens) OVER (PARTITION BY doc_id % $PackShards
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+              FROM v5out)
+       SELECT shard, prefix // $PackBudget AS seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         bit_xor($b) AS checksum
+       FROM pk GROUP BY 1, 2 ORDER BY shard, seq_id"""
+  }
+
   /** v5 = v4 + the rare-bigram gibberish gate: documents where MORE
     * than half the adjacent-token transitions are corpus-rare leave
     * (2·n_rare > n_bigrams — integer, engine-identical). */
@@ -1570,6 +1593,7 @@ object SparkEntry {
     "q_curate_v4" -> curateV4Oracle,
     "q_curate_v5" -> curateV5Oracle,
     "q_train_shards" -> trainShardsOracle,
+    "q_shard_manifest" -> shardManifestOracle,
     "q_hash_split" -> {
       val b = md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")
       s"""SELECT split, lang, count(*) AS n_docs,

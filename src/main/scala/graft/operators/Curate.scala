@@ -186,6 +186,28 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-(shard, sequence) reproducibility manifest over the packed
+    * emit — the receipt a training run verifies before consuming a
+    * shard: document count, token total, and an ORDER-INDEPENDENT
+    * membership checksum (xor of 60-bit doc-id hashes — the
+    * [[graft.operators.TextStats]] split-manifest recipe: xor
+    * commutes, so the checksum is partitioning-stable and any
+    * added/dropped/substituted document changes it). One aggregate
+    * over [[trainShards]]' own partitioning; everything integer. */
+  def shardManifest(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    trainShards(docs, embeddings)
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        bit_xor(md5Bits60(concat(lit("shard:"), col("doc_id").cast("string"))))
+          .as("checksum"))
+
+  def qShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    shardManifest(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("shard"), col("seq_id"))
+  }
+
   /** Typed curation parameters — the training-data twin of the LegiScan
     * [[graft.JobConfig]]: one immutable object instead of scattered
     * flags. Stage TOGGLES (which gates run) and the two tunable

@@ -354,6 +354,41 @@ class TrainPrepSpec extends SparkSpec {
     assert(shards.nonEmpty)
   }
 
+  /** Independent 60-bit md5 reference (MessageDigest, not TextKernel —
+    * the better reference anyway). */
+  private def hash60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("shard manifest conserves totals; checksums equal an independent xor") {
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val manifest = graft.operators.Curate.shardManifest(docs, emb)
+      .select("shard", "seq_id", "n_docs", "n_tokens", "checksum")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val shards = graft.operators.Curate.trainShards(docs, emb)
+      .select("doc_id", "shard", "n_tokens", "seq_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(manifest.map(_._3).sum === shards.length,
+      "manifest doc counts must conserve the packed population")
+    assert(manifest.map(_._4).sum === shards.map(_._3).sum,
+      "manifest token totals must conserve the packed tokens")
+    // every checksum equals the xor of its members' hashes, recomputed
+    // from scratch with MessageDigest — so the receipt provably
+    // changes when any membership changes
+    val expected = shards.groupBy(r => (r._2, r._4)).map { case (k, rs) =>
+      k -> rs.map(r => hash60(s"shard:${r._1}")).reduce(_ ^ _)
+    }
+    manifest.foreach { case (shard, seq, _, _, ck) =>
+      assert(ck === expected((shard, seq)),
+        s"checksum mismatch for shard=$shard seq=$seq")
+    }
+    assert(manifest.nonEmpty)
+  }
+
   /** Independent BPE reference: symbol ARRAYS with the canonical
     * greedy left-to-right fold — the semantics the string-replace
     * implementation must match (the equivalence that could silently
