@@ -110,19 +110,27 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     require(passes >= 1, "SPARK_GRAFT_BENCH_PASSES must be >= 1")
     val ordered = selected.toSeq.sortBy(_._1)
-    // pass-major order (all queries pass 1, then pass 2): see scaladoc
+    // pass-major order (all queries pass 1, then pass 2): see scaladoc.
+    // Each pass records (time, succeeded) — the min below must never
+    // mix a fast FAILURE time into a query's recorded value.
     val perPass = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+        val ok =
+          try { run(fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            false
+          }
+        name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
     }
     val results = ordered.map { case (name, _) =>
-      name -> perPass.map(_.toMap.apply(name)).min
+      val runs = perPass.map(_(name))
+      val good = runs.filter(_._2).map(_._1)
+      // min over SUCCESSFUL passes only; a query that never succeeded
+      // records its (slowest) failure time and sits in `errors`
+      name -> (if (good.nonEmpty) good.min else runs.map(_._1).max)
     }
 
     def jstr(s: String): String =

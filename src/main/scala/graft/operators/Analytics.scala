@@ -41,8 +41,12 @@ object Analytics {
     * final shuffle on the (cohort, offset) pair. No window over an
     * unpartitioned frame, no driver collect.
     */
-  /** Null-identity guard, applied at every analytics entry on the keys
-    * that operator windows/joins/groups on. Rows lacking identity can
+  /** Null-identity guard, applied at EVERY analytics entry: a row
+    * missing any identity field (user_id, event_type, ts) participates
+    * in NO answer, uniformly across the family. Null VALUES are a
+    * different contract, pinned separately: a well-identified event
+    * with a null value still counts as an event, and value aggregates
+    * skip the null the same way in both engines. Rows lacking identity can
     * neither key a window nor match a join — left in, they form
     * phantom NULL groups in groupBy-shaped operators but silently
     * vanish from join-shaped ones, a per-operator lottery (the
@@ -55,7 +59,7 @@ object Analytics {
     events.na.drop(keys.toSeq)
 
   def retentionCohorts(events0: DataFrame): DataFrame = {
-    val events = keyed(events0, "user_id", "ts")
+    val events = keyed(events0, "user_id", "event_type", "ts")
     val cohorts = events
       .groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
@@ -184,14 +188,20 @@ object Analytics {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct")
     val typed = keyed(events, "user_id", "event_type", "ts")
       .filter(col("event_type").isin(stages: _*))
-    val flagCols = stages.map(s =>
-      max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$s"))
+    // flag columns are keyed by stage INDEX, not the stage string —
+    // col("_f_" + stage) would parse dots in a stage name as
+    // struct-field access and break on inputs funnel() accepts
+    val flagCols = stages.zipWithIndex.map { case (s, i) =>
+      max(when(col("event_type") === s, 1L).otherwise(0L)).as(s"_f_$i")
+    }
     val flags = typed.groupBy(col("user_id"))
       .agg(flagCols.head, flagCols.tail: _*)
     val countCols = stages.indices.map { i =>
-      val all = stages.take(i + 1).map(s => col(s"_f_$s") === 1L).reduce(_ && _)
+      val all = (0 to i).map(j => col(s"_f_$j") === 1L).reduce(_ && _)
       sum(when(all, 1L).otherwise(0L)).as(s"_n_$i")
     }
     val counts = flags.agg(countCols.head, countCols.tail: _*)
@@ -263,7 +273,8 @@ object Analytics {
     * per-from conditional probability (a BIGINT/BIGINT rational — both
     * engines divide the same integers). One per-user lead window, one
     * keyed aggregate, one |types|²-row probability window. */
-  def eventTransitions(events: DataFrame): DataFrame = {
+  def eventTransitions(events0: DataFrame): DataFrame = {
+    val events = keyed(events0, "user_id", "event_type", "ts")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val counts = events
@@ -294,8 +305,9 @@ object Analytics {
     * engines floor the same quotient), with per-bin min/max over the
     * identical value set. No windows, one aggregate — the shape survives
     * any scale. */
-  def valueHistogram(events: DataFrame,
-                     width: Double = HistBinWidth): DataFrame =
+  def valueHistogram(events0: DataFrame,
+                     width: Double = HistBinWidth): DataFrame = {
+    val events = keyed(events0, "user_id", "event_type", "ts")
     events
       .select(col("event_type"),
         floor(col("value") / width).cast("long").as("bin"), col("value"))
@@ -304,6 +316,7 @@ object Analytics {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
       .withColumn("bin_lo", col("bin") * width)
+  }
 
   def qValueHistogram(spark: SparkSession, dir: String): DataFrame =
     valueHistogram(Tables.events(spark, dir))
@@ -430,7 +443,8 @@ object Analytics {
     * broadcast — no second shuffle of the event scan.
     */
   def medianOutliers(events: DataFrame): DataFrame = {
-    val typed = events.select(col("event_type"), col("value"))
+    val typed = keyed(events, "user_id", "event_type", "ts")
+      .select(col("event_type"), col("value"))
     val med = typed
       .groupBy(col("event_type"))
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
@@ -478,7 +492,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    keyed(events, "user_id", "ts")
+    keyed(events, "user_id", "event_type", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
       .withColumn("click_id",
@@ -506,7 +520,7 @@ object Analytics {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    keyed(events, "user_id", "ts")
+    keyed(events, "user_id", "event_type", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts"), col("value"))
       .withColumn("click_id",
@@ -543,7 +557,7 @@ object Analytics {
     * (user, week), one per-user lag/lead window, one week aggregate —
     * two key shuffles total, both on real keys. */
   def growthAccounting(events: DataFrame): DataFrame = {
-    val weekly = keyed(events, "user_id", "ts")
+    val weekly = keyed(events, "user_id", "event_type", "ts")
       .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
       .distinct()
       .withColumn("wi",
@@ -586,7 +600,7 @@ object Analytics {
     * join back to DAU. The ratio is one double division of two exact
     * integers — portable. */
   def stickiness(events: DataFrame): DataFrame = {
-    val daily = events
+    val daily = keyed(events, "user_id", "event_type", "ts")
       .select(col("user_id"), to_date(col("ts")).as("d"))
       .distinct()
     val dau = daily.groupBy(col("d")).agg(count(lit(1)).as("dau"))
@@ -631,7 +645,7 @@ object Analytics {
                   topK: Int = JourneyTopK): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val journeys = events
+    val journeys = keyed(events, "user_id", "event_type", "ts")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(byUser))
       .where(col("rn") <= len)
@@ -667,7 +681,7 @@ object Analytics {
     * totals broadcast — the event scan shuffles once on `bin`. */
   def valueDrift(events: DataFrame,
                  width: Double = HistBinWidth): DataFrame = {
-    val base = events
+    val base = keyed(events, "user_id", "event_type", "ts")
       .select(col("value"), tsUs(col("ts")).as("us"))
       .where(col("value").isNotNull)
     val mid = base.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
@@ -703,7 +717,8 @@ object Analytics {
     * frame (|users|, the RFM trade); everything else is exact longs
     * and one final division. */
   def powerUsers(events: DataFrame): DataFrame = {
-    val per = events.groupBy(col("user_id"))
+    val per = keyed(events, "user_id", "event_type", "ts")
+      .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     val thr = per.agg(
       round(percentile(col("n_events"), lit(0.9)), 6).as("p90"))
@@ -734,7 +749,8 @@ object Analytics {
     * tie-break); week-1 activity is a semi-join of the user's distinct
     * week set against first_week + 7 days — all `user_id`-keyed until
     * the final |channels|-row aggregate. */
-  def channelRetention(events: DataFrame): DataFrame = {
+  def channelRetention(events0: DataFrame): DataFrame = {
+    val events = keyed(events0, "user_id", "event_type", "ts")
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
     val first = events
@@ -779,7 +795,7 @@ object Analytics {
                         len: Int = PrefixLen): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val ranked = events
+    val ranked = keyed(events, "user_id", "event_type", "ts")
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(byUser))
     val prefixes = ranked
@@ -829,7 +845,8 @@ object Analytics {
     * exact-vs-approx trade as [[medianOutliers]], and
     * `approx_percentile` is the swap at 100 TB. */
   def rfmSegments(events: DataFrame): DataFrame = {
-    val p = events.filter(col("event_type") === "purchase")
+    val p = keyed(events, "user_id", "event_type", "ts")
+      .filter(col("event_type") === "purchase")
     val nowUs = p.agg(max(tsUs(col("ts"))).as("now_us"))
     val per = p.groupBy(col("user_id"))
       .agg(

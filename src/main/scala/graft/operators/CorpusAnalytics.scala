@@ -193,13 +193,19 @@ object CorpusAnalytics {
     * on runtime exchange reuse leaves a 4× corpus-scan cliff if any
     * branch's exchange stops lining up. The checkpoint pins the scan
     * count at one structurally; the materialized frame is
-    * vocabulary-sized (Heaps-bounded), not corpus-sized. */
+    * vocabulary-sized (Heaps-bounded), not corpus-sized. LAZY
+    * checkpoint (eager = false): constructing the DataFrame — e.g. for
+    * a plan inspection — must not launch a corpus job; the
+    * materialization happens on first action. The trade the checkpoint
+    * makes either way: downstream predicates cannot push below it into
+    * the corpus scan (callers filtering one source still pay the full
+    * (source, token) build — acceptable for a whole-corpus readout). */
   def sourceTokenDivergence(docs: DataFrame): DataFrame = {
     val st = docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n_st"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val global = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
     val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val bigN = totals.agg(sum(col("n_s")).as("n_all"))

@@ -341,6 +341,30 @@ class NullRobustnessSpec extends SparkSpec {
       e => graft.operators.Analytics.growthAccounting(e).orderBy("wi"))
   }
 
+  test("the REST of the analytics family ignores null-identity rows too") {
+    // round-8 completion of the guard: the contract is family-WIDE,
+    // not just funnel/attribution/retention/scd2
+    val A = graft.operators.Analytics
+    assertSameRows("eventTransitions",
+      e => A.eventTransitions(e).orderBy("from_type", "to_type"))
+    assertSameRows("stickiness", e => A.stickiness(e).orderBy("d"))
+    assertSameRows("topJourneys",
+      e => A.topJourneys(e).orderBy("journey"))
+    assertSameRows("channelRetention",
+      e => A.channelRetention(e).orderBy("channel"))
+    assertSameRows("journeyConversion",
+      e => A.journeyConversion(e).orderBy("prefix"))
+    assertSameRows("powerUsers", e => A.powerUsers(e))
+    assertSameRows("rfmSegments",
+      e => A.rfmSegments(e).orderBy("r_hi", "f_hi", "m_hi"))
+    assertSameRows("valueHistogram",
+      e => A.valueHistogram(e).orderBy("event_type", "bin"))
+    assertSameRows("medianOutliers",
+      e => A.medianOutliers(e).orderBy("event_type"))
+    assertSameRows("valueDrift",
+      e => A.valueDrift(e).orderBy("bin"))
+  }
+
   test("scd2: history and merge ignore null-identity rows; merge == recompute on dirty deltas") {
     assertSameRows("scd2History",
       e => graft.operators.Analytics.scd2History(e)
