@@ -236,7 +236,11 @@ class PlanSpec extends SparkSpec {
       "q_label_centroids" -> "ReadSchema: struct<embedding:array<float>,label:int>",
       "q_split_manifest" -> "ReadSchema: struct<doc_id:bigint,text:string,n_chars:bigint>",
       "q_bigram_next" -> "ReadSchema: struct<doc_id:bigint,text:string>",
-      "q_retention_cohorts" -> "ReadSchema: struct<ts:bigint,user_id:bigint>"
+      // event_type rides along since the family-wide null-identity
+      // guard: its null-check must read it. Still pruned to exactly
+      // the identity trio — the regression this test exists for is
+      // dragging UNUSED columns (value, event_id) into a 100 TB scan.
+      "q_retention_cohorts" -> "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"
     ).foreach { case (q, schema) =>
       val s = formattedPlan(q)
       assert(s.contains(schema), s"$q scan not pruned:\n$s")
