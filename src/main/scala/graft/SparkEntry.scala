@@ -208,6 +208,7 @@ object SparkEntry {
     "q_value_histogram"    -> (Analytics.qValueHistogram _),
     "q_label_centroids"    -> (Similarity.qLabelCentroids _),
     "q_dim_variance"       -> (Similarity.qDimVariance _),
+    "q_heavy_hitters"      -> (CorpusAnalytics.qHeavyHitters _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3374,5 +3375,19 @@ object SparkEntry {
            CAST(n_vecs * sum_q2 - sum_q * sum_q AS DOUBLE)
              / CAST(n_vecs * n_vecs AS DOUBLE) AS var_q
          FROM m ORDER BY dim""",
+    // exact heavy hitters: the Spark side only uses its MG sketch to
+    // DECIDE WHAT TO COUNT (candidate superset, then exact verify), so
+    // the answer equals the plain GROUP BY … HAVING over the strict
+    // 1/k-share threshold — all-integer comparison, hash-structural
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(${toksSql("text")}) AS token
+                     FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+         SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           n.n_total AS n_total
+         FROM t CROSS JOIN n
+         GROUP BY token, n.n_total
+         HAVING count(*) * ${CorpusAnalytics.HeavyK} > n.n_total
+         ORDER BY n_occurrences DESC, token""",
   )
 }

@@ -145,10 +145,22 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
     (children: Seq[Expression]) => DeflateRatio(children.head))
 
+  val misraGries: Registration = (
+    FunctionIdentifier("misra_gries"),
+    new ExpressionInfo(classOf[MisraGriesTokens].getName, "misra_gries"),
+    (children: Seq[Expression]) => {
+      val cap = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"misra_gries: capacity must be an int literal, got $other")
+      }
+      MisraGriesTokens(children.head, cap)
+    })
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
       simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
-      deflateRatio)
+      deflateRatio, misraGries)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

@@ -623,4 +623,66 @@ object CorpusAnalytics {
     val delta = sourceStats(docs.filter(col("doc_id") % 5 === 0))
     mergeSourceStats(state, delta).orderBy(col("source"))
   }
+
+  // ---------------------------------------------------------------------
+  // Guaranteed heavy hitters (two-pass: MG candidates → exact verify)
+  // ---------------------------------------------------------------------
+
+  /** Heavy ⟺ n_occurrences · k > N (strictly more than a 1/k share). */
+  val HeavyK = 32
+  /** Misra–Gries capacity. The two-pass result is EXACT whenever
+    * `capacity + 1 ≥ k` (candidate pass retains everything above
+    * N/(capacity+1) ≤ N/k); 2× headroom keeps the guarantee obvious
+    * and the candidate tail useful for near-threshold diagnostics. */
+  val HeavyCapacity = 64
+
+  /** All tokens holding strictly more than a 1/k share of the corpus
+    * token stream, with EXACT counts — without ever shuffling the full
+    * vocabulary.
+    *
+    * Pass 1 summarizes each scan task's tokens into a ≤`capacity`-entry
+    * Misra–Gries map (native [[graft.expressions.MisraGriesTokens]],
+    * map-side partial aggregation: only ≤capacity entries per task
+    * cross the wire, merged under the Mergeable-Summaries rule). Any
+    * token with true count > N/(capacity+1) survives the merge, so
+    * with capacity+1 ≥ k the candidate array is a SUPERSET of the true
+    * heavy set. Pass 2 semi-joins the token stream against the
+    * broadcast candidates (≤capacity rows — a fixed-K broadcast) and
+    * counts exactly; the final filter n·k > N drops the false
+    * candidates. Net effect at 100 TB: the count shuffle carries only
+    * tokens that are plausibly heavy (≤capacity distinct keys) instead
+    * of the billions-strong distinct vocabulary, and the verdict is
+    * still exact — the [[graft.operators.TextDedup]] candidate→verify
+    * discipline applied to frequency mining.
+    *
+    * All arithmetic is integer (count × k vs N), so the oracle — a
+    * plain GROUP BY … HAVING over the same threshold — hash-matches
+    * structurally; the sketch affects WHAT WORK HAPPENS, never the
+    * answer (capacity-invariance and partitioning-invariance are
+    * spec-pinned). */
+  def heavyHitters(docs: DataFrame, k: Int = HeavyK,
+                   capacity: Int = HeavyCapacity): DataFrame = {
+    require(capacity + 1 >= k,
+      s"heavyHitters: capacity+1 ($capacity+1) must be ≥ k ($k) for the " +
+        "candidate pass to retain every true heavy hitter")
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    val cands = toks
+      .agg(call_function("misra_gries", col("toks"), lit(capacity)).as("cs"))
+      .select(explode(col("cs")).as("token"))
+    val total = toks
+      .agg(sum(size(col("toks")).cast("long")).as("n_total"))
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .join(broadcast(cands), Seq("token"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * k > col("n_total"))
+      .select(col("token"), col("n_occurrences"), col("n_total"))
+  }
+
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    heavyHitters(Tables.documents(spark, dir))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
 }

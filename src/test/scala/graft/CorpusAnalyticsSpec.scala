@@ -301,4 +301,83 @@ class CorpusAnalyticsSpec extends SparkSpec {
     // other: L1 = |1 - 1/2| + |0 - 1/2| = 1 exactly
     assert(out === Map("s1" -> 1.0, "s2" -> 1.0))
   }
+
+  // --- guaranteed heavy hitters (MG candidates → exact verify) ---
+
+  /** Reference heavy hitters: the full-shuffle spelling the operator
+    * exists to avoid — exact by construction. */
+  private def bruteHeavy(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+    val t = docs.select(explode(graft.functions.tokens(col("text"))).as("token"))
+    val n = t.count()
+    t.groupBy("token").count()
+      .filter(col("count") * k > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("heavyHitters: hand-checked corpus, strict 1/k boundary excluded") {
+    // 20 tokens total; k=4 → heavy needs count*4 > 20, i.e. count >= 6.
+    // "a" has 6 (heavy), "b" has exactly 5 (5*4 == 20: boundary, OUT).
+    val docs = docsOf(
+      (1L, "a a a b b c d e f", "en", "s1"),
+      (2L, "a a a b b b g h i j k", "en", "s1"))
+    val out = CorpusAnalytics.heavyHitters(docs, k = 4, capacity = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("a", 6L, 20L)))
+  }
+
+  test("heavyHitters: adversarial skew survives a tiny capacity") {
+    // one token holds >1/3 of the stream among many distinct fillers;
+    // capacity 4 << distinct count, yet MG must retain it (k=3 ≤ cap+1)
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = docsOf(
+      (1L, ("hot " * 40).trim, "en", "s1"),
+      (2L, filler, "en", "s1"))
+    val out = CorpusAnalytics.heavyHitters(docs, k = 3, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("hot", 40L)))
+  }
+
+  test("heavyHitters: property — equals brute force; capacity- and partitioning-invariant") {
+    import org.scalacheck.Gen
+    val genDoc = Gen.nonEmptyListOf(
+      Gen.frequency(5 -> Gen.const("hh"), 3 -> Gen.const("mid"),
+        2 -> Gen.oneOf((1 to 12).map(i => s"t$i")))).map(_.mkString(" "))
+    val genCorpus = Gen.nonEmptyListOf(genDoc)
+    samples(genCorpus, 8).zipWithIndex.foreach { case (texts, ci) =>
+      val docs = docsOf(texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, "en", "s1") }: _*)
+      for (k <- Seq(2, 5, 16)) {
+        val expect = bruteHeavy(docs, k)
+        val got = CorpusAnalytics.heavyHitters(docs, k, capacity = k + 3)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(got === expect, s"corpus $ci k=$k")
+        // a roomier sketch changes the work, never the answer
+        val roomy = CorpusAnalytics.heavyHitters(docs, k, capacity = 4 * k)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(roomy === got, s"capacity-invariance broke: corpus $ci k=$k")
+        // ... and neither does the physical partitioning
+        val reparts = CorpusAnalytics
+          .heavyHitters(docs.repartition(7), k, capacity = k + 3)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(reparts === got, s"partitioning-invariance broke: corpus $ci k=$k")
+      }
+    }
+  }
+
+  test("heavyHitters: null / empty texts are transparent") {
+    val docs = docsOf(
+      (1L, "x x x x", "en", "s1"), (2L, "", "en", "s1"))
+      .union(Seq((3L, null.asInstanceOf[String], "en", "s1", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = CorpusAnalytics.heavyHitters(docs, k = 2, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("x", 4L, 4L)))
+  }
+
+  test("heavyHitters rejects a capacity below the exactness bound") {
+    val docs = docsOf((1L, "a b", "en", "s1"))
+    intercept[IllegalArgumentException] {
+      CorpusAnalytics.heavyHitters(docs, k = 10, capacity = 4)
+    }
+  }
 }

@@ -331,6 +331,27 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("heavy hitters: map-side MG summaries, only candidates reach the count shuffle") {
+    val df = SparkEntry.queries("q_heavy_hitters")(spark, sf("sf0.001"))
+    df.collect() // let AQE finalize
+    val s = physical(df).toString()
+    // (1) the candidate pass partial-aggregates per scan task (≤capacity
+    // entries per task cross the wire), under ObjectHashAggregate
+    assert(s.contains("partial_misra_gries"),
+      s"candidate pass lost its map-side partial summary:\n$s")
+    // (2) the exact count only ever sees candidate tokens: the token
+    // stream is semi-joined against the broadcast candidate set BELOW
+    // the partial count — a regression shows up as partial_count
+    // directly over the explode (full-vocabulary shuffle, the exact
+    // thing this operator exists to avoid)
+    val semiBelowCount = ("""(?s)partial_count.*?BroadcastHashJoin \[token#\d+\], \[token#\d+\], LeftSemi""").r
+    assert(semiBelowCount.findFirstIn(s).isDefined,
+      s"count no longer restricted to broadcast candidates before its shuffle:\n$s")
+    // (3) nothing scale-proportional broadcasts: the only broadcasts are
+    // the ≤capacity candidate array and the 1-row total
+    assert(!s.contains("CartesianProduct"), s"cartesian in heavy hitters:\n$s")
+  }
+
   test("attribution/growth/stickiness plans stay single-key, no nested loop") {
     Seq("q_last_touch", "q_growth_accounting", "q_stickiness",
       "q_setsim_join", "q_dedup_rates").foreach { q =>
