@@ -209,6 +209,8 @@ object SparkEntry {
     "q_label_centroids"    -> (Similarity.qLabelCentroids _),
     "q_dim_variance"       -> (Similarity.qDimVariance _),
     "q_heavy_hitters"      -> (CorpusAnalytics.qHeavyHitters _),
+    "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
+    "q_curate_v6"          -> (Curate.qCurateV6 _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -986,6 +988,30 @@ object SparkEntry {
     * (2·n_rare > n_bigrams — integer, engine-identical). */
   private def curateV5Oracle: String =
     curateV4OracleWith(v5ExtraCtes, v5ExtraWhere)
+
+  /** The distilled classifier's (token → weight) table as a DuckDB CASE
+    * over the lambda variable — generated from the SAME Scala constant
+    * the Spark side folds over, so the two engines cannot drift. */
+  private def clfCaseSql(v: String): String = {
+    val whens = graft.operators.CorpusFilters.ClassifierWeights
+      .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
+    s"CASE $v $whens ELSE 0 END"
+  }
+  private def clfRawSql(toks: String): String =
+    s"CAST(coalesce(list_sum(list_transform($toks, tok -> ${clfCaseSql("tok")})), 0) AS BIGINT)"
+
+  /** v6 = v5 + the distilled-classifier keep (mean token weight below
+    * threshold leaves; integer cross-multiply, engine-identical). */
+  private def v6ExtraCtes: String =
+    s""",
+       clfdrop AS (SELECT doc_id FROM t
+                   WHERE NOT (${clfRawSql("toks")} * ${graft.operators.CorpusFilters.ClassifierDen}
+                     >= CAST(len(toks) AS BIGINT)))"""
+  private def v6ExtraWhere: String =
+    """
+           AND q.doc_id NOT IN (SELECT doc_id FROM clfdrop)"""
+  private def curateV6Oracle: String =
+    curateV4OracleWith(v5ExtraCtes + v6ExtraCtes, v5ExtraWhere + v6ExtraWhere)
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -3389,5 +3415,16 @@ object SparkEntry {
          GROUP BY token, n.n_total
          HAVING count(*) * ${CorpusAnalytics.HeavyK} > n.n_total
          ORDER BY n_occurrences DESC, token""",
+    // distilled classifier application: weight CASE generated from the
+    // Scala weight constant — integer fold, engine-identical
+    "q_classifier_score" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ${clfRawSql("toks")} AS clf_raw,
+           (${clfRawSql("toks")} * ${graft.operators.CorpusFilters.ClassifierDen}
+             >= CAST(len(toks) AS BIGINT)) AS keep_clf
+         FROM d ORDER BY doc_id""",
+    "q_curate_v6" -> curateV6Oracle,
   )
 }

@@ -178,4 +178,53 @@ object CorpusFilters {
 
   def qDomainMix(spark: SparkSession, dir: String): DataFrame =
     domainMix(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  // --- distilled quality-classifier gate ---
+
+  /** Static (token → integer weight) table of the distilled linear
+    * quality classifier. The REALISTIC deployment shape for
+    * model-based curation at 100 TB: the classifier is trained
+    * offline on a small labeled sample (fasttext-style), distilled to
+    * a published weight table, and the CORPUS-SCALE work is pure
+    * APPLICATION of that table — which is what this operator
+    * implements. Integer weights by design: the gate decision becomes
+    * exact integer arithmetic, bit-identical across engines and
+    * replayable years later (a float score would hash-drift).
+    * Positive = query/structure content signals; negative =
+    * degenerate/filler markers. */
+  val ClassifierWeights: Seq[(String, Int)] = Seq(
+    "query" -> 2, "window" -> 2, "vector" -> 2, "merge" -> 1,
+    "group" -> 1, "column" -> 1, "table" -> 1, "stream" -> 1,
+    "dup" -> -3, "slow" -> -2, "a" -> -1, "the" -> -1)
+
+  /** Keep ⟺ clf_raw · 20 ≥ n_tokens (mean token weight ≥ 0.05). */
+  val ClassifierDen = 20
+
+  /** Per-document classifier application: raw score = Σ weight(token)
+    * over the token stream (unmatched tokens weigh 0), plus the keep
+    * verdict.
+    *
+    * Plan: entirely MAP-SIDE — the weight table rides along as a map
+    * literal and the score is one `aggregate` fold over the token
+    * array, so scoring a 100 TB corpus is a single scan with no
+    * shuffle, no join, no broadcast (the table is part of the plan,
+    * the degenerate-but-correct limit of a broadcast join for a
+    * fixed published table; a REtrained table would come as a
+    * broadcast frame instead). Empty docs score 0 and pass — the
+    * length gates own that decision ([[repetitionStats]]). */
+  def classifierScore(docs: DataFrame): DataFrame = {
+    val wmap = map(ClassifierWeights.flatMap { case (t, w) =>
+      Seq(lit(t), lit(w)) }: _*)
+    val ts = tokens(col("text"))
+    docs.select(col("doc_id"),
+        size(ts).cast("long").as("n_tokens"),
+        aggregate(ts, lit(0L), (acc, t) =>
+          acc + coalesce(element_at(wmap, t).cast("long"), lit(0L)))
+          .as("clf_raw"))
+      .withColumn("keep_clf",
+        col("clf_raw") * ClassifierDen >= col("n_tokens"))
+  }
+
+  def qClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    classifierScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -168,6 +168,26 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** v6 — v5 plus the distilled model-based quality gate: documents
+    * whose mean classifier token weight falls below the published
+    * threshold leave ([[CorpusFilters.classifierScore]] — the
+    * offline-trained, integer-distilled linear classifier applied at
+    * corpus scale). The scoring pass is map-side (weight table is a
+    * plan literal), so the gate adds one semi-join on the same doc_id
+    * partitioning and NO new shuffle of the text. */
+  def curateV6(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val clfKeep = CorpusFilters.classifierScore(docs)
+      .filter(col("keep_clf")).select(col("doc_id"))
+    curateV5(docs, embeddings)
+      .join(clfKeep, Seq("doc_id"), "left_semi")
+  }
+
+  def qCurateV6(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV6(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-shard capstone: the v5 emit packed into fixed-token-
     * budget sequences — curation's OUTPUT wired straight into train
     * prep's INPUT, the handoff a production pipeline schedules as one

@@ -184,4 +184,60 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(CorpusFilters.qContamination(spark, sfSmoke).count() > 0)
     assert(CorpusFilters.qDomainMix(spark, sfSmoke).count() > 0)
   }
+
+  // --- distilled classifier gate ---
+
+  test("classifier: hand-checked scores, boundary kept, negatives dropped") {
+    // weights in play: query=+2, dup=-3, the=-1, slow=-2, table=+1
+    val out = CorpusFilters.classifierScore(docs(
+        (1L, "query query table"),       // raw 5, n 3: 100 >= 3 keep
+        (2L, "dup dup slow the"),        // raw -9, n 4: drop
+        (3L, "zz zz zz zz"),             // raw 0, n 4: 0 >= 4 false, drop
+        (4L, "query zz zz zz " * 10)))   // raw 20, n 40: 400 >= 40 keep
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) === ((3L, 5L, true)))
+    assert(out(2L) === ((4L, -9L, false)))
+    assert(out(3L) === ((4L, 0L, false)))
+    assert(out(4L) === ((40L, 20L, true)))
+  }
+
+  test("classifier: exact threshold boundary keeps (>= not >)") {
+    // raw 1 (one 'table'), n_tokens 20: 1*20 >= 20 — exactly at the
+    // boundary, kept
+    val row = CorpusFilters.classifierScore(docs(
+        (1L, "table " + Seq.fill(19)("zz").mkString(" "))))
+      .collect().head
+    assert(row.getLong(1) === 20L && row.getLong(2) === 1L)
+    assert(row.getBoolean(3), "mean weight exactly at threshold must keep")
+  }
+
+  test("classifier: empty doc scores 0 and passes (length gates own it)") {
+    val row = CorpusFilters.classifierScore(docs((1L, ""))).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getBoolean(3)) === ((0L, 0L, true)))
+  }
+
+  test("classifier: map-side — the scoring plan has no exchange") {
+    val df = CorpusFilters.classifierScore(docs((1L, "query the")))
+    val planStr = df.queryExecution.executedPlan.toString()
+    assert(!planStr.contains("Exchange"),
+      s"classifier application must be a pure scan-side map:\n$planStr")
+  }
+
+  test("classifier gate composes: curate v6 is v5 minus the clf-dropped docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docsDf = graft.tables.Tables.documents(spark, sfSmoke)
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val v5 = graft.operators.Curate.curateV5(docsDf, emb)
+      .select("doc_id").as[Long].collect().toSet
+    val v6 = graft.operators.Curate.curateV6(docsDf, emb)
+      .select("doc_id").as[Long].collect().toSet
+    assert(v6.subsetOf(v5), "v6 must only remove documents")
+    val keep = CorpusFilters.classifierScore(docsDf)
+      .filter(col("keep_clf")).select("doc_id").as[Long].collect().toSet
+    assert(v6 === v5.intersect(keep),
+      "v6 must equal v5 gated by the classifier keep set")
+    assert(v6.size < v5.size, "fixture corpus should exercise the gate")
+  }
 }
