@@ -211,6 +211,8 @@ object SparkEntry {
     "q_heavy_hitters"      -> (CorpusAnalytics.qHeavyHitters _),
     "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
     "q_curate_v6"          -> (Curate.qCurateV6 _),
+    "q_skew_audit"         -> (ScaleJoins.qSkewAudit _),
+    "q_mix_budget"         -> (TrainPrep.qMixBudget _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3426,5 +3428,73 @@ object SparkEntry {
              >= CAST(len(toks) AS BIGINT)) AS keep_clf
          FROM d ORDER BY doc_id""",
     "q_curate_v6" -> curateV6Oracle,
+    // skew audit: percentiles via the integer inverted-CDF over the
+    // frequency-of-frequency frame — exact, no engine quantile function
+    "q_skew_audit" ->
+      s"""WITH kc AS (SELECT event_type, user_id,
+                        CAST(count(*) AS BIGINT) AS kc
+                      FROM events GROUP BY event_type, user_id),
+         fof AS (SELECT event_type, kc, CAST(count(*) AS BIGINT) AS nk
+                 FROM kc GROUP BY event_type, kc),
+         cumf AS (SELECT event_type, kc,
+                    sum(nk) OVER (PARTITION BY event_type ORDER BY kc)
+                      AS cum
+                  FROM fof),
+         tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(kc) AS BIGINT) AS n_rows,
+                   CAST(max(kc) AS BIGINT) AS max_key_count
+                 FROM kc GROUP BY event_type)
+         SELECT t.event_type, n_keys, n_rows, max_key_count,
+           CAST(min(CASE WHEN cum * 100 >= n_keys * 50 THEN kc END)
+             AS BIGINT) AS p50_key_count,
+           CAST(min(CASE WHEN cum * 100 >= n_keys * 99 THEN kc END)
+             AS BIGINT) AS p99_key_count,
+           CAST(max_key_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS top_share,
+           (max_key_count * ${graft.operators.ScaleJoins.SkewHintFrac}
+               > n_rows
+             AND max_key_count >
+               CAST(min(CASE WHEN cum * 100 >= n_keys * 50 THEN kc END)
+                 AS BIGINT) * ${graft.operators.ScaleJoins.SkewHintDominance})
+             AS salt_hint
+         FROM cumf c JOIN tot t ON c.event_type = t.event_type
+         GROUP BY t.event_type, n_keys, n_rows, max_key_count
+         ORDER BY t.event_type""",
+    // weighted water-filling: capped test and allocations are integer
+    // cross-multiplies/floor-divs; the sort ratio is one IEEE division
+    "q_mix_budget" -> {
+      val whens = graft.operators.TrainPrep.MixWeights
+        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+      val num = graft.operators.TrainPrep.MixBudgetNum
+      val den = graft.operators.TrainPrep.MixBudgetDen
+      s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                     FROM documents GROUP BY source),
+         w AS (SELECT source, n_s,
+                 CAST(CASE source $whens ELSE 1 END AS BIGINT) AS weight
+               FROM a),
+         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                   CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+         o AS (SELECT w.*, w_total, (n_total * $num) // $den AS budget,
+                 CAST(coalesce(sum(n_s) OVER pre, 0) AS BIGINT) AS pa,
+                 CAST(coalesce(sum(weight) OVER pre, 0) AS BIGINT) AS pw
+               FROM w CROSS JOIN tot
+               WINDOW pre AS (ORDER BY CAST(n_s AS DOUBLE)
+                   / CAST(weight AS DOUBLE), source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         c AS (SELECT *, (n_s * (w_total - pw) <= (budget - pa) * weight)
+                 AS capped
+               FROM o),
+         res AS (SELECT
+                   max(budget) - coalesce(sum(CASE WHEN capped THEN n_s END), 0)
+                     AS b_res,
+                   max(w_total) - coalesce(sum(CASE WHEN capped THEN weight END), 0)
+                     AS w_res
+                 FROM c)
+         SELECT source, n_s, weight, capped,
+           CAST(CASE WHEN capped THEN n_s
+                WHEN w_res > 0 THEN least(n_s, (weight * b_res) // w_res)
+                ELSE 0 END AS BIGINT) AS alloc
+         FROM c CROSS JOIN res ORDER BY source"""
+    },
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables
 
@@ -66,4 +67,63 @@ object ScaleJoins {
       .bucketBy(numBuckets, key).sortBy(key)
       .option("path", path)
       .saveAsTable(table)
+
+  // --- key-skew audit ---
+
+  /** Salt hint, share arm: the hottest key holds strictly more than a
+    * 1/20 (5%) share of its group's rows. */
+  val SkewHintFrac = 20
+
+  /** Salt hint, dominance arm: the hottest key also exceeds 8× the
+    * median per-key count. Both arms must fire: a small uniform key
+    * space trips the share test alone (6 keys ⇒ every key holds 17%)
+    * yet is exactly what AQE splits fine — salting is for a key that
+    * DWARFS its peers, which is what max ≫ p50 detects. */
+  val SkewHintDominance = 8
+
+  /** Per-group key-distribution audit: the readout that DECIDES whether
+    * a join/aggregation on `keyCol` needs [[saltedJoin]] (or AQE skew
+    * splitting) before anyone burns a cluster finding out. Per value of
+    * `typeCol`: row and distinct-key totals, the hottest key's count
+    * and share, exact p50/p99 of the per-key count distribution, and
+    * the salt hint.
+    *
+    * Scale shape: one (type, key) count with map-side partials — the
+    * same shuffle the audited aggregation itself would do — then
+    * everything else runs on the FREQUENCY-OF-FREQUENCY frame
+    * (type, per-key-count → how many keys), whose size is bounded by
+    * the number of DISTINCT count values, not the number of keys. The
+    * percentile window sorts that tiny frame per type; the percentile
+    * itself is the integer inverted-CDF (smallest count whose
+    * cumulative key coverage reaches ⌈q·n_keys⌉, spelled
+    * cum·100 ≥ q·n_keys) — exact, tie-stable, engine-portable. The
+    * only doubles are the two terminal share divisions. */
+  def keySkewAudit(df: DataFrame, typeCol: String, keyCol: String): DataFrame = {
+    val keyCounts = df.groupBy(col(typeCol), col(keyCol))
+      .agg(count(lit(1)).as("kc"))
+    val fof = keyCounts.groupBy(col(typeCol), col("kc"))
+      .agg(count(lit(1)).as("nk"))
+    val cum = fof.withColumn("cum",
+      sum(col("nk")).over(Window.partitionBy(col(typeCol)).orderBy(col("kc"))))
+    val tot = keyCounts.groupBy(col(typeCol)).agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("kc")).as("n_rows"),
+      max(col("kc")).as("max_key_count"))
+    def pctl(q: Int): Column =
+      min(when(col("cum") * 100 >= col("n_keys") * q, col("kc")))
+        .as(s"p${q}_key_count")
+    cum.join(tot, Seq(typeCol))
+      .groupBy(col(typeCol), col("n_keys"), col("n_rows"),
+        col("max_key_count"))
+      .agg(pctl(50), pctl(99))
+      .withColumn("top_share",
+        col("max_key_count").cast("double") / col("n_rows").cast("double"))
+      .withColumn("salt_hint",
+        col("max_key_count") * SkewHintFrac > col("n_rows") &&
+          col("max_key_count") > col("p50_key_count") * SkewHintDominance)
+  }
+
+  def qSkewAudit(spark: SparkSession, dir: String): DataFrame =
+    keySkewAudit(Tables.events(spark, dir), "event_type", "user_id")
+      .orderBy(col("event_type"))
 }

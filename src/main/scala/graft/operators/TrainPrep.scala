@@ -367,6 +367,83 @@ object TrainPrep {
     domainUpsample(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("copy_id"))
 
+  // --- mixture budget allocation (weighted water-filling) ---
+
+  /** Per-source preference weights for [[mixtureAllocation]] — the
+    * mixture the training run WANTS, as published integers (sources
+    * not listed weigh 1). */
+  val MixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 5, "src1" -> 4, "src2" -> 3, "src3" -> 2)
+
+  /** Budget as a fraction of total availability: B = ⌊total · 2 / 5⌋. */
+  val MixBudgetNum = 2
+  val MixBudgetDen = 5
+
+  /** Allocate a global document budget across sources by weighted
+    * water-filling: each source receives min(avail, w·λ) documents
+    * with one shared water level λ chosen to spend the budget —
+    * the planning step of "train on B tokens at THIS mixture" when
+    * preferred sources don't have enough data and their shortfall
+    * must flow to the rest in proportion to weight (the fallback
+    * a plain per-source quota silently gets wrong).
+    *
+    * Exact greedy form: sources sorted ascending by avail/weight;
+    * a source is CAPPED (takes all its docs) iff
+    * `avail·(W − pw) ≤ (B − pa)·w` over the prefix sums pa/pw of the
+    * sorted order — the cross-multiplied integer spelling of
+    * avail/w ≤ remaining-level, so both engines make bit-identical
+    * decisions (the ratio appears only as a window SORT key: one
+    * IEEE division, same order both engines). Uncapped sources split
+    * the residual budget by integer floor `(w·B')div W'`, clamped to
+    * avail. Everything is O(#sources): the counts aggregate is the
+    * only corpus-scale pass, and the global window runs over the
+    * bounded per-source frame (documented global-window exemption —
+    * #sources is a workload constant). Σ alloc ≤ B structurally:
+    * each capped source fit inside the remaining budget when tested,
+    * and the uncapped floors sum below the residual. */
+  def mixtureAllocation(docs: DataFrame,
+                        weights: Seq[(String, Int)] = MixWeights): DataFrame = {
+    val wcol =
+      if (weights.isEmpty) lit(1L) // map() of zero entries has no key type
+      else {
+        val wmap = map(weights.flatMap { case (s, w) =>
+          Seq(lit(s), lit(w)) }: _*)
+        coalesce(element_at(wmap, col("source")).cast("long"), lit(1L))
+      }
+    val a = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      .withColumn("weight", wcol)
+    val tot = a.agg(sum(col("n_s")).as("n_total"),
+      sum(col("weight")).as("w_total"))
+    val pre = Window.orderBy(
+        (col("n_s").cast("double") / col("weight").cast("double")).asc,
+        col("source").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val c = a.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"(n_total * $MixBudgetNum) div $MixBudgetDen"))
+      .withColumn("pa", coalesce(sum(col("n_s")).over(pre), lit(0L)))
+      .withColumn("pw", coalesce(sum(col("weight")).over(pre), lit(0L)))
+      .withColumn("capped",
+        col("n_s") * (col("w_total") - col("pw")) <=
+          (col("budget") - col("pa")) * col("weight"))
+    val residual = c.agg(
+      (first(col("budget")) -
+        coalesce(sum(when(col("capped"), col("n_s"))), lit(0L))).as("b_res"),
+      (first(col("w_total")) -
+        coalesce(sum(when(col("capped"), col("weight"))), lit(0L))).as("w_res"))
+    c.crossJoin(broadcast(residual))
+      .withColumn("alloc",
+        when(col("capped"), col("n_s"))
+          .when(col("w_res") > 0,
+            least(col("n_s"), expr("(weight * b_res) div w_res")))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_s"), col("weight"), col("capped"),
+        col("alloc"))
+  }
+
+  def qMixBudget(spark: SparkSession, dir: String): DataFrame =
+    mixtureAllocation(Tables.documents(spark, dir)).orderBy(col("source"))
+
   // --- BPE merge learning (subword vocabulary induction) ---
 
   /** Merge budget for [[bpeMerges]] — the workload constant that bounds

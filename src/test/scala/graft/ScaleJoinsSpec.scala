@@ -81,4 +81,47 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  // --- key-skew audit ---
+
+  test("skew audit: planted hot key is reported with exact percentiles") {
+    // type A: per-key counts {k1..k4: 1 each, k5: 16} — 5 keys, 20 rows
+    val rows = (1 to 4).map(k => ("A", k.toLong)) ++
+      (1 to 16).map(_ => ("A", 5L)) ++
+      (1 to 6).map(k => ("B", k.toLong)) // type B: uniform 1s
+    val df = rows.toDF("event_type", "user_id")
+    val out = ScaleJoins.keySkewAudit(df, "event_type", "user_id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((5L, 20L, 16L)))
+    // inverted CDF: cum(kc=1)=4 ≥ ⌈0.5·5⌉ → p50=1; p99 needs cum ≥
+    // 4.95 → the hot key's 16
+    assert((a.getLong(4), a.getLong(5)) === ((1L, 16L)))
+    assert(a.getDouble(6) === 0.8)
+    assert(a.getBoolean(7), "16 of 20 rows in one key must raise the salt hint")
+    val b = out("B")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3)) === ((6L, 6L, 1L)))
+    assert((b.getLong(4), b.getLong(5)) === ((1L, 1L)))
+    assert(!b.getBoolean(7), "uniform keys must not raise the hint")
+  }
+
+  test("skew audit: hint threshold is strict (exactly 1/20 share stays quiet)") {
+    // hot key holds exactly 5%: 1 of 20 rows per key over 20 keys
+    val rows = (1 to 20).flatMap(k => Seq(("A", k.toLong)))
+    val out = ScaleJoins.keySkewAudit(rows.toDF("event_type", "user_id"),
+      "event_type", "user_id").collect().head
+    assert(out.getLong(3) * ScaleJoins.SkewHintFrac === out.getLong(2))
+    assert(!out.getBoolean(7), "share exactly at 1/20 must NOT hint")
+  }
+
+  test("skew audit: null keys count as one key; result is partition-stable") {
+    val rows = Seq(("A", Some(1L)), ("A", None), ("A", None), ("A", Some(2L)))
+    val df = rows.toDF("event_type", "user_id")
+    val one = ScaleJoins.keySkewAudit(df, "event_type", "user_id").collect()
+    val many = ScaleJoins.keySkewAudit(df.repartition(5),
+      "event_type", "user_id").collect()
+    assert(one.toSeq === many.toSeq)
+    assert(one.head.getLong(1) === 3L, "null is a (single) key")
+    assert(one.head.getLong(3) === 2L)
+  }
 }
