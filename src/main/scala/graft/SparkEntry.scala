@@ -213,6 +213,8 @@ object SparkEntry {
     "q_curate_v6"          -> (Curate.qCurateV6 _),
     "q_skew_audit"         -> (ScaleJoins.qSkewAudit _),
     "q_mix_budget"         -> (TrainPrep.qMixBudget _),
+    "q_mix_sample"         -> (TrainPrep.qMixSample _),
+    "q_vocab_coverage"     -> (TrainPrep.qVocabCoverage _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3462,39 +3464,77 @@ object SparkEntry {
          ORDER BY t.event_type""",
     // weighted water-filling: capped test and allocations are integer
     // cross-multiplies/floor-divs; the sort ratio is one IEEE division
-    "q_mix_budget" -> {
-      val whens = graft.operators.TrainPrep.MixWeights
-        .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
-      val num = graft.operators.TrainPrep.MixBudgetNum
-      val den = graft.operators.TrainPrep.MixBudgetDen
-      s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
-                     FROM documents GROUP BY source),
-         w AS (SELECT source, n_s,
-                 CAST(CASE source $whens ELSE 1 END AS BIGINT) AS weight
-               FROM a),
-         tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
-                   CAST(sum(weight) AS BIGINT) AS w_total FROM w),
-         o AS (SELECT w.*, w_total, (n_total * $num) // $den AS budget,
-                 CAST(coalesce(sum(n_s) OVER pre, 0) AS BIGINT) AS pa,
-                 CAST(coalesce(sum(weight) OVER pre, 0) AS BIGINT) AS pw
-               FROM w CROSS JOIN tot
-               WINDOW pre AS (ORDER BY CAST(n_s AS DOUBLE)
-                   / CAST(weight AS DOUBLE), source
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-         c AS (SELECT *, (n_s * (w_total - pw) <= (budget - pa) * weight)
-                 AS capped
-               FROM o),
-         res AS (SELECT
-                   max(budget) - coalesce(sum(CASE WHEN capped THEN n_s END), 0)
-                     AS b_res,
-                   max(w_total) - coalesce(sum(CASE WHEN capped THEN weight END), 0)
-                     AS w_res
-                 FROM c)
-         SELECT source, n_s, weight, capped,
+    "q_mix_budget" ->
+      s"""$mixBudgetCtes
+         SELECT source, n_s, weight, capped, alloc
+         FROM mixplan ORDER BY source""",
+    // plan → execution: per-source hash-threshold selection against the
+    // water-filled allocation (the domainMix bucket recipe)
+    "q_mix_sample" ->
+      s"""$mixBudgetCtes,
+         h AS (SELECT doc_id, source,
+                 md5('mixsel:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents)
+         SELECT h.doc_id, h.source
+         FROM h JOIN mixplan USING (source)
+         WHERE ${md5b60Sql("hx")} % 10000 * n_s < alloc * 10000
+         ORDER BY doc_id""",
+    // per-source OOV share under the top-K vocab (vocab_topk's chain)
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(${toksSql("text")}) AS token
+                       FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+               FROM tok GROUP BY token),
+         vv AS (SELECT token FROM c
+                ORDER BY n_occurrences DESC, token
+                LIMIT ${graft.operators.TrainPrep.VocabK}),
+         st AS (SELECT d.source, t.token
+                FROM documents d
+                JOIN tok t ON d.doc_id = t.doc_id)
+         SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vv.token IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN vv.token IS NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_share
+         FROM st LEFT JOIN vv ON st.token = vv.token
+         GROUP BY source ORDER BY source""",
+  )
+
+  /** The water-filling chain shared by the budget readout and the
+    * sampler — weights CASE generated from the Scala constant. */
+  private def mixBudgetCtes: String = {
+    val whens = graft.operators.TrainPrep.MixWeights
+      .map { case (s, w) => s"WHEN '$s' THEN $w" }.mkString(" ")
+    val num = graft.operators.TrainPrep.MixBudgetNum
+    val den = graft.operators.TrainPrep.MixBudgetDen
+    s"""WITH a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+                   FROM documents GROUP BY source),
+       w AS (SELECT source, n_s,
+               CAST(CASE source $whens ELSE 1 END AS BIGINT) AS weight
+             FROM a),
+       tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+                 CAST(sum(weight) AS BIGINT) AS w_total FROM w),
+       o AS (SELECT w.*, w_total, (n_total * $num) // $den AS budget,
+               CAST(coalesce(sum(n_s) OVER pre, 0) AS BIGINT) AS pa,
+               CAST(coalesce(sum(weight) OVER pre, 0) AS BIGINT) AS pw
+             FROM w CROSS JOIN tot
+             WINDOW pre AS (ORDER BY CAST(n_s AS DOUBLE)
+                 / CAST(weight AS DOUBLE), source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       c AS (SELECT *, (n_s * (w_total - pw) <= (budget - pa) * weight)
+               AS capped
+             FROM o),
+       res AS (SELECT
+                 max(budget) - coalesce(sum(CASE WHEN capped THEN n_s END), 0)
+                   AS b_res,
+                 max(w_total) - coalesce(sum(CASE WHEN capped THEN weight END), 0)
+                   AS w_res
+               FROM c),
+       mixplan AS (SELECT source, n_s, weight, capped,
            CAST(CASE WHEN capped THEN n_s
                 WHEN w_res > 0 THEN least(n_s, (weight * b_res) // w_res)
                 ELSE 0 END AS BIGINT) AS alloc
-         FROM c CROSS JOIN res ORDER BY source"""
-    },
-  )
+         FROM c CROSS JOIN res)"""
+  }
 }

@@ -685,4 +685,20 @@ object CorpusAnalytics {
     heavyHitters(Tables.documents(spark, dir))
       .orderBy(col("n_occurrences").desc, col("token"))
   }
+
+  /** Streaming candidate maintenance: the SAME native Misra–Gries
+    * aggregate run as a streaming aggregation in complete mode — each
+    * micro-batch's partial summaries merge into the standing state
+    * under the identical Mergeable-Summaries rule, so the guarantee
+    * (every token above the N/(capacity+1) share survives) holds for
+    * WHATEVER merge order arrival imposes. The candidate TAIL may
+    * differ from a batch run's — the heavy survivors cannot; the spec
+    * pins streamed-candidates → exact-verify ≡ the batch operator.
+    * This is the standing trending-tokens state a live ingest keeps,
+    * with the exact verify running as a cheap periodic batch probe. */
+  def streamingHeavyCandidates(streamDocs: DataFrame,
+                               capacity: Int = HeavyCapacity): DataFrame =
+    streamDocs.select(tokens(col("text")).as("toks"))
+      .agg(call_function("misra_gries", col("toks"), lit(capacity))
+        .as("cands"))
 }

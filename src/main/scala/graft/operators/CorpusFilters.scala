@@ -227,4 +227,31 @@ object CorpusFilters {
 
   def qClassifierScore(spark: SparkSession, dir: String): DataFrame =
     classifierScore(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** [[classifierScore]] with the weight table as a DATA FRAME — the
+    * retrain path: a freshly distilled table lands as a small parquet
+    * and broadcasts, no code change or redeploy. Explode → broadcast
+    * equi-join → per-doc sum; unmatched tokens contribute nothing
+    * (inner join), docs with no matched token re-enter with raw 0
+    * through the left join against the map-side (doc_id, n_tokens)
+    * base, so the two paths agree row-for-row (spec-pinned). The
+    * token stream shuffles once on doc_id for the sum — the price of
+    * a dynamic table; the literal-map path stays the zero-shuffle
+    * fast lane for a PUBLISHED table. */
+  def classifierScoreFrame(docs: DataFrame, weights: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val raw = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("token"))
+      .join(broadcast(weights), Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("weight").cast("long")).as("raw"))
+    base.join(raw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        // null text stays null end-to-end, as the literal-map fold has it
+        when(col("n_tokens").isNull, lit(null).cast("long"))
+          .otherwise(coalesce(col("raw"), lit(0L))).as("clf_raw"))
+      .withColumn("keep_clf",
+        col("clf_raw") * ClassifierDen >= col("n_tokens"))
+  }
 }

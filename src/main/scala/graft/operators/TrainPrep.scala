@@ -149,6 +149,28 @@ object TrainPrep {
   def qVocabTopK(spark: SparkSession, dir: String): DataFrame =
     vocabTopK(Tables.documents(spark, dir)).orderBy(col("vocab_id"))
 
+  /** Per-source tokenizer coverage under the [[vocabTopK]] vocabulary:
+    * token total, OOV count, and the OOV share — the readout that
+    * tells a tokenizer owner WHICH ingest slice their vocab is failing
+    * before perplexity does (a new source with a high OOV share is
+    * under-served by the current vocab/merges). One exploded pass with
+    * the O(K) vocab as a broadcast anti-join probe, aggregated on the
+    * bounded source key; integer counts plus one terminal division. */
+  def vocabCoverage(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val vocab = vocabTopK(docs, k).select(col("token"))
+    docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+      .join(broadcast(vocab).withColumn("in_vocab", lit(1L)),
+        Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_share",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(spark, dir)).orderBy(col("source"))
+
   // --- tokenizer application (vocab encode) ---
 
   /** Encode every document as its vocab-id sequence: tokens mapped
@@ -443,6 +465,31 @@ object TrainPrep {
 
   def qMixBudget(spark: SparkSession, dir: String): DataFrame =
     mixtureAllocation(Tables.documents(spark, dir)).orderBy(col("source"))
+
+  /** Materialize the [[mixtureAllocation]] plan: per source, keep a
+    * deterministic hash-thresholded subset of ≈alloc documents — the
+    * EXECUTION half of the budget planner, same recipe as
+    * [[CorpusFilters.domainMix]] (`bucket·n_s < alloc·10000`, integer
+    * cross-multiply, "mixsel:" salt so the selection is independent of
+    * the split/mix/upsample buckets). The plan frame is O(#sources)
+    * and broadcast onto a single narrow corpus pass; keep decisions
+    * are reshuffle- and rerun-stable, and the realized per-source
+    * count concentrates on alloc·(1 ± 10^-2ish) by the uniformity of
+    * the 60-bit bucket. */
+  def mixtureSample(docs: DataFrame,
+                    weights: Seq[(String, Int)] = MixWeights): DataFrame = {
+    val plan = mixtureAllocation(docs, weights)
+      .select(col("source"), col("n_s"), col("alloc"))
+    val bucket =
+      md5Bits60(concat(lit("mixsel:"), col("doc_id").cast("string"))) % 10000L
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(plan), Seq("source"))
+      .filter(bucket * col("n_s") < col("alloc") * 10000L)
+      .select(col("doc_id"), col("source"))
+  }
+
+  def qMixSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   // --- BPE merge learning (subword vocabulary induction) ---
 

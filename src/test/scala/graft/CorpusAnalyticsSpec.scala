@@ -380,4 +380,44 @@ class CorpusAnalyticsSpec extends SparkSpec {
       CorpusAnalytics.heavyHitters(docs, k = 10, capacity = 4)
     }
   }
+
+  test("streaming MG candidates: heavy survivors match the batch operator") {
+    import org.apache.spark.sql.streaming.Trigger
+    // skewed corpus split over 3 files → 3 micro-batches (merge order
+    // differs from any batch partitioning)
+    val fixture = docsOf((1L to 30L).map { i =>
+      val body = if (i % 3 == 0) "hot hot hot" else s"t$i u$i v$i"
+      (i, body, "en", "s1")
+    }: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-stream")
+    fixture.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(fixture.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+    val q = CorpusAnalytics.streamingHeavyCandidates(stream, capacity = 8)
+      .writeStream.format("memory").queryName("hh_cands")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream did not finish")
+    val cands = spark.table("hh_cands").collect()
+      .head.getSeq[String](0).toSet
+    assert(cands.size <= 8, s"state exceeded capacity: $cands")
+    // every TRUE heavy token survives any merge order…
+    val expect = bruteHeavy(fixture, k = 4)
+    assert(expect.keySet.subsetOf(cands),
+      s"heavy ${expect.keySet} must survive in candidates $cands")
+    // …and the streamed-state → exact-verify composite equals the
+    // batch operator's answer
+    val total = fixture
+      .select(explode(graft.functions.tokens(col("text"))).as("token")).count()
+    val verified = fixture
+      .select(explode(graft.functions.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(cands.toSeq: _*))
+      .groupBy("token").count()
+      .filter(col("count") * 4 > total)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = CorpusAnalytics.heavyHitters(fixture, k = 4, capacity = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verified === batch)
+  }
 }

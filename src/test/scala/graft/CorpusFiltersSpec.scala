@@ -224,6 +224,21 @@ class CorpusFiltersSpec extends SparkSpec {
       s"classifier application must be a pure scan-side map:\n$planStr")
   }
 
+  test("classifier: frame-weight path agrees with the literal-map path row-for-row") {
+    val weightsDf = graft.operators.CorpusFilters.ClassifierWeights
+      .toDF("token", "weight")
+    val fixture = docs(
+      (1L, "query query table"), (2L, "dup dup slow the"),
+      (3L, "zz zz zz zz"), (4L, ""), (5L, "the a dup query"))
+      .union(Seq((6L, null.asInstanceOf[String], "en", "src0", 0))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val lit = CorpusFilters.classifierScore(fixture)
+      .orderBy("doc_id").collect().toSeq
+    val frame = CorpusFilters.classifierScoreFrame(fixture, weightsDf)
+      .orderBy("doc_id").collect().toSeq
+    assert(frame === lit)
+  }
+
   test("classifier gate composes: curate v6 is v5 minus the clf-dropped docs") {
     val spark2 = spark
     import spark2.implicits._

@@ -557,6 +557,36 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: planted OOV source is called out, exact shares") {
+    // vocab k=2 → {w (8 occurrences), x (3)}; source "bad" speaks only
+    // OOV tokens
+    val docs = Seq(
+      (1L, "w w w w x", "en", "good"), (2L, "w w w w x x", "en", "good"),
+      (3L, "q1 q2 q3 q4", "en", "bad"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.vocabCoverage(docs, k = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("good") === ((11L, 0L, 0.0)))
+    assert(out("bad") === ((4L, 4L, 1.0)))
+  }
+
+  test("mixture sample: capped source keeps everything, others land near alloc") {
+    // s1 caps (all 10 kept — the threshold degenerates to always-true);
+    // s2's realized count concentrates near its 34-doc allocation
+    val docs = corpusOf("s1" -> 10, "s2" -> 100)
+    val kept = TrainPrep.mixtureSample(docs, weights = Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("s1") === 10, "capped source must keep every document")
+    val s2 = bySrc("s2")
+    assert(s2 >= 24 && s2 <= 44, s"s2 kept $s2, expected ≈34")
+    // deterministic under repartition
+    val again = TrainPrep.mixtureSample(docs.repartition(7), weights = Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sortBy(_._1).toSeq === kept.sortBy(_._1).toSeq)
+  }
+
   test("mixture allocation: budget covering all supply caps every source") {
     // budget = ⌊5·2/5⌋=2 < total — use tiny corpus where budget≥total
     // impossible via the 2/5 rule, so instead: every source equally
