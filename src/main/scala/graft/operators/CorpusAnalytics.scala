@@ -686,6 +686,37 @@ object CorpusAnalytics {
       .orderBy(col("n_occurrences").desc, col("token"))
   }
 
+  /** Boilerplate-token strip driven by [[heavyHitters]]: the training
+    * emit with every token holding a > 1/k corpus share removed — the
+    * token-level analogue of the repeated-span strip (a token that is
+    * 5% of a 100 TB stream is markup/template residue, not language;
+    * stop-lists catch English glue, this catches the CORPUS's own
+    * glue without a curated list).
+    *
+    * Plan: the heavy set collapses to a ONE-ROW array (≤capacity
+    * entries, the same bounded-collect discipline as the IVF
+    * centroids) and broadcasts onto a map-side array filter — the
+    * rebuild never shuffles the corpus, and position order is
+    * preserved by construction because `filter` keeps relative order
+    * in both engines. */
+  def stripHeavyTokens(docs: DataFrame, k: Int = HeavyK,
+                       capacity: Int = HeavyCapacity): DataFrame = {
+    val heavy = heavyHitters(docs, k, capacity)
+      .agg(collect_list(col("token")).as("hv"))
+    val ts = tokens(col("text"))
+    docs.crossJoin(broadcast(heavy))
+      .select(col("doc_id"), size(ts).cast("long").as("n_before"),
+        filter(ts, t => !array_contains(col("hv"), t)).as("kept"))
+      .select(col("doc_id"), col("n_before"),
+        size(col("kept")).cast("long").as("n_after"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  def qStripHeavy(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    stripHeavyTokens(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+  }
+
   /** Streaming candidate maintenance: the SAME native Misra–Gries
     * aggregate run as a streaming aggregation in complete mode — each
     * micro-batch's partial summaries merge into the standing state
