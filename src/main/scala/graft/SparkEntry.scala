@@ -209,6 +209,7 @@ object SparkEntry {
     "q_label_centroids"    -> (Similarity.qLabelCentroids _),
     "q_dim_variance"       -> (Similarity.qDimVariance _),
     "q_heavy_hitters"      -> (CorpusAnalytics.qHeavyHitters _),
+    "q_strip_heavy"        -> (CorpusAnalytics.qStripHeavy _),
     "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
     "q_curate_v6"          -> (Curate.qCurateV6 _),
     "q_skew_audit"         -> (ScaleJoins.qSkewAudit _),
@@ -1002,15 +1003,21 @@ object SparkEntry {
     s"CASE $v $whens ELSE 0 END"
   }
   private def clfRawSql(toks: String): String =
-    s"CAST(coalesce(list_sum(list_transform($toks, tok -> ${clfCaseSql("tok")})), 0) AS BIGINT)"
+    // Null-preserving to match Spark: tokens(null text) is a null array,
+    // so classifierScore emits null clf_raw/keep_clf — the oracle must
+    // not coalesce that to a 0 score (ADVICE r9 item 1).
+    s"""CASE WHEN $toks IS NULL THEN NULL
+        ELSE CAST(coalesce(list_sum(list_transform($toks, tok -> ${clfCaseSql("tok")})), 0) AS BIGINT) END"""
 
   /** v6 = v5 + the distilled-classifier keep (mean token weight below
     * threshold leaves; integer cross-multiply, engine-identical). */
   private def v6ExtraCtes: String =
+    // IS NOT TRUE (not `NOT`): Spark keeps a doc iff keep_clf is TRUE,
+    // so a null-text doc (null predicate) must land in clfdrop too.
     s""",
        clfdrop AS (SELECT doc_id FROM t
-                   WHERE NOT (${clfRawSql("toks")} * ${graft.operators.CorpusFilters.ClassifierDen}
-                     >= CAST(len(toks) AS BIGINT)))"""
+                   WHERE (${clfRawSql("toks")} * ${graft.operators.CorpusFilters.ClassifierDen}
+                     >= CAST(len(toks) AS BIGINT)) IS NOT TRUE)"""
   private def v6ExtraWhere: String =
     """
            AND q.doc_id NOT IN (SELECT doc_id FROM clfdrop)"""
@@ -3419,6 +3426,28 @@ object SparkEntry {
          GROUP BY token, n.n_total
          HAVING count(*) * ${CorpusAnalytics.HeavyK} > n.n_total
          ORDER BY n_occurrences DESC, token""",
+    // heavy-token strip: heavy set recomputed exactly (same HAVING
+    // twin as q_heavy_hitters), collapsed to one list, filtered out
+    // of each doc's token array. coalesce to [] so an EMPTY heavy set
+    // keeps every token (list_contains(NULL,·) is NULL and would
+    // null-drop the whole filter). All-integer counts + literal-joined
+    // text — hash-structural.
+    "q_strip_heavy" ->
+      s"""WITH t AS (SELECT unnest(${toksSql("text")}) AS token
+                     FROM documents),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t),
+         heavy AS (SELECT token FROM t CROSS JOIN n
+                   GROUP BY token, n.n_total
+                   HAVING count(*) * ${CorpusAnalytics.HeavyK} > n.n_total),
+         hv AS (SELECT coalesce(list(token), []) AS hv FROM heavy),
+         d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_before,
+           CAST(len(list_filter(toks, tk -> NOT list_contains(hv.hv, tk)))
+             AS BIGINT) AS n_after,
+           coalesce(array_to_string(list_filter(toks,
+             tk -> NOT list_contains(hv.hv, tk)), ' '), '') AS clean_text
+         FROM d CROSS JOIN hv ORDER BY doc_id""",
     // distilled classifier application: weight CASE generated from the
     // Scala weight constant — integer fold, engine-identical
     "q_classifier_score" ->

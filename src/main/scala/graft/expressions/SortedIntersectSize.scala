@@ -149,10 +149,19 @@ object GraftFunctions {
     FunctionIdentifier("misra_gries"),
     new ExpressionInfo(classOf[MisraGriesTokens].getName, "misra_gries"),
     (children: Seq[Expression]) => {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"misra_gries: expected misra_gries(array<string>, int_literal), " +
+            s"got ${children.length} argument(s)")
       val cap = children(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _)
+          if v.isValidInt => v.toInt
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) =>
+          v.toInt
         case other => throw new IllegalArgumentException(
-          s"misra_gries: capacity must be an int literal, got $other")
+          s"misra_gries: expected misra_gries(array<string>, int_literal); " +
+            s"capacity must be an integral literal, got $other")
       }
       MisraGriesTokens(children.head, cap)
     })

@@ -186,26 +186,32 @@ object CorpusAnalytics {
     * is on the token key. Output per source: total tokens, the exact
     * integer numerator, and the one-division double.
     *
-    * The (source, token) table is `localCheckpoint`ed: four downstream
+    * The (source, token) table is `persist`ed: four downstream
     * branches (global counts, source totals, the grand total, and the
     * join spine) would otherwise EACH replay the corpus explode —
     * static plans carry no common-subexpression sharing, and betting
     * on runtime exchange reuse leaves a 4× corpus-scan cliff if any
-    * branch's exchange stops lining up. The checkpoint pins the scan
-    * count at one structurally; the materialized frame is
-    * vocabulary-sized (Heaps-bounded), not corpus-sized. LAZY
-    * checkpoint (eager = false): constructing the DataFrame — e.g. for
-    * a plan inspection — must not launch a corpus job; the
-    * materialization happens on first action. The trade the checkpoint
-    * makes either way: downstream predicates cannot push below it into
-    * the corpus scan (callers filtering one source still pay the full
-    * (source, token) build — acceptable for a whole-corpus readout). */
+    * branch's exchange stops lining up. The persist pins the scan
+    * count at one; the materialized frame is vocabulary-sized
+    * (Heaps-bounded), not corpus-sized, and MEMORY_AND_DISK spills
+    * rather than OOMs if a 100 TB vocabulary outgrows executor
+    * memory. Persist (not `localCheckpoint`): a cached frame keeps
+    * its full lineage, so every run recomputes from the same logical
+    * plan — auditable determinism — where a checkpoint freezes
+    * whatever partition bytes the first materialization happened to
+    * produce. The trade either way: downstream predicates cannot
+    * push below the cache into the corpus scan (callers filtering
+    * one source still pay the full (source, token) build —
+    * acceptable for a whole-corpus readout). The constant-per-group
+    * totals are re-read with `min` (never `first`, which Catalyst
+    * marks nondeterministic and which would un-pin the output under
+    * partial-aggregation reordering). */
   def sourceTokenDivergence(docs: DataFrame): DataFrame = {
     val st = docs
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("n_st"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val global = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
     val totals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
     val bigN = totals.agg(sum(col("n_s")).as("n_all"))
@@ -221,10 +227,10 @@ object CorpusAnalytics {
             col("n_t").cast(dec) * col("n_s").cast(dec)).cast(dec).as("_d"))
       .groupBy(col("source"))
       .agg(
-        first(col("n_s")).as("n_tokens_src"),
+        min(col("n_s")).as("n_tokens_src"),
         sum(col("_d")).cast(dec).as("_present"),
         sum(col("n_t")).as("_g_s"),
-        first(col("n_all")).as("_n_all"))
+        min(col("n_all")).as("_n_all"))
       .select(col("source"), col("n_tokens_src"),
         num.as("l1_num"),
         (num.cast("double") /

@@ -302,6 +302,30 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(out === Map("s1" -> 1.0, "s2" -> 1.0))
   }
 
+  test("source divergence: bit-deterministic across runs and partitionings") {
+    // pins the round-9 red-row fix: the aggregate uses min (never
+    // first, which Catalyst marks nondeterministic), every pre-division
+    // sum is exact decimal, and the single double division happens once
+    // per output row — so REPEATED runs and ANY physical partitioning
+    // must produce bit-identical doubles, not merely check.py-equal
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} shared tok${i % 11} x$i",
+        "en", s"src${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+    def bits(d: org.apache.spark.sql.DataFrame) =
+      CorpusAnalytics.sourceTokenDivergence(d).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toString,
+          java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+        .sortBy(_._1)
+    val base = bits(docs)
+    assert(bits(docs) === base, "re-run changed the bits")
+    assert(bits(docs.repartition(13)) === base,
+      "partitioning changed the bits")
+    assert(bits(docs.repartition(1)) === base,
+      "single-partition run changed the bits")
+  }
+
   // --- guaranteed heavy hitters (MG candidates → exact verify) ---
 
   /** Reference heavy hitters: the full-shuffle spelling the operator
@@ -379,6 +403,58 @@ class CorpusAnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       CorpusAnalytics.heavyHitters(docs, k = 10, capacity = 4)
     }
+  }
+
+  test("stripHeavyTokens: removes exactly the heavy set, preserving position order") {
+    // same corpus as the hand-checked heavyHitters test: heavy = {a}
+    // (6 of 20 with k=4; "b" at exactly 5*4 == 20 stays — boundary OUT
+    // of the heavy set means IN the kept text)
+    val docs = docsOf(
+      (1L, "a a a b b c d e f", "en", "s1"),
+      (2L, "a a a b b b g h i j k", "en", "s1"))
+    val out = CorpusAnalytics.stripHeavyTokens(docs, k = 4, capacity = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 9L, 6L, "b b c d e f"),
+      (2L, 11L, 8L, "b b b g h i j k")))
+  }
+
+  test("stripHeavyTokens: empty heavy set keeps every token verbatim") {
+    // max share is 2/8 = 1/4; k=4 needs a STRICT >1/4 share → nothing
+    // is heavy, and the broadcast heavy array is empty (the
+    // array_contains-on-empty path must keep, not null-drop)
+    val docs = docsOf(
+      (1L, "p q r s", "en", "s1"),
+      (2L, "p q t u", "en", "s1"))
+    val out = CorpusAnalytics.stripHeavyTokens(docs, k = 4, capacity = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 4L, 4L, "p q r s"), (2L, 4L, 4L, "p q t u")))
+  }
+
+  test("stripHeavyTokens: capacity- and partitioning-invariant; empty/null text") {
+    val docs = docsOf(
+      (1L, ("hot " * 12).trim + " w x y z", "en", "s1"),
+      (2L, "", "en", "s1"))
+      .union(Seq((3L, null.asInstanceOf[String], "en", "s1", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def run(d: org.apache.spark.sql.DataFrame, cap: Int) =
+      CorpusAnalytics.stripHeavyTokens(d, k = 3, capacity = cap)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+    val base = run(docs, 4)
+    // "hot" has 12/16 > 1/3 → stripped; empty text stays empty; null
+    // text propagates null counts but concat_ws yields "" (never null)
+    assert(base.toSeq === Seq(
+      (1L, 16L, 4L, "w x y z"), (2L, 0L, 0L, ""), (3L, -1L, -1L, "")))
+    assert(run(docs, 16).toSeq === base.toSeq,
+      "capacity-invariance broke")
+    assert(run(docs.repartition(5), 4).toSeq === base.toSeq,
+      "partitioning-invariance broke")
   }
 
   test("streaming MG candidates: heavy survivors match the batch operator") {

@@ -218,4 +218,26 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge.getDouble(0) === 1.0)
     assert(edge.isNullAt(1))
   }
+
+  test("misra_gries SQL registration: arity and literal-type errors are clear") {
+    graft.expressions.GraftFunctions.register(spark)
+    val df = Seq(Tuple1(Seq("a", "a", "b"))).toDF("toks")
+    df.createOrReplaceTempView("mg_in")
+    // Long literal capacity (e.g. 64L from generated SQL) is accepted
+    val viaLong = spark.sql("SELECT misra_gries(toks, 4L) AS cs FROM mg_in")
+      .collect().head.getSeq[String](0)
+    assert(viaLong.contains("a"))
+    // one argument: a signature-naming error, not IndexOutOfBounds
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(toks) FROM mg_in").collect()
+    }
+    assert(e1.getMessage.contains("misra_gries(array<string>, int_literal)"),
+      s"unexpected: ${e1.getMessage}")
+    // non-literal capacity: names the expected signature too
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(toks, size(toks)) FROM mg_in").collect()
+    }
+    assert(e2.getMessage.contains("misra_gries(array<string>, int_literal)"),
+      s"unexpected: ${e2.getMessage}")
+  }
 }
