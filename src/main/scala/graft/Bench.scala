@@ -43,6 +43,13 @@ import java.nio.file.{Files, Paths}
   *  - a failing query records `"errors":{name:msg}` and a wall-time of
   *    its failure point — never silently recorded as fast/-1; a query
   *    that fails in ANY pass is an error (no min over a partial run).
+  *    Errored queries are EXCLUDED from the headline aggregates
+  *    (`value`, `sec_per_query`, `n_queries` count successful queries
+  *    only; `n_errors` carries the failure count) — a failure time is
+  *    an analysis-error floor, not a measurement, and folding it in
+  *    makes a broken round look fast (the r10/r11 trend-poisoning bug).
+  *    The per-query map still lists errored names (keyed in `errors`)
+  *    so history diffs show WHERE a round broke.
   *  - the compact stdout line additionally carries `"queries_top"` —
   *    the 20 slowest per-query times — because the driver's output-tail
   *    capture is bounded at 2000 chars and cannot hold the full
@@ -140,16 +147,18 @@ object Bench {
       } + "\""
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // headline aggregates over SUCCESSFUL queries only (see scaladoc)
+    val valid = results.filterNot { case (k, _) => errors.contains(k) }
+    val total = valid.map(_._2).sum
     // the query count grows round over round, so the cross-round
     // comparable figure is sec/query, not the total
-    val perQuery = if (results.nonEmpty) total / results.size else 0.0
+    val perQuery = if (valid.nonEmpty) total / valid.size else 0.0
     // bounded top-N slowest for the 2000-char stdout tail (see scaladoc)
-    val topQs = results.sortBy(-_._2).take(20)
+    val topQs = valid.sortBy(-_._2).take(20)
       .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sec_per_query":$perQuery,"timer":"noop-write-min$passes","passes":$passes,"errors":$errJson,"queries_top":$topQs,"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${valid.size},"n_errors":${errors.size},"sec_per_query":$perQuery,"timer":"noop-write-min$passes","passes":$passes,"errors":$errJson,"queries_top":$topQs,"sf":${jstr(sfDir)}"""
     // stdout stays compact (the driver parses a bounded output tail);
     // the per-query map goes only to the files
     println(s"{$head}")

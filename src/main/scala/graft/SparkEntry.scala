@@ -3044,12 +3044,9 @@ object SparkEntry {
                    CAST(sum(n_t) AS HUGEINT) AS g_s,
                    min(n_all) AS n_all
                  FROM d GROUP BY source)
-         SELECT source, n_tokens_src,
+         SELECT source, n_tokens_src, n_all,
            CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s)
-                AS DECIMAL(38,0)) AS l1_num,
-           CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s) AS DOUBLE)
-             / CAST(CAST(n_tokens_src AS HUGEINT) * CAST(n_all AS HUGEINT) AS DOUBLE)
-             AS l1
+                AS DECIMAL(38,0)) AS l1_num
          FROM agg ORDER BY source""",
     // stratified equalizing downsample: integer threshold arithmetic and
     // the salted 60-bit md5 bucket, same recipe as q_domain_upsample

@@ -184,7 +184,11 @@ object CorpusAnalytics {
     * both exact). One exploded pass → (source, token) counts; global
     * counts re-aggregate THAT (never the corpus twice); the join back
     * is on the token key. Output per source: total tokens, the exact
-    * integer numerator, and the one-division double.
+    * integer numerator, and the exact denominator factor `n_all` —
+    * the L1 ratio itself is `l1_num / (n_tokens_src · n_all)`, left
+    * to the caller: a derived double's last-ulp depends on the
+    * engine's summation order, so the comparable surface stays
+    * integer-exact end to end.
     *
     * The (source, token) table is `persist`ed: four downstream
     * branches (global counts, source totals, the grand total, and the
@@ -232,10 +236,8 @@ object CorpusAnalytics {
         sum(col("n_t")).as("_g_s"),
         min(col("n_all")).as("_n_all"))
       .select(col("source"), col("n_tokens_src"),
-        num.as("l1_num"),
-        (num.cast("double") /
-          (col("n_tokens_src").cast(dec) * col("_n_all").cast(dec))
-            .cast("double")).as("l1"))
+        col("_n_all").as("n_all"),
+        num.as("l1_num"))
   }
 
   def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =

@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Canonical table loaders for the star schema + corpus tables.
   *
@@ -37,20 +37,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong`, and
-    * this loader converts the long nanos back to a timestamp. The ns→µs
-    * step is integer division (`div`) — 2024-epoch nanos exceed 2^53, so
-    * any double-precision path would corrupt low bits. */
+  /** `events.parquet` has shipped `ts` under three encodings across
+    * testdata generations; this loader normalizes all of them to
+    * `TimestampType` (µs, UTC — the session TZ is pinned to UTC):
+    *  - TIMESTAMP(NANOS) read as long via
+    *    `spark.sql.legacy.parquet.nanosAsLong`: ns→µs is integer
+    *    division (`div`) — 2024-epoch nanos exceed 2^53, so any
+    *    double-precision path would corrupt low bits;
+    *  - `timestamp[us]` with no timezone (`isAdjustedToUTC=false`),
+    *    which Spark 4 reads as TIMESTAMP_NTZ: cast to TimestampType is
+    *    value-exact under the pinned UTC session timezone;
+    *  - `timestamp[us]` LTZ: already TimestampType, pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = eventsRaw(spark, dir)
     normalizeEvents(raw)
   }
   def eventsRaw(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
   def normalizeEvents(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -284,11 +284,15 @@ class CorpusAnalyticsSpec extends SparkSpec {
   }
 
   test("source divergence: identical mixes score 0, a skewed source scores > 0, l1 <= 2") {
+    // L1 = l1_num / (n_tokens_src * n_all) — the operator emits the
+    // exact integer factors; the ratio is derived here
+    def l1 (r: org.apache.spark.sql.Row): Double =
+      r.getDecimal(3).doubleValue() / (r.getLong(1).toDouble * r.getLong(2))
     val same = Seq(
       (1L, "aa bb cc", "en", "s1"), (2L, "aa bb cc", "en", "s2"))
       .toDF("doc_id", "text", "lang", "source")
     CorpusAnalytics.sourceTokenDivergence(same).collect().foreach { r =>
-      assert(r.getDouble(3) === 0.0,
+      assert(r.getDecimal(3).longValueExact() === 0L,
         s"identical distributions must diverge 0, got $r")
     }
     val skew = Seq(
@@ -296,7 +300,7 @@ class CorpusAnalyticsSpec extends SparkSpec {
       (2L, "bb bb bb bb", "en", "s2"))
       .toDF("doc_id", "text", "lang", "source")
     val out = CorpusAnalytics.sourceTokenDivergence(skew)
-      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getString(0) -> l1(r)).toMap
     // each source holds half the corpus and shares NO token with the
     // other: L1 = |1 - 1/2| + |0 - 1/2| = 1 exactly
     assert(out === Map("s1" -> 1.0, "s2" -> 1.0))
@@ -304,19 +308,18 @@ class CorpusAnalyticsSpec extends SparkSpec {
 
   test("source divergence: bit-deterministic across runs and partitionings") {
     // pins the round-9 red-row fix: the aggregate uses min (never
-    // first, which Catalyst marks nondeterministic), every pre-division
-    // sum is exact decimal, and the single double division happens once
-    // per output row — so REPEATED runs and ANY physical partitioning
-    // must produce bit-identical doubles, not merely check.py-equal
+    // first, which Catalyst marks nondeterministic) and every sum is
+    // exact decimal — the output surface is now integer-only (the
+    // round-12 cure for the last-ulp oracle mismatch), so REPEATED
+    // runs and ANY physical partitioning must produce identical rows
     val docs = (1 to 40).map { i =>
       (i.toLong, s"tok${i % 7} tok${i % 5} shared tok${i % 11} x$i",
         "en", s"src${i % 4}")
     }.toDF("doc_id", "text", "lang", "source")
     def bits(d: org.apache.spark.sql.DataFrame) =
       CorpusAnalytics.sourceTokenDivergence(d).collect()
-        .map(r => (r.getString(0), r.getLong(1),
-          r.getDecimal(2).toString,
-          java.lang.Double.doubleToRawLongBits(r.getDouble(3))))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDecimal(3).toString))
         .sortBy(_._1)
     val base = bits(docs)
     assert(bits(docs) === base, "re-run changed the bits")

@@ -242,8 +242,7 @@ class NullRobustnessSpec extends SparkSpec {
     val single = Seq((1L, "aa bb", "en", "s1"), (2L, "bb cc", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
     val d = CorpusAnalytics.sourceTokenDivergence(single).collect()
-    assert(d.length === 1 && d.head.getDouble(3) === 0.0)
-    assert(d.head.getDecimal(2).longValueExact() === 0L)
+    assert(d.length === 1 && d.head.getDecimal(3).longValueExact() === 0L)
     // null text: tokens(NULL) contributes nothing, the source row keeps
     // its non-null counts
     val withNull = single.unionByName(

@@ -240,7 +240,7 @@ class PlanSpec extends SparkSpec {
       // guard: its null-check must read it. Still pruned to exactly
       // the identity trio — the regression this test exists for is
       // dragging UNUSED columns (value, event_id) into a 100 TB scan.
-      "q_retention_cohorts" -> "ReadSchema: struct<ts:bigint,user_id:bigint,event_type:string>"
+      "q_retention_cohorts" -> "ReadSchema: struct<ts:timestamp_ntz,user_id:bigint,event_type:string>"
     ).foreach { case (q, schema) =>
       val s = formattedPlan(q)
       assert(s.contains(schema), s"$q scan not pruned:\n$s")
