@@ -677,10 +677,23 @@ object CorpusAnalytics {
     val cands = toks
       .agg(call_function("misra_gries", col("toks"), lit(capacity)).as("cs"))
       .select(explode(col("cs")).as("token"))
-    val total = toks
+    verifyHeavyCandidates(docs, cands, k)
+  }
+
+  /** The exact-verify stage of [[heavyHitters]], callable against ANY
+    * candidate set — in particular the standing candidates a
+    * [[streamingHeavyCandidates]] query maintains (the "cheap periodic
+    * batch probe" its scaladoc promises). MG guarantees every token
+    * above the 1/k share survives in the candidate set regardless of
+    * merge order, so exact-verify(streamed candidates) ≡ the one-shot
+    * batch operator — pinned by StreamingSpec. `cands` must expose a
+    * `token` column; it is ≤capacity rows, hence broadcast. */
+  def verifyHeavyCandidates(docs: DataFrame, cands: DataFrame,
+                            k: Int = HeavyK): DataFrame = {
+    val total = docs.select(tokens(col("text")).as("toks"))
       .agg(sum(size(col("toks")).cast("long")).as("n_total"))
     docs.select(explode(tokens(col("text"))).as("token"))
-      .join(broadcast(cands), Seq("token"), "left_semi")
+      .join(broadcast(cands.select(col("token"))), Seq("token"), "left_semi")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occurrences"))
       .crossJoin(broadcast(total))

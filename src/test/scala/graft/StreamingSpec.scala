@@ -495,4 +495,38 @@ class StreamingSpec extends SparkSpec {
       Iterator((1L, "click", 50L), (1L, "click", 150L)), s2).toSeq
     assert(h2.map(h => (h.stage_idx, h.ts_us)) === Seq((2L, 150L)))
   }
+
+  test("streaming MG candidates exact-verified == batch heavy hitters") {
+    import spark.implicits._
+    import graft.operators.CorpusAnalytics
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    // several source files + maxFilesPerTrigger=1 → several micro-batches,
+    // so the standing MG state actually MERGES partial summaries across
+    // batches (the property under test) rather than aggregating once
+    val srcDir = Files.createTempDirectory("graft-mg-src").toString
+    docs.repartition(5).write.mode("overwrite").parquet(srcDir)
+    val streamDocs = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-mg").toString
+    val q = CorpusAnalytics.streamingHeavyCandidates(streamDocs)
+      .writeStream.format("memory").queryName("mg_cands")
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the standing state is one bounded candidate array
+    val nCands = spark.table("mg_cands")
+      .select(size(col("cands"))).as[Int].head()
+    assert(nCands > 0 && nCands <= CorpusAnalytics.HeavyCapacity)
+    // streamed candidates → exact verify ≡ the one-shot batch operator:
+    // the tail may differ between merge orders, the heavy survivors can't
+    val streamedCands = spark.table("mg_cands")
+      .select(explode(col("cands")).as("token"))
+    val verified = CorpusAnalytics.verifyHeavyCandidates(docs, streamedCands)
+      .orderBy(col("n_occurrences").desc, col("token")).collect()
+    val batch = CorpusAnalytics.qHeavyHitters(spark, sfSmoke).collect()
+    assert(verified.toSeq === batch.toSeq)
+  }
 }
