@@ -175,6 +175,7 @@ object SparkEntry {
     "q_bigram_next"        -> (CorpusAnalytics.qBigramNext _),
     "q_rare_bigrams"       -> (CorpusAnalytics.qRareBigrams _),
     "q_source_divergence"  -> (CorpusAnalytics.qSourceDivergence _),
+    "q_lm_perplexity"      -> (CorpusAnalytics.qLmPerplexity _),
     "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
@@ -3048,6 +3049,63 @@ object SparkEntry {
            CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s)
                 AS DECIMAL(38,0)) AS l1_num
          FROM agg ORDER BY source""",
+    // leave-one-out bigram-LM perplexity: logs quantized to integer
+    // micro-nats at the leaf (round(1e6*ln(count))) so scores sum as
+    // exact BIGINTs; one terminal IEEE division; ntile per language
+    "q_lm_perplexity" ->
+      s"""WITH base AS (SELECT doc_id, lang, ${toksSql("text")} AS toks
+                        FROM documents),
+         d AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS m, toks
+               FROM base WHERE len(toks) >= 2),
+         ix AS (SELECT doc_id, lang, m, toks,
+                  unnest(generate_series(1, len(toks) - 1)) AS i FROM d),
+         bg AS (SELECT doc_id, lang, m, toks[i] AS w1, toks[i + 1] AS w2
+                FROM ix),
+         pd AS (SELECT doc_id, lang, m, w1, w2,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM bg GROUP BY doc_id, lang, m, w1, w2),
+         cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c
+                 FROM pd GROUP BY w1, w2),
+         ch AS (SELECT w1, CAST(sum(k) AS BIGINT) AS h FROM pd GROUP BY w1),
+         hd AS (SELECT doc_id, w1, CAST(sum(k) AS BIGINT) AS h_d
+                FROM pd GROUP BY doc_id, w1),
+         ud AS (SELECT doc_id, t.w2 AS w2, CAST(count(*) AS BIGINT) AS u2_d
+                FROM (SELECT doc_id, toks FROM d), UNNEST(toks) AS t(w2)
+                GROUP BY doc_id, t.w2),
+         cu AS (SELECT w2, CAST(sum(u2_d) AS BIGINT) AS u2
+                FROM ud GROUP BY w2),
+         nn AS (SELECT CAST(sum(m) AS BIGINT) AS n_all FROM d),
+         sc AS (SELECT pd.doc_id, pd.lang, pd.m, pd.k,
+                  CASE
+                    WHEN cbg.c - pd.k > 0 THEN
+                      CAST(round(ln(cbg.c - pd.k) * 1000000) AS BIGINT)
+                      - CAST(round(ln(ch.h - hd.h_d) * 1000000) AS BIGINT)
+                    WHEN cu.u2 - ud.u2_d > 0 THEN
+                      CAST(round(ln(2) * 1000000) AS BIGINT)
+                      - CAST(round(ln(5) * 1000000) AS BIGINT)
+                      + CAST(round(ln(cu.u2 - ud.u2_d) * 1000000) AS BIGINT)
+                      - CAST(round(ln(nn.n_all - pd.m) * 1000000) AS BIGINT)
+                    ELSE -CAST(round(ln(nn.n_all - pd.m) * 1000000) AS BIGINT)
+                  END AS lp
+                FROM pd
+                JOIN cbg ON pd.w1 = cbg.w1 AND pd.w2 = cbg.w2
+                JOIN hd ON pd.doc_id = hd.doc_id AND pd.w1 = hd.w1
+                JOIN ch ON pd.w1 = ch.w1
+                JOIN ud ON pd.doc_id = ud.doc_id AND pd.w2 = ud.w2
+                JOIN cu ON pd.w2 = cu.w2
+                CROSS JOIN nn),
+         agg AS (SELECT doc_id, lang, min(m) AS m,
+                   CAST(-sum(k * lp) AS BIGINT) AS nats_micro
+                 FROM sc GROUP BY doc_id, lang)
+         SELECT doc_id, lang, m - 1 AS n_positions, nats_micro,
+           CAST(nats_micro AS DOUBLE) / CAST(m - 1 AS DOUBLE)
+             AS nats_per_pos,
+           CASE ntile(3) OVER (PARTITION BY lang
+               ORDER BY CAST(nats_micro AS DOUBLE) / CAST(m - 1 AS DOUBLE),
+                        doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ppl_bucket
+         FROM agg ORDER BY doc_id""",
     // stratified equalizing downsample: integer threshold arithmetic and
     // the salted 60-bit md5 bucket, same recipe as q_domain_upsample
     "q_stratified_sample" ->

@@ -753,4 +753,115 @@ object CorpusAnalytics {
     streamDocs.select(tokens(col("text")).as("toks"))
       .agg(call_function("misra_gries", col("toks"), lit(capacity))
         .as("cands"))
+
+  // ---------------------------------------------------------------------
+  // Bigram-LM perplexity filter (CCNet-style, leave-one-out)
+  // ---------------------------------------------------------------------
+
+  /** Leave-one-out bigram-LM perplexity score per document, with
+    * per-language head/middle/tail bucketing — the CCNet/Wenzek quality
+    * gate (perplexity under a corpus LM, bucketed per language) without
+    * a separate trained model: the corpus IS the model, and each doc is
+    * scored against the corpus MINUS ITSELF, so a document whose
+    * transitions exist only in itself (template residue, mojibake,
+    * keyword stuffing) scores as the outlier it is instead of certifying
+    * its own fluency.
+    *
+    * Per bigram position with leave-one-out counts (corpus count minus
+    * this doc's own), in order:
+    *   - seen in the rest: ln p = ln c_rest − ln h_rest (conditional MLE);
+    *   - head-or-pair unseen, next token known: stupid backoff
+    *     λ·unigram with λ = 2/5 (Brants et al.'s 0.4, kept rational);
+    *   - token itself unique to this doc: floor at 1/N_rest.
+    *
+    * EXACT COMPARE SURFACE: every log is quantized to integer
+    * micro-nats at the leaf — `round(1e6·ln(n))` of an INTEGER count —
+    * before any arithmetic, so scores sum as exact BIGINTs and the
+    * engine's summation order cannot move an ulp (the
+    * [[sourceTokenDivergence]] lesson). The only doubles are one
+    * terminal division (IEEE-exact, identical bits both engines) and
+    * the window ordering built on it.
+    *
+    * Plan shape (100 TB): exactly TWO corpus scans — one bigram pass,
+    * one unigram pass — each collapsing immediately to a persisted
+    * (doc, gram) count table; every corpus-level table (bigram/head/
+    * unigram counts, the grand total) RE-AGGREGATES a cache rather
+    * than rescanning the corpus (the divergence precedent); all joins
+    * are equi-joins on (w1,w2)/(doc_id,w1)/w2, vocabulary- or
+    * corpus-keyed, no cross products; the grand total is a broadcast
+    * 1-row frame. Bucketing windows partition BY LANGUAGE (as CCNet
+    * does) — never global; a monolingual 100 TB corpus would swap the
+    * exact ntile for approx-quantile boundaries, same emitted schema.
+    *
+    * Output: (doc_id, lang, n_positions, nats_micro, nats_per_pos,
+    * ppl_bucket) for every doc with ≥ 2 tokens.
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+      .withColumn("m", size(col("toks")).cast("long"))
+      .filter(col("m") >= 2)
+    val perDoc = base
+      .select(col("doc_id"), col("lang"), col("m"),
+        explode(expr(
+          "transform(sequence(1, cast(size(toks) as int) - 1), " +
+            "i -> struct(toks[i-1] as w1, toks[i] as w2))")).as("b"))
+      .select(col("doc_id"), col("lang"), col("m"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("doc_id"), col("lang"), col("m"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusBg   = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c"))
+    val corpusHead = perDoc.groupBy(col("w1")).agg(sum(col("k")).as("h"))
+    val docHead    = perDoc.groupBy(col("doc_id"), col("w1")).agg(sum(col("k")).as("h_d"))
+    // persisted like perDoc: corpusUni, the grand total AND the probe
+    // join all read it — without the cache each branch would replay the
+    // corpus explode (4 scans instead of 2)
+    val docUni = base
+      .select(col("doc_id"), explode(col("toks")).as("w2"))
+      .groupBy(col("doc_id"), col("w2")).agg(count(lit(1)).as("u2_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusUni = docUni.groupBy(col("w2")).agg(sum(col("u2_d")).as("u2"))
+    // Σ per-doc unigram counts ≡ Σ m over scored docs — derived from
+    // the cache, never a third corpus scan
+    val bigN = docUni.agg(sum(col("u2_d")).as("n_all"))
+
+    // integer micro-nats of an integer count — quantize at the leaf
+    def qln(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(log(c) * lit(1e6)).cast("long")
+    val cRest = col("c") - col("k")
+    val hRest = col("h") - col("h_d")
+    val uRest = col("u2") - col("u2_d")
+    val nRest = col("n_all") - col("m")
+    val lp = when(cRest > 0, qln(cRest) - qln(hRest))
+      .when(uRest > 0, qln(lit(2)) - qln(lit(5)) + qln(uRest) - qln(nRest))
+      .otherwise(-qln(nRest))
+
+    val scored = perDoc
+      .join(corpusBg, Seq("w1", "w2"))
+      .join(docHead, Seq("doc_id", "w1"))
+      .join(corpusHead, Seq("w1"))
+      .join(docUni, Seq("doc_id", "w2"))
+      .join(corpusUni, Seq("w2"))
+      .crossJoin(broadcast(bigN))
+      .groupBy(col("doc_id"), col("lang"), col("m"))
+      .agg((-sum(col("k") * lp)).as("nats_micro"))
+    val ratio = col("nats_micro").cast("double") /
+      (col("m") - 1).cast("double")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("nats_per_pos"), col("doc_id"))
+    scored
+      .select(col("doc_id"), col("lang"),
+        (col("m") - 1).as("n_positions"),
+        col("nats_micro"), ratio.as("nats_per_pos"))
+      .withColumn("_t", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("_t") === 1, "head")
+          .when(col("_t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("_t")
+  }
+
+  def qLmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

@@ -329,6 +329,51 @@ class CorpusAnalyticsSpec extends SparkSpec {
       "single-partition run changed the bits")
   }
 
+  test("lm perplexity: outliers score high, fluent twins score low, LOO excludes self") {
+    import org.apache.spark.sql.Row
+    // s1/s2 are identical — under leave-one-out each is scored against
+    // the other's counts, so every bigram is "seen in the rest" and the
+    // score is low. s3 shares NO tokens with the corpus: every position
+    // bottoms out at the 1/N_rest floor — maximal surprise.
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "s1"),
+      (2L, "the cat sat on the mat", "en", "s2"),
+      (3L, "zz qq ww rr zz qq", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusAnalytics.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    // identical docs, identical integer scores
+    assert(out(1L).getLong(3) === out(2L).getLong(3))
+    assert(out(1L).getLong(2) === 5L, "6 tokens -> 5 bigram positions")
+    // the unique-vocab doc is the per-language tail
+    val perPos = out.view.mapValues(_.getDouble(4)).toMap
+    assert(perPos(3L) > perPos(1L),
+      s"unique-vocab doc must out-score fluent twins: $perPos")
+    assert(out(3L).getString(5) === "tail")
+    // LOO floor check: every one of doc 3's 5 positions is
+    // token-unique to the doc, so nats = 5 * round(1e6*ln(N_rest)),
+    // N_rest = corpus tokens minus doc 3's 6
+    val nRest = 6 + 6 // two twin docs of 6 tokens each
+    val floor = math.round(math.log(nRest.toDouble) * 1e6)
+    assert(out(3L).getLong(3) === 5L * floor)
+  }
+
+  test("lm perplexity: deterministic across partitionings, one-token docs dropped") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"a${i % 5} b${i % 3} c${i % 7} a${i % 5}", "en", "s")
+    }.toDF("doc_id", "text", "lang", "source")
+      .unionByName(Seq((99L, "solo", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusAnalytics.lmPerplexity(d).collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getString(5))).sortBy(_._1)
+    val base = run(docs)
+    assert(!base.exists(_._1 == 99L), "single-token doc has no bigram row")
+    assert(run(docs.repartition(7)) === base.toSeq.toArray,
+      "partitioning changed scores or buckets")
+  }
+
   // --- guaranteed heavy hitters (MG candidates → exact verify) ---
 
   /** Reference heavy hitters: the full-shuffle spelling the operator

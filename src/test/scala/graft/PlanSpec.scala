@@ -126,6 +126,30 @@ class PlanSpec extends SparkSpec {
     assert(n === 1, s"BPE extraction duplicated $n times in the plan:\n$s")
   }
 
+  test("lm perplexity: two corpus scans, all corpus tables read the caches") {
+    // the bigram pass and the unigram pass each collapse to a persisted
+    // count table; a regression that re-derives any corpus aggregate
+    // from the raw table shows up as a third RUNTIME parquet scan —
+    // counted structurally (direct scans + scans inside each DISTINCT
+    // cache build), because formatted explain re-prints a cached child
+    // plan under every InMemoryTableScan that reads it
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = SparkEntry.queries("q_lm_perplexity")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val direct = plan.collect { case f: FileSourceScanExec => f }.size
+    val cacheScans = plan
+      .collect { case i: InMemoryTableScanExec => i.relation }
+      .groupBy(r => System.identityHashCode(r.cacheBuilder)).values
+      .map(_.head.cachedPlan.collect { case f: FileSourceScanExec => f }.size)
+      .sum
+    assert(direct + cacheScans <= 2,
+      s"lm perplexity grew to ${direct + cacheScans} corpus scans " +
+        s"($direct direct, $cacheScans in caches):\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "the 1-row grand total must join as a broadcast, not a cartesian")
+  }
+
   test("banded-LSH similarity: candidates come from equi-joins, never a nested loop") {
     // the blocking step must stay a (band, sig) key join — a regression
     // to all-pairs would surface as a cartesian/nested-loop operator
