@@ -231,6 +231,19 @@ class NullRobustnessSpec extends SparkSpec {
     assert(inc.toSet === Set((1L, 6L)))
   }
 
+  test("lm perplexity on degenerate input: null/empty/one-token docs drop, twins score") {
+    import graft.operators.CorpusAnalytics
+    val docs = corpus.withColumn("lang", lit("en"))
+    val out = CorpusAnalytics.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // only the two 12-token twins have bigrams; null (4), empty (2),
+    // whitespace (3) and one-token (5) docs emit no row and never throw
+    assert(out.keySet === Set(1L, 6L))
+    assert(out(1L).getLong(3) === out(6L).getLong(3),
+      "identical twins must score identically under leave-one-out")
+    assert(out(1L).getLong(2) === 11L, "12 tokens -> 11 positions")
+  }
+
   test("round-8 corpus ops on degenerate input") {
     import graft.operators.{CorpusAnalytics, TrainPrep}
     // rare bigrams: null/empty/one-token docs emit no row, never throw
