@@ -77,6 +77,7 @@ object SparkEntry {
     "q_dodd_side_branch"   -> (LegislatorCounts.qDoddSideBranch _),
     "q_fulltext_search"    -> (FullText.qFullTextSearch _),
     "q_budget_bills"       -> (FullText.qBudgetBills _),
+    "q_budget_bills_pdf"   -> (FullText.qBudgetBillsPdf _),
     "q_budget_semi_join"   -> (FullText.qBudgetSemiJoin _),
     "q_chaptered_texts"    -> (FullText.qChapteredTexts _),
     "q_decode_payloads"    -> (FullText.qDecodePayloads _),
@@ -1556,6 +1557,17 @@ object SparkEntry {
          FROM matched
          ORDER BY term, file""",
     "q_budget_bills" ->
+      s"""WITH raw_lines AS (
+           SELECT year, unnest(string_split(text, chr(10))) AS line FROM ${fx("sbud")}),
+         lines AS (SELECT year, ltrim(line) AS line FROM raw_lines)
+         SELECT year,
+           replace(regexp_replace(line, '^([AS][BC]A? [0-9]+).*$$', '\\1'), ' ', '') AS bill_number
+         FROM lines WHERE regexp_matches(line, '^[AS][BC]A? [0-9]')
+         ORDER BY year, bill_number""",
+    // the PDF-fed spelling must land on the SAME rows as the
+    // ground-truth-text oracle — this is the hash gate that certifies
+    // PdfText.extract end to end
+    "q_budget_bills_pdf" ->
       s"""WITH raw_lines AS (
            SELECT year, unnest(string_split(text, chr(10))) AS line FROM ${fx("sbud")}),
          lines AS (SELECT year, ltrim(line) AS line FROM raw_lines)

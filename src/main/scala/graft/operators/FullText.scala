@@ -114,6 +114,15 @@ object FullText {
   def qBudgetBills(spark: SparkSession, dir: String): DataFrame =
     budgetBills(Fixtures.sbud(spark)).orderBy(col("year"), col("bill_number"))
 
+  /** S6/F12 end-to-end: the SAME budget-bill extraction, fed from the
+    * real PDFs through [[graft.sources.PdfText]] instead of the
+    * committed text. Shares `q_budget_bills`' oracle (which reads the
+    * ground-truth parquet), so a hash pass certifies the whole
+    * PDF-decode path byte-for-byte. */
+  def qBudgetBillsPdf(spark: SparkSession, dir: String): DataFrame =
+    budgetBills(Fixtures.sbudFromPdf(spark))
+      .orderBy(col("year"), col("bill_number"))
+
   /** J1: bills ∩ budget list, matched on (session-of-year, bill_number).
     * The year→session mapping is the F9 parity rule. */
   def qBudgetSemiJoin(spark: SparkSession, dir: String): DataFrame = {

@@ -42,7 +42,9 @@ object LegiScanModel {
   *   raw/<years>/bill/<bill_number>.json    one single-line JSON per bill
   *   raw/<years>/people/<people_id>.json    one single-line JSON per person
   *   html/<year>_<bill>.html                chaptered bill full text (HTML)
-  *   sbud/<year>.txt                        budget-summary text (PDF stub)
+  *   sbud/<year>.txt                        budget-summary ground-truth text
+  *   sbud_pdf/<year>.pdf                    the same summaries as REAL PDFs
+  *                                          (tools/make_sbud_pdfs.py)
   *   bills.parquet/ people.parquet/ ...     compacted landing-zone copies
   * }}}
   *
@@ -141,4 +143,22 @@ object Fixtures {
   def billTextsBinary(spark: SparkSession): DataFrame =
     spark.read.format("binaryFile").option("pathGlobFilter", "*.html")
       .load(s"$root/html")
+
+  /** S6 (real): binaryFile scan of the budget-summary PDFs. */
+  def sbudPdfBinary(spark: SparkSession): DataFrame =
+    spark.read.format("binaryFile").option("pathGlobFilter", "*.pdf")
+      .load(s"$root/sbud_pdf")
+
+  /** S6 + F12 (real): the sbud table decoded FROM THE PDFS — year from
+    * the filename, text through [[PdfText.extract]] (from-scratch
+    * FlateDecode + content-stream interpreter; no PDF library in the
+    * container). Schema-identical to [[sbud]]; `q_budget_bills_pdf`
+    * pins extract(pdf) ≡ the committed ground-truth text at the oracle
+    * gate, so the decoder is hash-verified end to end, not just
+    * spec'd. */
+  def sbudFromPdf(spark: SparkSession): DataFrame =
+    sbudPdfBinary(spark).select(
+      regexp_extract(col("path"), "([0-9]{4})\\.pdf$", 1)
+        .cast("int").as("year"),
+      PdfText.pdfText(col("content")).as("text"))
 }

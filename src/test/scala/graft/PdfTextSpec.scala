@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PdfText
+
+/** The from-scratch PDF extractor vs the committed ground truth: every
+  * `sbud_pdf/<year>.pdf` fixture must extract byte-for-byte to the text
+  * in `sbud/<year>.txt` it was generated from (tools/make_sbud_pdfs.py;
+  * the generator deliberately rotates Tj / TJ-array / ' / Td / hex
+  * spellings per line, so equality here exercises the whole operator
+  * surface, multi-page breaks included). */
+class PdfTextSpec extends AnyFunSuite {
+  private val root = "fixtures/legiscan"
+  private val years = Seq("2017", "2018", "2019", "2020", "2021", "2022")
+
+  test("every committed budget PDF extracts to its ground-truth text exactly") {
+    for (y <- years) {
+      val pdf = Files.readAllBytes(Paths.get(s"$root/sbud_pdf/$y.pdf"))
+      val want = new String(
+        Files.readAllBytes(Paths.get(s"$root/sbud/$y.txt")),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(PdfText.extract(pdf) === want, s"year $y")
+    }
+  }
+
+  test("uncompressed content streams and every escape form decode") {
+    // a minimal raw (no Flate) PDF body: one page, all escapes, nested
+    // parens, octal, hex with odd trailing digit, and a "-operator show
+    val content =
+      "BT /F1 10 Tf 12 TL 72 720 Td\n" +
+        "(paren \\( close \\) back\\\\slash) Tj\n" +
+        "T*\n(nested (group (deep)) ok) Tj\n" +
+        "[(ab) -20 <4344> (e)] TJ\n" +
+        "(octal \\101\\102) '\n" +
+        "1 2 (quoted) \"\n" +
+        "ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val got = PdfText.extract(pdf)
+    assert(got ===
+      "paren ( close ) back\\slash\n" +
+        "nested (group (deep)) okabCDe\n" +
+        "octal AB\n" +
+        "quoted")
+  }
+
+  test("malformed and non-text input extracts empty, never throws") {
+    assert(PdfText.extract(null) === "")
+    assert(PdfText.extract(Array.empty[Byte]) === "")
+    assert(PdfText.extract("not a pdf at all".getBytes) === "")
+    // a Flate stream of random bytes (undecodable) is skipped
+    val junk = ("x\nstream\n\nendstream\n" +
+      "<< /Filter /FlateDecode >>\nstream\nÿþ\nendstream\n").getBytes
+    assert(PdfText.extract(junk) === "")
+  }
+}
