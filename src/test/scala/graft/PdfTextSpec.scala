@@ -48,6 +48,53 @@ class PdfTextSpec extends AnyFunSuite {
         "quoted")
   }
 
+  test("property: random text round-trips through a Flate PDF exactly") {
+    // independent in-test writer (NOT the Python generator): random
+    // printable-ASCII lines — parens, backslashes, brackets included,
+    // which the committed fixtures never contain — one (line) Tj per
+    // line, Deflater-compressed, paginated every 4 lines
+    val rnd = new scala.util.Random(12021)
+    def randomLine(): String = {
+      val n = rnd.nextInt(60)
+      (0 until n).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 6) '(' else if (r < 12) ')' else if (r < 16) '\\'
+        else if (r < 20) '[' else if (r < 24) ']'
+        else (32 + rnd.nextInt(95)).toChar
+      }.mkString
+    }
+    def esc(s: String): String = s
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def flate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    def pdf(lines: Seq[String]): Array[Byte] = {
+      val pages = lines.grouped(4).toSeq
+      val body = pages.map { pl =>
+        val content = ("BT /F1 10 Tf 12 TL 72 720 Td\n" +
+          pl.zipWithIndex.map { case (l, j) =>
+            (if (j == 0) "" else "T*\n") + "(" + esc(l) + ") Tj\n"
+          }.mkString + "ET\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+        val z = flate(content)
+        ("<< /Filter /FlateDecode /Length " + z.length + " >>\nstream\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          z ++ "\nendstream\n".getBytes
+      }
+      "%PDF-1.4\n".getBytes ++ body.flatten.toArray ++ "%%EOF\n".getBytes
+    }
+    for (trial <- 1 to 25) {
+      val lines = (0 until (1 + rnd.nextInt(11))).map(_ => randomLine())
+      val got = PdfText.extract(pdf(lines))
+      assert(got === lines.mkString("\n"), s"trial $trial round-trip drifted")
+    }
+  }
+
   test("malformed and non-text input extracts empty, never throws") {
     assert(PdfText.extract(null) === "")
     assert(PdfText.extract(Array.empty[Byte]) === "")
