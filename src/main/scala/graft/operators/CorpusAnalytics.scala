@@ -813,7 +813,12 @@ object CorpusAnalytics {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBg   = perDoc.groupBy(col("w1"), col("w2")).agg(sum(col("k")).as("c"))
     val corpusHead = perDoc.groupBy(col("w1")).agg(sum(col("k")).as("h"))
-    val docHead    = perDoc.groupBy(col("doc_id"), col("w1")).agg(sum(col("k")).as("h_d"))
+    // model tables pre-join on their OWN (vocabulary-sized) keys so the
+    // corpus-sized scoring frame shuffles once per key family, not once
+    // per table: bgStats carries (c, h) in one probe, uniStats (u2_d,
+    // u2); the per-doc head count comes from a window over the SAME
+    // (doc_id, w1) clustering instead of a third aggregate + join
+    val bgStats = corpusBg.join(corpusHead, Seq("w1"))
     // persisted like perDoc: corpusUni, the grand total AND the probe
     // join all read it — without the cache each branch would replay the
     // corpus explode (4 scans instead of 2)
@@ -822,6 +827,7 @@ object CorpusAnalytics {
       .groupBy(col("doc_id"), col("w2")).agg(count(lit(1)).as("u2_d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusUni = docUni.groupBy(col("w2")).agg(sum(col("u2_d")).as("u2"))
+    val uniStats = docUni.join(corpusUni, Seq("w2"))
     // Σ per-doc unigram counts ≡ Σ m over scored docs — derived from
     // the cache, never a third corpus scan
     val bigN = docUni.agg(sum(col("u2_d")).as("n_all"))
@@ -838,11 +844,10 @@ object CorpusAnalytics {
       .otherwise(-qln(nRest))
 
     val scored = perDoc
-      .join(corpusBg, Seq("w1", "w2"))
-      .join(docHead, Seq("doc_id", "w1"))
-      .join(corpusHead, Seq("w1"))
-      .join(docUni, Seq("doc_id", "w2"))
-      .join(corpusUni, Seq("w2"))
+      .withColumn("h_d",
+        sum(col("k")).over(Window.partitionBy(col("doc_id"), col("w1"))))
+      .join(bgStats, Seq("w1", "w2"))
+      .join(uniStats, Seq("doc_id", "w2"))
       .crossJoin(broadcast(bigN))
       .groupBy(col("doc_id"), col("lang"), col("m"))
       .agg((-sum(col("k") * lp)).as("nats_micro"))
