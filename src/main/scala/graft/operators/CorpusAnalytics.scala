@@ -786,7 +786,12 @@ object CorpusAnalytics {
     * one unigram pass — each collapsing immediately to a persisted
     * (doc, gram) count table; every corpus-level table (bigram/head/
     * unigram counts, the grand total) RE-AGGREGATES a cache rather
-    * than rescanning the corpus (the divergence precedent); all joins
+    * than rescanning the corpus (the divergence precedent). Unlike the
+    * divergence persist (vocab-sized), these caches are CORPUS-scale —
+    * (doc, gram) rows ≈ distinct grams per doc summed — so
+    * MEMORY_AND_DISK spill is load-bearing, not a formality; the trade
+    * is deliberate: each cache is read by 2–3 branches, and the
+    * alternative is that many extra corpus scans + explodes. All joins
     * are equi-joins on (w1,w2)/(doc_id,w1)/w2, vocabulary- or
     * corpus-keyed, no cross products; the grand total is a broadcast
     * 1-row frame. Bucketing windows partition BY LANGUAGE (as CCNet
