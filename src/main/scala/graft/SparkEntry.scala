@@ -177,6 +177,7 @@ object SparkEntry {
     "q_rare_bigrams"       -> (CorpusAnalytics.qRareBigrams _),
     "q_source_divergence"  -> (CorpusAnalytics.qSourceDivergence _),
     "q_lm_perplexity"      -> (CorpusAnalytics.qLmPerplexity _),
+    "q_dsir_weights"       -> (TrainPrep.qDsirWeights _),
     "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
@@ -3118,6 +3119,37 @@ object SparkEntry {
              WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
            END AS ppl_bucket
          FROM agg ORDER BY doc_id""",
+    // DSIR importance weights: target-vs-raw unigram LM log-ratio,
+    // add-one over the shared vocab, logs quantized to integer
+    // micro-nats at the leaf (same qln discipline as q_lm_perplexity)
+    "q_dsir_weights" -> {
+      val t = graft.operators.TrainPrep.DsirTargetSource
+      s"""WITH base AS (SELECT doc_id, source, ${toksSql("text")} AS toks
+                        FROM documents),
+         dt AS (SELECT doc_id, source, t.w AS w,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM base, UNNEST(toks) AS t(w)
+                GROUP BY doc_id, source, t.w),
+         raw AS (SELECT w, CAST(sum(k) AS BIGINT) AS n_raw
+                 FROM dt GROUP BY w),
+         tgt AS (SELECT w, CAST(sum(k) AS BIGINT) AS n_tgt
+                 FROM dt WHERE source = '$t' GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(n_raw) AS BIGINT) AS nn_raw,
+                   CAST(coalesce(sum(n_tgt), 0) AS BIGINT) AS nn_tgt
+                 FROM raw LEFT JOIN tgt USING (w)),
+         sc AS (SELECT dt.doc_id, dt.source, dt.k,
+                  CAST(round(ln(coalesce(tgt.n_tgt, 0) + 1) * 1000000) AS BIGINT)
+                  - CAST(round(ln(tot.nn_tgt + tot.v) * 1000000) AS BIGINT)
+                  - CAST(round(ln(raw.n_raw + 1) * 1000000) AS BIGINT)
+                  + CAST(round(ln(tot.nn_raw + tot.v) * 1000000) AS BIGINT) AS pt
+                FROM dt JOIN raw USING (w) LEFT JOIN tgt USING (w)
+                CROSS JOIN tot)
+         SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
+           CAST(sum(k * pt) AS BIGINT) AS logw_micro,
+           (CAST(sum(k * pt) AS BIGINT) > 0) AS keep
+         FROM sc GROUP BY doc_id, source ORDER BY doc_id"""
+    },
     // stratified equalizing downsample: integer threshold arithmetic and
     // the salted 60-bit md5 bucket, same recipe as q_domain_upsample
     "q_stratified_sample" ->

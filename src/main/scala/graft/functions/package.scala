@@ -47,6 +47,15 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Integer micro-nats of an INTEGER count: `round(1e6 · ln(c))` as
+    * BIGINT. Quantizing each log at the leaf — before any sum — makes
+    * log-domain scores exact integer arithmetic, so the engine's
+    * summation/association order cannot move an ulp (the portable-
+    * oracle discipline behind `lmPerplexity` and `dsirWeights`; DuckDB
+    * twin: `CAST(round(ln(c) * 1000000) AS BIGINT)`). */
+  def qlnMicro(c: Column): Column =
+    round(log(c) * lit(1e6)).cast("long")
+
   /** Word n-gram shingles of a text column: array of space-joined n-grams.
     * Built from built-ins only (codegen-friendly): transform over an index
     * range. Texts with fewer than `n` tokens yield an empty array — the

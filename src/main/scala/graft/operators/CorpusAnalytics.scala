@@ -839,7 +839,7 @@ object CorpusAnalytics {
 
     // integer micro-nats of an integer count — quantize at the leaf
     def qln(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      round(log(c) * lit(1e6)).cast("long")
+      qlnMicro(c)
     val cRest = col("c") - col("k")
     val hRest = col("h") - col("h_d")
     val uRest = col("u2") - col("u2_d")

@@ -652,4 +652,73 @@ object TrainPrep {
       .orderBy(col("n").desc, col("word"))
       .limit(BpeEncodeTopN)
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weights (data selection via importance resampling)
+  // ---------------------------------------------------------------------
+
+  /** The exemplar domain the shipped query uses as the DSIR target. */
+  val DsirTargetSource = "src0"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * via Importance Resampling"): every document scored by the
+    * log-ratio of its unigram-bag likelihood under a TARGET-domain LM
+    * versus the raw-corpus LM,
+    *
+    *   log w(d) = Σ_t k_t(d) · [ ln p_tgt(t) − ln p_raw(t) ],
+    *   p_·(t) = (n_·(t) + 1) / (N_· + V)      (add-one over shared vocab)
+    *
+    * — the standard cheap proxy for "is this raw document shaped like
+    * the domain I want more of". Docs with `logw_micro > 0` look more
+    * target-like than corpus-average (`keep` flag); a resampler feeds
+    * the weight into the md5-bucket machinery ([[domainUpsample]]) for
+    * deterministic selection.
+    *
+    * Exactness: both logs quantize to integer micro-nats at the leaf
+    * ([[graft.functions.qlnMicro]]), so a doc's score is an exact
+    * BIGINT sum — engine-portable regardless of summation order (the
+    * [[graft.operators.CorpusAnalytics.lmPerplexity]] discipline).
+    *
+    * Plan shape (100 TB): ONE corpus scan collapsing to a persisted
+    * (doc, token) count table (corpus-scale; MEMORY_AND_DISK spill is
+    * the deliberate trade vs three more scans); the raw and target
+    * unigram models re-aggregate that cache (the target model is a
+    * filter of it — no second pass over text); scoring joins the cache
+    * against the two vocab-sized models on the token key; totals ride
+    * one broadcast 1-row frame. No cross products, no driver collects.
+    */
+  def dsirWeights(docs: DataFrame,
+                  targetSource: String = DsirTargetSource): DataFrame = {
+    val docTok = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("source"), col("w"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = docTok.groupBy(col("w")).agg(sum(col("k")).as("n_raw"))
+    val tgt = docTok.filter(col("source") === targetSource)
+      .groupBy(col("w")).agg(sum(col("k")).as("n_tgt"))
+    // V (shared vocab), N_raw, N_tgt in ONE 1-row broadcast frame
+    val totals = raw
+      .join(tgt, Seq("w"), "left")
+      .agg(count(lit(1)).as("v"), sum(col("n_raw")).as("nn_raw"),
+        coalesce(sum(col("n_tgt")), lit(0L)).as("nn_tgt"))
+    val perTok =
+      qlnMicro(coalesce(col("n_tgt"), lit(0L)) + 1) -
+        qlnMicro(col("nn_tgt") + col("v")) -
+        qlnMicro(col("n_raw") + 1) +
+        qlnMicro(col("nn_raw") + col("v"))
+    docTok
+      .join(raw, Seq("w"))
+      .join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("k")).as("n_tokens"),
+        sum(col("k") * perTok).as("logw_micro"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logw_micro"), (col("logw_micro") > 0).as("keep"))
+  }
+
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 }

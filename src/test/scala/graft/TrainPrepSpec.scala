@@ -598,4 +598,32 @@ class TrainPrepSpec extends SparkSpec {
     // alloc = min(10, ⌊1·4/1⌋) = 4
     assert((out.getBoolean(3), out.getLong(4)) === ((false, 4L)))
   }
+
+  test("dsir weights: target-like docs keep, disjoint-vocab docs drop, exact micro-nats") {
+    // target doc1 "a a b" (src0); raw adds doc2 "c c c" (src1):
+    // V=3, N_tgt=3, N_raw=6; doc1's ratio folds to 3·(qln9 − qln6),
+    // doc2's to 3·(qln1 − qln6 − qln4 + qln9) < 0 — hand-derived
+    val docs = Seq(
+      (1L, "a a b", "en", "src0"),
+      (2L, "c c c", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.dsirWeights(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    def qln(n: Long): Long = math.round(math.log(n.toDouble) * 1e6)
+    assert(out(1L) === ((3L, 3L * (qln(9) - qln(6)), true)))
+    assert(out(2L) === ((3L,
+      3L * (qln(1) - qln(6) - qln(4) + qln(9)), false)))
+    // determinism under repartition
+    val re = TrainPrep.dsirWeights(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(re === out)
+    // an absent target source: the target LM degenerates to uniform
+    // add-one mass (nn_tgt = 0) — never throws, and the common-token
+    // doc still scores below the rare-token doc
+    val none = TrainPrep.dsirWeights(docs, targetSource = "nope").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(none.size === 2 && none(2L) < 0 && none(2L) < none(1L))
+  }
 }
