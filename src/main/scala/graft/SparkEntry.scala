@@ -178,6 +178,7 @@ object SparkEntry {
     "q_source_divergence"  -> (CorpusAnalytics.qSourceDivergence _),
     "q_lm_perplexity"      -> (CorpusAnalytics.qLmPerplexity _),
     "q_dsir_weights"       -> (TrainPrep.qDsirWeights _),
+    "q_dsir_admission"     -> (TrainPrep.qDsirAdmission _),
     "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
     "q_stratified_sample"  -> (CorpusAnalytics.qStratifiedSample _),
     "q_postings"           -> (CorpusAnalytics.qPostings _),
@@ -3148,6 +3149,37 @@ object SparkEntry {
          SELECT doc_id, source, CAST(sum(k) AS BIGINT) AS n_tokens,
            CAST(sum(k * pt) AS BIGINT) AS logw_micro,
            (CAST(sum(k * pt) AS BIGINT) > 0) AS keep
+         FROM sc GROUP BY doc_id, source ORDER BY doc_id"""
+    },
+    // DSIR admission gate: probe docs scored occurrence-level against
+    // the frozen whole-corpus model (probe tokens unseen in the model
+    // fall to the add-one floor via left joins)
+    "q_dsir_admission" -> {
+      val t = graft.operators.TrainPrep.DsirTargetSource
+      val p = graft.operators.TrainPrep.DsirProbeSource
+      s"""WITH base AS (SELECT doc_id, source, ${toksSql("text")} AS toks
+                        FROM documents),
+         mt AS (SELECT source, t.w AS w FROM base, UNNEST(toks) AS t(w)),
+         raw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_raw
+                 FROM mt GROUP BY w),
+         tgt AS (SELECT w, CAST(count(*) AS BIGINT) AS n_tgt
+                 FROM mt WHERE source = '$t' GROUP BY w),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                   CAST(sum(n_raw) AS BIGINT) AS nn_raw,
+                   CAST(coalesce(sum(n_tgt), 0) AS BIGINT) AS nn_tgt
+                 FROM raw LEFT JOIN tgt USING (w)),
+         pr AS (SELECT doc_id, source, t.w AS w
+                FROM base, UNNEST(toks) AS t(w) WHERE source = '$p'),
+         sc AS (SELECT pr.doc_id, pr.source,
+                  CAST(round(ln(coalesce(tgt.n_tgt, 0) + 1) * 1000000) AS BIGINT)
+                  - CAST(round(ln(tot.nn_tgt + tot.v) * 1000000) AS BIGINT)
+                  - CAST(round(ln(coalesce(raw.n_raw, 0) + 1) * 1000000) AS BIGINT)
+                  + CAST(round(ln(tot.nn_raw + tot.v) * 1000000) AS BIGINT) AS term
+                FROM pr LEFT JOIN raw USING (w) LEFT JOIN tgt USING (w)
+                CROSS JOIN tot)
+         SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(term) AS BIGINT) AS logw_micro,
+           (CAST(sum(term) AS BIGINT) > 0) AS keep
          FROM sc GROUP BY doc_id, source ORDER BY doc_id"""
     },
     // stratified equalizing downsample: integer threshold arithmetic and

@@ -721,4 +721,59 @@ object TrainPrep {
 
   def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
     dsirWeights(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** The probe source the shipped admission query scores. */
+  val DsirProbeSource = "src1"
+
+  /** DSIR admission gate: score PROBE documents against a FROZEN
+    * reference-corpus LM — the incremental-ingest twin of
+    * [[dsirWeights]] (which self-trains on the frame it scores). This
+    * is what a live pipeline runs on each incoming crawl batch: the
+    * model tables are standing state, the probe is new data, and
+    * admission is `logw_micro > 0`.
+    *
+    * Deliberately ONE aggregation (explode → token-key stream-static
+    * joins → one groupBy(doc)): Σ over occurrences of the per-token
+    * term ≡ Σ k·term, exact in integer micro-nats either way, and the
+    * single-aggregation shape is what lets the IDENTICAL code run as a
+    * Structured Streaming query (multiple stateful aggregations are
+    * unsupported; stream-static equi-joins and a broadcast 1-row
+    * totals frame are). StreamingSpec pins streamed scores ≡ batch
+    * scores. Probe tokens unseen in the model fall through the left
+    * joins to the add-one floor on both LMs.
+    */
+  def dsirScoreAgainst(probe: DataFrame, model: DataFrame,
+                       targetSource: String = DsirTargetSource): DataFrame = {
+    val modelTok = model
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+    val raw = modelTok.groupBy(col("w")).agg(count(lit(1)).as("n_raw"))
+    val tgt = modelTok.filter(col("source") === targetSource)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_tgt"))
+    val totals = raw
+      .join(tgt, Seq("w"), "left")
+      .agg(count(lit(1)).as("v"), sum(col("n_raw")).as("nn_raw"),
+        coalesce(sum(col("n_tgt")), lit(0L)).as("nn_tgt"))
+    val perTok =
+      qlnMicro(coalesce(col("n_tgt"), lit(0L)) + 1) -
+        qlnMicro(col("nn_tgt") + col("v")) -
+        qlnMicro(coalesce(col("n_raw"), lit(0L)) + 1) +
+        qlnMicro(col("nn_raw") + col("v"))
+    probe
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      .join(raw, Seq("w"), "left")
+      .join(tgt, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(perTok).as("logw_micro"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("logw_micro"), (col("logw_micro") > 0).as("keep"))
+  }
+
+  def qDsirAdmission(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    dsirScoreAgainst(docs.filter(col("source") === DsirProbeSource), docs)
+      .orderBy(col("doc_id"))
+  }
 }

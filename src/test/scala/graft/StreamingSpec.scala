@@ -529,4 +529,29 @@ class StreamingSpec extends SparkSpec {
     val batch = CorpusAnalytics.qHeavyHitters(spark, sfSmoke).collect()
     assert(verified.toSeq === batch.toSeq)
   }
+
+  test("streaming DSIR admission: streamed probe scores == batch scores") {
+    import graft.operators.TrainPrep
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val probe = docs.filter(col("source") === TrainPrep.DsirProbeSource)
+    // the probe streams in batches against the FROZEN corpus model —
+    // dsirScoreAgainst's single-aggregation shape is what makes the
+    // identical code path legal as a streaming query
+    val srcDir = Files.createTempDirectory("graft-dsir-src").toString
+    probe.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val streamProbe = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-dsir").toString
+    val q = TrainPrep.dsirScoreAgainst(streamProbe, docs)
+      .writeStream.format("memory").queryName("dsir_adm")
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dsir_adm").orderBy("doc_id").collect()
+    val batch = TrainPrep.qDsirAdmission(spark, sfSmoke).collect()
+    assert(streamed.length > 0)
+    assert(streamed.toSeq === batch.toSeq)
+  }
 }
