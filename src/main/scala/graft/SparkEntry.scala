@@ -216,6 +216,7 @@ object SparkEntry {
     "q_strip_heavy"        -> (CorpusAnalytics.qStripHeavy _),
     "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
     "q_curate_v6"          -> (Curate.qCurateV6 _),
+    "q_curate_v7"          -> (Curate.qCurateV7 _),
     "q_skew_audit"         -> (ScaleJoins.qSkewAudit _),
     "q_mix_budget"         -> (TrainPrep.qMixBudget _),
     "q_mix_sample"         -> (TrainPrep.qMixSample _),
@@ -1027,6 +1028,44 @@ object SparkEntry {
            AND q.doc_id NOT IN (SELECT doc_id FROM clfdrop)"""
   private def curateV6Oracle: String =
     curateV4OracleWith(v5ExtraCtes + v6ExtraCtes, v5ExtraWhere + v6ExtraWhere)
+
+  /** v7 = v6 + the DSIR domain gate: survivors whose target-vs-corpus
+    * importance weight is ≤ 0 leave (integer micro-nat sum, identical
+    * qln spelling to the q_dsir_weights oracle; dw_-prefixed CTEs to
+    * stay clear of the chain's names). */
+  private def v7ExtraCtes: String = {
+    val tg = graft.operators.TrainPrep.DsirTargetSource
+    s""",
+       dw_dt AS (SELECT doc_id, source, tk.w AS w,
+                   CAST(count(*) AS BIGINT) AS k
+                 FROM (SELECT doc_id, source, ${toksSql("text")} AS toks
+                       FROM documents) dsrc, UNNEST(toks) AS tk(w)
+                 GROUP BY doc_id, source, tk.w),
+       dw_raw AS (SELECT w, CAST(sum(k) AS BIGINT) AS n_raw
+                  FROM dw_dt GROUP BY w),
+       dw_tgt AS (SELECT w, CAST(sum(k) AS BIGINT) AS n_tgt
+                  FROM dw_dt WHERE source = '$tg' GROUP BY w),
+       dw_tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+                    CAST(sum(n_raw) AS BIGINT) AS nn_raw,
+                    CAST(coalesce(sum(n_tgt), 0) AS BIGINT) AS nn_tgt
+                  FROM dw_raw LEFT JOIN dw_tgt USING (w)),
+       dw_drop AS (SELECT dw_dt.doc_id
+                   FROM dw_dt JOIN dw_raw USING (w)
+                        LEFT JOIN dw_tgt USING (w) CROSS JOIN dw_tot
+                   GROUP BY dw_dt.doc_id
+                   HAVING CAST(sum(k * (
+                       CAST(round(ln(coalesce(n_tgt, 0) + 1) * 1000000) AS BIGINT)
+                       - CAST(round(ln(nn_tgt + v) * 1000000) AS BIGINT)
+                       - CAST(round(ln(n_raw + 1) * 1000000) AS BIGINT)
+                       + CAST(round(ln(nn_raw + v) * 1000000) AS BIGINT)))
+                     AS BIGINT) <= 0)"""
+  }
+  private def v7ExtraWhere: String =
+    """
+           AND q.doc_id NOT IN (SELECT doc_id FROM dw_drop)"""
+  private def curateV7Oracle: String =
+    curateV4OracleWith(v5ExtraCtes + v6ExtraCtes + v7ExtraCtes,
+      v5ExtraWhere + v6ExtraWhere + v7ExtraWhere)
 
   /** DuckDB-runnable ANSI SQL equivalents, same parquet tables, same
     * column aliases, same ORDER BY. Table names resolve because Verify's
@@ -3590,6 +3629,7 @@ object SparkEntry {
              >= CAST(len(toks) AS BIGINT)) AS keep_clf
          FROM d ORDER BY doc_id""",
     "q_curate_v6" -> curateV6Oracle,
+    "q_curate_v7" -> curateV7Oracle,
     // skew audit: percentiles via the integer inverted-CDF over the
     // frequency-of-frequency frame — exact, no engine quantile function
     "q_skew_audit" ->

@@ -188,6 +188,27 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** v7 — v6 plus the DSIR domain gate ([[TrainPrep.dsirWeights]]):
+    * survivors whose target-vs-corpus importance weight is negative
+    * leave — the "shaped like the domain we want" cut a
+    * domain-targeted training mix applies last, after hygiene. The
+    * drop set is an anti-join on scored-and-negative docs (NOT a
+    * semi-join on keep), so token-less docs — which the LM cannot
+    * score — pass through to the earlier gates that own them. One
+    * more anti-join on the chain's `doc_id` partitioning. */
+  def curateV7(docs: DataFrame, embeddings: DataFrame): DataFrame = {
+    val dsirDrop = TrainPrep.dsirWeights(docs)
+      .filter(!col("keep")).select(col("doc_id"))
+    curateV6(docs, embeddings)
+      .join(dsirDrop, Seq("doc_id"), "left_anti")
+  }
+
+  def qCurateV7(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV7(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-shard capstone: the v5 emit packed into fixed-token-
     * budget sequences — curation's OUTPUT wired straight into train
     * prep's INPUT, the handoff a production pipeline schedules as one

@@ -949,6 +949,47 @@ class TextPipelineSpec extends SparkSpec {
     assert(v5 === v4 - 8L, s"v5 must drop exactly the salad doc: $v4 vs $v5")
   }
 
+  test("curation v7 drops off-domain survivors that every v6 gate waves through") {
+    import graft.operators.{Curate, TrainPrep}
+    // Six docs share classifier-positive quads (so v6's gate passes:
+    // vector/query/window/table/merge/stream outweigh the/a), each
+    // with doc-unique separators (near-dup and span gates quiet,
+    // bigram transitions corpus-common via the shared quads). Three
+    // docs are the DSIR target source (src0); three others (srcB)
+    // additionally carry a 4-token run absent from src0 — every gate
+    // through v6 waves them through (the run's tokens and bigrams
+    // occur 3x corpus-wide, above both rare cutoffs), but their
+    // importance weight vs the src0 profile is decisively negative.
+    val quads = Seq("of the vector query", "a small window and",
+      "to the river stone", "of a quiet table",
+      "and the silver merge", "to a hidden stream")
+    def doc(seps: Seq[String], tail: String = ""): String =
+      quads.zip(seps).map { case (q, s) => s"$q $s" }.mkString(" ") + tail
+    val offDomain = " kelp brine coral dune"
+    val cdocs = Seq(
+      (2L, doc(Seq("maple", "perch", "cedar", "otter", "heron", "aspen")), "src0"),
+      (3L, doc(Seq("birch", "trout", "alder", "badger", "crane", "rowan")), "src0"),
+      (4L, doc(Seq("pine", "bream", "willow", "marten", "stork", "hazel")), "src0"),
+      (5L, doc(Seq("oak", "roach", "poplar", "weasel", "egret", "elm"), offDomain), "srcB"),
+      (7L, doc(Seq("fir", "chub", "walnut", "stoat", "ibis", "yew"), offDomain), "srcB"),
+      (14L, doc(Seq("ash", "dace", "laurel", "ferret", "avocet", "teak"), offDomain), "srcB")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val v6 = Curate.curateV6(cdocs, emb).select("doc_id").as[Long].collect().toSet
+    assert(v6 === Set(2L, 3L, 4L, 5L, 7L, 14L),
+      s"fixture broken: every doc must PASS v6 for the v7 delta to be the proven drop, got $v6")
+    // the importance signs themselves, pinned so the fixture can't rot
+    val signs = TrainPrep.dsirWeights(cdocs).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(Seq(2L, 3L, 4L).forall(signs(_)), s"src0 docs must score positive: $signs")
+    assert(Seq(5L, 7L, 14L).forall(!signs(_)), s"srcB docs must score negative: $signs")
+    val v7 = Curate.curateV7(cdocs, emb).select("doc_id").as[Long].collect().toSet
+    assert(v7 === Set(2L, 3L, 4L), s"v7 must drop exactly the off-domain docs: $v7")
+  }
+
   test("curation v2 adds repetition, decontamination and pii gates") {
     import graft.operators.Curate
     // ids 2,3,4 are train-bucket (<80); 29 is the eval-set member
