@@ -150,6 +150,30 @@ class PlanSpec extends SparkSpec {
       "the 1-row grand total must join as a broadcast, not a cartesian")
   }
 
+  test("dsir: one corpus scan behind the cache, no cartesian products") {
+    // both LMs and the totals re-aggregate the persisted (doc, token)
+    // table; a regression that re-derives any of them from the raw
+    // table shows up as a second runtime scan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val plan = SparkEntry.queries("q_dsir_weights")(spark, sf("sf0.001"))
+      .queryExecution.executedPlan
+    val direct = plan.collect { case f: FileSourceScanExec => f }.size
+    val cacheScans = plan
+      .collect { case i: InMemoryTableScanExec => i.relation }
+      .groupBy(r => System.identityHashCode(r.cacheBuilder)).values
+      .map(_.head.cachedPlan.collect { case f: FileSourceScanExec => f }.size)
+      .sum
+    assert(direct + cacheScans <= 1,
+      s"dsirWeights grew to ${direct + cacheScans} corpus scans:\n$plan")
+    Seq("q_dsir_weights", "q_dsir_admission", "q_curate_v7").foreach { q =>
+      val s = SparkEntry.queries(q)(spark, sf("sf0.001"))
+        .queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"),
+        s"$q: the 1-row totals must join as a broadcast, not a cartesian")
+    }
+  }
+
   test("banded-LSH similarity: candidates come from equi-joins, never a nested loop") {
     // the blocking step must stay a (band, sig) key join — a regression
     // to all-pairs would surface as a cartesian/nested-loop operator
