@@ -374,6 +374,51 @@ class CorpusAnalyticsSpec extends SparkSpec {
       "partitioning changed scores or buckets")
   }
 
+  test("property: lmPerplexity matches a brute-force reference on random corpora") {
+    // independent reference: plain Scala maps, no Spark — same LOO
+    // bigram semantics, same micro-nat quantization
+    def qln(n: Long): Long = math.round(math.log(n.toDouble) * 1e6)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      val corpus = (1 to 12).map { i =>
+        val n = 1 + rnd.nextInt(9) // includes 1-token docs (dropped)
+        (i.toLong,
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", s"s${i % 3}")
+      }
+      val toks = corpus.map { case (id, t, _, _) =>
+        id -> t.split(" ").toSeq
+      }.toMap.filter(_._2.size >= 2)
+      val bg = toks.view.mapValues(ts => ts.zip(ts.tail)).toMap
+      def counts[K](xs: Iterable[K]): Map[K, Long] =
+        xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val cAll = counts(bg.values.flatten)
+      val hAll = counts(bg.values.flatten.map(_._1))
+      val uAll = counts(toks.values.flatten)
+      val nAll = toks.values.map(_.size.toLong).sum
+      val want = toks.map { case (id, ts) =>
+        val cDoc = counts(bg(id))
+        val hDoc = counts(bg(id).map(_._1))
+        val uDoc = counts(ts)
+        val nRest = nAll - ts.size
+        val nats = -bg(id).map { case b @ (w1, w2) =>
+          val cRest = cAll(b) - cDoc(b)
+          val hRest = hAll(w1) - hDoc(w1)
+          val uRest = uAll(w2) - uDoc(w2)
+          if (cRest > 0) qln(cRest) - qln(hRest)
+          else if (uRest > 0) qln(2) - qln(5) + qln(uRest) - qln(nRest)
+          else -qln(nRest)
+        }.sum
+        id -> ((ts.size.toLong - 1, nats))
+      }
+      val got = CorpusAnalytics.lmPerplexity(
+        corpus.toDF("doc_id", "text", "lang", "source")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got === want, s"seed $seed diverged from the reference")
+    }
+  }
+
   // --- guaranteed heavy hitters (MG candidates → exact verify) ---
 
   /** Reference heavy hitters: the full-shuffle spelling the operator

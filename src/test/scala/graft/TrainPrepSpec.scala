@@ -626,4 +626,41 @@ class TrainPrepSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(none.size === 2 && none(2L) < 0 && none(2L) < none(1L))
   }
+
+  test("property: dsir weights match a brute-force reference on random corpora") {
+    def qln(n: Long): Long = math.round(math.log(n.toDouble) * 1e6)
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+      val corpus = (1 to 10).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        (i.toLong,
+          Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+          "en", s"src${i % 3}")
+      }
+      val toks = corpus.map { case (id, t, _, s) =>
+        id -> ((s, t.split(" ").toSeq))
+      }.toMap
+      def counts[K](xs: Iterable[K]): Map[K, Long] =
+        xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val raw = counts(toks.values.flatMap(_._2))
+      val tgt = counts(toks.values.filter(_._1 == "src0").flatMap(_._2))
+      val v = raw.size.toLong
+      val nnRaw = raw.values.sum
+      val nnTgt = tgt.values.sum
+      val want = toks.map { case (id, (s, ts)) =>
+        val logw = ts.map { w =>
+          qln(tgt.getOrElse(w, 0L) + 1) - qln(nnTgt + v) -
+            qln(raw(w) + 1) + qln(nnRaw + v)
+        }.sum
+        id -> ((s, ts.size.toLong, logw, logw > 0))
+      }
+      val got = TrainPrep.dsirWeights(
+        corpus.toDF("doc_id", "text", "lang", "source")).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+        .toMap
+      assert(got === want, s"seed $seed diverged from the reference")
+    }
+  }
 }
