@@ -22,9 +22,12 @@ import java.nio.file.{Files, Paths}
   *    count-based number for an expression-heavy query is just the scan
   *    floor. The noop sink executes every operator and row without
   *    accumulating results on the driver (collect() would).
-  *  - each query is timed SPARK_GRAFT_BENCH_PASSES times (default 2)
-  *    and the recorded value is the per-query MIN across passes
-  *    (`"timer":"noop-write-min2"`). Rationale: round-7 forensics
+  *  - each query is timed SPARK_GRAFT_BENCH_PASSES times (default 3
+  *    as of round 13 — the r10→r11 zero-code-change swing showed two
+  *    passes leave ±20% run-to-run noise in the min; three tightens
+  *    the floor enough that a real regression is distinguishable from
+  *    drift) and the recorded value is the per-query MIN across passes
+  *    (`"timer":"noop-write-min3"`). Rationale: round-7 forensics
   *    showed the same code timing 4.3 s vs 22.8 s on the same query
   *    depending on when in a long session the bench ran (JIT/GC/page-
   *    cache drift); a single-pass reading late in a session
@@ -114,7 +117,7 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, "SPARK_GRAFT_BENCH_PASSES must be >= 1")
     val ordered = selected.toSeq.sortBy(_._1)
     // pass-major order (all queries pass 1, then pass 2): see scaladoc.
@@ -129,7 +132,16 @@ object Bench {
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             false
           }
-        name -> ((System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release per-query persists (lmPerplexity, dsirWeights, the
+        // divergence cache, ...) OUTSIDE the timing window: operators
+        // cache corpus-scale frames for their own multi-branch plans
+        // and the session would otherwise accumulate every query's
+        // MEMORY_AND_DISK entries across 185 queries × N passes. No
+        // timed query reads another query's cache, so this changes no
+        // measurement — it only bounds session memory.
+        spark.catalog.clearCache()
+        name -> (dt, ok)
       }.toMap
     }
     val results = ordered.map { case (name, _) =>

@@ -3100,7 +3100,7 @@ object SparkEntry {
                  FROM d GROUP BY source)
          SELECT source, n_tokens_src, n_all,
            CAST(present + CAST(n_tokens_src AS HUGEINT) * (n_all - g_s)
-                AS DECIMAL(38,0)) AS l1_num
+                AS BIGINT) AS l1_num
          FROM agg ORDER BY source""",
     // leave-one-out bigram-LM perplexity: logs quantized to integer
     // micro-nats at the leaf (round(1e6*ln(count))) so scores sum as
@@ -3137,8 +3137,8 @@ object SparkEntry {
                       CAST(round(ln(2) * 1000000) AS BIGINT)
                       - CAST(round(ln(5) * 1000000) AS BIGINT)
                       + CAST(round(ln(cu.u2 - ud.u2_d) * 1000000) AS BIGINT)
-                      - CAST(round(ln(nn.n_all - pd.m) * 1000000) AS BIGINT)
-                    ELSE -CAST(round(ln(nn.n_all - pd.m) * 1000000) AS BIGINT)
+                      - CAST(round(ln(greatest(nn.n_all - pd.m, 1)) * 1000000) AS BIGINT)
+                    ELSE -CAST(round(ln(greatest(nn.n_all - pd.m, 1)) * 1000000) AS BIGINT)
                   END AS lp
                 FROM pd
                 JOIN cbg ON pd.w1 = cbg.w1 AND pd.w2 = cbg.w2

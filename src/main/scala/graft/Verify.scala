@@ -39,6 +39,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-query persists (lmPerplexity/dsirWeights/divergence
+      // caches) so a 185-query session doesn't accumulate every
+      // operator's MEMORY_AND_DISK entries; no query reads another's
+      // cache, so results are unaffected
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -237,7 +237,14 @@ object CorpusAnalytics {
         min(col("n_all")).as("_n_all"))
       .select(col("source"), col("n_tokens_src"),
         col("_n_all").as("n_all"),
-        num.as("l1_num"))
+        // Internal arithmetic stays DECIMAL(38,0); only the emitted
+        // surface narrows to BIGINT so both engines hash one integer
+        // encoding. Width caveat: l1_num <= 2·N_s·N, so a true 100 TB
+        // corpus (N ~ 1e13 tokens) would burst the long — at that scale
+        // re-widen the surface (or emit the terminal double ratio) and
+        // accept the weaker compare; the exact DECIMAL pipeline above
+        // is unchanged either way.
+        num.cast("bigint").as("l1_num"))
   }
 
   def qSourceDivergence(spark: SparkSession, dir: String): DataFrame =
@@ -843,7 +850,12 @@ object CorpusAnalytics {
     val cRest = col("c") - col("k")
     val hRest = col("h") - col("h_d")
     val uRest = col("u2") - col("u2_d")
-    val nRest = col("n_all") - col("m")
+    // degenerate-corpus guard: when ONE doc holds every token,
+    // n_all == m and the floor would be ln(0) — Spark yields null,
+    // DuckDB's ln errors, and the engines diverge. Clamp to 1 token
+    // (ln 1 = 0): the floor for a doc that IS the whole corpus is a
+    // zero-information score, matching the leave-one-out reading
+    val nRest = greatest(col("n_all") - col("m"), lit(1L))
     val lp = when(cRest > 0, qln(cRest) - qln(hRest))
       .when(uRest > 0, qln(lit(2)) - qln(lit(5)) + qln(uRest) - qln(nRest))
       .otherwise(-qln(nRest))

@@ -189,8 +189,9 @@ object Curate {
   }
 
   /** v7 — v6 plus the DSIR domain gate ([[TrainPrep.dsirWeights]]):
-    * survivors whose target-vs-corpus importance weight is negative
-    * leave — the "shaped like the domain we want" cut a
+    * survivors whose target-vs-corpus importance weight is non-positive
+    * leave (keep ⟺ logw_micro > 0, matching the oracle's `<= 0`
+    * drop) — the "shaped like the domain we want" cut a
     * domain-targeted training mix applies last, after hygiene. The
     * drop set is an anti-join on scored-and-negative docs (NOT a
     * semi-join on keep), so token-less docs — which the LM cannot

@@ -686,7 +686,14 @@ object TrainPrep {
     * filter of it — no second pass over text); scoring joins the cache
     * against the two vocab-sized models on the token key; totals ride
     * one broadcast 1-row frame. No cross products, no driver collects.
-    */
+    *
+    * Cache lifecycle: the persist is intentionally NOT unpersisted here
+    * — the returned frame is lazy, so an in-operator unpersist would
+    * fire before any action and defeat the one-scan bound. The harness
+    * mains (Bench, Verify) call `spark.catalog.clearCache()` after each
+    * query materializes, which is what bounds cache growth across a
+    * multi-query session; a library caller embedding this in a longer
+    * job owns the same release. */
   def dsirWeights(docs: DataFrame,
                   targetSource: String = DsirTargetSource): DataFrame = {
     val docTok = docs

@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions.udf
   * Scope: the text-showing subset of the content-stream grammar —
   * literal strings (all escapes, nested parens), hex strings, arrays,
   * and the operators `Tj`, `TJ`, `'`, `"`, `T*`, `Td`/`TD` (downward
-  * moves read as line breaks), inside `BT`/`ET` blocks. This covers
-  * text-first PDFs from standard generators (the legislative-document
-  * case); PDFs that need font CMap resolution (CID/Type0 subsetting)
-  * are out of scope and extract as empty rather than throwing.
+  * moves read as line breaks), inside `BT`/`ET` blocks — PLUS font
+  * `/ToUnicode` CMap resolution: embedded CMap streams
+  * (`begincodespacerange`/`beginbfchar`/`beginbfrange`, list and
+  * offset range forms) are parsed per font object, the page resource
+  * name → font binding is resolved through the object graph, and the
+  * `Tf` operator switches the active map, so CID/Type0 PDFs whose
+  * show strings carry 2-byte glyph codes extract their real Unicode
+  * text (poppler's behavior in the reference). Fonts without a
+  * ToUnicode map keep the byte-as-Latin-1 reading, which is exact for
+  * the WinAnsi/Type1 generator class the fixtures use.
   *
   * Scale shape: a pure `Array[Byte] => String` function applied per
   * row of a `binaryFile` scan — embarrassingly parallel, no shuffle,
@@ -36,14 +42,15 @@ object PdfText {
     * worst). Pages (content streams with text) join with `\n`. */
   def extract(bytes: Array[Byte]): String = {
     if (bytes == null) return ""
+    val fonts = fontCmaps(objects(bytes))
     val pages = streams(bytes).flatMap { case (dict, raw) =>
       val data =
         if (dict.contains("/FlateDecode")) inflate(raw)
         else Some(raw)
       data.flatMap { d =>
         val s = new String(d, java.nio.charset.StandardCharsets.ISO_8859_1)
-        if (s.contains("BT")) {
-          val t = runContent(s)
+        if (s.contains("BT") && !s.contains("begincmap")) {
+          val t = runContent(s, fonts)
           if (t.nonEmpty) Some(t) else None
         } else None
       }
@@ -58,11 +65,15 @@ object PdfText {
   }
 
   // ----------------------------------------------------------------- //
+  // Stream location
+  // ----------------------------------------------------------------- //
 
   /** All (dictionary-text, raw-stream-bytes) pairs in the file. The
-    * stream body runs from the EOL after the `stream` keyword to the
-    * EOL before `endstream` — /Length is NOT trusted (it may be an
-    * indirect reference). */
+    * stream body extent prefers a DIRECT integer `/Length N` in the
+    * stream dictionary (the spec's source of truth — it survives a
+    * FlateDecode body that happens to contain the `endstream` bytes);
+    * an indirect (`N 0 R`) or absent or demonstrably-wrong /Length
+    * falls back to the `endstream` scan. */
   private def streams(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
     val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = ArrayBuffer.empty[(String, Array[Byte])]
@@ -78,48 +89,307 @@ object PdfText {
         var b = at + 6
         if (b < s.length && s.charAt(b) == '\r') b += 1
         if (b < s.length && s.charAt(b) == '\n') b += 1
-        val end = s.indexOf("endstream", b)
-        if (end < 0) { from = s.length }
-        else {
-          var e = end
-          if (e > b && s.charAt(e - 1) == '\n') e -= 1
-          if (e > b && s.charAt(e - 1) == '\r') e -= 1
-          val dictStart = s.lastIndexOf("<<", at)
-          val dict = if (dictStart >= 0) s.substring(dictStart, at) else ""
-          out += ((dict, bytes.slice(b, e)))
-          from = end + 9
+        val dictStart = s.lastIndexOf("<<", at)
+        val dict = if (dictStart >= 0) s.substring(dictStart, at) else ""
+        bodyEnd(s, dict, b) match {
+          case Some((e, resumeAt)) =>
+            out += ((dict, bytes.slice(b, e)))
+            from = resumeAt
+          case None => from = s.length
         }
       }
     }
     out.toSeq
   }
 
-  private def inflate(raw: Array[Byte]): Option[Array[Byte]] =
+  private val DirectLength = "/Length\\s+(\\d+)(?!\\s+\\d+\\s+R)".r
+
+  /** Body extent for a stream starting at `b`: `Some((endExclusive,
+    * resumeIndex))`, or None when no terminator exists. */
+  private def bodyEnd(s: String, dict: String, b: Int): Option[(Int, Int)] = {
+    val byLength = DirectLength.findFirstMatchIn(dict).flatMap { m =>
+      val n = try m.group(1).toLong catch { case _: Exception => -1L }
+      val e = b + n
+      if (n >= 0 && e <= s.length) {
+        // the declared extent must actually be followed by endstream
+        // (EOL-tolerant) or it is wrong and the scan arbitrates
+        var j = e.toInt
+        if (j < s.length && s.charAt(j) == '\r') j += 1
+        if (j < s.length && s.charAt(j) == '\n') j += 1
+        if (s.startsWith("endstream", j)) Some((e.toInt, j + 9)) else None
+      } else None
+    }
+    byLength.orElse {
+      val end = s.indexOf("endstream", b)
+      if (end < 0) None
+      else {
+        var e = end
+        if (e > b && s.charAt(e - 1) == '\n') e -= 1
+        if (e > b && s.charAt(e - 1) == '\r') e -= 1
+        Some((e, end + 9))
+      }
+    }
+  }
+
+  private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
     try {
-      val inf = new Inflater()
       inf.setInput(raw)
       val out = new java.io.ByteArrayOutputStream(raw.length * 4)
       val buf = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
+      var stalled = false
+      while (!stalled && !inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
-        else if (n == 0 && !inf.finished()) return Some(out.toByteArray)
+        else if (n == 0 && !inf.finished()) stalled = true
       }
-      inf.end()
       Some(out.toByteArray)
     } catch { case _: Exception => None }
+    finally inf.end() // release native zlib state on EVERY path
+  }
 
-  /** Replay a content stream's text operators. */
-  private def runContent(s: String): String = {
+  // ----------------------------------------------------------------- //
+  // Object graph + /ToUnicode CMaps
+  // ----------------------------------------------------------------- //
+
+  /** One ToUnicode character map: code width in bytes (1 or 2) and
+    * code → Unicode string. */
+  private[sources] final case class Cmap(codeLen: Int, map: Map[Int, String])
+
+  private val ObjHeader = "(\\d+)\\s+0\\s+obj".r
+  private val ToUnicodeRef = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+  private val FontEntry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+0\\s+R".r
+  private val FontDictRef = "/Font\\s+(\\d+)\\s+0\\s+R".r
+
+  /** Indirect objects: number → (dict text, raw stream bytes if any).
+    * Tolerant scan — headerless fragments (test PDFs) simply yield an
+    * empty map and extraction proceeds CMap-less. */
+  private def objects(bytes: Array[Byte]): Map[Int, (String, Option[Array[Byte]])] = {
+    val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = scala.collection.mutable.Map.empty[Int, (String, Option[Array[Byte]])]
+    for (m <- ObjHeader.findAllMatchIn(s)) {
+      val num = try m.group(1).toInt catch { case _: Exception => -1 }
+      val endobj = s.indexOf("endobj", m.end)
+      val dStart = s.indexOf("<<", m.end)
+      if (num >= 0 && dStart >= 0 && (endobj < 0 || dStart < endobj)) {
+        val dEnd = balancedDictEnd(s, dStart)
+        if (dEnd > dStart) {
+          val dict = s.substring(dStart, dEnd)
+          var j = dEnd
+          while (j < s.length && s.charAt(j).isWhitespace) j += 1
+          val stream =
+            if (s.startsWith("stream", j) && !s.startsWith("streams", j)) {
+              var b = j + 6
+              if (b < s.length && s.charAt(b) == '\r') b += 1
+              if (b < s.length && s.charAt(b) == '\n') b += 1
+              bodyEnd(s, dict, b).map { case (e, _) => bytes.slice(b, e) }
+            } else None
+          out(num) = (dict, stream)
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Index just past the `>>` matching the `<<` at `open`, or -1. */
+  private def balancedDictEnd(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i + 1 < s.length) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return i
+      } else i += 1
+    }
+    -1
+  }
+
+  /** Resource font name (e.g. "F1") → its ToUnicode [[Cmap]], resolved
+    * through `/Font << /Fk N 0 R >>` (or an indirect `/Font N 0 R`
+    * resource dict) and each font object's `/ToUnicode M 0 R` stream.
+    * A name bound to different fonts on different pages keeps the
+    * first binding — out of scope (one content interpreter runs per
+    * stream with the file-global map). */
+  private def fontCmaps(objs: Map[Int, (String, Option[Array[Byte]])]): Map[String, Cmap] = {
+    if (objs.isEmpty) return Map.empty
+    // font object number -> parsed cmap
+    val byObj: Map[Int, Cmap] = objs.flatMap { case (num, (dict, _)) =>
+      ToUnicodeRef.findFirstMatchIn(dict).flatMap { m =>
+        val ref = m.group(1).toInt
+        objs.get(ref).flatMap { case (cd, body) =>
+          body.flatMap { raw =>
+            (if (cd.contains("/FlateDecode")) inflate(raw) else Some(raw))
+              .map(parseCmap)
+          }
+        }.map(num -> _)
+      }
+    }
+    if (byObj.isEmpty) return Map.empty
+    // resource name -> font object number, from every /Font dict
+    val names = scala.collection.mutable.Map.empty[String, Int]
+    def bind(fontDictBody: String): Unit =
+      for (e <- FontEntry.findAllMatchIn(fontDictBody)) {
+        val name = e.group(1)
+        val ref = e.group(2).toInt
+        if (!names.contains(name)) names(name) = ref
+      }
+    for ((_, (dict, _)) <- objs) {
+      val at = dict.indexOf("/Font")
+      if (at >= 0) {
+        val open = dict.indexOf("<<", at + 5)
+        if (open >= 0 && dict.substring(at + 5, open).trim.isEmpty) {
+          val close = balancedDictEnd(dict, open)
+          if (close > open) bind(dict.substring(open, close))
+        } else {
+          FontDictRef.findFirstMatchIn(dict.substring(at)).foreach { m =>
+            objs.get(m.group(1).toInt).foreach { case (rd, _) => bind(rd) }
+          }
+        }
+      }
+    }
+    names.toMap.flatMap { case (name, ref) => byObj.get(ref).map(name -> _) }
+  }
+
+  private val HexTok = "<([0-9A-Fa-f]+)>".r
+
+  /** Parse a ToUnicode CMap stream: codespacerange fixes the code
+    * width; bfchar pairs and bfrange triples (offset and `[list]`
+    * forms) fill the map. Destinations are UTF-16BE per spec. */
+  private[sources] def parseCmap(data: Array[Byte]): Cmap = {
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def sections(begin: String, end: String): Seq[String] = {
+      val out = ArrayBuffer.empty[String]
+      var i = 0
+      var go = true
+      while (go) {
+        val b = s.indexOf(begin, i)
+        if (b < 0) go = false
+        else {
+          val e = s.indexOf(end, b + begin.length)
+          if (e < 0) go = false
+          else { out += s.substring(b + begin.length, e); i = e + end.length }
+        }
+      }
+      out.toSeq
+    }
+    def hx(h: String): Int =
+      try java.lang.Long.parseLong(h, 16).toInt catch { case _: Exception => 0 }
+    def utf16(h: String): String = {
+      val padded = if (h.length % 4 == 0) h else ("0" * (4 - h.length % 4)) + h
+      val bytes = new Array[Byte](padded.length / 2)
+      var i = 0
+      while (i < bytes.length) {
+        bytes(i) = hx(padded.substring(2 * i, 2 * i + 2)).toByte
+        i += 1
+      }
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    }
+    val m = scala.collection.mutable.Map.empty[Int, String]
+    var codeLen = 0
+    for (sec <- sections("begincodespacerange", "endcodespacerange");
+         tok <- HexTok.findFirstMatchIn(sec) if codeLen == 0)
+      codeLen = math.max(1, math.min(2, (tok.group(1).length + 1) / 2))
+    for (sec <- sections("beginbfchar", "endbfchar")) {
+      val toks = HexTok.findAllMatchIn(sec).map(_.group(1)).toSeq
+      if (codeLen == 0 && toks.nonEmpty)
+        codeLen = math.max(1, math.min(2, (toks.head.length + 1) / 2))
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => m(hx(src)) = utf16(dst)
+        case _ => ()
+      }
+    }
+    for (sec <- sections("beginbfrange", "endbfrange")) {
+      // tokenize: hex strings and [ ] array brackets, in order
+      sealed_toks(sec).foreach {
+        case (lo, hi, Right(dstStart)) =>
+          if (codeLen == 0) codeLen = math.max(1, math.min(2, (lo.length + 1) / 2))
+          val base = hx(dstStart)
+          var c = hx(lo)
+          var off = 0
+          val hiC = hx(hi)
+          while (c <= hiC && off <= 0xFFFF) {
+            val dh = java.lang.Long.toHexString((base + off).toLong)
+            val want = math.max(dstStart.length, dh.length)
+            m(c) = utf16(("0" * (want - dh.length)) + dh)
+            c += 1; off += 1
+          }
+        case (lo, hi, Left(list)) =>
+          if (codeLen == 0) codeLen = math.max(1, math.min(2, (lo.length + 1) / 2))
+          var c = hx(lo)
+          val hiC = hx(hi)
+          var i = 0
+          while (c <= hiC && i < list.length) {
+            m(c) = utf16(list(i)); c += 1; i += 1
+          }
+      }
+    }
+    Cmap(if (codeLen == 0) 1 else codeLen, m.toMap)
+  }
+
+  /** bfrange entries from one section body: (lo, hi, Right(dstStart) |
+    * Left(dstList)). */
+  private def sealed_toks(sec: String): Seq[(String, String, Either[Seq[String], String])] = {
+    // linear scan keeping bracket structure
+    val items = ArrayBuffer.empty[Either[String, Seq[String]]] // hex | array
+    var i = 0
+    while (i < sec.length) {
+      sec.charAt(i) match {
+        case '<' =>
+          val e = sec.indexOf('>', i + 1)
+          if (e < 0) i = sec.length
+          else { items += Left(sec.substring(i + 1, e)); i = e + 1 }
+        case '[' =>
+          val e = sec.indexOf(']', i + 1)
+          if (e < 0) i = sec.length
+          else {
+            val inner = sec.substring(i + 1, e)
+            items += Right(HexTok.findAllMatchIn(inner).map(_.group(1)).toSeq)
+            i = e + 1
+          }
+        case _ => i += 1
+      }
+    }
+    val out = ArrayBuffer.empty[(String, String, Either[Seq[String], String])]
+    var j = 0
+    while (j + 2 < items.length + 1 && j + 1 < items.length) {
+      (items(j), items(j + 1)) match {
+        case (Left(lo), Left(hi)) if j + 2 < items.length =>
+          items(j + 2) match {
+            case Left(dst) => out += ((lo, hi, Right(dst))); j += 3
+            case Right(list) => out += ((lo, hi, Left(list))); j += 3
+          }
+        case _ => j += 1
+      }
+    }
+    out.toSeq
+  }
+
+  // ----------------------------------------------------------------- //
+  // Content-stream interpreter
+  // ----------------------------------------------------------------- //
+
+  /** Replay a content stream's text operators. `fonts` binds resource
+    * names (`Tf` operands) to ToUnicode maps; show strings route
+    * through the active map (identity when the font has none). */
+  private def runContent(s: String, fonts: Map[String, Cmap]): String = {
     val text = new StringBuilder
     val strings = ArrayBuffer.empty[String]   // pending string operands
     val numbers = ArrayBuffer.empty[Double]   // pending numeric operands
     var inText = false
     var lineOpen = false                       // text emitted on current line
+    var lastName = ""                          // most recent /Name operand
+    var cur: Option[Cmap] = None               // active font's ToUnicode
     var i = 0
 
     def newline(): Unit = { text.append('\n'); lineOpen = false }
-    def show(str: String): Unit = { text.append(str); lineOpen = true }
+    def show(str: String): Unit = {
+      val mapped = cur match {
+        case Some(cm) => mapThrough(cm, str)
+        case None => str
+      }
+      if (mapped.nonEmpty || str.isEmpty) { text.append(mapped); lineOpen = true }
+    }
     def clear(): Unit = { strings.clear(); numbers.clear() }
 
     while (i < s.length) {
@@ -135,8 +405,10 @@ object PdfText {
       } else if (c == '[' || c == ']') {
         i += 1 // TJ arrays: strings already accumulate in order
       } else if (c == '/') {
+        val start = i + 1
         i += 1
         while (i < s.length && !delim(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
         val start = i
         i += 1
@@ -160,6 +432,10 @@ object PdfText {
         s.substring(start, i) match {
           case "BT" => inText = true; clear()
           case "ET" => inText = false; clear()
+          case "Tf" =>
+            // font select persists across BT/ET within the stream
+            cur = fonts.get(lastName)
+            clear()
           case "Tj" | "TJ" =>
             if (inText) strings.foreach(show)
             clear()
@@ -177,6 +453,30 @@ object PdfText {
       } else i += 1
     }
     text.toString
+  }
+
+  /** Route one raw show string through a ToUnicode map. 2-byte codes
+    * pair big-endian; unmapped wide codes drop (bare glyph ids carry
+    * no portable meaning), unmapped narrow codes keep their Latin-1
+    * reading (ToUnicode is routinely partial on simple fonts). */
+  private def mapThrough(cm: Cmap, raw: String): String = {
+    val sb = new StringBuilder
+    if (cm.codeLen <= 1) {
+      var i = 0
+      while (i < raw.length) {
+        val code = raw.charAt(i) & 0xFF
+        sb.append(cm.map.getOrElse(code, raw.charAt(i).toString))
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i + 1 < raw.length) {
+        val code = ((raw.charAt(i) & 0xFF) << 8) | (raw.charAt(i + 1) & 0xFF)
+        cm.map.get(code).foreach(sb.append(_: String))
+        i += 2
+      }
+    }
+    sb.toString
   }
 
   private def delim(c: Char): Boolean =

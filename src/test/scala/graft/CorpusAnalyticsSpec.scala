@@ -287,12 +287,12 @@ class CorpusAnalyticsSpec extends SparkSpec {
     // L1 = l1_num / (n_tokens_src * n_all) — the operator emits the
     // exact integer factors; the ratio is derived here
     def l1 (r: org.apache.spark.sql.Row): Double =
-      r.getDecimal(3).doubleValue() / (r.getLong(1).toDouble * r.getLong(2))
+      r.getLong(3).toDouble / (r.getLong(1).toDouble * r.getLong(2))
     val same = Seq(
       (1L, "aa bb cc", "en", "s1"), (2L, "aa bb cc", "en", "s2"))
       .toDF("doc_id", "text", "lang", "source")
     CorpusAnalytics.sourceTokenDivergence(same).collect().foreach { r =>
-      assert(r.getDecimal(3).longValueExact() === 0L,
+      assert(r.getLong(3) === 0L,
         s"identical distributions must diverge 0, got $r")
     }
     val skew = Seq(
@@ -319,7 +319,7 @@ class CorpusAnalyticsSpec extends SparkSpec {
     def bits(d: org.apache.spark.sql.DataFrame) =
       CorpusAnalytics.sourceTokenDivergence(d).collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-          r.getDecimal(3).toString))
+          r.getLong(3)))
         .sortBy(_._1)
     val base = bits(docs)
     assert(bits(docs) === base, "re-run changed the bits")

@@ -244,6 +244,23 @@ class NullRobustnessSpec extends SparkSpec {
     assert(out(1L).getLong(2) === 11L, "12 tokens -> 11 positions")
   }
 
+  test("lm perplexity when ONE doc holds every token: floor clamps, no null score") {
+    import graft.operators.CorpusAnalytics
+    // n_all == m for the only scored doc, so every leave-one-out count
+    // is zero and the floor branch would hit ln(0) unguarded — Spark
+    // nulls, DuckDB errors (round-12 advice). The greatest(nRest, 1)
+    // clamp makes the floor ln(1) = 0: the score exists and is exactly 0
+    val single = Seq((1L, "aa bb aa cc", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusAnalytics.lmPerplexity(single).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(!r.isNullAt(3), "nats_micro must not be null on the degenerate corpus")
+    assert(r.getLong(3) === 0L,
+      s"a doc that IS the corpus scores zero information, got $r")
+    assert(r.getString(5) === "head", "single doc lands in the head bucket")
+  }
+
   test("round-8 corpus ops on degenerate input") {
     import graft.operators.{CorpusAnalytics, TrainPrep}
     // rare bigrams: null/empty/one-token docs emit no row, never throw
@@ -255,7 +272,7 @@ class NullRobustnessSpec extends SparkSpec {
     val single = Seq((1L, "aa bb", "en", "s1"), (2L, "bb cc", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
     val d = CorpusAnalytics.sourceTokenDivergence(single).collect()
-    assert(d.length === 1 && d.head.getDecimal(3).longValueExact() === 0L)
+    assert(d.length === 1 && d.head.getLong(3) === 0L)
     // null text: tokens(NULL) contributes nothing, the source row keeps
     // its non-null counts
     val withNull = single.unionByName(

@@ -95,6 +95,45 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("CID/Type0 fixture: 2-byte codes resolve through the /ToUnicode CMap") {
+    // tools/make_cid_pdf.py: glyph codes are NOT unicode values (a..z
+    // live at 0x0100.., A/B/C at 0x0300.., the rest at 0x0200..), so a
+    // byte-literal reading would produce garbage — equality here
+    // certifies codespacerange + bfrange (offset AND list forms) +
+    // bfchar parsing, the resource-name→font→CMap resolution, the Tf
+    // font switch, and that page 2's CMap-less WinAnsi font still
+    // reads as Latin-1 in the same file
+    val pdf = Files.readAllBytes(Paths.get(s"$root/cid_pdf/sample.pdf"))
+    val want = new String(
+      Files.readAllBytes(Paths.get(s"$root/cid_pdf/sample.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(PdfText.extract(pdf) === want)
+    assert(want.contains("résumé") && want.contains("§"),
+      "ground truth must contain non-ASCII or the CMap test is weak")
+  }
+
+  test("a direct /Length arbitrates a body containing the endstream bytes") {
+    // the 9-byte sequence `endstream` INSIDE a shown string: the raw
+    // scan alone would truncate the stream mid-literal; the declared
+    // direct /Length (validated against the real endstream behind it)
+    // must win
+    val content = "BT /F1 10 Tf (text endstream text) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(pdf) === "text endstream text")
+  }
+
+  test("a wrong direct /Length falls back to the endstream scan") {
+    val content = "BT /F1 10 Tf (recovered) Tj ET"
+    // /Length overshoots the real extent; the validator sees no
+    // endstream at the declared end and arbitration falls to the scan
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + (content.length + 500) +
+      " >>\nstream\n" + content + "\nendstream\nendobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(pdf) === "recovered")
+  }
+
   test("malformed and non-text input extracts empty, never throws") {
     assert(PdfText.extract(null) === "")
     assert(PdfText.extract(Array.empty[Byte]) === "")
