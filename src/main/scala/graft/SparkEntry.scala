@@ -230,6 +230,71 @@ object SparkEntry {
   private val FX = graft.sources.Fixtures.root
   private def fx(name: String): String = s"read_parquet('$FX/$name.parquet/*.parquet')"
 
+  /** Shared WITH-chain for the media decode oracles: DuckDB twin of
+    * [[graft.operators.Multimodal.decodeImage]]. BMP fields come from
+    * fixed little-endian byte offsets rebuilt with hex()+nibble
+    * arithmetic (int32 height sign-extended then abs'd, exactly the
+    * Scala parse); the netpbm header is projected to ASCII via chr()
+    * over the first 20 bytes (non-printables become '?', which can
+    * never extend a digit run) and parsed with an anchored regexp over
+    * the canonical `P6\\n<w> <h>\\n<max>\\n` fixture form. Terminal
+    * table `dec`: (doc_id, n, width, height, channels) with (0,0,0)
+    * for everything unrecognized. */
+  private lazy val mediaDecodeSql: String = {
+    def nib(pos: String) =
+      s"(instr('0123456789ABCDEF', substring(hx, $pos, 1)) - 1)"
+    def byteAt(k: Int) =
+      s"(${nib((2 * k + 1).toString)} * 16 + ${nib((2 * k + 2).toString)})"
+    val bj = s"(${nib("2 * j + 1")} * 16 + ${nib("2 * j + 2")})"
+    val wb = s"(${byteAt(18)} + ${byteAt(19)} * 256 + " +
+      s"${byteAt(20)} * 65536 + ${byteAt(21)} * 16777216)"
+    val hraw = s"(${byteAt(22)} + ${byteAt(23)} * 256 + " +
+      s"${byteAt(24)} * 65536 + ${byteAt(25)} * 16777216)"
+    val bpp = s"(${byteAt(28)} + ${byteAt(29)} * 256)"
+    val pbm = "'^P[56]\\n(\\d+) (\\d+)\\n(\\d+)\\n'"
+    s"""WITH b AS (SELECT doc_id, hex(from_base64(payload_b64)) AS hx,
+                     octet_length(from_base64(payload_b64)) AS n
+                   FROM ${fx("media")}),
+       hdr AS (SELECT doc_id,
+                 string_agg(CASE WHEN $bj BETWEEN 32 AND 126
+                                   OR $bj IN (9, 10, 13)
+                                 THEN chr(CAST($bj AS INTEGER)) ELSE '?' END,
+                            '' ORDER BY j) AS head
+               FROM (SELECT doc_id, hx, unnest(range(0, least(n, 20))) AS j
+                     FROM b WHERE n > 0)
+               GROUP BY doc_id),
+       parse AS (SELECT b.doc_id, b.n, b.hx,
+                   (b.n >= 54 AND substring(b.hx, 1, 4) = '424D') AS is_bmp,
+                   $wb AS wb, $hraw AS hraw, $bpp AS bpp,
+                   TRY_CAST(regexp_extract(head, $pbm, 1) AS BIGINT) AS pw,
+                   TRY_CAST(regexp_extract(head, $pbm, 2) AS BIGINT) AS ph,
+                   TRY_CAST(regexp_extract(head, $pbm, 3) AS BIGINT) AS pm,
+                   substring(b.hx, 3, 2) AS magic2
+                 FROM b LEFT JOIN hdr USING (doc_id)),
+       flags AS (SELECT doc_id, n, wb, pw, ph, magic2, bpp,
+                   abs(CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296
+                            ELSE hraw END) AS habs,
+                   is_bmp,
+                   (NOT is_bmp AND n >= 2 AND substring(hx, 1, 2) = '50'
+                     AND magic2 IN ('35', '36')
+                     AND coalesce(pw, 0) > 0 AND coalesce(ph, 0) > 0
+                     AND coalesce(pm, 0) > 0) AS p_ok
+                 FROM parse),
+       dec AS (SELECT doc_id, n,
+                 CASE WHEN is_bmp AND wb > 0 AND habs > 0
+                        AND bpp IN (8, 24, 32) THEN wb
+                      WHEN p_ok THEN pw ELSE 0 END AS width,
+                 CASE WHEN is_bmp AND wb > 0 AND habs > 0
+                        AND bpp IN (8, 24, 32) THEN habs
+                      WHEN p_ok THEN ph ELSE 0 END AS height,
+                 CASE WHEN is_bmp AND wb > 0 AND habs > 0
+                        AND bpp IN (8, 24, 32) THEN bpp // 8
+                      WHEN p_ok THEN
+                        (CASE WHEN magic2 = '36' THEN 3 ELSE 1 END)
+                      ELSE 0 END AS channels
+               FROM flags)"""
+  }
+
   // --- generated DuckDB expression builders mirroring graft.functions ---
 
   /** DuckDB twin of [[graft.functions.md5Bits16]] (same instr arithmetic). */
@@ -2726,20 +2791,26 @@ object SparkEntry {
          FROM c LEFT JOIN k USING (source)
          ORDER BY source"""
     },
+    // REAL image-header decode replayed in SQL (the q_audio_energy
+    // pattern): BMP dims/bpp from fixed little-endian offsets via
+    // hex()+nibble arithmetic (signed height -> abs for top-down
+    // files); netpbm (P6/P5) via a chr()-projected ASCII prefix +
+    // anchored regexp over the canonical fixture header. Anything else
+    // decodes to the (0,0,0) sentinel — exactly decodeImage's contract.
     "q_media_meta" ->
-      s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
-         SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,
-           CAST(octet_length(blob) % 640 + 1 AS INTEGER) AS width,
-           CAST(octet_length(blob) * 7 % 480 + 1 AS INTEGER) AS height,
-           3 AS channels
-         FROM b ORDER BY doc_id""",
+      s"""$mediaDecodeSql
+         SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(channels AS INTEGER) AS channels
+         FROM dec ORDER BY doc_id""",
     "q_media_resize" ->
-      s"""WITH b AS (SELECT doc_id, from_base64(payload_b64) AS blob FROM ${fx("doc_payloads")})
-         SELECT doc_id, CAST(octet_length(blob) AS INTEGER) AS n_bytes,
-           CAST((octet_length(blob) + 3) // 4 AS INTEGER) AS resized_bytes,
-           CAST((octet_length(blob) % 640 + 1 + 1) // 2 AS INTEGER) AS width,
-           CAST((octet_length(blob) * 7 % 480 + 1 + 1) // 2 AS INTEGER) AS height
-         FROM b ORDER BY doc_id""",
+      s"""$mediaDecodeSql
+         SELECT doc_id, CAST(n AS INTEGER) AS n_bytes,
+           CAST((n + 3) // 4 AS INTEGER) AS resized_bytes,
+           CAST((width + 1) // 2 AS INTEGER) AS width,
+           CAST((height + 1) // 2 AS INTEGER) AS height
+         FROM dec ORDER BY doc_id""",
     // REAL s16le PCM decode replayed through hex()+nibble arithmetic:
     // sample j = signed(byte(2j+1))*256 + byte(2j); exact integer
     // energy per 256-sample frame

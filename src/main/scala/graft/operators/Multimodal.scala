@@ -7,14 +7,20 @@ import graft.sources.Fixtures
 /** Multimodal-column plumbing: opaque `binary` media blobs + typed
   * metadata, processed per-partition in batches.
   *
-  * The decode step is a clearly-marked deterministic STUB — this
-  * container has no image/audio codecs — but everything Spark-side is
-  * real: the binary column flows through a typed `Dataset`,
-  * `mapPartitions` processes each partition as one batch (the Scala
-  * analogue of `mapInPandas`' batch shape: decoder state is initialized
-  * once per partition, amortized over its rows, never per row), and the
-  * output schema is a pinned case class. Swapping [[decodeStub]] for a
-  * real codec changes no plumbing.
+  * The image decode is REAL (round 13): [[decodeImage]] parses BMP
+  * (BITMAPINFOHEADER: little-endian dimensions, signed height for
+  * top-down files, bits-per-pixel → channels) and binary netpbm
+  * (P6/P5, whitespace-and-comment-tolerant header) straight from the
+  * bytes — the two uncompressed formats a container with no codec
+  * libraries can still decode from scratch, the same constraint that
+  * produced the from-scratch [[graft.sources.PdfText]]. Unrecognized
+  * or truncated blobs emit the (0,0,0) sentinel rather than throwing.
+  * Everything Spark-side keeps the batch shape: the binary column
+  * flows through a typed `Dataset`, `mapPartitions` processes each
+  * partition as one batch (the Scala analogue of `mapInPandas`:
+  * decoder state is initialized once per partition, never per row),
+  * and the output schema is a pinned case class. A compressed-codec
+  * swap (JPEG/PNG) changes [[decodeImage]]'s body, no plumbing.
   *
   * Scale: per-partition batching is the only viable shape for
   * codec-heavy work at 100 TB (vectorized handoff, bounded memory per
@@ -26,32 +32,73 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        channels: Int)
 
-  /** STUB decoder: deterministic pseudo-metadata derived only from blob
-    * length — stands in for a real image decode (`???` would be the
-    * honest alternative; a deterministic fake keeps the pipeline
-    * testable end-to-end). */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length
-    // n*7 in Long: an Int multiply overflows (negative height) for
-    // blobs over ~306 MB, diverging from the oracle's BIGINT arithmetic
-    MediaMeta(docId, n, n % 640 + 1, (n.toLong * 7 % 480 + 1).toInt, 3)
+  /** REAL image decode from bytes: BMP and binary netpbm headers.
+    * Never throws; anything else (including null/truncated input)
+    * yields the (0,0,0) sentinel so corrupt blobs surface as rows, not
+    * task failures. The oracle re-derives the same parse in DuckDB via
+    * hex()+nibble arithmetic (the q_audio_energy pattern), so this
+    * decoder is hash-verified end to end over the committed
+    * `media.parquet` fixtures (tools/make_media_fixtures.py). */
+  def decodeImage(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = if (bytes == null) 0 else bytes.length
+    def sentinel = MediaMeta(docId, n, 0, 0, 0)
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    if (n >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
+      // BITMAPFILEHEADER (14) + BITMAPINFOHEADER: width int32le @18,
+      // height SIGNED int32le @22 (negative = top-down storage order,
+      // same pixel count), bpp uint16le @28
+      val w = le32(18)
+      val h = math.abs(le32(22))
+      val bpp = le16(28)
+      if (w > 0 && h > 0 && (bpp == 8 || bpp == 24 || bpp == 32))
+        MediaMeta(docId, n, w, h, bpp / 8)
+      else sentinel
+    } else if (n >= 2 && bytes(0) == 'P'.toByte &&
+      (bytes(1) == '5'.toByte || bytes(1) == '6'.toByte)) {
+      // netpbm binary: magic, then width/height/maxval as ASCII ints
+      // separated by whitespace; '#' comments run to end of line
+      var i = 2
+      def nextInt(): Int = {
+        var going = true
+        while (going && i < n) {
+          val b = bytes(i)
+          if (b == '#'.toByte) { while (i < n && bytes(i) != '\n'.toByte) i += 1 }
+          else if (b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+            b == '\r'.toByte || b == '\f'.toByte || b == 11) i += 1
+          else going = false
+        }
+        var v = -1
+        while (i < n && bytes(i) >= '0'.toByte && bytes(i) <= '9'.toByte) {
+          v = math.max(v, 0) * 10 + (bytes(i) - '0'.toByte); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val mx = nextInt()
+      if (w > 0 && h > 0 && mx > 0)
+        MediaMeta(docId, n, w, h, if (bytes(1) == '6'.toByte) 3 else 1)
+      else sentinel
+    } else sentinel
   }
 
   /** Batch feature extraction over (id, blob) rows. The partition
-    * iterator is the batch: real decoders hoist codec init here. */
+    * iterator is the batch: heavier codecs hoist their init here. */
   def extractMeta(media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       // per-partition decoder init would go here (once, not per row)
-      batch.map { case (id, bytes) => decodeStub(id, bytes) }
+      batch.map { case (id, bytes) => decodeImage(id, bytes) }
     }
   }
 
-  /** Driver-contract query: metadata over the fixture payload blobs
-    * (base64 API payloads decoded to binary — the S2/S8 landing shape). */
+  /** Driver-contract query: REAL header decode over the committed
+    * image fixtures (BMP 8/24/32-bit incl. top-down, PPM/PGM, junk
+    * sentinels — tools/make_media_fixtures.py). */
   def qMediaMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Fixtures.docPayloads(spark)
+    val blobs = Fixtures.media(spark)
       .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
       .as[(Long, Array[Byte])]
     extractMeta(blobs).toDF().orderBy(col("doc_id"))
@@ -98,16 +145,17 @@ object Multimodal {
   case class ResizedMeta(doc_id: Long, n_bytes: Int, resized_bytes: Int,
                          width: Int, height: Int)
 
-  /** Resize: keep every factor²-th byte — REAL slicing standing in for a
-    * bilinear downsample kernel (a codec swap changes the kernel, not
-    * this plumbing); dimensions shrink by `factor`, rounding up. Returns
-    * the resized blob alongside its metadata, the shape a downstream
-    * re-encode stage consumes. */
-  def resizeStub(id: Long, bytes: Array[Byte],
+  /** Resize: keep every factor²-th byte — real slicing standing in for
+    * a bilinear downsample kernel (a kernel swap changes one line, not
+    * this plumbing); dimensions come from the REAL [[decodeImage]]
+    * header parse and shrink by `factor`, rounding up (sentinel 0×0
+    * stays 0×0). Returns the resized blob alongside its metadata, the
+    * shape a downstream re-encode stage consumes. */
+  def resizeDown(id: Long, bytes: Array[Byte],
                  factor: Int): (ResizedMeta, Array[Byte]) = {
     val step = factor * factor
     val out = Array.tabulate((bytes.length + step - 1) / step)(i => bytes(i * step))
-    val m = decodeStub(id, bytes)
+    val m = decodeImage(id, bytes)
     (ResizedMeta(id, m.n_bytes, out.length,
       (m.width + factor - 1) / factor, (m.height + factor - 1) / factor), out)
   }
@@ -116,13 +164,13 @@ object Multimodal {
              factor: Int = ResizeFactor): Dataset[(ResizedMeta, Array[Byte])] = {
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
-      batch.map { case (id, bytes) => resizeStub(id, bytes, factor) }
+      batch.map { case (id, bytes) => resizeDown(id, bytes, factor) }
     }
   }
 
   def qMediaResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs = Fixtures.docPayloads(spark)
+    val blobs = Fixtures.media(spark)
       .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
       .as[(Long, Array[Byte])]
     resize(blobs).map(_._1).toDF().orderBy(col("doc_id"))

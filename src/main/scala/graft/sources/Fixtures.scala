@@ -138,6 +138,12 @@ object Fixtures {
   def docPayloads(spark: SparkSession): DataFrame =
     spark.read.parquet(s"$root/doc_payloads.parquet")
 
+  /** Committed REAL image blobs (BMP 8/24/32-bit, PPM/PGM, junk rows)
+    * as (doc_id, kind, payload_b64) — tools/make_media_fixtures.py;
+    * the multimodal decode queries read these. */
+  def media(spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$root/media.parquet")
+
   /** S7: binaryFile scan of the HTML corpus — the scale path for opaque
     * document blobs (content arrives as `BinaryType` + path metadata). */
   def billTextsBinary(spark: SparkSession): DataFrame =

@@ -1113,20 +1113,49 @@ class TextPipelineSpec extends SparkSpec {
       Seq((4L, null.asInstanceOf[Array[Byte]])).toDS()).collect().isEmpty)
   }
 
-  test("multimodal meta extraction is deterministic over binary blobs") {
-    val blobs = Seq((1L, Array[Byte](1, 2, 3)), (2L, new Array[Byte](700)))
-      .toDS()
-    val metas = Multimodal.extractMeta(blobs).collect().sortBy(_.doc_id)
-    assert(metas(0) === Multimodal.MediaMeta(1L, 3, 4, 22, 3))
-    assert(metas(1) === Multimodal.MediaMeta(2L, 700, 61, 101, 3))
+  /** Minimal valid BMP: 14-byte file header + BITMAPINFOHEADER, zero
+    * pixel payload (the parser reads only the header). */
+  private def miniBmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(64)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+    b.array()
   }
 
-  test("resize keeps every factor^2-th byte and halves dimensions (round up)") {
-    val bytes = Array.tabulate[Byte](10)(_.toByte)
+  test("multimodal meta extraction decodes REAL BMP and netpbm headers") {
+    val ppm = "P6\n12 9\n255\n".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](12 * 9 * 3)(7)
+    val pgm = "P5\n# a comment line\n 3 4\n255\n".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](12)(1)
+    val blobs = Seq(
+      (1L, miniBmp(13, 7, 24)),
+      (2L, miniBmp(5, -40, 32)), // top-down BMP: negative stored height
+      (3L, ppm), (4L, pgm),
+      (5L, Array[Byte](1, 2, 3))).toDS()
+    val metas = Multimodal.extractMeta(blobs).collect().sortBy(_.doc_id)
+    assert(metas(0) === Multimodal.MediaMeta(1L, 64, 13, 7, 3))
+    assert(metas(1) === Multimodal.MediaMeta(2L, 64, 5, 40, 4),
+      "negative (top-down) height must abs, 32bpp -> 4 channels")
+    assert(metas(2) === Multimodal.MediaMeta(3L, ppm.length, 12, 9, 3))
+    assert(metas(3) === Multimodal.MediaMeta(4L, pgm.length, 3, 4, 1),
+      "P5 header with comment + extra whitespace must parse, 1 channel")
+    assert(metas(4) === Multimodal.MediaMeta(5L, 3, 0, 0, 0),
+      "unrecognized blob -> (0,0,0) sentinel, no throw")
+  }
+
+  test("resize keeps every factor^2-th byte and halves REAL dimensions (round up)") {
+    val bytes = miniBmp(13, 7, 24) // 64 bytes
     val blobs = Seq((9L, bytes)).toDS()
     val (meta, out) = Multimodal.resize(blobs, factor = 2).collect().head
-    assert(out.toSeq === Seq[Byte](0, 4, 8)) // indices 0, 4, 8 of 0..9
-    assert(meta === Multimodal.ResizedMeta(9L, 10, 3, 6, 36))
+    assert(out.toSeq === (0 until 16).map(i => bytes(i * 4)).toSeq)
+    assert(meta === Multimodal.ResizedMeta(9L, 64, 16, 7, 4))
+    // a sentinel blob resizes to 0x0, bytes still sliced
+    val (jm, jo) = Multimodal.resize(
+      Seq((10L, Array[Byte](1, 2, 3, 4, 5))).toDS(), factor = 2).collect().head
+    assert(jo.toSeq === Seq[Byte](1, 5) && jm ===
+      Multimodal.ResizedMeta(10L, 5, 2, 0, 0))
   }
 
   test("frame sampling keeps every k-th chunk with a short final frame") {
