@@ -990,6 +990,53 @@ class TextPipelineSpec extends SparkSpec {
     assert(v7 === Set(2L, 3L, 4L), s"v7 must drop exactly the off-domain docs: $v7")
   }
 
+  test("materialized v5 emit: every consumer is equivalent to recomputation") {
+    import graft.operators.Curate
+    // same fixture as the v7 test: all six docs pass v6's gates, three
+    // fall to the DSIR cut — so the v6 and v7 consumers both do real
+    // work over the emit, and shards/manifest see a multi-doc pack
+    val quads = Seq("of the vector query", "a small window and",
+      "to the river stone", "of a quiet table",
+      "and the silver merge", "to a hidden stream")
+    def doc(seps: Seq[String], tail: String = ""): String =
+      quads.zip(seps).map { case (q, s) => s"$q $s" }.mkString(" ") + tail
+    val offDomain = " kelp brine coral dune"
+    val cdocs = Seq(
+      (2L, doc(Seq("maple", "perch", "cedar", "otter", "heron", "aspen")), "src0"),
+      (3L, doc(Seq("birch", "trout", "alder", "badger", "crane", "rowan")), "src0"),
+      (4L, doc(Seq("pine", "bream", "willow", "marten", "stork", "hazel")), "src0"),
+      (5L, doc(Seq("oak", "roach", "poplar", "weasel", "egret", "elm"), offDomain), "srcB"),
+      (7L, doc(Seq("fir", "chub", "walnut", "stoat", "ibis", "yew"), offDomain), "srcB"),
+      (14L, doc(Seq("ash", "dace", "laurel", "ferret", "avocet", "teak"), offDomain), "srcB")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("v5emit_spec_").toString
+    try {
+      Curate.curateV5(cdocs, emb).write.mode("overwrite").parquet(dir)
+      val emit = spark.read.parquet(dir)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).toSet
+      assert(rows(Curate.v6FromEmit(emit, cdocs)) ===
+        rows(Curate.curateV6(cdocs, emb)), "v6 over the emit drifted")
+      assert(rows(Curate.v7FromEmit(emit, cdocs)) ===
+        rows(Curate.curateV7(cdocs, emb)), "v7 over the emit drifted")
+      assert(rows(Curate.trainShardsFromEmit(emit)) ===
+        rows(Curate.trainShards(cdocs, emb)), "shards over the emit drifted")
+      assert(rows(Curate.manifestOf(Curate.trainShardsFromEmit(emit))) ===
+        rows(Curate.shardManifest(cdocs, emb)), "manifest over the emit drifted")
+      assert(Curate.v7FromEmit(emit, cdocs).count() === 3L,
+        "fixture must exercise a real v7 cut over the emit")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("curation v2 adds repetition, decontamination and pii gates") {
     import graft.operators.Curate
     // ids 2,3,4 are train-bucket (<80); 29 is the eval-set member
