@@ -221,6 +221,9 @@ object SparkEntry {
     "q_mix_budget"         -> (TrainPrep.qMixBudget _),
     "q_mix_sample"         -> (TrainPrep.qMixSample _),
     "q_vocab_coverage"     -> (TrainPrep.qVocabCoverage _),
+    "q_hybrid_rrf"         -> (Retrieval.qHybridRrf _),
+    "q_leakage_split"      -> (TrainPrep.qLeakageSplit _),
+    "q_curriculum"         -> (TrainPrep.qCurriculum _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3770,6 +3773,112 @@ object SparkEntry {
                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_share
          FROM st LEFT JOIN vv ON st.token = vv.token
          GROUP BY source ORDER BY source""",
+    // hybrid RRF: both rank lists re-derived exactly (shingle Jaccard
+    // and embedding cosine are integer/same-double surfaces), fused
+    // with the same two correctly-rounded divisions — bit-identical
+    "q_hybrid_rrf" -> {
+      import graft.operators.Retrieval._
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(TextDedup.ShingleN)} AS hs FROM t),
+         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+               FROM shs WHERE len(hs) > 0),
+         q AS (SELECT doc_id AS query_id, hs AS qh, sz AS qsz FROM v
+               WHERE doc_id % ${Similarity.QueryStride} = 0
+                 AND doc_id < ${Similarity.QueryStride.toLong * Similarity.MaxQueries}),
+         lexs AS (SELECT q.query_id, v.doc_id,
+                    CAST(len(list_intersect(q.qh, v.hs)) AS BIGINT) AS inter,
+                    q.qsz, v.sz
+                  FROM v CROSS JOIN q WHERE v.doc_id <> q.query_id),
+         lexr AS (SELECT query_id, doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+                      CAST(inter AS DOUBLE) / CAST(qsz + sz - inter AS DOUBLE)
+                        DESC, doc_id) AS BIGINT) AS lex_rk
+                  FROM lexs WHERE inter > 0),
+         lex AS (SELECT query_id, doc_id, lex_rk FROM lexr
+                 WHERE lex_rk <= $ListK),
+         qe AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE $isQuerySql),
+         sems AS (SELECT qe.query_id, e.vec_id AS doc_id,
+                    ${cosineSql("qe.qv", "e.embedding")} AS cosine
+                  FROM embeddings e CROSS JOIN qe
+                  WHERE e.vec_id <> qe.query_id),
+         semr AS (SELECT query_id, doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rk
+                  FROM sems),
+         sem AS (SELECT query_id, doc_id, sem_rk FROM semr
+                 WHERE sem_rk <= $ListK),
+         fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+                     coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                     lex.lex_rk, sem.sem_rk,
+                     coalesce(CAST(1 AS DOUBLE)
+                         / CAST($RrfK + lex.lex_rk AS DOUBLE), 0.0)
+                       + coalesce(CAST(1 AS DOUBLE)
+                         / CAST($RrfK + sem.sem_rk AS DOUBLE), 0.0) AS rrf
+                   FROM lex FULL OUTER JOIN sem
+                     ON lex.query_id = sem.query_id
+                       AND lex.doc_id = sem.doc_id),
+         top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS frk FROM fused)
+         SELECT query_id, doc_id, lex_rk, sem_rk, rrf FROM top
+         WHERE frk <= $FuseK ORDER BY query_id, rrf DESC, doc_id"""
+    },
+    // leakage-guarded split: the cluster CTE chain of q_dedup_clusters,
+    // every doc joined to its (or its own-id singleton) cluster, split
+    // by the "leak:"-salted md5 bucket of the CLUSTER id
+    "q_leakage_split" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         pairs AS (
+           SELECT doc_a, doc_b FROM scored
+           WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= ${TextDedup.JaccardThreshold}),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION SELECT doc_b, doc_a FROM pairs),
+         reach AS (
+           SELECT src AS node, src AS r FROM edges
+           UNION
+           SELECT e.src AS node, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+         lab AS (SELECT node AS doc_id, min(r) AS cid
+                 FROM reach GROUP BY node),
+         a AS (SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id),
+         b AS (SELECT doc_id, cluster_id,
+                 ${md5b16Sql("('leak:' || CAST(cluster_id AS VARCHAR))")} % 100 AS bkt
+               FROM a)
+         SELECT doc_id, cluster_id,
+           CASE WHEN bkt < 80 THEN 'train'
+                WHEN bkt < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
+    // curriculum: plain single-window rank + the same integer ntile
+    // arithmetic — the Spark side's two-level rank must equal it exactly
+    "q_curriculum" -> {
+      val k = graft.operators.TrainPrep.CurriculumStages
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         f AS (SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n_tok_d,
+             CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+           FROM t),
+         s AS (SELECT doc_id,
+             (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+               + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+               - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END)
+               AS quality_score
+           FROM f),
+         r AS (SELECT doc_id, quality_score,
+             CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+               AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+           FROM s)
+         SELECT doc_id, quality_score, rnk AS "rank",
+           CAST(CASE WHEN n // $k = 0 THEN rnk
+             WHEN rnk - 1 < (n % $k) * (n // $k + 1)
+               THEN (rnk - 1) // (n // $k + 1) + 1
+             ELSE (n % $k) + (rnk - 1 - (n % $k) * (n // $k + 1)) // (n // $k) + 1
+           END AS BIGINT) AS stage
+         FROM r ORDER BY rnk"""
+    },
   )
 
   /** The water-filling chain shared by the budget readout and the

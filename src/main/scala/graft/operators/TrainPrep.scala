@@ -783,4 +783,132 @@ object TrainPrep {
     dsirScoreAgainst(docs.filter(col("source") === DsirProbeSource), docs)
       .orderBy(col("doc_id"))
   }
+
+  // --- leakage-guarded split ---
+
+  /** Train/val/test assignment that cannot leak near-duplicates across
+    * the split boundary: every document is assigned by the md5 bucket
+    * of its NEAR-DUP CLUSTER id, not its own id, so all members of a
+    * duplicate cluster land in the same split. A plain per-doc hash
+    * split ([[TextStats.splitBucket]]) puts ~10% of every near-dup
+    * cluster's copies in val/test — the textbook train-test
+    * contamination path (Lee et al., "Deduplicating Training Data",
+    * §6.2: eval-set dups inflate scores).
+    *
+    * `labels` is the (doc_id, cluster_id) frame of [[TextDedup.dedupClusters]]
+    * — docs absent from it are singletons and use their own id as the
+    * cluster id, which reduces to the plain hash split for them. The
+    * "leak:" salt decouples this bucket stream from the doc-id "split:"
+    * stream, so a cluster root's bucket is NOT the bucket its root doc
+    * would get in [[TextStats.splitBucket]] — the two splits are
+    * independent hash streams by construction.
+    *
+    * Scale: one left join on the `doc_id` partitioning both frames
+    * already carry, then a per-row hash — no new shuffle beyond what
+    * clustering itself cost. Same 80/10/10 thresholds as the plain
+    * split. */
+  def leakageSplit(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val bkt = md5Bits16(concat(lit("leak:"), col("cluster_id").cast("string"))) % 100
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+  }
+
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // same cache-release handoff as [[TextDedup.qDedupClusters]]: the
+    // label frame's cache must not outlive the harness entry, so the
+    // assignment is spilled to parquet and scanned back.
+    TextDedup.withDedupClusters(TextDedup.minhashPairs(docs)) { labels =>
+      val out = TextDedup.spillPath(spark, "leakage_split")
+      leakageSplit(docs, labels).write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy(col("doc_id"))
+    }
+  }
+
+  // --- curriculum ordering ---
+
+  /** Curriculum stages. */
+  val CurriculumStages = 4
+
+  /** Bucket width for the two-level global rank: quality scores are
+    * quantized to 1/64ths for the COARSE distribution pass. Pure
+    * parallelism — any width yields byte-identical ranks (the
+    * fine-rank window is exact within each bucket); 64 balances bucket
+    * count (≤ ~240 for the score's [-1, 2.5] range) against per-bucket
+    * row volume. */
+  val RankBucketWidth = 64.0
+
+  /** EXACT global rank over (quality_score DESC, doc_id ASC) without a
+    * corpus-wide single-partition window — the scalable spelling of
+    * `row_number() OVER (ORDER BY ...)`:
+    *
+    *   1. quantize the sort key into coarse buckets
+    *      (`floor(-score · 64)` — ascending bucket = descending score,
+    *      so bucket order IS rank order);
+    *   2. aggregate per-bucket counts (map-side partial, ≤ ~240 rows —
+    *      the score is bounded in [-1, 2.5] by construction, see
+    *      [[TextStats.qualityFeatures]]) and prefix-sum them on the
+    *      driver into per-bucket rank offsets — the ONLY collect, O(score
+    *      range · RankBucketWidth) rows regardless of corpus size;
+    *   3. `row_number()` WITHIN each bucket (parallel across buckets —
+    *      no global-order partition) + broadcast-joined offset = exact
+    *      global rank.
+    *
+    * A direct `Window.orderBy` with no partition spec funnels the whole
+    * corpus through ONE task; this shape keeps every stage partitioned.
+    * CurriculumSpec pins equality with the naive single-window rank.
+    *
+    * The curriculum stage is the standard `ntile(CurriculumStages)`
+    * arithmetic over the exact rank (first `n mod k` stages take the
+    * extra row), computed as integer arithmetic from (rank, n) so both
+    * engines decide identically. Stage 1 = highest quality — train on
+    * the cleanest slice first, the curriculum-learning schedule. */
+  def curriculumStages(docs: DataFrame, k: Int = CurriculumStages): DataFrame = {
+    val q = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("bkt",
+        floor(-col("quality_score") * lit(RankBucketWidth)).cast("long"))
+    val counts = q.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bkt"))
+      .collect() // bounded: ≤ score-range × RankBucketWidth buckets (~240)
+    var off = 0L
+    val offsets = counts.map { r =>
+      val o = (r.getLong(0), off); off += r.getLong(1); o
+    }
+    val n = off
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("bkt", "off")
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val base = n / k
+    val rem = n % k
+    val r0 = col("rank") - 1L
+    // exact long division: (a - a mod b) is an exact multiple of b, so
+    // the double division is exact for all a < 2^53 — Spark's `/` alone
+    // is a double divide whose rounding could misplace a stage boundary
+    // at extreme ranks
+    def idiv(a: Column, b: Long): Column =
+      ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+    // ntile(k): `rem` stages of base+1 rows, then k-rem of base rows;
+    // base == 0 (n < k) degenerates to one row per stage
+    val stage =
+      if (base == 0L) col("rank")
+      else when(r0 < lit(rem * (base + 1)), idiv(r0, base + 1) + 1L)
+        .otherwise(lit(rem) + idiv(r0 - lit(rem * (base + 1)), base) + 1L)
+    q.join(broadcast(offDf), Seq("bkt"))
+      .withColumn("rank", (col("off") + row_number().over(w)).cast("long"))
+      .withColumn("stage", stage.cast("long"))
+      .select(col("doc_id"), col("quality_score"), col("rank"), col("stage"))
+  }
+
+  def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curriculumStages(Tables.documents(spark, dir)).orderBy(col("rank"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Canonical table loaders for the star schema + corpus tables.
   *
@@ -59,6 +59,31 @@ object Tables {
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
     }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** The corpus tables get the same encoding seam as `events.ts`: a
+    * testdata regeneration that ships id/count columns as INT32 or
+    * DECIMAL(p,0) (pandas/pyarrow both do this depending on how the
+    * frame was built) must surface to every consumer as the pinned
+    * BIGINT/INT — not leak a decimal into join keys and compare
+    * surfaces (the r9-r12 `q_source_divergence` lesson: DECIMAL
+    * surfaces hash differently across engines even value-identical).
+    * Scale-0 decimal → long and int → long are value-exact casts;
+    * anything non-integral (a drifted float id) still fails the
+    * contract spec rather than being silently truncated here. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    normalizeIntegral(load(spark, dir, "documents"),
+      Map("doc_id" -> LongType, "n_chars" -> LongType))
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    normalizeIntegral(load(spark, dir, "embeddings"),
+      Map("vec_id" -> LongType, "label" -> IntegerType))
+  private[graft] def normalizeIntegral(
+      df: DataFrame, want: Map[String, DataType]): DataFrame =
+    want.foldLeft(df) { case (d, (name, t)) =>
+      d.schema(name).dataType match {
+        case `t` => d
+        case ByteType | ShortType | IntegerType | LongType => d.withColumn(name, col(name).cast(t))
+        case dec: DecimalType if dec.scale == 0 => d.withColumn(name, col(name).cast(t))
+        case other => throw new IllegalArgumentException(
+          s"column '$name' drifted to non-integral $other (want $t)")
+      }
+    }
 }

@@ -95,6 +95,66 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("property: multi-stream files with MIXED filters round-trip exactly") {
+    // one file, many stream objects, each independently raw or Flate
+    // (both with a direct /Length — the raw body may contain parens
+    // and brackets; the Flate body may contain ANY bytes, including
+    // the `endstream` sequence, which /Length must arbitrate); the
+    // show operator rotates Tj / TJ-array / ' per line — the
+    // combination surface the single-filter fuzz never hits
+    val rnd = new scala.util.Random(13013)
+    def randomLine(): String = {
+      val n = 1 + rnd.nextInt(50)
+      (0 until n).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 6) '(' else if (r < 12) ')' else if (r < 16) '\\'
+        else if (r < 20) '[' else if (r < 24) ']'
+        else (32 + rnd.nextInt(95)).toChar
+      }.mkString
+    }
+    def esc(s: String): String = s
+      .replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def flate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def show(l: String, j: Int): String = rnd.nextInt(3) match {
+      case 0 => (if (j == 0) "" else "T*\n") + "(" + esc(l) + ") Tj\n"
+      case 1 => (if (j == 0) "" else "T*\n") + "[(" + esc(l) + ") -12] TJ\n"
+      case _ => "(" + esc(l) + ") '\n" // ' = T* + show in one operator
+    }
+    def streamObj(lines: Seq[String], idx: Int): Array[Byte] = {
+      val content = ("BT /F1 10 Tf 12 TL 72 720 Td\n" +
+        lines.zipWithIndex.map { case (l, j) => show(l, j) }.mkString +
+        "ET\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (rnd.nextBoolean()) {
+        val z = flate(content)
+        (s"$idx 0 obj\n<< /Filter /FlateDecode /Length ${z.length} >>\nstream\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          z ++ "\nendstream\nendobj\n".getBytes
+      } else
+        (s"$idx 0 obj\n<< /Length ${content.length} >>\nstream\n")
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+          content ++ "\nendstream\nendobj\n".getBytes
+    }
+    for (trial <- 1 to 25) {
+      val pages = (0 until (2 + rnd.nextInt(4)))
+        .map(_ => (0 until (1 + rnd.nextInt(5))).map(_ => randomLine()))
+      // the ' operator emits a line break BEFORE its text like T*, so
+      // expected joining is uniform newline regardless of spelling
+      val body = pages.zipWithIndex.map { case (pl, i) => streamObj(pl, i + 1) }
+      val pdf = "%PDF-1.4\n".getBytes ++ body.flatten.toArray ++ "%%EOF\n".getBytes
+      val got = PdfText.extract(pdf)
+      assert(got === pages.flatten.mkString("\n"),
+        s"trial $trial mixed-filter round-trip drifted")
+    }
+  }
+
   test("CID/Type0 fixture: 2-byte codes resolve through the /ToUnicode CMap") {
     // tools/make_cid_pdf.py: glyph codes are NOT unicode values (a..z
     // live at 0x0100.., A/B/C at 0x0300.., the rest at 0x0200..), so a

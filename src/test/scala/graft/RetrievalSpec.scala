@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Similarity, TextDedup}
+import graft.tables.Tables
+
+/** Hybrid RRF retrieval: fusion math on a hand-computable fixture, and
+  * the two-phase lexical top-K against its naive single-window twin. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // query id 0 satisfies Similarity.isQueryId; ShingleN = 3 shingles
+  private def fixtureDocs = Seq(
+    (0L, "a b c d e f", "en", "s1"),   // the query document
+    (1L, "a b c d e f", "en", "s1"),   // exact lexical twin (jaccard 1)
+    (2L, "a b c d x y", "en", "s1"),   // partial overlap (inter 2 of 6)
+    (3L, "p q r s t u", "en", "s1")    // no shared shingle -> no lex row
+  ).toDF("doc_id", "text", "lang", "source")
+
+  private def fixtureEmb = Seq(
+    (0L, Seq(1.0f, 0.0f), 0),          // the query vector
+    (1L, Seq(0.8f, 0.6f), 0),          // cosine 0.8 -> sem rank 2
+    (2L, Seq(1.0f, 0.0f), 0),          // cosine 1.0 -> sem rank 1
+    (3L, Seq(0.0f, 1.0f), 0)           // cosine 0.0 -> sem rank 3
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hybrid RRF: rank lists fuse by 1/(k+rank), absent list adds 0") {
+    val out = Retrieval.hybridRrf(fixtureDocs, fixtureEmb)
+    val rows = out.orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+      .as[(Long, Long, Option[Long], Option[Long], Double)].collect().toSeq
+    val k = Retrieval.RrfK.toDouble
+    def rrf(l: Option[Int], s: Option[Int]): Double =
+      l.map(r => 1.0 / (k + r)).getOrElse(0.0) +
+        s.map(r => 1.0 / (k + r)).getOrElse(0.0)
+    // doc1 (lex 1, sem 2) and doc2 (lex 2, sem 1) tie exactly -> doc_id
+    // breaks it; doc3 rides the semantic list only
+    assert(rows === Seq(
+      (0L, 1L, Some(1L), Some(2L), rrf(Some(1), Some(2))),
+      (0L, 2L, Some(2L), Some(1L), rrf(Some(2), Some(1))),
+      (0L, 3L, None, Some(3L), rrf(None, Some(3)))))
+  }
+
+  test("two-phase lexical top-K equals the naive single-window ranking") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    graft.expressions.GraftFunctions.register(spark)
+    val sets = docs.select(col("doc_id"),
+        call_function("hashed_shingle_set", col("text"), lit(TextDedup.ShingleN)).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .where(col("sz") > 0L)
+    val queries = sets.filter(Similarity.isQueryId(col("doc_id")))
+      .select(col("doc_id").as("query_id"), col("hs").as("qh"), col("sz").as("qsz"))
+    val naive = sets.crossJoin(broadcast(queries))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("inter",
+        call_function("sorted_intersect_size", col("qh"), col("hs")).cast("long"))
+      .where(col("inter") > 0L)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("qsz") + col("sz") - col("inter")).cast("double"))
+      .withColumn("lex_rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("jaccard").desc, col("doc_id"))).cast("long"))
+      .where(col("lex_rk") <= Retrieval.ListK)
+      .select(col("query_id"), col("doc_id"), col("lex_rk"))
+      .orderBy(col("query_id"), col("lex_rk"))
+      .collect().toSeq
+    val twoPhase = Retrieval.lexicalTopK(docs)
+      .orderBy(col("query_id"), col("lex_rk")).collect().toSeq
+    assert(naive.nonEmpty, "fixture produced no lexical candidates")
+    assert(twoPhase === naive)
+  }
+
+  test("fused output is bounded at FuseK per query and ordered by rrf") {
+    val out = Retrieval.qHybridRrf(spark, sf("sf0.001"))
+      .select(col("query_id"), col("rrf")).as[(Long, Double)].collect().toSeq
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.size <= Retrieval.FuseK)
+      assert(g.map(_._2) === g.map(_._2).sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("every window in the hybrid plan is partitioned (no global-order funnel)") {
+    val plan = Retrieval.qHybridRrf(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned window in hybrid plan: $w"))
+  }
+}

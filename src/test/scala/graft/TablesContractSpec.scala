@@ -117,4 +117,40 @@ class TablesContractSpec extends SparkSpec {
     for ((enc, got) <- out)
       assert(got === want, s"encoding '$enc' drifted from source micros")
   }
+
+  test("documents/embeddings integral seam: INT32 and DECIMAL(p,0) ids normalize to the pinned types") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-int-seam").toString
+    // documents with doc_id DECIMAL(18,0) and n_chars INT32 — the two
+    // drifts a pandas/pyarrow regeneration actually produces
+    Seq((7L, "a b c", "en", "s1", 5), (8L, "d e", "en", "s2", 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id").cast(DecimalType(18, 0)), col("text"),
+        col("lang"), col("source"), col("n_chars").cast(IntegerType))
+      .write.parquet(s"$tmp/documents.parquet")
+    // embeddings with vec_id INT32 and label INT64
+    Seq((1, Seq(1.0f, 2.0f), 3L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+
+    val docs = Tables.documents(spark, tmp)
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.schema("n_chars").dataType === LongType)
+    assert(docs.select("doc_id", "n_chars").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq === Seq((7L, 5L), (8L, 3L)))
+
+    val emb = Tables.embeddings(spark, tmp)
+    assert(emb.schema("vec_id").dataType === LongType)
+    assert(emb.schema("label").dataType === IntegerType)
+    assert(emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toSeq === Seq((1L, 3)))
+
+    // non-integral drift (a float id) must fail loudly, not truncate
+    val bad = java.nio.file.Files.createTempDirectory("graft-int-seam-bad").toString
+    Seq((1.5, "x", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$bad/documents.parquet")
+    val e = intercept[IllegalArgumentException](Tables.documents(spark, bad))
+    assert(e.getMessage.contains("doc_id"))
+  }
 }

@@ -663,4 +663,89 @@ class TrainPrepSpec extends SparkSpec {
       assert(got === want, s"seed $seed diverged from the reference")
     }
   }
+
+  // --- leakage-guarded split ---
+
+  test("leakage split: every near-dup pair lands in one split, singletons hash alone") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val pairs = graft.operators.TextDedup.minhashPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.operators.TextDedup.withDedupClusters(
+      graft.operators.TextDedup.minhashPairs(docs)) { labels =>
+      val split = TrainPrep.leakageSplit(docs, labels)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      // full coverage: one assignment per document
+      assert(split.size === docs.count())
+      // the guard: both ends of every verified near-dup pair co-assigned
+      assert(pairs.nonEmpty, "fixture has no near-dup pairs — guard untested")
+      pairs.foreach { case (a, b) =>
+        assert(split(a)._2 === split(b)._2, s"pair ($a,$b) straddles the split")
+        assert(split(a)._1 === split(b)._1)
+      }
+      // docs outside every cluster fall back to their own id
+      val clustered = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      split.collect { case (id, (cid, _)) if !clustered(id) =>
+        assert(cid === id, s"singleton $id got foreign cluster $cid")
+      }
+    }
+  }
+
+  test("leakage split: cluster-keyed bucket differs from the per-doc split stream") {
+    // a near-dup pair under the PLAIN per-doc split can straddle; under
+    // the leakage split it cannot — build one adversarial pair whose
+    // doc-id buckets differ (ids found by scanning the hash stream)
+    val candidates = (0L until 4000L).grouped(2).collect {
+      case Seq(a, b) => (a, b)
+    }.find { case (a, b) =>
+      def bkt(id: Long) = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"split:$id".getBytes("UTF-8"))
+        (((md(0) & 0xff) << 8) | (md(1) & 0xff)) % 100
+      }
+      (bkt(a) < 80) != (bkt(b) < 80)
+    }
+    assert(candidates.nonEmpty, "no id pair with differing plain buckets in range")
+    val (a, b) = candidates.get
+    val text = "u v w x y z " * 10
+    val docs = Seq((a, text, "en", "s1"), (b, text, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    graft.operators.TextDedup.withDedupClusters(
+      graft.operators.TextDedup.minhashPairs(docs)) { labels =>
+      val out = TrainPrep.leakageSplit(docs, labels)
+        .select("split").distinct().collect()
+      assert(out.length === 1, "exact twins were split across partitions")
+    }
+  }
+
+  // --- curriculum stages ---
+
+  test("curriculum: two-level rank equals the naive global-window ntile") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val naive = graft.operators.TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("stage", ntile(TrainPrep.CurriculumStages).over(w).cast("long"))
+      .orderBy(col("rank"))
+      .collect().toSeq
+    val scalable = TrainPrep.qCurriculum(spark, sf("sf0.001")).collect().toSeq
+    assert(naive.nonEmpty)
+    assert(scalable === naive)
+  }
+
+  test("curriculum: stages are balanced and no window is globally ordered") {
+    val out = TrainPrep.qCurriculum(spark, sf("sf0.001"))
+    val sizes = out.groupBy("stage").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length === TrainPrep.CurriculumStages)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced stages: ${sizes.toSeq}")
+    // the scalable claim: every window in the plan is partitioned
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global-order window funnel in curriculum plan: $w"))
+  }
 }
