@@ -224,6 +224,11 @@ object SparkEntry {
     "q_hybrid_rrf"         -> (Retrieval.qHybridRrf _),
     "q_leakage_split"      -> (TrainPrep.qLeakageSplit _),
     "q_curriculum"         -> (TrainPrep.qCurriculum _),
+    "q_curriculum_mix"     -> (TrainPrep.qCurriculumMix _),
+    "q_curriculum_admission" -> (TrainPrep.qCurriculumAdmission _),
+    "q_leakage_incremental" -> (TrainPrep.qLeakageIncremental _),
+    "q_quality_drift"      -> (CorpusAnalytics.qQualityDrift _),
+    "q_cross_source_dups"  -> (CorpusAnalytics.qCrossSourceDups _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3851,35 +3856,185 @@ object SparkEntry {
          FROM b ORDER BY doc_id""",
     // curriculum: plain single-window rank + the same integer ntile
     // arithmetic — the Spark side's two-level rank must equal it exactly
-    "q_curriculum" -> {
+    "q_curriculum" ->
+      s"""WITH ${curriculumCtes("TRUE")}
+         SELECT doc_id, quality_score, rnk AS "rank", stage
+         FROM cstage ORDER BY rnk""",
+    // per-(stage, source) doc/token counts — the mixture each training
+    // phase actually feeds; n_tokens re-derived from the same toks
+    "q_curriculum_mix" ->
+      s"""WITH ${curriculumCtes("TRUE")}
+         SELECT c.stage, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(${toksSql("d.text")})) AS BIGINT) AS sum_tokens
+         FROM cstage c JOIN documents d ON c.doc_id = d.doc_id
+         GROUP BY c.stage, d.source ORDER BY c.stage, d.source""",
+    // admission against FROZEN floors: the reference chain (80% of
+    // docs) yields per-stage minimum scores; probe docs (every 5th id)
+    // take the best stage whose floor they meet, else the last stage
+    "q_curriculum_admission" -> {
       val k = graft.operators.TrainPrep.CurriculumStages
-      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
-         f AS (SELECT doc_id,
+      s"""WITH ${curriculumCtes("doc_id % 5 <> 0")},
+         thr AS (SELECT stage, min(quality_score) AS floor_score
+                 FROM cstage GROUP BY stage),
+         pt AS (SELECT doc_id, text, ${toksSql("text")} AS toks
+                FROM documents WHERE doc_id % 5 = 0),
+         pf AS (SELECT doc_id,
              CAST(len(toks) AS DOUBLE) AS n_tok_d,
              CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
              CAST(length(text) AS DOUBLE) AS n_chars_d,
              CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
-           FROM t),
-         s AS (SELECT doc_id,
+           FROM pt),
+         ps AS (SELECT doc_id,
              (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
                + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
                - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END)
                AS quality_score
-           FROM f),
-         r AS (SELECT doc_id, quality_score,
-             CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
-               AS BIGINT) AS rnk,
-             CAST(count(*) OVER () AS BIGINT) AS n
-           FROM s)
-         SELECT doc_id, quality_score, rnk AS "rank",
+           FROM pf)
+         SELECT p.doc_id, p.quality_score,
+           coalesce(min(CASE WHEN p.quality_score >= t.floor_score
+             THEN t.stage END), CAST($k AS BIGINT)) AS stage
+         FROM ps p CROSS JOIN thr t
+         GROUP BY p.doc_id, p.quality_score ORDER BY p.doc_id"""
+    },
+    "q_leakage_incremental" -> leakageIncrementalOracle,
+    // PSI drift: counts and micro-nat logs are integers; psi_part is
+    // one identical double chain on top (the tfidf/dsir discipline)
+    "q_quality_drift" -> {
+      val w = graft.operators.CorpusAnalytics.DriftBinWidth
+      s"""WITH ${curriculumCtes("TRUE")},
+         b AS (SELECT doc_id,
+                 CAST(floor(quality_score / CAST($w AS DOUBLE)) AS BIGINT) AS bin
+               FROM cs),
+         r AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+               FROM b WHERE doc_id % 5 <> 0 GROUP BY bin),
+         p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_probe
+               FROM b WHERE doc_id % 5 = 0 GROUP BY bin),
+         j AS (SELECT coalesce(r.bin, p.bin) AS bin,
+                 CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(coalesce(n_probe, 0) AS BIGINT) AS n_probe
+               FROM r FULL OUTER JOIN p ON r.bin = p.bin),
+         tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+                   CAST(sum(n_probe) AS BIGINT) AS tot_probe FROM j),
+         d AS (SELECT bin, n_ref, n_probe, tot_ref, tot_probe,
+                 CASE WHEN n_ref > 0 AND n_probe > 0 THEN
+                   CAST(round(ln(n_probe) * 1000000) AS BIGINT)
+                   - CAST(round(ln(tot_probe) * 1000000) AS BIGINT)
+                   - CAST(round(ln(n_ref) * 1000000) AS BIGINT)
+                   + CAST(round(ln(tot_ref) * 1000000) AS BIGINT)
+                 END AS dln_micro
+               FROM j CROSS JOIN tot)
+         SELECT bin, n_ref, n_probe, dln_micro,
+           CASE WHEN dln_micro IS NOT NULL THEN
+             (CAST(n_probe AS DOUBLE) / CAST(tot_probe AS DOUBLE)
+               - CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+             * CAST(dln_micro AS DOUBLE) / 1e6 END AS psi_part
+         FROM d ORDER BY bin"""
+    },
+    // cross-source duplication matrix over the banded near-dup pairs
+    "q_cross_source_dups" -> {
+      import TextDedup._
+      s"""WITH $minhashCtes,
+         pairs AS (
+           SELECT doc_a, doc_b FROM scored
+           WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+         lab AS (SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b
+                 FROM pairs
+                 JOIN documents da ON da.doc_id = pairs.doc_a
+                 JOIN documents db ON db.doc_id = pairs.doc_b)
+         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM lab GROUP BY source_a, source_b
+         ORDER BY source_a, source_b"""
+    },
+  )
+
+  /** Incremental leakage oracle: standing-only clusters (the recursive
+    * chain filtered to doc_id % IncrementMod <> 0), banded probe×standing
+    * matches, min matched cluster (own id when unmatched), one "leak:"
+    * bucket formula for the split — identical to the Spark rule. */
+  private def leakageIncrementalOracle: String = {
+    import TextDedup._
+    s"""WITH RECURSIVE $minhashCtes,
+       pairs AS (
+         SELECT doc_a, doc_b FROM scored
+         WHERE doc_a % $IncrementMod <> 0 AND doc_b % $IncrementMod <> 0
+           AND CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION SELECT doc_b, doc_a FROM pairs),
+       reach AS (
+         SELECT src AS node, src AS r FROM edges
+         UNION
+         SELECT e.src AS node, re.r FROM edges e JOIN reach re ON e.dst = re.node),
+       lab AS (SELECT node AS doc_id, min(r) AS cid
+               FROM reach GROUP BY node),
+       standing AS (SELECT d.doc_id, coalesce(l.cid, d.doc_id) AS cluster_id
+                    FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+                    WHERE d.doc_id % $IncrementMod <> 0),
+       cand2 AS (
+         SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS index_id
+         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         WHERE a.doc_id % $IncrementMod = 0 AND b.doc_id % $IncrementMod <> 0),
+       scored2 AS (
+         SELECT probe_id, index_id,
+           CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS inter,
+           CAST(len(sa.hs) + len(sb.hs) AS DOUBLE) AS sz
+         FROM cand2
+         JOIN shs sa ON sa.doc_id = probe_id
+         JOIN shs sb ON sb.doc_id = index_id),
+       m AS (SELECT probe_id, index_id FROM scored2
+             WHERE CASE WHEN sz - inter = 0 THEN 0.0 ELSE inter / (sz - inter) END >= $JaccardThreshold),
+       inh AS (SELECT m.probe_id, min(s.cluster_id) AS match_cluster
+               FROM m JOIN standing s ON s.doc_id = m.index_id
+               GROUP BY m.probe_id),
+       p AS (SELECT d.doc_id, i.match_cluster IS NOT NULL AS inherited,
+               coalesce(i.match_cluster, d.doc_id) AS cluster_id
+             FROM documents d LEFT JOIN inh i ON d.doc_id = i.probe_id
+             WHERE d.doc_id % $IncrementMod = 0),
+       b AS (SELECT doc_id, cluster_id, inherited,
+               ${md5b16Sql("('leak:' || CAST(cluster_id AS VARCHAR))")} % 100 AS bkt
+             FROM p)
+       SELECT doc_id, cluster_id, inherited,
+         CASE WHEN bkt < 80 THEN 'train'
+              WHEN bkt < 90 THEN 'val'
+              ELSE 'test' END AS split
+       FROM b ORDER BY doc_id"""
+  }
+
+  /** Shared curriculum CTE chain over `documents WHERE <filterSql>`:
+    * quality score (same expressions as `q_quality_score`, so doubles
+    * are bit-identical to Spark's), the naive global rank window, and
+    * the standard ntile arithmetic — ends with CTE `cstage(doc_id,
+    * quality_score, rnk, stage)`. */
+  private def curriculumCtes(filterSql: String): String = {
+    val k = graft.operators.TrainPrep.CurriculumStages
+    s"""ct AS (SELECT doc_id, text, ${toksSql("text")} AS toks
+              FROM documents WHERE $filterSql),
+       cf AS (SELECT doc_id,
+           CAST(len(toks) AS DOUBLE) AS n_tok_d,
+           CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+           CAST(length(text) AS DOUBLE) AS n_chars_d,
+           CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+         FROM ct),
+       cs AS (SELECT doc_id,
+           (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+             + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+             - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END)
+             AS quality_score
+         FROM cf),
+       cr AS (SELECT doc_id, quality_score,
+           CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id)
+             AS BIGINT) AS rnk,
+           CAST(count(*) OVER () AS BIGINT) AS n
+         FROM cs),
+       cstage AS (SELECT doc_id, quality_score, rnk,
            CAST(CASE WHEN n // $k = 0 THEN rnk
              WHEN rnk - 1 < (n % $k) * (n // $k + 1)
                THEN (rnk - 1) // (n // $k + 1) + 1
              ELSE (n % $k) + (rnk - 1 - (n % $k) * (n // $k + 1)) // (n // $k) + 1
            END AS BIGINT) AS stage
-         FROM r ORDER BY rnk"""
-    },
-  )
+         FROM cr)"""
+  }
 
   /** The water-filling chain shared by the budget readout and the
     * sampler — weights CASE generated from the Scala constant. */

@@ -886,4 +886,93 @@ object CorpusAnalytics {
 
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame =
     lmPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  // --- quality distribution drift (PSI) ---
+
+  /** Bin width for the PSI histogram: a power of two, so the division
+    * is float-exact and both engines bin identically. The quality score
+    * is bounded in [-1, 2.6] ([[TextStats.qualityFeatures]]), so ~30
+    * bins — the totals broadcast is O(bins), never corpus-scale. */
+  val DriftBinWidth = 0.125
+
+  /** Population Stability Index readout between a reference corpus and
+    * a probe increment over the quality-score distribution — the "has
+    * the crawl changed under me" alarm a live curation pipeline watches
+    * (PSI > 0.2 is the conventional retrain trigger). Per bin:
+    * `(p - r) · ln(p/r)` where p/r are the probe/reference shares; the
+    * PSI is the sum of `psi_part` over non-null rows.
+    *
+    * Exactness across engines: the log rides integer micro-nats at the
+    * leaf (`qlnMicro(n_probe) - qlnMicro(tot_probe) - qlnMicro(n_ref)
+    * + qlnMicro(tot_ref)` — counts only, no products, so no overflow at
+    * any corpus size), and `psi_part` is one identical double chain on
+    * top. A bin present on one side only gets a NULL `dln_micro` (the
+    * new/vanished-bin alert rows, the [[Analytics.valueDrift]] rule —
+    * their mass is what a drift monitor must NOT average away).
+    *
+    * Scale: two corpus scans (one per side) collapsing to O(bins)
+    * aggregates, a full-outer join of two tiny frames, one 1-row totals
+    * broadcast. */
+  def qualityDrift(reference: DataFrame, probe: DataFrame,
+                   binWidth: Double = DriftBinWidth): DataFrame = {
+    def binned(df: DataFrame, out: String) =
+      TextStats.qualityFeatures(df)
+        .select(floor(col("quality_score") / binWidth).cast("long").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val joined = binned(reference, "n_ref")
+      .join(binned(probe, "n_probe"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_probe"), lit(0L)).as("n_probe"))
+    val totals = joined.agg(sum(col("n_ref")).as("tot_ref"),
+      sum(col("n_probe")).as("tot_probe"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("dln_micro",
+        when(col("n_ref") > 0L && col("n_probe") > 0L,
+          qlnMicro(col("n_probe")) - qlnMicro(col("tot_probe"))
+            - qlnMicro(col("n_ref")) + qlnMicro(col("tot_ref"))))
+      .withColumn("psi_part",
+        when(col("dln_micro").isNotNull,
+          (col("n_probe").cast("double") / col("tot_probe").cast("double")
+            - col("n_ref").cast("double") / col("tot_ref").cast("double"))
+            * col("dln_micro").cast("double") / lit(1e6)))
+      .select(col("bin"), col("n_ref"), col("n_probe"),
+        col("dln_micro"), col("psi_part"))
+  }
+
+  def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    qualityDrift(docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+      .orderBy(col("bin"))
+  }
+
+  // --- cross-source duplication matrix ---
+
+  /** Which crawls duplicate which: verified near-dup pair counts by
+    * unordered source pair — the readout that tells a corpus owner
+    * whether dedup pressure is WITHIN a source (re-crawls) or ACROSS
+    * sources (mirrors/aggregators), which changes where the dedup
+    * budget goes. Pairs come from the banded [[TextDedup.minhashPairs]]
+    * (never all-pairs); the matrix is two doc_id equi-joins and one
+    * O(|sources|²)-row aggregate. */
+  def crossSourceDups(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    TextDedup.minhashPairs(docs)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  def qCrossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    crossSourceDups(Tables.documents(spark, dir))
+      .orderBy(col("source_a"), col("source_b"))
+  }
 }

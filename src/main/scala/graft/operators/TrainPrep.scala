@@ -830,6 +830,59 @@ object TrainPrep {
     }
   }
 
+  /** INCREMENTAL leakage-guarded split: assign a fresh increment of
+    * documents split labels CONSISTENT with a standing corpus that was
+    * split by [[leakageSplit]] — a new document that is a near-dup of a
+    * standing document must inherit the standing doc's split (else the
+    * increment puts fresh copies of training docs into val/test — the
+    * live-crawl contamination path the batch guard can't see).
+    *
+    * Rule: a probe doc matching any standing docs (via the banded
+    * [[TextDedup.crossCorpusPairs]] probe) takes the MINIMUM matched
+    * standing cluster id; unmatched probes fall back to their own id —
+    * then the split is the same "leak:" bucket of the cluster id in
+    * both cases, so an inherited assignment is BY CONSTRUCTION equal to
+    * the standing split of the matched cluster (one formula, no split
+    * column ever joined across).
+    *
+    * Scale: candidate generation is the standing-index banded probe
+    * (shingles/bands computed only for the increment — the
+    * [[TextDedup.writeDedupIndex]] lifecycle applies unchanged); the
+    * assignment itself is one groupBy(min) on probe_id plus a left
+    * join. Works as the foreachBatch body of
+    * [[TextDedup.streamingNearDup]] for live admission. */
+  def leakageSplitIncrement(probe: DataFrame, standing: DataFrame,
+                            labels: DataFrame): DataFrame = {
+    val standingClusters = standing.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val matches = TextDedup.crossCorpusPairs(probe, standing)
+      .join(standingClusters.withColumnRenamed("doc_id", "index_id"),
+        Seq("index_id"))
+      .groupBy(col("probe_id")).agg(min(col("cluster_id")).as("match_cluster"))
+    val bkt = md5Bits16(concat(lit("leak:"), col("cluster_id").cast("string"))) % 100
+    probe.select(col("doc_id"))
+      .join(matches.withColumnRenamed("probe_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("inherited", col("match_cluster").isNotNull)
+      .withColumn("cluster_id", coalesce(col("match_cluster"), col("doc_id")))
+      .withColumn("split",
+        when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test"))
+      .select(col("doc_id"), col("cluster_id"), col("inherited"), col("split"))
+  }
+
+  def qLeakageIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val probe = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    TextDedup.withDedupClusters(TextDedup.minhashPairs(standing)) { labels =>
+      val out = TextDedup.spillPath(spark, "leakage_incremental")
+      leakageSplitIncrement(probe, standing, labels)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy(col("doc_id"))
+    }
+  }
+
   // --- curriculum ordering ---
 
   /** Curriculum stages. */
@@ -910,5 +963,71 @@ object TrainPrep {
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     curriculumStages(Tables.documents(spark, dir)).orderBy(col("rank"))
+  }
+
+  /** The mixture schedule a curriculum implies: per (stage, source)
+    * document and token counts — what each training phase actually
+    * feeds the model, domain by domain. One doc_id equi-join onto the
+    * stage assignment plus a (stage, source) aggregate; token counts
+    * ride the same [[TextStats.qualityFeatures]] pass the stages were
+    * ranked by, so no second tokenize. */
+  def curriculumMix(docs: DataFrame, k: Int = CurriculumStages): DataFrame = {
+    val feats = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("n_tokens"))
+    curriculumStages(docs, k)
+      .join(feats, Seq("doc_id"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("stage"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+  }
+
+  def qCurriculumMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curriculumMix(Tables.documents(spark, dir))
+      .orderBy(col("stage"), col("source"))
+  }
+
+  /** Frozen per-stage quality floors from a REFERENCE corpus: the
+    * minimum quality score admitted to each stage. The k-row frame a
+    * live admission gate broadcasts. */
+  def curriculumThresholds(reference: DataFrame,
+                           k: Int = CurriculumStages): DataFrame =
+    curriculumStages(reference, k)
+      .groupBy(col("stage")).agg(min(col("quality_score")).as("floor_score"))
+
+  /** Curriculum ADMISSION: assign probe documents to the stages of a
+    * frozen reference curriculum — the live-ingest twin of
+    * [[curriculumStages]], same role [[dsirScoreAgainst]] plays for
+    * DSIR. A probe doc joins the BEST (lowest-numbered) stage whose
+    * quality floor it meets; below every floor it falls to stage k.
+    *
+    * Stream-compatible by the same construction as the DSIR gate: the
+    * probe side is one scalar-feature projection, a broadcast join
+    * against the k-row threshold frame, and a single aggregation — so
+    * the IDENTICAL code runs as a Structured Streaming stream-static
+    * query (StreamingSpec pins stream ≡ batch). The reference corpus
+    * is scanned once when thresholds are built, never per probe batch. */
+  def curriculumAssign(probe: DataFrame, thresholds: DataFrame,
+                       k: Int = CurriculumStages): DataFrame = {
+    val scored = TextStats.qualityFeatures(probe)
+      .select(col("doc_id"), col("quality_score"))
+    scored.crossJoin(broadcast(thresholds))
+      .groupBy(col("doc_id"), col("quality_score"))
+      .agg(coalesce(
+        min(when(col("quality_score") >= col("floor_score"), col("stage"))),
+        lit(k.toLong)).as("stage"))
+      .select(col("doc_id"), col("quality_score"), col("stage"))
+  }
+
+  def qCurriculumAdmission(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    // probe = every 5th doc (the setsim-incremental convention);
+    // reference = the standing 80% the floors were frozen from
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val reference = docs.filter(col("doc_id") % 5 =!= 0)
+    curriculumAssign(probe, curriculumThresholds(reference))
+      .orderBy(col("doc_id"))
   }
 }

@@ -589,4 +589,64 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(verified === batch)
   }
+
+  test("quality drift: identical distributions score exactly zero PSI") {
+    // same docs on both sides: every bin has n_ref == n_probe and the
+    // totals match, so dln_micro is the integer 0 and psi_part is 0.0
+    val docs = docsOf(
+      (1L, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+      (2L, "a b c d", "en", "s1"),
+      (3L, "the the the and and of", "en", "s1"))
+    val out = CorpusAnalytics.qualityDrift(docs, docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(3) === 0L, s"bin ${r.getLong(0)} dln nonzero")
+      assert(r.getDouble(4) === 0.0)
+    }
+  }
+
+  test("quality drift: bins present on one side only are null-flagged alert rows") {
+    // reference all low quality (no stopwords), probe all high (dense
+    // stopwords + length bonus) — distributions are disjoint, so every
+    // bin is one-sided and must surface with NULL dln/psi, not vanish
+    val ref = docsOf((1L, "zz yy xx ww", "en", "s1"))
+    val probe = docsOf(
+      (5L, Seq.fill(25)("the").mkString(" "), "en", "s1"))
+    val out = CorpusAnalytics.qualityDrift(ref, probe).collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.isNullAt(3), "one-sided bin got a log ratio")
+      assert(r.isNullAt(4))
+      assert(r.getLong(1) + r.getLong(2) > 0)
+    }
+  }
+
+  test("quality drift: a planted shift yields positive PSI mass") {
+    // shared bin keeps both sides populated; probe adds mass to a
+    // second bin both sides touch, shifting shares — summed psi_part
+    // over non-null rows must be strictly positive (PSI >= 0 always,
+    // = 0 only for identical share vectors)
+    val lo = "zz yy xx ww"                       // score 0.0
+    val hi = Seq.fill(25)("the").mkString(" ")   // score 2.5
+    val ref = docsOf((1L, lo, "en", "s1"), (2L, lo, "en", "s1"),
+      (3L, hi, "en", "s1"))
+    val probe = docsOf((10L, lo, "en", "s1"), (11L, hi, "en", "s1"),
+      (12L, hi, "en", "s1"))
+    val psi = CorpusAnalytics.qualityDrift(ref, probe).collect()
+      .filter(!_.isNullAt(4)).map(_.getDouble(4)).sum
+    assert(psi > 0.0, s"shifted distribution scored PSI $psi")
+  }
+
+  test("cross-source duplication matrix counts pairs by unordered source pair") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val t2 = "one two three four five six seven eight nine ten " * 5
+    val docs = docsOf(
+      (1L, t1, "en", "s1"), (2L, t1, "en", "s1"),  // within-source pair
+      (3L, t2, "en", "s1"), (4L, t2, "en", "s2"),  // cross-source pair
+      (5L, "lone wolf text nothing shared here", "en", "s3"))
+    val out = CorpusAnalytics.crossSourceDups(docs)
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long)].collect().toSeq
+    assert(out === Seq(("s1", "s1", 1L), ("s1", "s2", 1L)))
+  }
 }

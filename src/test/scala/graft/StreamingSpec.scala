@@ -554,4 +554,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length > 0)
     assert(streamed.toSeq === batch.toSeq)
   }
+
+  test("streaming curriculum admission: streamed probe stages == batch stages") {
+    import graft.operators.TrainPrep
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    // floors frozen batch-side from the standing 80%; probes stream in
+    // against the broadcast k-row threshold frame — the same
+    // stream-static single-aggregation shape as the DSIR gate
+    val thresholds = TrainPrep.curriculumThresholds(
+      docs.filter(col("doc_id") % 5 =!= 0))
+    val srcDir = Files.createTempDirectory("graft-curr-src").toString
+    probe.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val streamProbe = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-curr").toString
+    val q = TrainPrep.curriculumAssign(streamProbe, thresholds)
+      .writeStream.format("memory").queryName("curr_adm")
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("curr_adm").orderBy("doc_id").collect()
+    val batch = TrainPrep.qCurriculumAdmission(spark, sfSmoke).collect()
+    assert(streamed.length > 0)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("streaming incremental leakage split: streamed assignments == batch") {
+    import graft.operators.{TextDedup, TrainPrep}
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val probe = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    TextDedup.withDedupClusters(TextDedup.minhashPairs(standing)) { labels =>
+      // per-probe assignment is batch-independent, so foreachBatch over
+      // micro-batches must union to exactly the one-shot batch result —
+      // the live-admission claim in leakageSplitIncrement's scaladoc
+      val srcDir = Files.createTempDirectory("graft-leak-src").toString
+      probe.repartition(3).write.mode("overwrite").parquet(srcDir)
+      val stream = spark.readStream.schema(probe.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean, String)]
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = TrainPrep.leakageSplitIncrement(batch, standing, labels)
+            .select("doc_id", "cluster_id", "inherited", "split")
+            .as[(Long, Long, Boolean, String)].collect()
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = TrainPrep.leakageSplitIncrement(probe, standing, labels)
+        .select("doc_id", "cluster_id", "inherited", "split")
+        .as[(Long, Long, Boolean, String)].collect()
+      assert(got.nonEmpty)
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    }
+  }
 }

@@ -717,6 +717,54 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("incremental leakage split: near-dup probes inherit the standing split") {
+    import graft.operators.TextDedup
+    val t = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    val standing = Seq(
+      (1L, t, "en", "s1"), (2L, t, "en", "s1"),          // a standing cluster (root 1)
+      (3L, "one two three four five six seven", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val probe = Seq(
+      (10L, t, "en", "s1"),                               // twin of the cluster
+      (20L, "nine ten eleven twelve thirteen fourteen fifteen", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    TextDedup.withDedupClusters(TextDedup.minhashPairs(standing)) { labels =>
+      val standingSplit = TrainPrep.leakageSplit(standing, labels)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val out = TrainPrep.leakageSplitIncrement(probe, standing, labels)
+        .orderBy("doc_id")
+        .select("doc_id", "cluster_id", "inherited", "split")
+        .as[(Long, Long, Boolean, String)].collect().toSeq
+      // probe 10 inherits cluster 1 and EXACTLY the split doc 1 carries
+      assert(out.head === ((10L, 1L, true, standingSplit(1L))))
+      // probe 20 matched nothing: own-id cluster, own-id leak bucket
+      val (id, cid, inh, _) = out(1)
+      assert((id, cid, inh) === ((20L, 20L, false)))
+    }
+  }
+
+  test("incremental leakage split: inherited splits agree with the standing corpus at sf0.001") {
+    import graft.operators.TextDedup
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val probe = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    TextDedup.withDedupClusters(TextDedup.minhashPairs(standing)) { labels =>
+      val standingByCluster = TrainPrep.leakageSplit(standing, labels)
+        .select("cluster_id", "split").distinct()
+        .as[(Long, String)].collect().toMap
+      val inc = TrainPrep.leakageSplitIncrement(probe, standing, labels)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getString(3)))
+      assert(inc.length === probe.count())
+      val inherited = inc.filter(_._3)
+      assert(inherited.nonEmpty, "fixture has no cross-increment near-dups")
+      inherited.foreach { case (id, cid, _, split) =>
+        assert(standingByCluster(cid) === split,
+          s"probe $id diverged from standing cluster $cid")
+      }
+    }
+  }
+
   // --- curriculum stages ---
 
   test("curriculum: two-level rank equals the naive global-window ntile") {
@@ -732,6 +780,65 @@ class TrainPrepSpec extends SparkSpec {
     val scalable = TrainPrep.qCurriculum(spark, sf("sf0.001")).collect().toSeq
     assert(naive.nonEmpty)
     assert(scalable === naive)
+  }
+
+  test("curriculum mix: per-stage totals conserve the corpus") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val mix = TrainPrep.curriculumMix(docs).collect()
+    val nDocs = mix.map(_.getLong(2)).sum
+    assert(nDocs === docs.count())
+    // every stage 1..k appears and carries at least one doc
+    val stages = mix.map(_.getLong(0)).toSet
+    assert(stages === (1L to TrainPrep.CurriculumStages.toLong).toSet)
+  }
+
+  test("curriculum admission: probes take the best stage whose frozen floor they meet") {
+    // thresholds: stage 1 floor 2.0, stage 2 floor 1.0, stage 3 floor 0.5
+    val thr = Seq((1L, 2.0), (2L, 1.0), (3L, 0.5))
+      .toDF("stage", "floor_score")
+    // quality = stop_ratio*2 (+0.5 if >=20 toks) - punct_ratio; craft
+    // probes via stopword density ("the" is a stopword): all-stopword
+    // text scores 2.0, half-stopword 1.0, none 0.0
+    val probe = Seq(
+      (1L, "the the the the", "en", "s1"),  // score 2.0 -> meets stage 1
+      (2L, "the w the w", "en", "s1"),      // score 1.0 -> stage 2
+      (3L, "w w w w", "en", "s1")           // score 0.0 -> below all -> k
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TrainPrep.curriculumAssign(probe, thr, k = 4)
+      .orderBy("doc_id").select("doc_id", "stage")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 2L), (3L, 4L)))
+  }
+
+  test("curriculum admission: stage = minimal frozen floor the score meets") {
+    // the operator's exact contract, checked doc by doc against
+    // driver-side floors. (A full round-trip equality with
+    // curriculumStages does NOT hold in general: a score TIE straddling
+    // a stage boundary is split by doc_id in the ranking, but
+    // score-only floors cannot see the tiebreak — such docs re-admit
+    // one stage up, by design.)
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val thr = TrainPrep.curriculumThresholds(docs)
+    val floors = thr.orderBy("stage")
+      .select("stage", "floor_score").as[(Long, Double)].collect().toSeq
+    val scores = graft.operators.TextStats.qualityFeatures(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    val back = TrainPrep.curriculumAssign(docs, thr)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    assert(back.size === scores.size)
+    val k = TrainPrep.CurriculumStages.toLong
+    back.foreach { case (id, stage) =>
+      val want = floors.collectFirst {
+        case (s, f) if scores(id) >= f => s
+      }.getOrElse(k)
+      assert(stage === want, s"doc $id score ${scores(id)}")
+    }
+    // and most docs DO round-trip (only boundary ties shift): sanity
+    // that the frozen floors reproduce the curriculum in the main
+    val full = TrainPrep.curriculumStages(docs)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    val drift = back.count { case (id, s) => s != full(id) }
+    assert(drift <= full.size / 20, s"$drift of ${full.size} re-admissions drifted")
   }
 
   test("curriculum: stages are balanced and no window is globally ordered") {
