@@ -338,27 +338,34 @@ object CorpusAnalytics {
     * loop, no collect); the quality join keys on doc_id, the survivor
     * pick is a per-cluster window.
     */
+  /** Survivorship over an ALREADY-LABELED cluster frame: quality is
+    * scored ONLY over the clustered population (a left-semi against
+    * the labels) — at web-crawl dup rates that is a fraction of the
+    * corpus, and the tokenize/profile pass is the expensive part; the
+    * full-corpus spelling would re-profile every document just to
+    * discard the unclustered majority at the join. Label-source
+    * invariant: `labels` may be a live [[TextDedup.dedupClusters]]
+    * frame or its parquet read-back. */
+  def survivorshipFromLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val clustered = docs.join(
+      labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val quality = TextStats.qualityFeatures(clustered)
+      .select(col("doc_id"), col("quality_score"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labels
+      .join(quality, "doc_id")
+      .withColumn("is_survivor",
+        (row_number().over(byCluster) === 1).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("is_survivor"))
+  }
+
   def survivorship(docs: DataFrame): DataFrame = {
     import TextDedup.{minhashPairs, spillPath, withDedupClusters}
     val spark = docs.sparkSession
     withDedupClusters(minhashPairs(docs)) { labels =>
-      // score quality ONLY over the clustered population (a left-semi
-      // against the labels): at web-crawl dup rates that is a fraction
-      // of the corpus, and the tokenize/profile pass is the expensive
-      // part — the full-corpus spelling would re-profile every document
-      // just to discard the unclustered majority at the join
-      val clustered = docs.join(
-        labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val quality = TextStats.qualityFeatures(clustered)
-        .select(col("doc_id"), col("quality_score"))
-      val byCluster = Window.partitionBy(col("cluster_id"))
-        .orderBy(col("quality_score").desc, col("doc_id"))
-      val out = labels
-        .join(quality, "doc_id")
-        .withColumn("is_survivor",
-          (row_number().over(byCluster) === 1).cast("long"))
-        .select(col("doc_id"), col("cluster_id"), col("quality_score"),
-          col("is_survivor"))
+      val out = survivorshipFromLabels(docs, labels)
       val dir = spillPath(spark, "survivorship")
       out.write.mode("overwrite").parquet(dir)
       spark.read.parquet(dir)
@@ -367,7 +374,12 @@ object CorpusAnalytics {
 
   def qSurvivorship(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    survivorship(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+    // served from the per-(JVM, dir) materialized label table — no
+    // cache to release, so no per-query spill of the output either
+    val docs = Tables.documents(spark, dir)
+    survivorshipFromLabels(docs,
+        TextDedup.clusterLabels(spark, dir, "all")(docs))
+      .orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------

@@ -820,14 +820,11 @@ object TrainPrep {
   def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-    // same cache-release handoff as [[TextDedup.qDedupClusters]]: the
-    // label frame's cache must not outlive the harness entry, so the
-    // assignment is spilled to parquet and scanned back.
-    TextDedup.withDedupClusters(TextDedup.minhashPairs(docs)) { labels =>
-      val out = TextDedup.spillPath(spark, "leakage_split")
-      leakageSplit(docs, labels).write.mode("overwrite").parquet(out)
-      spark.read.parquet(out).orderBy(col("doc_id"))
-    }
+    // served from the per-(JVM, dir) materialized label table
+    // ([[TextDedup.clusterLabels]]) — parquet-backed, no cache to
+    // release, so the assignment needs no per-query spill
+    leakageSplit(docs, TextDedup.clusterLabels(spark, dir, "all")(docs))
+      .orderBy(col("doc_id"))
   }
 
   /** INCREMENTAL leakage-guarded split: assign a fresh increment of
@@ -875,12 +872,9 @@ object TrainPrep {
     val docs = Tables.documents(spark, dir)
     val probe = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
     val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
-    TextDedup.withDedupClusters(TextDedup.minhashPairs(standing)) { labels =>
-      val out = TextDedup.spillPath(spark, "leakage_incremental")
-      leakageSplitIncrement(probe, standing, labels)
-        .write.mode("overwrite").parquet(out)
-      spark.read.parquet(out).orderBy(col("doc_id"))
-    }
+    leakageSplitIncrement(probe, standing,
+        TextDedup.clusterLabels(spark, dir, "standing")(standing))
+      .orderBy(col("doc_id"))
   }
 
   // --- curriculum ordering ---

@@ -412,4 +412,26 @@ class PlanSpec extends SparkSpec {
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$q nested loop:\n$s")
     }
   }
+
+  test("round-13 lifecycle queries: no cartesian products anywhere") {
+    // hybrid's lexical/semantic scans ride crossJoin(broadcast(≤8-row
+    // query set)) — a bounded BroadcastNestedLoopJoin by design (the
+    // q_similar_topk convention) — but an unhinted CartesianProduct in
+    // any of these is a corpus×corpus accident
+    for (q <- Seq("q_hybrid_rrf", "q_leakage_split", "q_leakage_incremental",
+        "q_curriculum", "q_curriculum_mix", "q_curriculum_admission",
+        "q_quality_drift", "q_cross_source_dups")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+    }
+  }
+
+  test("curriculum joins its bucket offsets and stage floors as broadcasts") {
+    val s = planString("q_curriculum")
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),
+      s"bucket-offset join did not broadcast:\n$s")
+    val a = planString("q_curriculum_admission")
+    assert(a.contains("BroadcastNestedLoopJoin") || a.contains("BroadcastExchange"),
+      s"threshold frame did not broadcast:\n$a")
+  }
 }

@@ -540,14 +540,17 @@ class TextPipelineSpec extends SparkSpec {
     assert(top === Set(0L, 3L))
   }
 
-  test("dedup-cluster spill honors spark.graft.spillDir") {
+  test("cluster-label materialization honors spark.graft.spillDir") {
+    // a UNIQUE tag forces a fresh memo build (the "all" entry may
+    // already be materialized by an earlier test in this JVM)
     val dir = java.nio.file.Files.createTempDirectory("graft_spill_conf")
     dir.toFile.deleteOnExit()
     spark.conf.set("spark.graft.spillDir", dir.toString)
     try {
-      TextDedup.qDedupClusters(spark, sfSmoke).collect()
+      TextDedup.clusterLabels(spark, sfSmoke, "spillconf")(
+        graft.tables.Tables.documents(spark, sfSmoke)).collect()
       val spilled = dir.toFile.listFiles
-        .filter(f => f.isDirectory && f.getName.startsWith("dedup_clusters"))
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster_labels_spillconf"))
       assert(spilled.nonEmpty &&
         spilled.exists(_.listFiles.exists(_.getName.endsWith(".parquet"))),
         "configured spill dir was not used")
@@ -1035,6 +1038,31 @@ class TextPipelineSpec extends SparkSpec {
       }
       rm(new java.io.File(dir))
     }
+  }
+
+  test("materialized cluster labels serve every consumer identically to recomputation") {
+    import graft.operators.{CorpusAnalytics, TrainPrep}
+    val dir = sf("sf0.001")
+    val corpus = graft.tables.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    // the memoized label table the harness entries scan
+    val memo = TextDedup.clusterLabels(spark, dir, "all")(corpus)
+    val fresh = TextDedup.withDedupClusters(
+      TextDedup.minhashPairs(corpus))(rows)
+    assert(rows(memo) === fresh, "memoized labels drifted from recomputation")
+    assert(fresh.nonEmpty, "fixture has no clusters — equivalence untested")
+    // survivorship over the memo == the self-contained spelling
+    assert(rows(CorpusAnalytics.survivorshipFromLabels(corpus, memo)) ===
+      rows(CorpusAnalytics.survivorship(corpus)),
+      "survivorship over the memo drifted")
+    // leakage split over the memo == over a fresh label frame
+    val viaFresh = TextDedup.withDedupClusters(
+      TextDedup.minhashPairs(corpus)) { l =>
+      rows(TrainPrep.leakageSplit(corpus, l))
+    }
+    assert(rows(TrainPrep.leakageSplit(corpus, memo)) === viaFresh,
+      "leakage split over the memo drifted")
   }
 
   test("curation v2 adds repetition, decontamination and pii gates") {
