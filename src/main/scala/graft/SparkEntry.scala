@@ -259,6 +259,14 @@ object SparkEntry {
     val hraw = s"(${byteAt(22)} + ${byteAt(23)} * 256 + " +
       s"${byteAt(24)} * 65536 + ${byteAt(25)} * 16777216)"
     val bpp = s"(${byteAt(28)} + ${byteAt(29)} * 256)"
+    // PNG IHDR fields (big-endian) at fixed offsets behind the 8-byte
+    // signature + length/tag: width @16, height @20, depth @24, color @25
+    val pngW = s"(${byteAt(16)} * 16777216 + ${byteAt(17)} * 65536 + " +
+      s"${byteAt(18)} * 256 + ${byteAt(19)})"
+    val pngH = s"(${byteAt(20)} * 16777216 + ${byteAt(21)} * 65536 + " +
+      s"${byteAt(22)} * 256 + ${byteAt(23)})"
+    val pngDepth = byteAt(24)
+    val pngColor = byteAt(25)
     val pbm = "'^P[56]\\n(\\d+) (\\d+)\\n(\\d+)\\n'"
     s"""WITH b AS (SELECT doc_id, hex(from_base64(payload_b64)) AS hx,
                      octet_length(from_base64(payload_b64)) AS n
@@ -277,7 +285,11 @@ object SparkEntry {
                    TRY_CAST(regexp_extract(head, $pbm, 1) AS BIGINT) AS pw,
                    TRY_CAST(regexp_extract(head, $pbm, 2) AS BIGINT) AS ph,
                    TRY_CAST(regexp_extract(head, $pbm, 3) AS BIGINT) AS pm,
-                   substring(b.hx, 3, 2) AS magic2
+                   substring(b.hx, 3, 2) AS magic2,
+                   (b.n >= 33 AND substring(b.hx, 1, 16) = '89504E470D0A1A0A'
+                     AND substring(b.hx, 25, 8) = '49484452') AS is_png,
+                   $pngW AS pgw, $pngH AS pgh,
+                   $pngDepth AS pgd, $pngColor AS pgc
                  FROM b LEFT JOIN hdr USING (doc_id)),
        flags AS (SELECT doc_id, n, wb, pw, ph, magic2, bpp,
                    abs(CASE WHEN hraw >= 2147483648 THEN hraw - 4294967296
@@ -286,17 +298,27 @@ object SparkEntry {
                    (NOT is_bmp AND n >= 2 AND substring(hx, 1, 2) = '50'
                      AND magic2 IN ('35', '36')
                      AND coalesce(pw, 0) > 0 AND coalesce(ph, 0) > 0
-                     AND coalesce(pm, 0) > 0) AS p_ok
+                     AND coalesce(pm, 0) > 0) AS p_ok,
+                   (is_png AND pgw BETWEEN 1 AND 2147483647
+                     AND pgh BETWEEN 1 AND 2147483647
+                     AND pgd IN (1, 2, 4, 8, 16)
+                     AND pgc IN (0, 2, 3, 4, 6)) AS png_ok,
+                   pgw, pgh, pgc
                  FROM parse),
        dec AS (SELECT doc_id, n,
                  CASE WHEN is_bmp AND wb > 0 AND habs > 0
                         AND bpp IN (8, 24, 32) THEN wb
-                      WHEN p_ok THEN pw ELSE 0 END AS width,
+                      WHEN p_ok THEN pw
+                      WHEN png_ok THEN pgw ELSE 0 END AS width,
                  CASE WHEN is_bmp AND wb > 0 AND habs > 0
                         AND bpp IN (8, 24, 32) THEN habs
-                      WHEN p_ok THEN ph ELSE 0 END AS height,
+                      WHEN p_ok THEN ph
+                      WHEN png_ok THEN pgh ELSE 0 END AS height,
                  CASE WHEN is_bmp AND wb > 0 AND habs > 0
                         AND bpp IN (8, 24, 32) THEN bpp // 8
+                      WHEN png_ok THEN
+                        (CASE pgc WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                                  WHEN 4 THEN 2 ELSE 4 END)
                       WHEN p_ok THEN
                         (CASE WHEN magic2 = '36' THEN 3 ELSE 1 END)
                       ELSE 0 END AS channels

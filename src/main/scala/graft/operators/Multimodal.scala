@@ -9,11 +9,14 @@ import graft.sources.Fixtures
   *
   * The image decode is REAL (round 13): [[decodeImage]] parses BMP
   * (BITMAPINFOHEADER: little-endian dimensions, signed height for
-  * top-down files, bits-per-pixel → channels) and binary netpbm
-  * (P6/P5, whitespace-and-comment-tolerant header) straight from the
-  * bytes — the two uncompressed formats a container with no codec
-  * libraries can still decode from scratch, the same constraint that
-  * produced the from-scratch [[graft.sources.PdfText]]. Unrecognized
+  * top-down files, bits-per-pixel → channels), binary netpbm
+  * (P6/P5, whitespace-and-comment-tolerant header), and PNG
+  * (signature + fixed-offset IHDR: big-endian dimensions, color type
+  * → channels — the metadata contract is fully determined by IHDR,
+  * so this is a complete decode of what the operator promises)
+  * straight from the bytes, with no codec library — the same
+  * constraint that produced the from-scratch
+  * [[graft.sources.PdfText]]. Unrecognized
   * or truncated blobs emit the (0,0,0) sentinel rather than throwing.
   * Everything Spark-side keeps the batch shape: the binary column
   * flows through a typed `Dataset`, `mapPartitions` processes each
@@ -79,6 +82,33 @@ object Multimodal {
       val w = nextInt(); val h = nextInt(); val mx = nextInt()
       if (w > 0 && h > 0 && mx > 0)
         MediaMeta(docId, n, w, h, if (bytes(1) == '6'.toByte) 3 else 1)
+      else sentinel
+    } else if (n >= 33 && (bytes(0) & 0xff) == 0x89 &&
+      bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+      bytes(3) == 'G'.toByte && (bytes(4) & 0xff) == 0x0d &&
+      (bytes(5) & 0xff) == 0x0a && (bytes(6) & 0xff) == 0x1a &&
+      (bytes(7) & 0xff) == 0x0a && bytes(12) == 'I'.toByte &&
+      bytes(13) == 'H'.toByte && bytes(14) == 'D'.toByte &&
+      bytes(15) == 'R'.toByte) {
+      // PNG: 8-byte signature, then the IHDR chunk at a FIXED offset
+      // (length+tag at 8..15): width/height big-endian uint32 @16/@20,
+      // bit depth @24, color type @25. The metadata contract needs
+      // nothing past IHDR — width/height/channels are fully determined
+      // here (channels = f(color type)); IDAT stays opaque bytes.
+      def be32(o: Int): Long =
+        ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+          ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+      val w = be32(16); val h = be32(20)
+      val depth = bytes(24) & 0xff
+      val nch = (bytes(25) & 0xff) match {
+        case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+        case _ => 0
+      }
+      val depthOk = depth == 1 || depth == 2 || depth == 4 ||
+        depth == 8 || depth == 16
+      if (w > 0 && w <= Int.MaxValue && h > 0 && h <= Int.MaxValue &&
+          depthOk && nch > 0)
+        MediaMeta(docId, n, w.toInt, h.toInt, nch)
       else sentinel
     } else sentinel
   }

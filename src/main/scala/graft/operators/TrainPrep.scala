@@ -916,10 +916,18 @@ object TrainPrep {
     * engines decide identically. Stage 1 = highest quality — train on
     * the cleanest slice first, the curriculum-learning schedule. */
   def curriculumStages(docs: DataFrame, k: Int = CurriculumStages): DataFrame = {
+    // null-text docs score a NULL quality ([[TextStats.qualityFeatures]]
+    // propagates null through the ratios); they must still be ranked —
+    // LAST — not NPE the offset collect or vanish at the bucket join,
+    // so the bucket key coalesces null to -inf (bucket floor(+inf) =
+    // Long.MaxValue, after every real score) and the in-bucket window
+    // relies on desc's default nulls-last. The oracle corpus is
+    // non-null text, so no cross-engine surface changes.
     val q = TextStats.qualityFeatures(docs)
       .select(col("doc_id"), col("quality_score"))
       .withColumn("bkt",
-        floor(-col("quality_score") * lit(RankBucketWidth)).cast("long"))
+        floor(-coalesce(col("quality_score"), lit(Double.NegativeInfinity))
+          * lit(RankBucketWidth)).cast("long"))
     val counts = q.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .orderBy(col("bkt"))
       .collect() // bounded: ≤ score-range × RankBucketWidth buckets (~240)
@@ -1006,7 +1014,11 @@ object TrainPrep {
                        k: Int = CurriculumStages): DataFrame = {
     val scored = TextStats.qualityFeatures(probe)
       .select(col("doc_id"), col("quality_score"))
-    scored.crossJoin(broadcast(thresholds))
+    // LEFT join on true, not crossJoin: identical fan-out for a
+    // non-empty threshold frame, but an EMPTY one must default every
+    // probe to stage k, not annihilate the batch (cross with empty = 0
+    // rows — a silent data-loss mode for a misconfigured gate)
+    scored.join(broadcast(thresholds), lit(true), "left")
       .groupBy(col("doc_id"), col("quality_score"))
       .agg(coalesce(
         min(when(col("quality_score") >= col("floor_score"), col("stage"))),

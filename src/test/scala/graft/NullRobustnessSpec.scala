@@ -414,4 +414,42 @@ class NullRobustnessSpec extends SparkSpec {
     assert(merged === recomputed,
       "scd2Merge over a dirty delta diverged from the clean recompute")
   }
+
+  test("round-13 lifecycle ops on degenerate input") {
+    val c = corpus.withColumn("lang", lit("en"))
+      .select($"doc_id", $"text", $"lang", $"source")
+    // curriculum: every degenerate doc gets a rank and a stage (null
+    // text scores like empty — qualityFeatures never nulls), ranks are
+    // a permutation of 1..n
+    val cur = TrainPrep.curriculumStages(c).collect()
+    assert(cur.length === c.count())
+    assert(cur.map(_.getLong(2)).sorted.toSeq === (1L to cur.length).toSeq)
+    // curriculum admission with an EMPTY threshold frame: every probe
+    // falls to the last stage, none lost
+    val noThr = Seq.empty[(Long, Double)].toDF("stage", "floor_score")
+    val adm = TrainPrep.curriculumAssign(c, noThr, k = 4).collect()
+    assert(adm.length === c.count())
+    assert(adm.forall(_.getLong(2) === 4L))
+    // quality drift where one side is empty: every bin is a one-sided
+    // NULL-flagged alert row, nothing throws, nothing divides by zero
+    val empty = c.limit(0)
+    val drift = graft.operators.CorpusAnalytics.qualityDrift(c, empty).collect()
+    assert(drift.nonEmpty)
+    assert(drift.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    assert(graft.operators.CorpusAnalytics.qualityDrift(empty, empty).count() === 0L)
+    // leakage split on a corpus with NO near-dup pairs: all singletons,
+    // cluster_id == doc_id, full coverage
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")
+    val split = TrainPrep.leakageSplit(c, noPairs).collect()
+    assert(split.length === c.count())
+    assert(split.forall(r => r.getLong(0) === r.getLong(1)))
+    // hybrid RRF lexical ranking: null/empty/whitespace docs carry no
+    // shingles and must never appear as candidates on either side
+    val lex = graft.operators.Retrieval.lexicalTopK(
+      c.unionByName(Seq((0L, dup + " probe", "en", "web"))
+        .toDF("doc_id", "text", "lang", "source"))).collect()
+    val degenerate = Set(2L, 3L, 4L, 5L)
+    assert(lex.forall(r => !degenerate(r.getLong(1))),
+      "a shingle-less doc surfaced as a lexical candidate")
+  }
 }

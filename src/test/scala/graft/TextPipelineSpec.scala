@@ -1220,6 +1220,35 @@ class TextPipelineSpec extends SparkSpec {
       "unrecognized blob -> (0,0,0) sentinel, no throw")
   }
 
+  /** Minimal PNG header: 8-byte signature + IHDR length/tag + the 13
+    * IHDR payload bytes (the parser reads nothing past offset 25). */
+  private def miniPng(w: Int, h: Int, depth: Int, color: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    b.putInt(13).put("IHDR".getBytes("ISO-8859-1"))
+    b.putInt(w).putInt(h).put(depth.toByte).put(color.toByte)
+    b.array()
+  }
+
+  test("multimodal meta extraction decodes PNG IHDR: dimensions and color-type channels") {
+    val blobs = Seq(
+      (1L, miniPng(640, 480, 8, 2)),   // truecolor -> 3
+      (2L, miniPng(13, 7, 8, 0)),      // grayscale -> 1
+      (3L, miniPng(5, 9, 8, 6)),       // RGBA -> 4
+      (4L, miniPng(4, 4, 8, 4)),       // gray+alpha -> 2
+      (5L, miniPng(3, 3, 8, 3)),       // palette -> 1
+      (6L, miniPng(3, 3, 7, 2)),       // invalid bit depth -> sentinel
+      (7L, miniPng(0, 3, 8, 2)),       // zero width -> sentinel
+      // signature but mangled IHDR tag -> sentinel
+      (8L, Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        ++ Array.fill[Byte](25)(0))).toDS()
+    val m = Multimodal.extractMeta(blobs).collect().sortBy(_.doc_id)
+      .map(x => (x.width, x.height, x.channels))
+    assert(m.toSeq === Seq((640, 480, 3), (13, 7, 1), (5, 9, 4),
+      (4, 4, 2), (3, 3, 1), (0, 0, 0), (0, 0, 0), (0, 0, 0)))
+  }
+
   test("resize keeps every factor^2-th byte and halves REAL dimensions (round up)") {
     val bytes = miniBmp(13, 7, 24) // 64 bytes
     val blobs = Seq((9L, bytes)).toDS()

@@ -86,6 +86,41 @@ def pgm5(w, h, i):
     return ("P5\n%d %d\n255\n" % (w, h)).encode("ascii") + body
 
 
+def _png_chunk(tag, payload):
+    import zlib
+    return (struct.pack(">I", len(payload)) + tag + payload +
+            struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png(w, h, i, color_type):
+    """A COMPLETE valid PNG (signature, IHDR, zlib IDAT with per-row
+    filter bytes, IEND, correct CRCs) — opens in any viewer; the graft
+    decoder reads only the fixed-offset IHDR fields."""
+    import zlib
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)                            # filter type None
+        for x in range(w):
+            raw += bytes(px(x, y, i + c) % 256 for c in range(nch))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) +
+            _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6)) +
+            _png_chunk(b"IEND", b""))
+
+
+def png_rgb(w, h, i):
+    return png(w, h, i, 2)
+
+
+def png_gray(w, h, i):
+    return png(w, h, i, 0)
+
+
+def png_rgba(w, h, i):
+    return png(w, h, i, 6)
+
+
 def junk(i):
     return bytes((j * 89 + i * 17) % 256 for j in range(40 + i * 13))
 
@@ -98,13 +133,16 @@ def main():
     for i, (w, h) in enumerate(sizes):
         for kind, f in (("bmp24", bmp24), ("bmp8", bmp8),
                         ("bmp32td", bmp32_topdown), ("ppm", ppm6),
-                        ("pgm", pgm5)):
+                        ("pgm", pgm5), ("png_rgb", png_rgb),
+                        ("png_gray", png_gray), ("png_rgba", png_rgba)):
             rows.append((did, kind, f(w, h, i)))
             did += 1
     for i in range(6):
         rows.append((did, "junk", junk(i)))
         did += 1
     rows.append((did, "junk", b"BM\x01\x02"))  # truncated BMP header
+    # a PNG signature with a mangled IHDR tag must sentinel, not parse
+    rows.append((did + 1, "junk", b"\x89PNG\r\n\x1a\n" + b"\x00" * 10))
     t = pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "kind": pa.array([r[1] for r in rows], pa.string()),
