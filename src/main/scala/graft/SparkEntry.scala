@@ -229,6 +229,7 @@ object SparkEntry {
     "q_leakage_incremental" -> (TrainPrep.qLeakageIncremental _),
     "q_quality_drift"      -> (CorpusAnalytics.qQualityDrift _),
     "q_cross_source_dups"  -> (CorpusAnalytics.qCrossSourceDups _),
+    "q_contamination_report" -> (CorpusFilters.qContaminationReport _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3969,6 +3970,19 @@ object SparkEntry {
          FROM lab GROUP BY source_a, source_b
          ORDER BY source_a, source_b"""
     },
+    // contamination attribution: distinct-set shingles both sides, so
+    // count(*) over the h-join is the distinct shared-shingle count
+    "q_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(CorpusFilters.ContamShingleN)} AS hs FROM t),
+         e AS (SELECT doc_id AS eval_id, unnest(hs) AS h FROM shs
+               WHERE doc_id % ${CorpusFilters.EvalMod} = 0),
+         tr AS (SELECT doc_id AS train_id, unnest(hs) AS h FROM shs
+                WHERE doc_id % ${CorpusFilters.EvalMod} <> 0)
+         SELECT e.eval_id, tr.train_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM tr JOIN e USING (h)
+         GROUP BY e.eval_id, tr.train_id
+         ORDER BY e.eval_id, tr.train_id""",
   )
 
   /** Incremental leakage oracle: standing-only clusters (the recursive

@@ -147,6 +147,40 @@ object CorpusFilters {
     contamination(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   }
 
+  /** The ATTRIBUTION companion to [[contamination]]: which benchmark
+    * document leaked into which training document, with the shared
+    * distinct-shingle count — the evidence trail a decontamination
+    * audit publishes next to the boolean gate (the gate says "drop
+    * this doc", the report says WHY and lets an eval owner confirm the
+    * leak). One row per (eval, train) pair that shares ≥ 1 shingle.
+    *
+    * 100-TB shape: same as the gate — the eval side is bounded by the
+    * benchmark corpus, so its exploded shingles broadcast; the pair
+    * aggregate's row count tracks TRUE leak volume (a clean corpus
+    * emits almost nothing), never |eval|×|train|. Distinct-set
+    * shingles on both sides make `count(*)` the distinct-overlap
+    * count, no second dedup pass.
+    *
+    * Contract with the gate (spec-pinned): the distinct `train_id` set
+    * here IS the gate's `contaminated` set — a shingle is banned iff
+    * some eval doc contains it. */
+  def contaminationReport(docs: DataFrame): DataFrame = {
+    val sh = TextDedup.hashedShingles(docs, ContamShingleN)
+    val eval = sh.filter(col("doc_id") % EvalMod === 0)
+      .select(col("doc_id").as("eval_id"), explode(col("hs")).as("h"))
+    val train = sh.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    train.join(broadcast(eval), Seq("h"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  def qContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    contaminationReport(Tables.documents(spark, dir))
+      .orderBy(col("eval_id"), col("train_id"))
+  }
+
   // --- domain mixing ---
 
   /** Balanced per-source mix: every source is downsampled to the size of

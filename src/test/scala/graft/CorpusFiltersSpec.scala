@@ -97,6 +97,30 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(!clean.getAs[Boolean]("contaminated"))
   }
 
+  test("contamination report attributes each leak to its benchmark doc") {
+    // two eval docs (29, 58); train doc 1 leaks doc 29's run (2 shared
+    // 5-grams: the run has 6 tokens), train doc 3 leaks doc 58's, and
+    // train doc 2 is clean and must not appear at all
+    val runA = "alpha beta gamma delta epsilon zeta"
+    val runB = "one two three four five six"
+    val d = docs(
+      29L -> runA,
+      58L -> runB,
+      1L -> s"prefix words here then $runA",
+      3L -> s"$runB and a tail of words",
+      2L -> "completely different content with no overlap at all okay")
+    val out = CorpusFilters.contaminationReport(d)
+      .orderBy("eval_id", "train_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((29L, 1L, 2L), (58L, 3L, 2L)))
+    // gate-consistency contract: the report's distinct train ids ARE
+    // the gate's contaminated set
+    val flagged = CorpusFilters.contamination(d)
+      .filter(col("contaminated")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(out.map(_._2).toSet === flagged)
+  }
+
   // --- domain mix ---
 
   test("domain mix: sources are downsampled toward the smallest source") {

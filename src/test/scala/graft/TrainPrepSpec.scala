@@ -841,6 +841,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(drift <= full.size / 20, s"$drift of ${full.size} re-admissions drifted")
   }
 
+  test("property: curriculum two-level rank == naive under heavy score ties") {
+    // few distinct token mixes -> few distinct quality scores over many
+    // docs, so bucket boundaries land ON ties — the case where an
+    // inexact two-level rank would misorder or misplace a stage edge
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed * 7919)
+      val rows = (0 until 40).map { i =>
+        val nStop = rnd.nextInt(3)
+        val nOther = rnd.nextInt(3)
+        val toks = Seq.fill(nStop)("the") ++ Seq.fill(nOther)("zz")
+        (i.toLong, toks.mkString(" "), "en", "s1")
+      }
+      val d = rows.toDF("doc_id", "text", "lang", "source")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val naive = graft.operators.TextStats.qualityFeatures(d)
+        .select(col("doc_id"), col("quality_score"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("stage",
+          ntile(TrainPrep.CurriculumStages).over(w).cast("long"))
+        .orderBy(col("rank")).collect().toSeq
+      val scalable = TrainPrep.curriculumStages(d)
+        .orderBy(col("rank")).collect().toSeq
+      assert(scalable === naive, s"seed $seed diverged under ties")
+    }
+  }
+
   test("curriculum: stages are balanced and no window is globally ordered") {
     val out = TrainPrep.qCurriculum(spark, sf("sf0.001"))
     val sizes = out.groupBy("stage").count()
