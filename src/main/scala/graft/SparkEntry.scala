@@ -222,6 +222,7 @@ object SparkEntry {
     "q_mix_sample"         -> (TrainPrep.qMixSample _),
     "q_vocab_coverage"     -> (TrainPrep.qVocabCoverage _),
     "q_hybrid_rrf"         -> (Retrieval.qHybridRrf _),
+    "q_hybrid_ivf"         -> (Retrieval.qHybridIvf _),
     "q_leakage_split"      -> (TrainPrep.qLeakageSplit _),
     "q_curriculum"         -> (TrainPrep.qCurriculum _),
     "q_curriculum_mix"     -> (TrainPrep.qCurriculumMix _),
@@ -3806,24 +3807,7 @@ object SparkEntry {
     // with the same two correctly-rounded divisions — bit-identical
     "q_hybrid_rrf" -> {
       import graft.operators.Retrieval._
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-         shs AS (SELECT doc_id, ${hashedShinglesSql(TextDedup.ShingleN)} AS hs FROM t),
-         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
-               FROM shs WHERE len(hs) > 0),
-         q AS (SELECT doc_id AS query_id, hs AS qh, sz AS qsz FROM v
-               WHERE doc_id % ${Similarity.QueryStride} = 0
-                 AND doc_id < ${Similarity.QueryStride.toLong * Similarity.MaxQueries}),
-         lexs AS (SELECT q.query_id, v.doc_id,
-                    CAST(len(list_intersect(q.qh, v.hs)) AS BIGINT) AS inter,
-                    q.qsz, v.sz
-                  FROM v CROSS JOIN q WHERE v.doc_id <> q.query_id),
-         lexr AS (SELECT query_id, doc_id,
-                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY
-                      CAST(inter AS DOUBLE) / CAST(qsz + sz - inter AS DOUBLE)
-                        DESC, doc_id) AS BIGINT) AS lex_rk
-                  FROM lexs WHERE inter > 0),
-         lex AS (SELECT query_id, doc_id, lex_rk FROM lexr
-                 WHERE lex_rk <= $ListK),
+      s"""WITH $hybridLexCtes,
          qe AS (SELECT vec_id AS query_id, embedding AS qv
                 FROM embeddings WHERE $isQuerySql),
          sems AS (SELECT qe.query_id, e.vec_id AS doc_id,
@@ -3836,20 +3820,39 @@ object SparkEntry {
                   FROM sems),
          sem AS (SELECT query_id, doc_id, sem_rk FROM semr
                  WHERE sem_rk <= $ListK),
-         fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
-                     coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-                     lex.lex_rk, sem.sem_rk,
-                     coalesce(CAST(1 AS DOUBLE)
-                         / CAST($RrfK + lex.lex_rk AS DOUBLE), 0.0)
-                       + coalesce(CAST(1 AS DOUBLE)
-                         / CAST($RrfK + sem.sem_rk AS DOUBLE), 0.0) AS rrf
-                   FROM lex FULL OUTER JOIN sem
-                     ON lex.query_id = sem.query_id
-                       AND lex.doc_id = sem.doc_id),
-         top AS (SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY rrf DESC, doc_id) AS frk FROM fused)
-         SELECT query_id, doc_id, lex_rk, sem_rk, rrf FROM top
-         WHERE frk <= $FuseK ORDER BY query_id, rrf DESC, doc_id"""
+         $hybridFuseSql"""
+    },
+    // scale-path hybrid: the semantic list rides the multi-probe IVF
+    // chain (same CTEs as q_similar_ivf2, list depth ListK) — exact
+    // fusion arithmetic unchanged, so this too is hash-certified
+    "q_hybrid_ivf" -> {
+      import graft.operators.Retrieval._
+      s"""WITH $hybridLexCtes,
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+               WHERE $isCentroidSql),
+         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${cosineSql("e.embedding", "c.cv")} AS dist
+               FROM embeddings e CROSS JOIN c),
+         ranked AS (SELECT vec_id, embedding, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist DESC, centroid_id) AS crk
+               FROM d),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell
+               FROM ranked WHERE crk = 1),
+         qiv AS (SELECT vec_id AS query_id, embedding AS qv,
+                   centroid_id AS cell
+                 FROM ranked WHERE $isQuerySql AND crk <= $IvfProbes),
+         s AS (SELECT qiv.query_id, a.vec_id AS doc_id,
+                 ${cosineSql("qiv.qv", "a.embedding")} AS cosine
+               FROM a JOIN qiv ON a.cell = qiv.cell
+               WHERE a.vec_id <> qiv.query_id),
+         semr AS (SELECT query_id, doc_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rk
+                  FROM s),
+         sem AS (SELECT query_id, doc_id, sem_rk FROM semr
+                 WHERE sem_rk <= $ListK),
+         $hybridFuseSql"""
     },
     // leakage-guarded split: the cluster CTE chain of q_dedup_clusters,
     // every doc joined to its (or its own-id singleton) cluster, split
@@ -3984,6 +3987,51 @@ object SparkEntry {
          GROUP BY e.eval_id, tr.train_id
          ORDER BY e.eval_id, tr.train_id""",
   )
+
+  /** Lexical candidate CTE chain shared by the hybrid oracles — ends
+    * with `lex(query_id, doc_id, lex_rk)` (top-ListK by shingle
+    * Jaccard, ties → doc_id). */
+  private def hybridLexCtes: String = {
+    import graft.operators.Retrieval._
+    s"""ht AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       hshs AS (SELECT doc_id, ${hashedShinglesSql(TextDedup.ShingleN)} AS hs FROM ht),
+       hv AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+              FROM hshs WHERE len(hs) > 0),
+       hq AS (SELECT doc_id AS query_id, hs AS qh, sz AS qsz FROM hv
+              WHERE doc_id % ${Similarity.QueryStride} = 0
+                AND doc_id < ${Similarity.QueryStride.toLong * Similarity.MaxQueries}),
+       lexs AS (SELECT hq.query_id, hv.doc_id,
+                  CAST(len(list_intersect(hq.qh, hv.hs)) AS BIGINT) AS inter,
+                  hq.qsz, hv.sz
+                FROM hv CROSS JOIN hq WHERE hv.doc_id <> hq.query_id),
+       lexr AS (SELECT query_id, doc_id,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY
+                    CAST(inter AS DOUBLE) / CAST(qsz + sz - inter AS DOUBLE)
+                      DESC, doc_id) AS BIGINT) AS lex_rk
+                FROM lexs WHERE inter > 0),
+       lex AS (SELECT query_id, doc_id, lex_rk FROM lexr
+               WHERE lex_rk <= $ListK)"""
+  }
+
+  /** Fusion tail shared by the hybrid oracles: expects `lex` and `sem`
+    * CTEs in scope, emits the final SELECT. */
+  private def hybridFuseSql: String = {
+    import graft.operators.Retrieval._
+    s"""fused AS (SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+               coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+               lex.lex_rk, sem.sem_rk,
+               coalesce(CAST(1 AS DOUBLE)
+                   / CAST($RrfK + lex.lex_rk AS DOUBLE), 0.0)
+                 + coalesce(CAST(1 AS DOUBLE)
+                   / CAST($RrfK + sem.sem_rk AS DOUBLE), 0.0) AS rrf
+             FROM lex FULL OUTER JOIN sem
+               ON lex.query_id = sem.query_id
+                 AND lex.doc_id = sem.doc_id),
+       top AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rrf DESC, doc_id) AS frk FROM fused)
+       SELECT query_id, doc_id, lex_rk, sem_rk, rrf FROM top
+       WHERE frk <= $FuseK ORDER BY query_id, rrf DESC, doc_id"""
+  }
 
   /** Incremental leakage oracle: standing-only clusters (the recursive
     * chain filtered to doc_id % IncrementMod <> 0), banded probe×standing

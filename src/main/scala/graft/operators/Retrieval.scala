@@ -100,15 +100,10 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("lex_rk"))
   }
 
-  /** RRF fusion of [[lexicalTopK]] and [[Similarity.topK]]. Output:
-    * (query_id, doc_id, lex_rk, sem_rk, rrf) — ranks null when the doc
-    * is absent from that system's list, top-[[FuseK]] per query by
-    * fused score. */
-  def hybridRrf(docs: DataFrame, embeddings: DataFrame): DataFrame = {
-    val lex = lexicalTopK(docs)
-    val sem = Similarity.topK(embeddings, Similarity.queryVectors(embeddings), ListK)
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        col("rk").as("sem_rk"))
+  /** The list-based RRF fusion shared by the exact and the indexed
+    * hybrid: full-outer on (query, doc), absent list contributes 0,
+    * top-[[FuseK]] per query by fused score (ties → doc_id). */
+  private def fuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", rrfTerm(col("lex_rk")) + rrfTerm(col("sem_rk")))
     val w = Window.partitionBy(col("query_id"))
@@ -119,7 +114,38 @@ object Retrieval {
         col("rrf"))
   }
 
+  /** RRF fusion of [[lexicalTopK]] and [[Similarity.topK]]. Output:
+    * (query_id, doc_id, lex_rk, sem_rk, rrf) — ranks null when the doc
+    * is absent from that system's list, top-[[FuseK]] per query by
+    * fused score. */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    fuse(lexicalTopK(docs),
+      Similarity.topK(embeddings, Similarity.queryVectors(embeddings), ListK)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").as("sem_rk")))
+
+  /** Probes per query on the indexed semantic side. */
+  val IvfProbes = 2
+
+  /** The SCALE-PATH hybrid: same fusion, but the semantic list comes
+    * from the multi-probe IVF index ([[Similarity.ivfTopKProbed]] —
+    * candidates are an equi-join on cell, one corpus partition per
+    * query probe) instead of the exact corpus scan. At 100 TB the
+    * exact [[hybridRrf]] is the recall baseline this variant is graded
+    * against (RetrievalSpec pins the fused-list recall); both are
+    * deterministic, so BOTH carry full hash oracles. The lexical side
+    * is unchanged — shingle candidates were already index-shaped. */
+  def hybridRrfIvf(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    fuse(lexicalTopK(docs),
+      Similarity.ivfTopKProbed(embeddings, ListK, IvfProbes)
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          col("rk").as("sem_rk")))
+
   def qHybridRrf(spark: SparkSession, dir: String): DataFrame =
     hybridRrf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+
+  def qHybridIvf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrfIvf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
 }

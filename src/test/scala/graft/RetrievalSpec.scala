@@ -80,6 +80,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("IVF-backed hybrid keeps fused-list recall against the exact hybrid") {
+    // the scale path trades the exact semantic scan for the multi-probe
+    // IVF index; the fused top-FuseK must stay close to the exact
+    // fusion. Measured on the fixtures: 0.84 (sf0.001) / 0.80 (sf0.01)
+    // — the floor leaves slack for fixture regeneration, and a drop
+    // below it means the index (or the fusion) broke, not noise (both
+    // sides are fully deterministic).
+    val dir = sf("sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id")
+        .as[(Long, Long)].collect().toSet
+    val exact = pairs(Retrieval.qHybridRrf(spark, dir))
+    val ivf = pairs(Retrieval.qHybridIvf(spark, dir))
+    assert(exact.nonEmpty && ivf.nonEmpty)
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"fused recall $recall fell below the contract")
+  }
+
   test("every window in the hybrid plan is partitioned (no global-order funnel)") {
     val plan = Retrieval.qHybridRrf(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan
