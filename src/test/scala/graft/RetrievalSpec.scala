@@ -80,6 +80,74 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("property: hybrid fusion equals an independent driver-side reference") {
+    // full re-derivation with NO shared code: tokenize/md5-shingle,
+    // cosine, both rankings, and the fusion arithmetic are reimplemented
+    // from their published definitions and compared bit-for-bit
+    // (doubles included) on random corpora
+    def shingleSet(text: String): Set[Int] = {
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (0 to toks.length - TextDedup.ShingleN).map { i =>
+        val s = toks.slice(i, i + TextDedup.ShingleN).mkString(" ")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      }.toSet
+    }
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed * 104729)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val n = 12 + rnd.nextInt(10)
+      val docRows = (0L until n.toLong).map { i =>
+        (i, Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "), "en", "s1")
+      }
+      val embRows = (0L until n.toLong).map { i =>
+        (i, Seq.fill(4)(rnd.nextFloat() * 2 - 1), 0)
+      }
+      // with n < 100 the deterministic query set is exactly id 0
+      val q = 0L
+      val qSet = shingleSet(docRows(q.toInt)._2)
+      val lexRanked = docRows.filter(_._1 != q).flatMap { case (id, t, _, _) =>
+        val s = shingleSet(t)
+        val inter = (qSet & s).size
+        if (inter > 0)
+          Some((id, inter.toDouble / (qSet.size + s.size - inter)))
+        else None
+      }.sortBy { case (id, j) => (-j, id) }
+        .take(Retrieval.ListK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val qv = embRows(q.toInt)._2
+      val semRanked = embRows.filter(_._1 != q)
+        .map { case (id, v, _) => (id, cosine(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Retrieval.ListK).zipWithIndex
+        .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+      val want = (lexRanked.keySet ++ semRanked.keySet).toSeq.map { id =>
+        val rrf = lexRanked.get(id).map(r => 1.0 / (Retrieval.RrfK + r))
+          .getOrElse(0.0) +
+          semRanked.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+        (q, id, lexRanked.get(id), semRanked.get(id), rrf)
+      }.sortBy { case (_, id, _, _, rrf) => (-rrf, id) }
+        .take(Retrieval.FuseK)
+      val got = Retrieval.hybridRrf(
+          docRows.toDF("doc_id", "text", "lang", "source"),
+          embRows.toDF("vec_id", "embedding", "label"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .as[(Long, Long, Option[Long], Option[Long], Double)]
+        .collect().toSeq
+      assert(got === want, s"seed $seed diverged from the reference")
+    }
+  }
+
   test("IVF-backed hybrid keeps fused-list recall against the exact hybrid") {
     // the scale path trades the exact semantic scan for the multi-probe
     // IVF index; the fused top-FuseK must stay close to the exact
