@@ -140,8 +140,12 @@ object Bench {
         // cache corpus-scale frames for their own multi-branch plans
         // and the session would otherwise accumulate every query's
         // MEMORY_AND_DISK entries across 185 queries × N passes. No
-        // timed query reads another query's cache, so this changes no
-        // measurement — it only bounds session memory.
+        // timed query reads ANOTHER query's cache; a later pass of the
+        // SAME query, however, used to hit its own pass-1 persists, so
+        // pre-round-13 records under-measured persist-heavy queries
+        // (q_lm_perplexity recorded 2.15 s warm in r12 vs ~4.2 s
+        // honest-cold after this clear — a measurement fix, not a
+        // regression). Every pass now pays its own cache builds.
         spark.catalog.clearCache()
         name -> (dt, ok)
       }.toMap
