@@ -25,10 +25,13 @@ import java.nio.file.{Files, Paths}
   *  - each query is timed SPARK_GRAFT_BENCH_PASSES times (default 3
   *    as of round 13 — the r10→r11 zero-code-change swing showed two
   *    passes leave ±20% run-to-run noise in the min; three tightens
-  *    the floor to ~5% — measured round 13: two consecutive same-code
-  *    sf0.1 runs, 0.9815 vs 1.0253 sec/query, 4.45% apart — so a real
-  *    regression is distinguishable from drift) and the recorded
-  *    value is the per-query MIN across passes
+  *    the floor to ~5% — measured twice in round 13 on same-code
+  *    consecutive sf0.1 pairs: 0.9815 vs 1.0253 sec/query (4.45%)
+  *    pre-memo and 0.7464 vs 0.7117 (4.64%) at round end. Caveat: the
+  *    FIRST bench after heavy unrelated JVM/page-cache churn can sit
+  *    ~9% high across the board; steady-state pairs are the
+  *    comparable ones — so a real regression is distinguishable from
+  *    drift) and the recorded value is the per-query MIN across passes
   *    (`"timer":"noop-write-min3"`). Rationale: round-7 forensics
   *    showed the same code timing 4.3 s vs 22.8 s on the same query
   *    depending on when in a long session the bench ran (JIT/GC/page-
