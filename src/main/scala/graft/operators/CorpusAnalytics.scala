@@ -925,14 +925,20 @@ object CorpusAnalytics {
     * Scale: two corpus scans (one per side) collapsing to O(bins)
     * aggregates, a full-outer join of two tiny frames, one 1-row totals
     * broadcast. */
-  def qualityDrift(reference: DataFrame, probe: DataFrame,
-                   binWidth: Double = DriftBinWidth): DataFrame = {
-    def binned(df: DataFrame, out: String) =
-      TextStats.qualityFeatures(df)
-        .select(floor(col("quality_score") / binWidth).cast("long").as("bin"))
-        .groupBy(col("bin")).agg(count(lit(1)).as(out))
-    val joined = binned(reference, "n_ref")
-      .join(binned(probe, "n_probe"), Seq("bin"), "full_outer")
+  /** Quality-score histogram of a corpus — the (bin, count) frame the
+    * drift monitor freezes for its reference side. */
+  def driftHistogram(docs: DataFrame, out: String,
+                     binWidth: Double = DriftBinWidth): DataFrame =
+    TextStats.qualityFeatures(docs)
+      .select(floor(col("quality_score") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(out))
+
+  /** PSI finalization over two ALREADY-BINNED histograms — shared by
+    * the batch readout and the streaming monitor's foreachBatch, so the
+    * live twin runs the identical arithmetic. */
+  def psiOfHistograms(refHist: DataFrame, probeHist: DataFrame): DataFrame = {
+    val joined = refHist
+      .join(probeHist, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_probe"), lit(0L)).as("n_probe"))
@@ -950,6 +956,36 @@ object CorpusAnalytics {
             * col("dln_micro").cast("double") / lit(1e6)))
       .select(col("bin"), col("n_ref"), col("n_probe"),
         col("dln_micro"), col("psi_part"))
+  }
+
+  def qualityDrift(reference: DataFrame, probe: DataFrame,
+                   binWidth: Double = DriftBinWidth): DataFrame =
+    psiOfHistograms(driftHistogram(reference, "n_ref", binWidth),
+      driftHistogram(probe, "n_probe", binWidth))
+
+  /** The LIVE drift monitor: probe documents stream in, their quality
+    * histogram accumulates as the ONE streaming aggregation
+    * (complete-mode cumulative bin counts — the stream-legal half of
+    * the computation), and each trigger's foreachBatch finalizes PSI
+    * against the FROZEN reference histogram with [[psiOfHistograms]] —
+    * the same arithmetic as the batch readout, so stream ≡ batch once
+    * every probe file has arrived (StreamingSpec pins it). The
+    * reference corpus is scanned once when the histogram is frozen,
+    * never per trigger; per-trigger work is O(bins). */
+  def streamingQualityDrift(streamDocs: DataFrame, reference: DataFrame,
+      binWidth: Double = DriftBinWidth, checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val refHist = driftHistogram(reference, "n_ref", binWidth)
+    val probeHist = TextStats.qualityFeatures(streamDocs)
+      .select(floor(col("quality_score") / binWidth).cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_probe"))
+    val writer = probeHist.writeStream
+      .outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(psiOfHistograms(refHist, batch), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(writer.option("checkpointLocation", _)).start()
   }
 
   def qQualityDrift(spark: SparkSession, dir: String): DataFrame = {

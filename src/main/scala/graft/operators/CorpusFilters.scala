@@ -147,6 +147,29 @@ object CorpusFilters {
     contamination(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   }
 
+  /** Frozen banned-shingle set of a benchmark corpus — the table a
+    * live decontamination gate broadcasts (bounded by the benchmark,
+    * not the stream). */
+  def bannedShingles(evalDocs: DataFrame): DataFrame =
+    TextDedup.hashedShingles(evalDocs, ContamShingleN)
+      .select(explode(col("hs")).as("h")).distinct()
+
+  /** Admission-gate twin of [[contamination]]: score arriving documents
+    * against a FROZEN banned set. Stream-static legal by the DSIR-gate
+    * construction — one `explode_outer` (shingle-less docs survive with
+    * a null key), one broadcast left join against the banned markers,
+    * ONE aggregation — so the IDENTICAL code runs as a Structured
+    * Streaming complete-mode query (StreamingSpec pins stream ≡ batch,
+    * and batch-equality with [[contamination]]'s train half when
+    * `banned` = [[bannedShingles]] of the same eval subset). */
+  def contaminationAgainst(probe: DataFrame, banned: DataFrame): DataFrame =
+    TextDedup.hashedShingles(probe, ContamShingleN)
+      .select(col("doc_id"), explode_outer(col("hs")).as("h"))
+      .join(broadcast(banned.withColumn("hit", lit(1L))), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+
   /** The ATTRIBUTION companion to [[contamination]]: which benchmark
     * document leaked into which training document, with the shared
     * distinct-shingle count — the evidence trail a decontamination

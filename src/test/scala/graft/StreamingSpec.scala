@@ -615,4 +615,62 @@ class StreamingSpec extends SparkSpec {
       assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
     }
   }
+
+  test("streaming quality drift: final-trigger PSI == the batch readout") {
+    import graft.operators.CorpusAnalytics
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val probe = docs.filter(col("doc_id") % 5 === 0)
+    val reference = docs.filter(col("doc_id") % 5 =!= 0)
+    val srcDir = Files.createTempDirectory("graft-drift-src").toString
+    probe.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // keep the LAST trigger's finalized frame — with AvailableNow it
+    // covers every probe file, which is exactly the batch population
+    @volatile var last: Seq[Seq[String]] = Nil
+    val q = CorpusAnalytics.streamingQualityDrift(stream, reference) {
+      (psi, _) =>
+        last = psi.orderBy("bin").collect()
+          .map(_.toSeq.map(String.valueOf).toSeq).toSeq
+        ()
+    }
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val batch = CorpusAnalytics.qualityDrift(reference, probe)
+      .orderBy("bin").collect()
+      .map(_.toSeq.map(String.valueOf).toSeq).toSeq
+    assert(last.nonEmpty)
+    assert(last === batch)
+  }
+
+  test("streaming contamination admission: streamed scores == the batch gate") {
+    import graft.operators.CorpusFilters
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val evalDocs = docs.filter(col("doc_id") % CorpusFilters.EvalMod === 0)
+    val train = docs.filter(col("doc_id") % CorpusFilters.EvalMod =!= 0)
+    val banned = CorpusFilters.bannedShingles(evalDocs)
+    // batch-equality with the self-contained gate first: the "against"
+    // spelling over the same split must reproduce contamination()
+    val viaAgainst = CorpusFilters.contaminationAgainst(train, banned)
+      .orderBy("doc_id").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    val gate = CorpusFilters.contamination(docs)
+      .orderBy("doc_id").collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(viaAgainst === gate)
+    // then the live twin: train docs stream in against the frozen set
+    val srcDir = Files.createTempDirectory("graft-contam-src").toString
+    train.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-contam").toString
+    val q = CorpusFilters.contaminationAgainst(stream, banned)
+      .writeStream.format("memory").queryName("contam_adm")
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val streamed = spark.table("contam_adm").orderBy("doc_id")
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed === gate)
+  }
 }
