@@ -231,6 +231,7 @@ object SparkEntry {
     "q_quality_drift"      -> (CorpusAnalytics.qQualityDrift _),
     "q_cross_source_dups"  -> (CorpusAnalytics.qCrossSourceDups _),
     "q_contamination_report" -> (CorpusFilters.qContaminationReport _),
+    "q_drift_alert"        -> (CorpusAnalytics.qDriftAlert _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3986,6 +3987,49 @@ object SparkEntry {
          FROM tr JOIN e USING (h)
          GROUP BY e.eval_id, tr.train_id
          ORDER BY e.eval_id, tr.train_id""",
+    // drift alarm line: per-bin psi rounded to nano-units BEFORE the
+    // sum (order-independent integers), alert-bin masses as counts
+    "q_drift_alert" -> {
+      val w = graft.operators.CorpusAnalytics.DriftBinWidth
+      s"""WITH ${curriculumCtes("TRUE")},
+         b AS (SELECT doc_id,
+                 CAST(floor(quality_score / CAST($w AS DOUBLE)) AS BIGINT) AS bin
+               FROM cs),
+         r AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_ref
+               FROM b WHERE doc_id % 5 <> 0 GROUP BY bin),
+         p AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_probe
+               FROM b WHERE doc_id % 5 = 0 GROUP BY bin),
+         j AS (SELECT coalesce(r.bin, p.bin) AS bin,
+                 CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                 CAST(coalesce(n_probe, 0) AS BIGINT) AS n_probe
+               FROM r FULL OUTER JOIN p ON r.bin = p.bin),
+         tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+                   CAST(sum(n_probe) AS BIGINT) AS tot_probe FROM j),
+         d AS (SELECT bin, n_ref, n_probe, tot_ref, tot_probe,
+                 CASE WHEN n_ref > 0 AND n_probe > 0 THEN
+                   CAST(round(ln(n_probe) * 1000000) AS BIGINT)
+                   - CAST(round(ln(tot_probe) * 1000000) AS BIGINT)
+                   - CAST(round(ln(n_ref) * 1000000) AS BIGINT)
+                   + CAST(round(ln(tot_ref) * 1000000) AS BIGINT)
+                 END AS dln_micro
+               FROM j CROSS JOIN tot),
+         f AS (SELECT n_ref, n_probe, dln_micro,
+                 CASE WHEN dln_micro IS NOT NULL THEN
+                   (CAST(n_probe AS DOUBLE) / CAST(tot_probe AS DOUBLE)
+                     - CAST(n_ref AS DOUBLE) / CAST(tot_ref AS DOUBLE))
+                   * CAST(dln_micro AS DOUBLE) / 1e6 END AS psi_part
+               FROM d)
+         SELECT
+           CAST(sum(coalesce(CAST(round(psi_part * 1e9) AS BIGINT), 0))
+             AS BIGINT) AS psi_nano,
+           CAST(sum(CASE WHEN dln_micro IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_alert_bins,
+           CAST(sum(CASE WHEN dln_micro IS NULL THEN n_probe ELSE 0 END)
+             AS BIGINT) AS new_mass,
+           CAST(sum(CASE WHEN dln_micro IS NULL THEN n_ref ELSE 0 END)
+             AS BIGINT) AS gone_mass
+         FROM f"""
+    },
   )
 
   /** Lexical candidate CTE chain shared by the hybrid oracles — ends

@@ -963,6 +963,34 @@ object CorpusAnalytics {
     psiOfHistograms(driftHistogram(reference, "n_ref", binWidth),
       driftHistogram(probe, "n_probe", binWidth))
 
+  /** The ALARM line a drift monitor pages on: total PSI plus the mass
+    * sitting in alert (one-sided) bins, one row. The PSI total rides an
+    * integer surface — each bin's psi_part is rounded to nano-units
+    * BEFORE the sum (round-then-sum is order-independent; a double sum
+    * across bins would depend on partition order and diverge between
+    * engines). `new_mass`/`gone_mass` are the probe/reference documents
+    * in bins the other side never produced — the smoothed-away tail a
+    * scalar PSI alone would hide (PSI > 0.2 is the conventional
+    * retrain trigger; non-zero alert mass is the "distribution moved
+    * somewhere new" page). */
+  def driftAlert(reference: DataFrame, probe: DataFrame,
+                 binWidth: Double = DriftBinWidth): DataFrame =
+    qualityDrift(reference, probe, binWidth).agg(
+      sum(coalesce(round(col("psi_part") * 1e9).cast("long"), lit(0L)))
+        .as("psi_nano"),
+      sum(when(col("dln_micro").isNull, 1L).otherwise(0L)).as("n_alert_bins"),
+      sum(when(col("dln_micro").isNull, col("n_probe")).otherwise(0L))
+        .as("new_mass"),
+      sum(when(col("dln_micro").isNull, col("n_ref")).otherwise(0L))
+        .as("gone_mass"))
+
+  def qDriftAlert(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    driftAlert(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
   /** The LIVE drift monitor: probe documents stream in, their quality
     * histogram accumulates as the ONE streaming aggregation
     * (complete-mode cumulative bin counts — the stream-legal half of

@@ -637,6 +637,23 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(psi > 0.0, s"shifted distribution scored PSI $psi")
   }
 
+  test("drift alert: identical dists alarm zero; disjoint dists page on alert mass") {
+    val lo = docsOf((1L, "zz yy xx ww", "en", "s1"), (2L, "zz yy xx ww", "en", "s1"))
+    val hi = docsOf((5L, Seq.fill(25)("the").mkString(" "), "en", "s1"))
+    // identical distributions: zero PSI, zero alert bins
+    val same = CorpusAnalytics.driftAlert(lo, lo).collect().head
+    assert(same.getLong(0) === 0L && same.getLong(1) === 0L)
+    assert(same.getLong(2) === 0L && same.getLong(3) === 0L)
+    // disjoint distributions: PSI's log terms never fire (no shared
+    // bin) but ALL the mass lands in alert bins — the page a scalar
+    // PSI alone would miss
+    val moved = CorpusAnalytics.driftAlert(lo, hi).collect().head
+    assert(moved.getLong(0) === 0L)
+    assert(moved.getLong(1) === 2L)
+    assert(moved.getLong(2) === 1L, "probe docs in probe-only bins")
+    assert(moved.getLong(3) === 2L, "reference docs in vanished bins")
+  }
+
   test("cross-source duplication matrix counts pairs by unordered source pair") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     val t2 = "one two three four five six seven eight nine ten " * 5
