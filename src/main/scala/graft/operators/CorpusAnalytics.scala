@@ -926,11 +926,19 @@ object CorpusAnalytics {
     * aggregates, a full-outer join of two tiny frames, one 1-row totals
     * broadcast. */
   /** Quality-score histogram of a corpus — the (bin, count) frame the
-    * drift monitor freezes for its reference side. */
+    * drift monitor freezes for its reference side. Null-text docs score
+    * a NULL quality ([[TextStats.qualityFeatures]] propagates null);
+    * they bin to the `Long.MaxValue` sentinel bucket (after every real
+    * bin — the [[TrainPrep.curriculumStages]] convention) rather than a
+    * NULL bin, because the downstream full-outer join matches on `bin`
+    * and null keys never match: two identical corpora that both carry
+    * null-text docs would otherwise raise a one-sided-bin false alarm
+    * in [[driftAlert]]. */
   def driftHistogram(docs: DataFrame, out: String,
                      binWidth: Double = DriftBinWidth): DataFrame =
     TextStats.qualityFeatures(docs)
-      .select(floor(col("quality_score") / binWidth).cast("long").as("bin"))
+      .select(coalesce(floor(col("quality_score") / binWidth).cast("long"),
+        lit(Long.MaxValue)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as(out))
 
   /** PSI finalization over two ALREADY-BINNED histograms — shared by

@@ -618,8 +618,16 @@ object TextDedup {
       .getOrElse(localSpillRoot.resolve(unique).toString)
   }
 
-  private val clusterLabelPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** One memo slot per (dir, tag): the `lazy val` makes the first
+    * caller run the clustering build under the CELL's own monitor, not
+    * the ConcurrentHashMap bin lock — `computeIfAbsent` would hold the
+    * map bin across the whole Spark job and stall unrelated same-bin
+    * keys. */
+  private final class LabelCell(build: () => String) {
+    lazy val path: String = build()
+  }
+  private val clusterLabelCells =
+    new java.util.concurrent.ConcurrentHashMap[String, LabelCell]()
 
   /** Near-dup cluster labels MATERIALIZED once per (JVM, input dir,
     * subset tag) as parquet — the [[graft.operators.Curate.v5Emit]]
@@ -637,17 +645,35 @@ object TextDedup {
     * (labels ride a cache inside [[withDedupClusters]]; the parquet
     * read-back carries no cache). Keyed by (dir, tag) so scale factors
     * and subsets never mix; deterministic, so materialized ≡ recomputed
-    * (pinned in TextPipelineSpec). */
+    * (pinned in TextPipelineSpec). The path is revalidated on every
+    * read — a spill dir cleaned mid-JVM triggers one rebuild, not a
+    * failing scan. */
   def clusterLabels(spark: SparkSession, dir: String, tag: String)(
       docs: => DataFrame): DataFrame = {
-    val path = clusterLabelPaths.computeIfAbsent(s"$dir#$tag", { _ =>
-      val p = spillPath(spark, s"cluster_labels_$tag")
-      withDedupClusters(minhashPairs(docs)) { labels =>
-        labels.write.mode("overwrite").parquet(p)
-      }
-      p
-    })
-    spark.read.parquet(path)
+    val key = s"$dir#$tag"
+    def cellFor(): LabelCell = {
+      val c = new LabelCell(() => {
+        val p = spillPath(spark, s"cluster_labels_$tag")
+        withDedupClusters(minhashPairs(docs)) { labels =>
+          labels.write.mode("overwrite").parquet(p)
+        }
+        p
+      })
+      val prev = clusterLabelCells.putIfAbsent(key, c)
+      if (prev == null) c else prev
+    }
+    val cell = cellFor()
+    val path = cell.path
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) spark.read.parquet(path)
+    else {
+      // stale memo: the spill dir was cleaned mid-JVM — a blind read
+      // would fail. Drop THIS cell (conditional remove, so a racing
+      // rebuild isn't discarded) and build once more.
+      clusterLabelCells.remove(key, cell)
+      spark.read.parquet(cellFor().path)
+    }
   }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {

@@ -915,7 +915,19 @@ object TrainPrep {
     * extra row), computed as integer arithmetic from (rank, n) so both
     * engines decide identically. Stage 1 = highest quality — train on
     * the cleanest slice first, the curriculum-learning schedule. */
-  def curriculumStages(docs: DataFrame, k: Int = CurriculumStages): DataFrame = {
+  def curriculumStages(docs: DataFrame, k: Int = CurriculumStages): DataFrame =
+    stagesWithTokens(docs, k)
+      .select(col("doc_id"), col("quality_score"), col("rank"), col("stage"))
+
+  /** [[curriculumStages]] plus the `n_tokens` column from the SAME
+    * [[TextStats.qualityFeatures]] projection the ranking rides — the
+    * seam [[curriculumMix]] consumes so its token totals don't pay a
+    * second tokenize pass (Catalyst does not share the subplan across
+    * two separate `qualityFeatures` invocations). The bucket-count
+    * `collect` below is still its own job — one extra corpus scan per
+    * curriculum build, bounded and stated, column-pruned to the score. */
+  private[graft] def stagesWithTokens(docs: DataFrame,
+                                      k: Int = CurriculumStages): DataFrame = {
     // null-text docs score a NULL quality ([[TextStats.qualityFeatures]]
     // propagates null through the ratios); they must still be ranked —
     // LAST — not NPE the offset collect or vanish at the bucket join,
@@ -924,7 +936,7 @@ object TrainPrep {
     // relies on desc's default nulls-last. The oracle corpus is
     // non-null text, so no cross-engine surface changes.
     val q = TextStats.qualityFeatures(docs)
-      .select(col("doc_id"), col("quality_score"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
       .withColumn("bkt",
         floor(-coalesce(col("quality_score"), lit(Double.NegativeInfinity))
           * lit(RankBucketWidth)).cast("long"))
@@ -959,7 +971,8 @@ object TrainPrep {
     q.join(broadcast(offDf), Seq("bkt"))
       .withColumn("rank", (col("off") + row_number().over(w)).cast("long"))
       .withColumn("stage", stage.cast("long"))
-      .select(col("doc_id"), col("quality_score"), col("rank"), col("stage"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("rank"), col("stage"))
   }
 
   def qCurriculum(spark: SparkSession, dir: String): DataFrame = {
@@ -972,17 +985,15 @@ object TrainPrep {
     * feeds the model, domain by domain. One doc_id equi-join onto the
     * stage assignment plus a (stage, source) aggregate; token counts
     * ride the same [[TextStats.qualityFeatures]] pass the stages were
-    * ranked by, so no second tokenize. */
-  def curriculumMix(docs: DataFrame, k: Int = CurriculumStages): DataFrame = {
-    val feats = TextStats.qualityFeatures(docs)
-      .select(col("doc_id"), col("n_tokens"))
-    curriculumStages(docs, k)
-      .join(feats, Seq("doc_id"))
+    * ranked by (via [[stagesWithTokens]]), so no second tokenize —
+    * the only remaining extra scan is the curriculum build's own
+    * bounded bucket-count collect. */
+  def curriculumMix(docs: DataFrame, k: Int = CurriculumStages): DataFrame =
+    stagesWithTokens(docs, k)
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("stage"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
-  }
 
   def qCurriculumMix(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)

@@ -1,7 +1,7 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, concat, expr, lit, raise_error, timestamp_micros, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, TimestampNTZType, TimestampType}
 
 /** Canonical table loaders for the star schema + corpus tables.
@@ -67,21 +67,68 @@ object Tables {
     * surfaces (the r9-r12 `q_source_divergence` lesson: DECIMAL
     * surfaces hash differently across engines even value-identical).
     * Scale-0 decimal → long and int → long are value-exact casts;
-    * anything non-integral (a drifted float id) still fails the
-    * contract spec rather than being silently truncated here. */
+    * anything non-integral (a drifted float id) fails loudly at load,
+    * and a NARROWING integral drift (int64 label vs the pinned int)
+    * gets a per-row range guard so an out-of-range value fails the
+    * job instead of wrapping. */
   def documents(spark: SparkSession, dir: String): DataFrame =
     normalizeIntegral(load(spark, dir, "documents"),
       Map("doc_id" -> LongType, "n_chars" -> LongType))
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     normalizeIntegral(load(spark, dir, "embeddings"),
       Map("vec_id" -> LongType, "label" -> IntegerType))
+  /** Inclusive value range of a pinned integral target, for the
+    * narrowing guard below. */
+  private def rangeOf(t: DataType): (Long, Long) = t match {
+    case ByteType    => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+    case ShortType   => (Short.MinValue.toLong, Short.MaxValue.toLong)
+    case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+    case _           => (Long.MinValue, Long.MaxValue)
+  }
+
+  /** True when every value of `src` provably fits in `t`, so a plain
+    * cast is value-exact. Scale-0 decimals fit when their max digit
+    * count stays within the target's (18 digits always fit a long,
+    * 9 an int, …). */
+  private def widens(src: DataType, t: DataType): Boolean = {
+    def width(x: DataType): Int = x match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 4; case _ => 8
+    }
+    def decDigits(x: DataType): Int = x match {
+      case ByteType => 2; case ShortType => 4; case IntegerType => 9; case _ => 18
+    }
+    src match {
+      case dec: DecimalType => dec.precision <= decDigits(t)
+      case s                => width(s) <= width(t)
+    }
+  }
+
   private[graft] def normalizeIntegral(
       df: DataFrame, want: Map[String, DataType]): DataFrame =
     want.foldLeft(df) { case (d, (name, t)) =>
       d.schema(name).dataType match {
         case `t` => d
-        case ByteType | ShortType | IntegerType | LongType => d.withColumn(name, col(name).cast(t))
-        case dec: DecimalType if dec.scale == 0 => d.withColumn(name, col(name).cast(t))
+        case src if src.isInstanceOf[DecimalType]
+          && src.asInstanceOf[DecimalType].scale != 0 =>
+          throw new IllegalArgumentException(
+            s"column '$name' drifted to non-integral $src (want $t)")
+        case src @ (ByteType | ShortType | IntegerType | LongType | _: DecimalType) =>
+          if (widens(src, t)) d.withColumn(name, col(name).cast(t))
+          else {
+            // NARROWING drift (e.g. label shipped as INT64 against the
+            // pinned INT): a plain cast would silently wrap out-of-range
+            // values. Guard per row — in-range values cast exactly,
+            // any out-of-range value fails the job loudly at execution,
+            // with no extra scan (the guard rides the same read).
+            val (lo, hi) = rangeOf(t)
+            d.withColumn(name,
+              when(col(name).isNull
+                || (col(name) >= lit(lo) && col(name) <= lit(hi)),
+                col(name).cast(t))
+                .otherwise(raise_error(concat(
+                  lit(s"column '$name' value "), col(name).cast("string"),
+                  lit(s" out of range for pinned ${t.simpleString}")))))
+          }
         case other => throw new IllegalArgumentException(
           s"column '$name' drifted to non-integral $other (want $t)")
       }

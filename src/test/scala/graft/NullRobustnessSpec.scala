@@ -437,6 +437,20 @@ class NullRobustnessSpec extends SparkSpec {
     assert(drift.nonEmpty)
     assert(drift.forall(r => r.isNullAt(3) && r.isNullAt(4)))
     assert(graft.operators.CorpusAnalytics.qualityDrift(empty, empty).count() === 0L)
+    // drift between two identical distributions that BOTH carry
+    // null-text docs: the null quality bin coalesces to the sentinel
+    // bucket on each side, so the full-outer join matches it and the
+    // alarm stays silent (null join keys never match — an uncoalesced
+    // NULL bin would page n_alert_bins=2 on a flat corpus)
+    val alert = graft.operators.CorpusAnalytics.driftAlert(c, c).collect()
+    assert(alert.length === 1)
+    assert(alert.head.getLong(0) === 0L, "identical corpora must read PSI 0")
+    assert(alert.head.getLong(1) === 0L, "null-text bin raised a false one-sided alert")
+    assert(alert.head.getLong(2) === 0L && alert.head.getLong(3) === 0L)
+    // and the sentinel bin itself carries the null-text doc count
+    val hist = graft.operators.CorpusAnalytics.driftHistogram(c, "n_ref").collect()
+    assert(hist.exists(r => r.getLong(0) === Long.MaxValue && r.getLong(1) === 1L),
+      "null-text doc missing from the sentinel drift bin")
     // leakage split on a corpus with NO near-dup pairs: all singletons,
     // cluster_id == doc_id, full coverage
     val noPairs = Seq.empty[(Long, Long)].toDF("doc_id", "cluster_id")

@@ -153,4 +153,38 @@ class TablesContractSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Tables.documents(spark, bad))
     assert(e.getMessage.contains("doc_id"))
   }
+
+  test("narrowing drift guard: in-range casts exactly, out-of-range fails the job") {
+    import spark.implicits._
+    // label drifted to INT64 with a value beyond Int range: the
+    // pre-fix wildcard cast would wrap it to a wrong-but-plausible
+    // int; the guard must fail the read instead
+    val tmp = java.nio.file.Files.createTempDirectory("graft-narrow-seam").toString
+    Seq((1, Seq(1.0f), 3L), (2, Seq(2.0f), Int.MaxValue.toLong + 1L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val err = intercept[Exception](
+      Tables.embeddings(spark, tmp).select("label").collect())
+    assert(err.getMessage != null)
+    // same encoding, all values in range: exact narrow, no rows lost
+    val ok = java.nio.file.Files.createTempDirectory("graft-narrow-ok").toString
+    Seq((1, Seq(1.0f), 3L), (2, Seq(2.0f), -7L))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$ok/embeddings.parquet")
+    val got = Tables.embeddings(spark, ok)
+    assert(got.schema("label").dataType === IntegerType)
+    assert(got.select("vec_id", "label").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq === Seq((1L, 3), (2L, -7)))
+    // decimal wide enough to exceed the long target gets the guard
+    // too; in-range values stay exact
+    val dec = java.nio.file.Files.createTempDirectory("graft-narrow-dec").toString
+    Seq((7L, "a", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .select(col("doc_id").cast(DecimalType(38, 0)), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.parquet(s"$dec/documents.parquet")
+    val docs = Tables.documents(spark, dec)
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.select("doc_id").as[Long].collect().toSeq === Seq(7L))
+  }
 }

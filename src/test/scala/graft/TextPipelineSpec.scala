@@ -1063,6 +1063,18 @@ class TextPipelineSpec extends SparkSpec {
     }
     assert(rows(TrainPrep.leakageSplit(corpus, memo)) === viaFresh,
       "leakage split over the memo drifted")
+    // a cleaned spill dir mid-JVM must NOT serve a failing read: the
+    // memo revalidates the path and rebuilds once, identically
+    val memoRows = rows(memo)
+    val servedPath = memo.inputFiles.head
+      .replaceAll("file:/*", "/").replaceAll("/[^/]*\\.parquet$", "")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(servedPath))
+    val rebuilt = TextDedup.clusterLabels(spark, dir, "all")(corpus)
+    assert(rows(rebuilt) === memoRows,
+      "rebuilt-after-clean labels drifted from the original memo")
   }
 
   test("curation v2 adds repetition, decontamination and pii gates") {
