@@ -58,6 +58,22 @@ import java.nio.file.{Files, Paths}
   *    makes a broken round look fast (the r10/r11 trend-poisoning bug).
   *    The per-query map still lists errored names (keyed in `errors`)
   *    so history diffs show WHERE a round broke.
+  *  - `"memo_build"` records the one-time session-memo build costs
+  *    (cluster labels, v5 emit — see [[graft.operators.MemoLedger]]):
+  *    paid by the first consumer in pass 1, hence absent from every
+  *    per-query min; surfacing them keeps a memo-schedule change from
+  *    reading as a query speedup in round-over-round diffs.
+  *  - round-14 measurement notes: (1) the banded-LSH hot-bucket guard
+  *    (exact-set collapse + bucket cap + explode expansion,
+  *    TextDedup.expandScored) adds ~0.3-0.5 s FIXED stage overhead per
+  *    minhash-family query at sf0.01 — one collapse aggregate plus the
+  *    pair-dedup exchange; constant in SF, and the price of removing
+  *    the d²-candidate degenerate-bucket failure at 100 TB. (2) that
+  *    estimate is drift-corrected: three same-day full runs showed the
+  *    BOX itself drifting +23% median (+43% on TPC-H q1, which touches
+  *    no changed code) over a long session — per-query deltas across
+  *    rounds should be read against a control set of untouched
+  *    queries, not as raw numbers.
   *  - the compact stdout line additionally carries `"queries_top"` —
   *    the 20 slowest per-query times — because the driver's output-tail
   *    capture is bounded at 2000 chars and cannot hold the full
@@ -178,8 +194,18 @@ object Bench {
     val topQs = valid.sortBy(-_._2).take(20)
       .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
       .mkString("{", ",", "}")
+    // one-time session-memo build costs (cluster labels, v5 emit):
+    // paid by the first consumer in pass 1 and therefore present in NO
+    // per-query min — recorded as their own lines so round-over-round
+    // diffs can't mistake a memo-schedule change for a query speedup
+    // (headline semantics unchanged: production lands these tables
+    // once per corpus snapshot, the per-query numbers price the
+    // steady-state reads)
+    val memoJson = graft.operators.MemoLedger.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${math.round(v * 1000) / 1000.0}" }
+      .mkString("{", ",", "}")
     val head =
-      s""""metric":"total","value":$total,"unit":"sec","n_queries":${valid.size},"n_errors":${errors.size},"sec_per_query":$perQuery,"timer":"noop-write-min$passes","passes":$passes,"errors":$errJson,"queries_top":$topQs,"sf":${jstr(sfDir)}"""
+      s""""metric":"total","value":$total,"unit":"sec","n_queries":${valid.size},"n_errors":${errors.size},"sec_per_query":$perQuery,"timer":"noop-write-min$passes","passes":$passes,"errors":$errJson,"memo_build":$memoJson,"queries_top":$topQs,"sf":${jstr(sfDir)}"""
     // stdout stays compact (the driver parses a bounded output tail);
     // the per-query map goes only to the files
     println(s"{$head}")

@@ -93,6 +93,7 @@ object SparkEntry {
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
+    "q_lsh_bucket_audit"   -> (TextDedup.qLshBucketAudit _),
     "q_hash_split"         -> (TextStats.qHashSplit _),
     "q_split_manifest"     -> (TextStats.qSplitManifest _),
     "q_quality_pctl"       -> (TextStats.qQualityPercentiles _),
@@ -657,6 +658,37 @@ object SparkEntry {
        FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
        WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.old_hash <> n.new_hash
        ORDER BY doc_id, change"""
+
+  /** Oracle for the LSH bucket audit (`TextDedup.lshBucketAudit` at
+    * cap 4). The Spark side audits buckets over SET representatives
+    * ([[TextDedup.collapseExact]]); since every band signature is a
+    * function of the shingle set alone, the DuckDB twin needs no rep
+    * selection — `DISTINCT list_sort(hs)` IS the set-rep population
+    * (the sort matters: Spark's `hashed_shingle_set` is sorted, while
+    * `list_distinct` keeps first-occurrence order, so unsorted lists
+    * of equal sets would not collapse under DISTINCT). */
+  private def lshBucketAuditOracle: String = {
+    import TextDedup._
+    val mhCols = (0 until NumHashes).map(k =>
+      s"list_min(list_transform(hs, h -> (h * ${permA(k)} + ${permB(k)}) % $MinhashMod)) AS mh$k")
+      .mkString(",\n             ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT $b AS band, concat_ws('-', $sig) AS sig FROM mh"
+    }.mkString("\n           UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+       dist AS (SELECT DISTINCT list_sort(hs) AS hs FROM shs),
+       mh AS (SELECT $mhCols FROM dist),
+       bands AS ($bandSelects),
+       buckets AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig)
+       SELECT band,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(n) AS BIGINT) AS max_bucket,
+         CAST(sum(CASE WHEN n > 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped_buckets,
+         CAST(sum(CASE WHEN n > 4 THEN n ELSE 0 END) AS BIGINT) AS capped_mass
+       FROM buckets GROUP BY band ORDER BY band"""
+  }
 
   private def minhashOracle: String = {
     import TextDedup._
@@ -1777,6 +1809,7 @@ object SparkEntry {
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_lsh_bucket_audit" -> lshBucketAuditOracle,
     "q_curate_corpus" -> curateOracle,
     "q_curate_v2" -> curateV2Oracle,
     "q_curate_v3" -> curateV3Oracle,

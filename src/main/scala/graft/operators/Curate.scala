@@ -203,8 +203,7 @@ object Curate {
     TrainPrep.sequencePackCounts(
       v5Emit.select(col("doc_id"), col("n_after").as("n_tokens")))
 
-  private val v5EmitPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val v5EmitMemo = new PathMemo
 
   /** The v5 emit MATERIALIZED once per (JVM, input dir) as parquet and
     * read back — the [[TextDedup.writeDedupIndex]] lifecycle applied
@@ -220,16 +219,15 @@ object Curate {
     * the spill root carries a shutdown-hook cleanup, so nothing leaks
     * across JVMs; results are bit-identical to recomputation because
     * the emit is deterministic (TextPipelineSpec pins materialized ≡
-    * recomputed on every consumer). */
-  def v5Emit(spark: SparkSession, dir: String): DataFrame = {
-    val path = v5EmitPaths.computeIfAbsent(dir, { d =>
+    * recomputed on every consumer). Locking, path revalidation and the
+    * build-cost ledger ride [[PathMemo]]. */
+  def v5Emit(spark: SparkSession, dir: String): DataFrame =
+    v5EmitMemo.read(spark, dir, "curate_v5_emit") { () =>
       val p = TextDedup.spillPath(spark, "curate_v5_emit")
-      curateV5(Tables.documents(spark, d), Tables.embeddings(spark, d))
+      curateV5(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
         .write.mode("overwrite").parquet(p)
       p
-    })
-    spark.read.parquet(path)
-  }
+    }
 
   /** v6 — v5 plus the distilled model-based quality gate: documents
     * whose mean classifier token weight falls below the published

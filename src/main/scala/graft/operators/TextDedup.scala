@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.tables.Tables
@@ -102,29 +103,229 @@ object TextDedup {
     when(union === 0, 0.0).otherwise(inter / union)
   }
 
-  /** Candidate pairs from band-bucket equality, verified by exact Jaccard.
-    * Output: (doc_a, doc_b, jaccard) above threshold. */
-  /** Banded candidate pairs with both shingle sets attached — the shared
-    * front half of every pair operator here (Jaccard and containment
-    * verifies differ only in the score expression they apply to these
-    * columns). Output: (doc_a, doc_b, hs_a, hs_b), doc_a < doc_b. */
-  private def candidatesWithSets(docs: DataFrame): DataFrame = {
-    val hs = hashedShingles(docs, ShingleN)
-    val idx = minhashIndex(hs)
-    val a = idx.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = idx.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+  /** Per-(band, sig) bucket cap for the LSH self-joins — the hot-bucket
+    * guard. A degenerate bucket of d collided documents yields d²/2
+    * candidate pairs from ONE key (the classic production LSH failure;
+    * invisible on uniform synthetic data). Layer one of the guard — the
+    * exact-duplicate collapse in [[collapseExact]] — removes the most
+    * common cause (an identical-text or identical-shingle-set cluster
+    * shares EVERY band signature); this cap bounds what remains:
+    * any bucket still holding more than this many DISTINCT shingle sets
+    * is excluded from candidate generation, and [[lshBucketAudit]] is
+    * the accounting readout of exactly what mass a given cap cuts (the
+    * [[CorpusFilters]] `domainMix` discipline: never a silent drop).
+    * Sized far above any bucket the synthetic corpora produce at any
+    * SF — on the fixtures the guarded plan is bit-identical to the
+    * unguarded one (pinned in TextPipelineSpec). */
+  val MaxBandBucket = 1000
+
+  /** Exact-duplicate collapse in front of the banded LSH — layer one
+    * of the hot-bucket guard.
+    *
+    * Documents are grouped by their full shingle SET (exact array
+    * equality — `hashed_shingle_set` is sorted-distinct, so set
+    * equality IS array equality): identical texts collapse trivially,
+    * and so do documents that differ as strings but shingle
+    * identically (reordered boilerplate, the all-empty short-doc
+    * family). Every doc in a group shares the group's `hs`, hence
+    * every band signature — a 100k-doc boilerplate cluster that used
+    * to put 100k rows in EVERY band bucket now contributes exactly
+    * one. The grouping is ONE window (`min(doc_id) over hs`) on top of
+    * the shingle pass the pipeline already pays, so the guard costs a
+    * single extra exchange; a text-keyed pre-collapse that also skips
+    * shingling duplicate copies was measured SLOWER at bench scale
+    * (an extra full-text shuffle plus a membership join outweigh the
+    * saved shingling on distinct-heavy corpora).
+    *
+    * Returns (members, setReps): `members` = (doc_id, set_rep) covering
+    * every input doc; `setReps` = (doc_id, hs), one row per distinct
+    * shingle set, doc_id = the group's minimum (its representative).
+    * Null-text docs form the null-hs group; their representative's `hs`
+    * is NULL, which scores NULL downstream and is filtered by every
+    * threshold — exactly the pre-collapse behavior
+    * (NullRobustnessSpec). */
+  private[graft] def collapseExact(docs: DataFrame): (DataFrame, DataFrame) = {
+    val groups = collapseGroups(docs)
+    val members = groups.select(explode(col("members")).as("doc_id"),
+      col("set_rep"))
+    val setReps = groups.select(col("set_rep").as("doc_id"), col("hs"))
+    (members, setReps)
+  }
+
+  /** The collapse as ONE aggregate: (set_rep, hs, members) per distinct
+    * shingle set — a single exchange builds representative AND
+    * membership together, and carrying the membership as an ARRAY lets
+    * the pair expansion be a pure `explode` (no join, no exchange).
+    * The group key leads with xxhash64(hs) so hashing/comparison work
+    * rides one long; the raw `hs` stays in the key for exactness (hash
+    * ties — i.e. equal sets — compare arrays). A 100k-doc degenerate
+    * group is a 100k-element array in one row (~1 MB) — bounded by the
+    * largest exact-dup cluster, vs. the d² candidate rows it used to
+    * fan into the band join. */
+  private[graft] def collapseGroups(docs: DataFrame): DataFrame =
+    // raw shingle projection, NOT [[hashedShingles]]: that helper's
+    // repartition(doc_id) boundary exists to share the interpreted
+    // shingle tree across several consumers, but here the collapse
+    // aggregate is the single consumer AND a materialization boundary
+    // itself — the extra exchange would be pure overhead
+    docs.select(col("doc_id"),
+      call_function("hashed_shingle_set", col("text"), lit(ShingleN)).as("hs"))
+      .groupBy(xxhash64(col("hs")).as("hsh"), col("hs"))
+      .agg(min(col("doc_id")).as("set_rep"),
+        collect_list(col("doc_id")).as("members"))
+      .select(col("set_rep"), col("hs"), col("members"))
+
+  /** The shared hot-bucket-guarded front half of every MinHash pair
+    * operator: banded candidates over SET representatives
+    * ([[collapseExact]], buckets capped at `cap`), scored at the REP
+    * level, then expanded to document pairs through the membership
+    * frame. Output: (doc_a, doc_b, score columns), doc_a < doc_b.
+    *
+    * `mk` builds the score columns from the two shingle-set columns —
+    * evaluated once per SET pair (cross) and once per SET (intra), not
+    * once per expanded document pair, which is both the perf point
+    * (the d²-row expansion of a dup cluster never ships or re-scores
+    * the sets) and sound: every score here is a pure function of the
+    * two sets, and sets are constant within a group. `prune` filters
+    * rep-level rows BEFORE expansion, so a threshold cuts a d²-sized
+    * group before it exists.
+    *
+    * The expansion is EXACT, not approximate: a pair (x, y) shared a
+    * band signature in the unguarded plan iff sig(hs(x)) = sig(hs(y))
+    * for some band, and hs is constant within a set group — so (x, y)
+    * collided iff x and y are in the SAME group (the unconditional
+    * intra-group expansion) or their two reps collide (the cross-group
+    * expansion). The intra-group self-join is output cardinality, not
+    * candidate waste: a d-doc exact-dup cluster owes d²/2 rows to the
+    * PAIR-LIST contract itself; consumers that only need the clusters
+    * should read [[clusterLabels]], where the group is one label
+    * either way. */
+  private def expandScored(docs: DataFrame, cap: Int,
+      mk: (Column, Column) => Seq[(String, Column)],
+      prune: DataFrame => DataFrame): DataFrame = {
+    val groups = collapseGroups(docs)
+    val crossNames = mk(col("hs_a"), col("hs_b")).map(_._1)
+    // the sets AND membership arrays ride the band join (4 copies of
+    // each distinct set — a bounded constant post-collapse): scoring
+    // happens directly on the collision rows, `prune` cuts candidates
+    // BEFORE the per-pair dedup, and the expansion to document pairs
+    // is a pure nested explode — no join, no exchange. The whole pair
+    // pipeline is 4 exchanges (shingle boundary, collapse aggregate,
+    // band window+join, pair dedup) — the same count as the unguarded
+    // plan it replaced.
+    val withMh = groups.select(col("set_rep"), col("hs"), col("members"),
+      minhashSig(col("hs")).as("mhs"))
+    val bandSigs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until RowsPerBand).map(r =>
+          element_at(col("mhs"), b * RowsPerBand + r + 1)): _*).as("sig"))
+    }
+    val idx = withMh
+      .select(col("set_rep"), col("hs"), col("members"),
+        explode(array(bandSigs: _*)).as("bs"))
+      .select(col("set_rep"), col("hs"), col("members"),
+        col("bs.band"), col("bs.sig"))
+    val wnd = idx.withColumn("n_bucket",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+    val kept = wnd.filter(col("n_bucket") <= cap)
+    val a = kept.select(col("band"), col("sig"), col("set_rep").as("sr_a"),
+      col("hs").as("hs_a"), col("members").as("ms_a"))
+    val b = kept.select(col("band"), col("sig"), col("set_rep").as("sr_b"),
+      col("hs").as("hs_b"), col("members").as("ms_b"))
+    val crossScored = prune(a.join(b, Seq("band", "sig"))
+      .filter(col("sr_a") < col("sr_b"))
+      .select(col("sr_a") +: col("sr_b") +: col("ms_a") +: col("ms_b") +:
+        mk(col("hs_a"), col("hs_b")).map { case (n, c) => c.as(n) }: _*))
+      .dropDuplicates("sr_a", "sr_b")
+    val cross = crossScored
+      .select(explode(col("ms_a")).as("m_a") +: col("ms_b") +:
+        crossNames.map(col): _*)
+      .select(col("m_a") +: explode(col("ms_b")).as("m_b") +:
+        crossNames.map(col): _*)
+      .select(least(col("m_a"), col("m_b")).as("doc_a") +:
+        greatest(col("m_a"), col("m_b")).as("doc_b") +: crossNames.map(col): _*)
+    // the intra branch reads each group's band-0 row of the WINDOW
+    // frame, NOT the groups frame directly: a prune over `groups`
+    // would be pushed through the collapse aggregate into the scan
+    // (hs is a grouping key, the score a deterministic function of
+    // it), re-running the shingle pipeline per branch; a filter on hs
+    // cannot cross the Window, so from here the scan + collapse
+    // subplan is structurally shared with the cross branch
+    // (ReuseExchange). Intra pairs are never cap-dropped — exact
+    // duplicates don't ride the banding.
+    val intra = prune(wnd.filter(col("band") === 0)
+      .select(col("members") +:
+        mk(col("hs"), col("hs")).map { case (n, c) => c.as(n) }: _*))
+      .select(explode(col("members")).as("m_a") +: col("members") +:
+        crossNames.map(col): _*)
+      .select(col("m_a") +: explode(col("members")).as("m_b") +:
+        crossNames.map(col): _*)
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("doc_a") +: col("m_b").as("doc_b") +:
+        crossNames.map(col): _*)
+    cross.unionByName(intra)
+  }
+
+  /** Rep-level candidate pairs (sr_a < sr_b, distinct) from the capped
+    * band join — the frame whose cardinality the hot-bucket guard
+    * bounds (TextPipelineSpec pins it linear on a planted
+    * identical-doc cluster). */
+  private[graft] def repCandidates(setReps: DataFrame, cap: Int): DataFrame = {
+    val idx = minhashIndex(setReps)
+    // the bucket count rides a window keyed exactly like the join:
+    // ONE (band, sig) exchange serves the count, the filter, and both
+    // self-join sides (output partitioning is preserved through
+    // filter/project, so the join re-uses it) — measured faster than a
+    // separate heavy-key aggregate + broadcast anti-join, which loses
+    // that exchange reuse and re-shuffles both join sides
+    val kept = idx
+      .withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("n_bucket") <= cap)
+    val a = kept.select(col("doc_id").as("sr_a"), col("band"), col("sig"))
+    val b = kept.select(col("doc_id").as("sr_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .join(hs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(hs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .filter(col("sr_a") < col("sr_b"))
+      .select(col("sr_a"), col("sr_b")).distinct()
+  }
+
+  /** Bucket-occupancy audit of the (post-collapse) LSH index — the
+    * accounting readout for [[MaxBandBucket]]: per band, how many
+    * buckets exist, the largest one, and how many buckets (and how much
+    * row mass) a cap of `cap` would cut. The operator owner's evidence
+    * for sizing the cap — a cut is visible here BEFORE it silently
+    * costs recall, the same never-drop-silently contract
+    * [[CorpusFilters]] `domainMix` keeps for its share cuts. */
+  def lshBucketAudit(docs: DataFrame, cap: Int = MaxBandBucket): DataFrame = {
+    val (_, setReps) = collapseExact(docs)
+    minhashIndex(setReps)
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("n"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_capped_buckets"),
+        sum(when(col("n") > cap, col("n")).otherwise(0L)).as("capped_mass"))
+  }
+
+  /** Oracle entry: the audit at a deliberately LOW cap (4) so the
+    * accounting columns are non-trivial at fixture scale — the
+    * production default [[MaxBandBucket]] cuts nothing on the synthetic
+    * corpora, which would pin only zeros. */
+  def qLshBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    lshBucketAudit(Tables.documents(spark, dir), cap = 4).orderBy(col("band"))
   }
 
   def minhashPairs(docs: DataFrame): DataFrame =
-    candidatesWithSets(docs)
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("hs_a"), col("hs_b")).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
+    minhashPairsAt(docs, MaxBandBucket)
+
+  /** [[minhashPairs]] at an explicit bucket cap — the test seam for the
+    * hot-bucket guard (a cap of 0 shows the cut is cross-set recall
+    * only: intra-set pairs never ride the banding). */
+  private[graft] def minhashPairsAt(docs: DataFrame, cap: Int): DataFrame =
+    expandScored(docs, cap,
+      (a, b) => Seq("jaccard" -> jaccard(a, b)),
+      _.filter(col("jaccard") >= JaccardThreshold))
 
   def qDedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
@@ -153,10 +354,9 @@ object TextDedup {
     * not a bigger threshold — documented, not implemented. */
   def containmentPairs(docs: DataFrame,
                        threshold: Double = ContainmentThreshold): DataFrame =
-    candidatesWithSets(docs)
-      .select(col("doc_a"), col("doc_b"),
-        containmentScore(col("hs_a"), col("hs_b")).as("containment"))
-      .filter(col("containment") >= threshold)
+    expandScored(docs, MaxBandBucket,
+      (a, b) => Seq("containment" -> containmentScore(a, b)),
+      _.filter(col("containment") >= threshold))
 
   def qContainmentPairs(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
@@ -173,17 +373,18 @@ object TextDedup {
     * the empirical check. Candidates only (never all pairs): the
     * estimator matters exactly where the banding surfaces pairs. */
   def minhashEstimation(docs: DataFrame): DataFrame = {
-    val slotMatches = aggregate(
-      zip_with(minhashSig(col("hs_a")), minhashSig(col("hs_b")),
+    def slotMatches(a: Column, b: Column) = aggregate(
+      zip_with(minhashSig(a), minhashSig(b),
         (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m)
-    candidatesWithSets(docs)
-      .select(col("doc_a"), col("doc_b"),
-        jaccard(col("hs_a"), col("hs_b")).as("jaccard"),
-        slotMatches.cast("long").as("n_slot_matches"))
-      .withColumn("est_jaccard",
-        col("n_slot_matches").cast("double") / NumHashes.toDouble)
-      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+    def cols(a: Column, b: Column): Seq[(String, Column)] = {
+      val j = jaccard(a, b)
+      val n = slotMatches(a, b).cast("long")
+      val est = n.cast("double") / NumHashes.toDouble
+      Seq("jaccard" -> j, "n_slot_matches" -> n,
+        "est_jaccard" -> est, "abs_err" -> abs(est - j))
+    }
+    expandScored(docs, MaxBandBucket, cols, identity)
   }
 
   def qMinhashEstimation(spark: SparkSession, dir: String): DataFrame = {
@@ -618,16 +819,9 @@ object TextDedup {
       .getOrElse(localSpillRoot.resolve(unique).toString)
   }
 
-  /** One memo slot per (dir, tag): the `lazy val` makes the first
-    * caller run the clustering build under the CELL's own monitor, not
-    * the ConcurrentHashMap bin lock — `computeIfAbsent` would hold the
-    * map bin across the whole Spark job and stall unrelated same-bin
-    * keys. */
-  private final class LabelCell(build: () => String) {
-    lazy val path: String = build()
-  }
-  private val clusterLabelCells =
-    new java.util.concurrent.ConcurrentHashMap[String, LabelCell]()
+  /** One memo slot per (dir, tag) — see [[PathMemo]] for the locking,
+    * revalidation and build-cost-ledger rules. */
+  private val clusterLabelMemo = new PathMemo
 
   /** Near-dup cluster labels MATERIALIZED once per (JVM, input dir,
     * subset tag) as parquet — the [[graft.operators.Curate.v5Emit]]
@@ -649,32 +843,14 @@ object TextDedup {
     * read — a spill dir cleaned mid-JVM triggers one rebuild, not a
     * failing scan. */
   def clusterLabels(spark: SparkSession, dir: String, tag: String)(
-      docs: => DataFrame): DataFrame = {
-    val key = s"$dir#$tag"
-    def cellFor(): LabelCell = {
-      val c = new LabelCell(() => {
-        val p = spillPath(spark, s"cluster_labels_$tag")
-        withDedupClusters(minhashPairs(docs)) { labels =>
-          labels.write.mode("overwrite").parquet(p)
-        }
-        p
-      })
-      val prev = clusterLabelCells.putIfAbsent(key, c)
-      if (prev == null) c else prev
+      docs: => DataFrame): DataFrame =
+    clusterLabelMemo.read(spark, s"$dir#$tag", s"cluster_labels_$tag") { () =>
+      val p = spillPath(spark, s"cluster_labels_$tag")
+      withDedupClusters(minhashPairs(docs)) { labels =>
+        labels.write.mode("overwrite").parquet(p)
+      }
+      p
     }
-    val cell = cellFor()
-    val path = cell.path
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) spark.read.parquet(path)
-    else {
-      // stale memo: the spill dir was cleaned mid-JVM — a blind read
-      // would fail. Drop THIS cell (conditional remove, so a racing
-      // rebuild isn't discarded) and build once more.
-      clusterLabelCells.remove(key, cell)
-      spark.read.parquet(cellFor().path)
-    }
-  }
 
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
@@ -750,30 +926,90 @@ object TextDedup {
         s"maxDist <= ${SimhashBands - 1}")
     val sims = docs.select(col("doc_id"),
       call_function("simhash16", col("text")).as("sim"))
-    val bandCols = (0 until SimhashBands).map { b =>
+    // UNCAPPED bucket (Int.MaxValue): the 16-bit variant is the
+    // teaching exhibit whose N²/16 bucket growth is exactly the
+    // property [[simhashPairs60]] exists to fix — a real cap would
+    // fire on its tiny 16-value-per-band sig space at any non-toy SF
+    // and hide the lesson. The fingerprint collapse still applies
+    // (identical sims band once, expanded after).
+    hammingBandedPairs(sims, SimhashBands, SimhashBandBits, maxDist,
+      cap = Int.MaxValue)
+  }
+
+  /** Hot-bucket-guarded banded hamming pairs over any per-doc long
+    * fingerprint — the shared back half of [[simhashPairs]] (16-bit)
+    * and [[simhashPairs60]] (wide). Same two-layer guard as the
+    * MinHash side, specialized to fingerprints:
+    *
+    *  - '''collapse''': docs are grouped by the EXACT fingerprint (one
+    *    aggregate on `sim`, carrying membership as an array); only
+    *    group reps band and join, so an identical-content cluster
+    *    (hamming 0 across the whole group) puts ONE row per band in
+    *    its bucket, not d.
+    *  - '''cap''': rep-level buckets above `cap` are excluded from the
+    *    join, bounding any remaining degenerate key.
+    *
+    * Expansion is exact by the same argument as
+    * [[expandScored]]: band signatures are functions of `sim`
+    * alone, so pre-collapse candidacy ⇔ same fingerprint group
+    * (unconditional intra expansion, hamming 0) or reps collide
+    * (cross expansion, hamming recomputed from the same two sims).
+    * Null fingerprints (null text) group together but score a NULL
+    * hamming, which the radius filter drops — null docs never pair,
+    * before or after (NullRobustnessSpec).
+    *
+    * The popcount verify stays BEFORE the multi-band distinct: it is a
+    * codegen'd xor+popcount on two longs (re-computing per shared band
+    * is free), while a pre-verify distinct would shuffle the full
+    * candidate volume — only surviving rep pairs reach the exchange. */
+  private[graft] def hammingBandedPairs(sims: DataFrame, nBands: Int,
+      bandBits: Int, maxDist: Int, cap: Int): DataFrame = {
+    // same shape as [[expandScored]]: ONE aggregate builds rep and
+    // membership per distinct fingerprint, membership arrays ride the
+    // band join, expansion is a pure nested explode, and the intra
+    // branch reads band-0 of the window frame so the collapse subplan
+    // is structurally shared (see expandScored for the pushdown
+    // reasoning)
+    val groups = sims.groupBy(col("sim"))
+      .agg(min(col("doc_id")).as("rep"),
+        collect_list(col("doc_id")).as("members"))
+    val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sim"), b * SimhashBandBits)
-          .bitwiseAND(lit((1 << SimhashBandBits) - 1)).as("sig"))
+        shiftright(col("sim"), b * bandBits)
+          .bitwiseAND(lit((1 << bandBits) - 1)).as("sig"))
     }
-    val bands = sims
-      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("sim"), col("bs.band"), col("bs.sig"))
-    val a = bands.select(col("band"), col("sig"),
-      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val b = bands.select(col("band"), col("sig"),
-      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    // sims ride the candidate join (two longs — cheaper than a join
-    // back), and the popcount verify runs BEFORE the multi-band
-    // distinct: the verify is a codegen'd xor+popcount on two longs
-    // (re-computing it per shared band is free), while a pre-verify
-    // distinct would shuffle the full candidate volume — the dominant
-    // cost of this query. Only surviving pairs reach the exchange.
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
+    val bands = groups
+      .select(col("rep"), col("sim"), col("members"),
+        explode(array(bandCols: _*)).as("bs"))
+      .select(col("rep"), col("sim"), col("members"),
+        col("bs.band"), col("bs.sig"))
+    val wnd = bands.withColumn("n_bucket",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+    val kept = wnd.filter(col("n_bucket") <= cap)
+    val a = kept.select(col("band"), col("sig"), col("rep").as("r_a"),
+      col("sim").as("sim_a"), col("members").as("ms_a"))
+    val b = kept.select(col("band"), col("sig"), col("rep").as("r_b"),
+      col("sim").as("sim_b"), col("members").as("ms_b"))
+    val repPairs = a.join(b, Seq("band", "sig"))
+      .filter(col("r_a") < col("r_b"))
+      .select(col("r_a"), col("r_b"), col("ms_a"), col("ms_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .distinct()
+      .dropDuplicates("r_a", "r_b")
+    val cross = repPairs
+      .select(explode(col("ms_a")).as("m_a"), col("ms_b"), col("hamming"))
+      .select(col("m_a"), explode(col("ms_b")).as("m_b"), col("hamming"))
+      .select(least(col("m_a"), col("m_b")).as("doc_a"),
+        greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
+    val intra = wnd.filter(col("band") === 0)
+      .select(col("members"),
+        bit_count(col("sim").bitwiseXOR(col("sim"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .select(explode(col("members")).as("m_a"), col("members"), col("hamming"))
+      .select(col("m_a"), explode(col("members")).as("m_b"), col("hamming"))
+      .filter(col("m_a") < col("m_b"))
+      .select(col("m_a").as("doc_a"), col("m_b").as("doc_b"), col("hamming"))
+    cross.unionByName(intra)
   }
 
   /** Oracle entry for the 16-bit TEACHING variant, demoted from the
@@ -999,24 +1235,12 @@ object TextDedup {
         s"maxDist <= ${Simhash60Bands - 1}")
     val sims = docs.select(col("doc_id"),
       call_function("simhash60", col("text")).as("sim"))
-    val bandCols = (0 until Simhash60Bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftright(col("sim"), b * Simhash60BandBits)
-          .bitwiseAND(lit((1 << Simhash60BandBits) - 1)).as("sig"))
-    }
-    val bands = sims
-      .select(col("doc_id"), col("sim"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("sim"), col("bs.band"), col("bs.sig"))
-    val a = bands.select(col("band"), col("sig"),
-      col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val b = bands.select(col("band"), col("sig"),
-      col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= maxDist)
-      .distinct()
+    // production path: full two-layer hot-bucket guard — fingerprint
+    // collapse plus the real [[MaxBandBucket]] cap (32768 sigs per
+    // band keeps honest buckets tiny; anything above the cap is a
+    // degenerate near-constant-content family)
+    hammingBandedPairs(sims, Simhash60Bands, Simhash60BandBits, maxDist,
+      cap = MaxBandBucket)
   }
 
   /** THE canonical pair path (`q_simhash_pairs`): wide fingerprint,

@@ -173,6 +173,91 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("hot-bucket guard: a planted identical-doc clique stays linear in candidates") {
+    // 1000 byte-identical docs (the boilerplate/empty-text cluster that
+    // shares EVERY band signature — the classic degenerate LSH bucket)
+    // plus the known near-dup pair and one unrelated doc. Unguarded,
+    // the clique puts 1000 rows in each of its 4 band buckets and the
+    // self-join emits ~2M candidate rows from those keys alone; with
+    // the exact collapse it contributes ONE set representative.
+    val clique = (101L to 1100L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua", "web"))
+    val rest = Seq(
+      (2001L, base + " today", "web"),
+      (2002L, base + " yesterday", "web"), // near-dup of 2001
+      (2003L, "completely different text about maritime law and cargo here", "web"))
+    val planted = (clique ++ rest).toDF("doc_id", "text", "source")
+    val (members, setReps) = TextDedup.collapseExact(planted)
+    assert(members.count() === 1003L)
+    assert(setReps.count() === 4L, "1 clique set + 3 distinct sets")
+    // layer (a): rep-level candidate volume is the number of GENUINE
+    // cross-set collisions — constant here, not the clique's d²/2
+    val cands = TextDedup.repCandidates(setReps, TextDedup.MaxBandBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cands.toSet === Set((2001L, 2002L)),
+      s"rep candidates must be exactly the planted near-dup, got ${cands.toSeq}")
+    // the OUTPUT still honors the pair-list contract exactly: every
+    // clique pair (jaccard 1.0), the near-dup, nothing else — i.e. the
+    // brute-force answer
+    val pairs = TextDedup.minhashPairs(planted)
+      .as[(Long, Long, Double)].collect()
+    val cliquePairs = pairs.filter(p => p._1 <= 1100L && p._2 <= 1100L)
+    assert(cliquePairs.length === 1000 * 999 / 2)
+    assert(cliquePairs.forall(_._3 === 1.0))
+    assert(pairs.length === cliquePairs.length + 1)
+    assert(pairs.exists(p => p._1 == 2001L && p._2 == 2002L))
+    assert(!pairs.exists(p => p._1 == 2003L || p._2 == 2003L))
+    // clusters over the guarded pairs: clique collapses to min-id 101,
+    // the near-dup pair to 2001 — same as unguarded clustering
+    val labels = TextDedup.withDedupClusters(TextDedup.minhashPairs(planted)) {
+      l => l.as[(Long, Long)].collect().toMap
+    }
+    assert((101L to 1100L).forall(labels(_) == 101L))
+    assert(labels(2001L) === 2001L && labels(2002L) === 2001L)
+    // layer (b): a cap of 0 drops every bucket — cross-set recall goes
+    // to zero (the near-dup is lost, and lshBucketAudit accounts the
+    // cut), but intra-set pairs CANNOT be lost: exact duplicates never
+    // ride the banding at all
+    val capped = TextDedup.minhashPairsAt(planted, cap = 0)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.length === 1000 * 999 / 2)
+    assert(!capped.exists(p => p._1 == 2001L && p._2 == 2002L))
+    val audit = TextDedup.lshBucketAudit(planted, cap = 0)
+      .orderBy(col("band")).collect()
+    assert(audit.length === TextDedup.Bands)
+    assert(audit.forall(r => r.getLong(1) === r.getLong(3)),
+      "at cap 0 every bucket is a capped bucket")
+    assert(audit.forall(r => r.getLong(4) > 0L), "cut mass must be accounted")
+  }
+
+  test("hot-bucket guard: the simhash clique collapses to one fingerprint rep") {
+    // same degenerate cluster through the wide-simhash path: identical
+    // texts → identical fingerprints → one rep in every bucket; output
+    // still the full clique (hamming 0) plus the genuine near-dup
+    val clique = (101L to 600L).map(i => (i, base + " clique", "web"))
+    val rest = Seq((2001L, base + " today", "web"),
+      (2002L, base + " yesterday", "web"))
+    val planted = (clique ++ rest).toDF("doc_id", "text", "source")
+    val got = TextDedup.simhashPairs60(planted)
+      .as[(Long, Long, Int)].collect()
+    val cliquePairs = got.filter(p => p._1 <= 600L && p._2 <= 600L)
+    assert(cliquePairs.length === 500 * 499 / 2)
+    assert(cliquePairs.forall(_._3 === 0))
+    // cross pairs: clique text vs 2001/2002 are themselves near-dups of
+    // base — whatever the brute-force answer is, the guarded path must
+    // match it exactly
+    val sims = planted.select(col("doc_id"),
+        call_function("simhash60", col("text")))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val expected = (for {
+      i <- sims.indices; j <- (i + 1) until sims.length
+      h = java.lang.Long.bitCount(sims(i)._2 ^ sims(j)._2)
+      if h <= TextDedup.SimhashMaxDist
+    } yield (sims(i)._1, sims(j)._1, h)).toSet
+    assert(got.toSet === expected)
+  }
+
   test("simhash pairs rejects a radius the banding cannot guarantee") {
     // pigeonhole recall 1.0 holds only for maxDist <= bands-1; larger
     // radii would silently return incomplete results
