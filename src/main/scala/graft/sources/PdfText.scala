@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions.udf
   * name → font binding is resolved through the object graph, and the
   * `Tf` operator switches the active map, so CID/Type0 PDFs whose
   * show strings carry 2-byte glyph codes extract their real Unicode
-  * text (poppler's behavior in the reference). Fonts without a
+  * text (poppler's behavior in the reference). Simple fonts without a
   * ToUnicode map keep the byte-as-Latin-1 reading, which is exact for
-  * the WinAnsi/Type1 generator class the fixtures use.
+  * the WinAnsi/Type1 generator class the fixtures use; a Type0 font
+  * with an /Identity-[HV] encoding and no ToUnicode falls back to the
+  * raw-CID reading (CID == Unicode for the Identity encodings —
+  * poppler resolves these via bundled registry tables; extracting
+  * empty or NUL-ridden text here was the round-13 gap).
   *
   * Scale shape: a pure `Array[Byte] => String` function applied per
   * row of a `binaryFile` scan — embarrassingly parallel, no shuffle,
@@ -153,11 +157,18 @@ object PdfText {
   // ----------------------------------------------------------------- //
 
   /** One ToUnicode character map: code width in bytes (1 or 2) and
-    * code → Unicode string. */
-  private[sources] final case class Cmap(codeLen: Int, map: Map[Int, String])
+    * code → Unicode string. `identity` marks the raw-CID fallback for
+    * CMap-less Identity-encoded Type0 fonts: unmapped 2-byte codes
+    * read as their own Unicode value (CID == Unicode for the Identity
+    * encodings — the same fallback poppler's bundled registry tables
+    * provide, `legiscan_main.R:84`'s reader never extracts empty for
+    * these). */
+  private[sources] final case class Cmap(codeLen: Int, map: Map[Int, String],
+                                         identity: Boolean = false)
 
   private val ObjHeader = "(\\d+)\\s+0\\s+obj".r
   private val ToUnicodeRef = "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r
+  private val Type0Identity = "/Encoding\\s*/Identity-[HV]".r
   private val FontEntry = "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+0\\s+R".r
   private val FontDictRef = "/Font\\s+(\\d+)\\s+0\\s+R".r
 
@@ -215,14 +226,24 @@ object PdfText {
     if (objs.isEmpty) return Map.empty
     // font object number -> parsed cmap
     val byObj: Map[Int, Cmap] = objs.flatMap { case (num, (dict, _)) =>
-      ToUnicodeRef.findFirstMatchIn(dict).flatMap { m =>
-        val ref = m.group(1).toInt
-        objs.get(ref).flatMap { case (cd, body) =>
-          body.flatMap { raw =>
-            (if (cd.contains("/FlateDecode")) inflate(raw) else Some(raw))
-              .map(parseCmap)
-          }
-        }.map(num -> _)
+      ToUnicodeRef.findFirstMatchIn(dict) match {
+        case Some(m) =>
+          val ref = m.group(1).toInt
+          objs.get(ref).flatMap { case (cd, body) =>
+            body.flatMap { raw =>
+              (if (cd.contains("/FlateDecode")) inflate(raw) else Some(raw))
+                .map(parseCmap)
+            }
+          }.map(num -> _)
+        case None if Type0Identity.findFirstIn(dict).isDefined
+          && dict.contains("/Type0") =>
+          // raw-CID fallback: a Type0 font with an Identity encoding
+          // and NO /ToUnicode reads its 2-byte codes as Unicode
+          // directly (see [[Cmap.identity]]) instead of falling
+          // through to the 1-byte Latin-1 path, which would interleave
+          // NUL bytes into every show string
+          Some(num -> Cmap(2, Map.empty, identity = true))
+        case None => None
       }
     }
     if (byObj.isEmpty) return Map.empty
@@ -472,7 +493,11 @@ object PdfText {
       var i = 0
       while (i + 1 < raw.length) {
         val code = ((raw.charAt(i) & 0xFF) << 8) | (raw.charAt(i + 1) & 0xFF)
-        cm.map.get(code).foreach(sb.append(_: String))
+        cm.map.get(code) match {
+          case Some(dst) => sb.append(dst)
+          case None if cm.identity => sb.append(code.toChar)
+          case None => ()
+        }
         i += 2
       }
     }

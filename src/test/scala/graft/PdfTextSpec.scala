@@ -172,6 +172,32 @@ class PdfTextSpec extends AnyFunSuite {
       "ground truth must contain non-ASCII or the CMap test is weak")
   }
 
+  test("Identity-H raw-CID fallback: a CMap-less Type0 font reads codes as Unicode") {
+    // a Type0 font with /Encoding /Identity-H and NO /ToUnicode: the
+    // common Identity encodings put CID == Unicode, so the reader must
+    // take each 2-byte show code as its own character (poppler's
+    // bundled-registry behavior) — the pre-fallback 1-byte path would
+    // interleave a NUL before every Latin character and mangle
+    // anything past 0xFF
+    val txt = "Identity fallback résumé 你好"
+    val hex = txt.map(c => f"${c.toInt}%04X").mkString
+    val content = s"BT /F7 12 Tf <$hex> Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Page /Resources << /Font << /F7 2 0 R >> >> >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /T1 /Encoding /Identity-H >>\nendobj\n" +
+      "3 0 obj\n<< /Length " + content.length + " >>\nstream\n" + content +
+      "\nendstream\nendobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(pdf) === txt)
+    // a Type0 font with a NON-identity encoding and no ToUnicode gets
+    // no fallback (codes are registry-specific, a raw reading would be
+    // wrong): the 2-byte show string stays unmapped
+    val pdf2 = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Identity-H", "/UniJIS-UCS2-H")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!PdfText.extract(pdf2).contains("你"))
+  }
+
   test("a direct /Length arbitrates a body containing the endstream bytes") {
     // the 9-byte sequence `endstream` INSIDE a shown string: the raw
     // scan alone would truncate the stream mid-literal; the declared
