@@ -172,4 +172,101 @@ class AnalyticsPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("PROPERTY: incremental leakage split inherits the standing split under any partition") {
+    import graft.operators.{TextDedup, TrainPrep}
+    // five mutually-disjoint-vocabulary base texts: same base = exact
+    // dup (always clusters), different bases = Jaccard 0 (never pair)
+    val bases = Vector(
+      "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima",
+      "mango nectar orange papaya quince raspberry strawberry tangerine ugli vanilla currant fig",
+      "anchor bridge castle dragon engine fortress granite harbor island jungle kettle lantern",
+      "quantum photon neutron electron proton hadron lepton boson fermion gluon plasma isotope",
+      "sonata prelude nocturne etude rhapsody symphony concerto overture cantata fugue aria ballade")
+    val gen = for {
+      n <- Gen.choose(6, 20)
+      picks <- Gen.listOfN(n, Gen.choose(0, bases.length - 1))
+      mask <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield picks.zip(mask).zipWithIndex.map { case ((b, st), i) =>
+      ((i + 1).toLong, b, st)
+    }
+    samples(gen, 8).foreach { rows =>
+      val standingRows = rows.filter(_._3)
+      val probeRows = rows.filterNot(_._3)
+      if (standingRows.nonEmpty && probeRows.nonEmpty) {
+        def df(rs: Seq[(Long, Int, Boolean)]) =
+          rs.map(r => (r._1, bases(r._2), "web")).toDF("doc_id", "text", "source")
+        TextDedup.withDedupClusters(TextDedup.minhashPairs(df(standingRows))) { labels =>
+          val standingSplit = TrainPrep.leakageSplit(df(standingRows), labels)
+            .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+          val inc = TrainPrep
+            .leakageSplitIncrement(df(probeRows), df(standingRows), labels)
+            .collect()
+            .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getString(3)))).toMap
+          assert(inc.keySet === probeRows.map(_._1).toSet,
+            "every probe doc gets an assignment")
+          val standingBases = standingRows.map(_._2).toSet
+          probeRows.foreach { case (id, b, _) =>
+            val (inherited, split) = inc(id)
+            if (standingBases.contains(b)) {
+              assert(inherited, s"probe $id dups a standing doc but did not inherit")
+              val familySplits = standingRows.filter(_._2 == b)
+                .map(r => standingSplit(r._1)).toSet
+              assert(familySplits === Set(split),
+                s"probe $id split '$split' != its standing family's $familySplits")
+            } else assert(!inherited,
+              s"probe $id inherited with no standing near-dup")
+          }
+        }
+      }
+    }
+  }
+
+  test("PROPERTY: the frozen-banned-set gate equals driver-side set intersection on any split") {
+    import graft.operators.{CorpusFilters, TextDedup}
+    // tiny vocabulary so 5-gram shingles genuinely collide across docs
+    val vocab = Vector("red", "blue", "gold", "iron")
+    val gen = for {
+      n <- Gen.choose(4, 12)
+      texts <- Gen.listOfN(n, for {
+        len <- Gen.choose(3, 24)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      mask <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield texts.zip(mask).zipWithIndex.map { case ((t, ev), i) =>
+      ((i + 1).toLong, t, ev)
+    }
+    var sawContamination = false
+    samples(gen, 10).foreach { rows =>
+      val evalRows = rows.filter(_._3)
+      val trainRows = rows.filterNot(_._3)
+      if (evalRows.nonEmpty && trainRows.nonEmpty) {
+        def df(rs: Seq[(Long, String, Boolean)]) =
+          rs.map(r => (r._1, r._2, "web")).toDF("doc_id", "text", "source")
+        // independent reference: plain driver-side SET intersection
+        // over the same hashed shingle projection
+        val hs = TextDedup
+          .hashedShingles(df(rows), CorpusFilters.ContamShingleN)
+          .collect()
+          .map(r => r.getLong(0) ->
+            Option(r.getSeq[Int](2)).map(_.toSet).getOrElse(Set.empty[Int]))
+          .toMap
+        val banned = evalRows.map(r => hs(r._1)).foldLeft(Set.empty[Int])(_ ++ _)
+        val got = CorpusFilters.contaminationAgainst(df(trainRows),
+            CorpusFilters.bannedShingles(df(evalRows))).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+        assert(got.keySet === trainRows.map(_._1).toSet,
+          "every train doc gets a gate row (incl. sub-shingle docs)")
+        trainRows.foreach { case (id, _, _) =>
+          val want = (hs(id) & banned).size.toLong
+          assert(got(id)._1 === want,
+            s"doc $id overlap ${got(id)._1} != set-reference $want")
+          assert(got(id)._2 === (want > 0))
+          if (want > 0) sawContamination = true
+        }
+      }
+    }
+    assert(sawContamination,
+      "no sample produced a genuine shingle collision — the property is vacuous")
+  }
 }
