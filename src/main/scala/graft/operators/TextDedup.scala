@@ -407,22 +407,59 @@ object TextDedup {
     * batch SQL, so the intra-batch `distinct` needs no streaming state.
     */
   def crossCorpusPairs(probe: DataFrame, index: DataFrame): DataFrame = {
-    val ph = hashedShingles(probe, ShingleN)
-    val ih = hashedShingles(index, ShingleN)
-    val pIdx = minhashIndex(ph)
-      .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
-    val iIdx = minhashIndex(ih)
-      .select(col("doc_id").as("index_id"), col("band"), col("sig"))
-    val cand = pIdx.join(iIdx, Seq("band", "sig"))
-      .select(col("probe_id"), col("index_id")).distinct()
-    cand
-      .join(ph.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
-        Seq("probe_id"))
-      .join(ih.select(col("doc_id").as("index_id"), col("hs").as("hs_i")),
-        Seq("index_id"))
-      .select(col("probe_id"), col("index_id"),
+    val ig = collapseGroups(index)
+    crossPairsFrom(collapseGroups(probe),
+      minhashIndex(ig.select(col("set_rep").as("doc_id"), col("hs"))),
+      ig.select(col("set_rep").as("doc_id"), col("hs"), col("members")),
+      MaxBandBucket)
+  }
+
+  /** Guarded cross-corpus scorer shared by [[crossCorpusPairs]] (both
+    * sides in memory) and [[dedupProbeIndex]] (index side persisted):
+    * the [[expandScored]] hot-bucket guard applied to the probe ⋈ index
+    * form. Both sides are exact-set-collapsed, each side's buckets are
+    * capped independently (a degenerate STANDING family is the likely
+    * production case — a boilerplate cluster in the index that every
+    * crawl increment re-collides with), candidates and the Jaccard
+    * verify run at the rep level, and membership expands through the
+    * two explodes. Inputs: `pGroups` = [[collapseGroups]] of the probe;
+    * `iBands` = rep-level (doc_id, band, sig); `iSets` = rep-level
+    * (doc_id, hs, members). */
+  private def crossPairsFrom(pGroups: DataFrame, iBands: DataFrame,
+      iSets: DataFrame, cap: Int): DataFrame = {
+    val withMh = pGroups.select(col("set_rep"), col("hs"), col("members"),
+      minhashSig(col("hs")).as("mhs"))
+    val bandSigs = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until RowsPerBand).map(r =>
+          element_at(col("mhs"), b * RowsPerBand + r + 1)): _*).as("sig"))
+    }
+    val pIdx = withMh
+      .select(col("set_rep"), col("hs"), col("members"),
+        explode(array(bandSigs: _*)).as("bs"))
+      .select(col("set_rep").as("p_rep"), col("hs").as("hs_p"),
+        col("members").as("ms_p"), col("bs.band"), col("bs.sig"))
+    val pKept = pIdx.withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("n_bucket") <= cap)
+      .drop("n_bucket")
+    val iKept = iBands
+      .select(col("doc_id").as("i_rep"), col("band"), col("sig"))
+      .withColumn("n_bucket",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("sig"))))
+      .filter(col("n_bucket") <= cap)
+      .drop("n_bucket")
+    pKept.join(iKept, Seq("band", "sig"))
+      .select(col("p_rep"), col("hs_p"), col("ms_p"), col("i_rep"))
+      .dropDuplicates("p_rep", "i_rep")
+      .join(iSets.select(col("doc_id").as("i_rep"), col("hs").as("hs_i"),
+        col("members").as("ms_i")), Seq("i_rep"))
+      .select(col("ms_p"), col("ms_i"),
         jaccard(col("hs_p"), col("hs_i")).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+      .select(explode(col("ms_p")).as("probe_id"), col("ms_i"), col("jaccard"))
+      .select(col("probe_id"), explode(col("ms_i")).as("index_id"),
+        col("jaccard"))
   }
 
   /** Persist the standing side of [[crossCorpusPairs]] as a parquet
@@ -439,13 +476,18 @@ object TextDedup {
     // growth), and only a cached frame is actually RELEASED by the
     // unpersist below — Dataset.unpersist is a no-op on checkpointed
     // frames (see the contractToStars NB), which would strand the
-    // corpus-sized shingle blocks until GC in the shared harness JVM
-    val ih = hashedShingles(index, ShingleN)
-      .select(col("doc_id"), col("hs")).cache()
-    minhashIndex(ih).select(col("doc_id"), col("band"), col("sig"))
+    // corpus-sized shingle blocks until GC in the shared harness JVM.
+    // The persisted layout is REP-LEVEL since the hot-bucket guard:
+    // bands carry one row per distinct shingle set per band, and sets
+    // carry the membership array — so a standing degenerate family
+    // costs one index row, not d, on every future probe.
+    val ig = collapseGroups(index).cache()
+    minhashIndex(ig.select(col("set_rep").as("doc_id"), col("hs")))
+      .select(col("doc_id"), col("band"), col("sig"))
       .write.mode("overwrite").parquet(s"$path/bands")
-    ih.write.mode("overwrite").parquet(s"$path/sets")
-    ih.unpersist()
+    ig.select(col("set_rep").as("doc_id"), col("hs"), col("members"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    ig.unpersist()
     ()
   }
 
@@ -455,24 +497,11 @@ object TextDedup {
     * reads the standing shingle sets from `sets/`. Semantics equal
     * [[crossCorpusPairs]] — persistence is answer-invariant. */
   def dedupProbeIndex(spark: SparkSession, path: String,
-                      probe: DataFrame): DataFrame = {
-    val ph = hashedShingles(probe, ShingleN)
-    val bands = spark.read.parquet(s"$path/bands")
-    val pIdx = minhashIndex(ph)
-      .select(col("doc_id").as("probe_id"), col("band"), col("sig"))
-    val cand = pIdx.join(bands.select(col("band"), col("sig"),
-        col("doc_id").as("index_id")), Seq("band", "sig"))
-      .select(col("probe_id"), col("index_id")).distinct()
-    cand
-      .join(ph.select(col("doc_id").as("probe_id"), col("hs").as("hs_p")),
-        Seq("probe_id"))
-      .join(spark.read.parquet(s"$path/sets")
-        .select(col("doc_id").as("index_id"), col("hs").as("hs_i")),
-        Seq("index_id"))
-      .select(col("probe_id"), col("index_id"),
-        jaccard(col("hs_p"), col("hs_i")).as("jaccard"))
-      .filter(col("jaccard") >= JaccardThreshold)
-  }
+                      probe: DataFrame): DataFrame =
+    crossPairsFrom(collapseGroups(probe),
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/sets"),
+      MaxBandBucket)
 
   /** Harness entry: land the dedup index for the standing 90%, probe
     * with the 10% increment — pinned to `q_dedup_incremental`'s

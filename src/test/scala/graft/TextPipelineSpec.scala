@@ -231,6 +231,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(audit.forall(r => r.getLong(4) > 0L), "cut mass must be accounted")
   }
 
+  test("hot-bucket guard: a degenerate STANDING family probes at one index row") {
+    // the production case the cross-corpus guard exists for: a 500-doc
+    // boilerplate family in the standing index, re-collided by every
+    // crawl increment. The persisted index must carry ONE band row per
+    // band for the family, and the probe must still recover the full
+    // membership in its output.
+    val family = (101L to 600L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+        "do eiusmod tempor incididunt ut labore et dolore magna aliqua", "web"))
+    val standing = (family ++ Seq(
+      (601L, base + " standing", "web"),
+      (602L, "completely different text about maritime law and cargo here", "web")))
+      .toDF("doc_id", "text", "source")
+    val probe = Seq(
+      (9001L, family.head._2, "web"),          // exact dup of the family
+      (9002L, base + " standing", "web"),      // exact dup of 601
+      (9003L, "unrelated probe about volcanic geology and basalt columns", "web"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-xidx").toString
+    TextDedup.writeDedupIndex(standing, dir)
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.count() === 3L * TextDedup.Bands,
+      "persisted bands must be rep-level: 3 distinct sets x 4 bands")
+    val got = TextDedup.dedupProbeIndex(spark, dir, probe)
+      .select($"probe_id", $"index_id").as[(Long, Long)].collect().toSet
+    val wantFamily = (101L to 600L).map((9001L, _)).toSet
+    assert(got.filter(_._1 == 9001L) === wantFamily,
+      "probe of the family must pair with EVERY member through the membership array")
+    assert(got.filter(_._1 == 9002L) === Set((9002L, 601L)))
+    assert(!got.exists(_._1 == 9003L))
+    // in-memory form agrees with the persisted probe
+    val mem = TextDedup.crossCorpusPairs(probe, standing)
+      .select($"probe_id", $"index_id").as[(Long, Long)].collect().toSet
+    assert(mem === got)
+  }
+
   test("hot-bucket guard: the simhash clique collapses to one fingerprint rep") {
     // same degenerate cluster through the wide-simhash path: identical
     // texts → identical fingerprints → one rep in every bucket; output
