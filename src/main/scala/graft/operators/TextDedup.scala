@@ -249,11 +249,19 @@ object TextDedup {
     // would be pushed through the collapse aggregate into the scan
     // (hs is a grouping key, the score a deterministic function of
     // it), re-running the shingle pipeline per branch; a filter on hs
-    // cannot cross the Window, so from here the scan + collapse
-    // subplan is structurally shared with the cross branch
-    // (ReuseExchange). Intra pairs are never cap-dropped — exact
+    // cannot cross a Window, so from here the scan + collapse subplan
+    // is structurally shared with the cross branch (ReuseExchange).
+    // The `n_bucket >= 1` and `set_rep.isNotNull` conjuncts are
+    // load-bearing despite being always true: without a reference to
+    // the window's output column, ColumnPruning deletes the Window
+    // node itself and the pushdown barrier with it, and without a
+    // set_rep reference the intra collapse aggregate loses its min()
+    // and stops being the SAME subplan as the cross branch's — either
+    // way the branch re-scans the corpus (PlanSpec pins the resulting
+    // single-scan shape). Intra pairs are never cap-dropped — exact
     // duplicates don't ride the banding.
-    val intra = prune(wnd.filter(col("band") === 0)
+    val intra = prune(wnd.filter(col("band") === 0
+        && col("n_bucket") >= 1L && col("set_rep").isNotNull)
       .select(col("members") +:
         mk(col("hs"), col("hs")).map { case (n, c) => c.as(n) }: _*))
       .select(explode(col("members")).as("m_a") +: col("members") +:
@@ -1030,7 +1038,11 @@ object TextDedup {
       .select(col("m_a"), explode(col("ms_b")).as("m_b"), col("hamming"))
       .select(least(col("m_a"), col("m_b")).as("doc_a"),
         greatest(col("m_a"), col("m_b")).as("doc_b"), col("hamming"))
-    val intra = wnd.filter(col("band") === 0)
+    // n_bucket >= 1 / rep.isNotNull are the same always-true
+    // subplan-preserving conjuncts as in [[expandScored]] — see the
+    // pushdown note there
+    val intra = wnd.filter(col("band") === 0
+        && col("n_bucket") >= 1L && col("rep").isNotNull)
       .select(col("members"),
         bit_count(col("sim").bitwiseXOR(col("sim"))).as("hamming"))
       .filter(col("hamming") <= maxDist)

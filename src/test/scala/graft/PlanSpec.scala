@@ -320,7 +320,29 @@ class PlanSpec extends SparkSpec {
     df.collect() // materialize THIS queryExecution so AQE finalizes it
     val s = df.queryExecution.executedPlan.toString()
     assert(s.contains("ReusedExchange"),
-      s"expected the repartition(doc_id) exchange to be reused across consumers:\n$s")
+      s"expected the collapse/band exchange to be reused across consumers:\n$s")
+  }
+
+  test("hot-bucket-guarded pair plans scan the corpus exactly once") {
+    // the round-14 pushdown regression this pins: a prune filter on a
+    // grouping-key-derived score pushed through the collapse aggregate
+    // re-runs the interpreted shingle tree in a SECOND corpus scan
+    // (and breaks every exchange reuse below it). One FileScan per
+    // plan = the collapse subtree is shared by the cross, intra and
+    // verify branches.
+    Seq("q_dedup_minhash", "q_containment_pairs", "q_minhash_est",
+      "q_simhash_pairs", "q_simhash_pairs16").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("sf0.001"))
+      df.collect() // finalize AQE
+      // count in the FINAL plan only — toString appends the pre-AQE
+      // initial plan, which legitimately repeats the scan per branch
+      val s = df.queryExecution.executedPlan.toString()
+        .split("== Initial Plan ==").head
+      val scans = "FileScan parquet".r.findAllIn(s).length
+      assert(scans === 1,
+        s"$q: expected ONE documents scan, found $scans — a branch is " +
+          s"re-deriving the collapse instead of sharing it:\n$s")
+    }
   }
 
   test("curate v4 reuses the span-detection exchanges between gate and strip") {
