@@ -130,6 +130,7 @@ object SparkEntry {
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
     "q_embed_incremental"  -> (Similarity.qEmbedIncremental _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
+    "q_semantic_dedup"     -> (Similarity.qSemanticDedup _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
@@ -2101,6 +2102,24 @@ object SparkEntry {
                FROM s)
          SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
          ORDER BY query_id, rk""",
+    // SemDeDup over the certified stride-IVF cells: dominance rule —
+    // dropped iff a lower-id same-cell vector clears the threshold
+    "q_semantic_dedup" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+                     WHERE $isCentroidSql),
+         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${cosineSql("e.embedding", "c.cv")} AS dist
+               FROM embeddings e CROSS JOIN c),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist DESC, centroid_id) AS rk FROM d)
+               WHERE rk = 1),
+         dom AS (SELECT DISTINCT b.vec_id
+                 FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+                 WHERE ${cosineSql("x.embedding", "b.embedding")} >= 0.4)
+         SELECT a.vec_id, a.cell, (dom.vec_id IS NOT NULL) AS dropped
+         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+         ORDER BY a.vec_id""",
     "q_similar_ivf2" -> ivfProbedOracle,
     // the persisted-index probe MUST be answer-invariant vs the
     // rebuilt-per-call form — same oracle, word for word

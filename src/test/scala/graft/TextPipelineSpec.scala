@@ -346,6 +346,44 @@ class TextPipelineSpec extends SparkSpec {
     assert(fp(a) !== fp(b))
   }
 
+  test("semantic dedup drops within-cell near-dups, keeps the min id, never crosses cells") {
+    // centroids are the stride ids (0 and 137): cell 0 points along
+    // the x axis, cell 137 along y. Within each cell everything is
+    // pairwise-similar above 0.9, so only the cell's MINIMUM id
+    // survives — including the case where a planted member (id 3)
+    // dominates its own CENTROID (id 137): the keep rule is pure
+    // min-id dominance, centroids get no special treatment.
+    val emb = Seq(
+      (0L,   Seq(1.0f, 0.0f)),
+      (1L,   Seq(0.99f, 0.1f)),
+      (2L,   Seq(0.98f, 0.12f)),
+      (137L, Seq(0.0f, 1.0f)),
+      (3L,   Seq(0.1f, 0.99f)),
+      (300L, Seq(0.12f, 0.98f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(emb, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 137L, 300L), "row per vector")
+    assert(out(0L) === ((0L, false)) && out(1L) === ((0L, true))
+      && out(2L) === ((0L, true)), "cell 0 keeps only id 0")
+    assert(out(3L) === ((137L, false)) && out(137L) === ((137L, true))
+      && out(300L) === ((137L, true)), "cell 137 keeps only id 3")
+    // cross-cell blindness is the paper's own recall bound: make the
+    // two kept vectors nearly parallel ACROSS cells and both survive
+    val cross = Seq(
+      (0L,   Seq(1.0f, 0.0f)),
+      (137L, Seq(0.9f, 0.436f)),   // its own cell's centroid
+      (5L,   Seq(0.995f, 0.1f)))   // closer to 0 than to 137 → cell 0
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.semanticDedup(cross, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out2(5L)._1 === 0L && out2(5L)._2 === true,
+      "5 shares cell 0 with id 0 and is dominated")
+    assert(out2(137L)._2 === false,
+      "137 is cosine-close to id 0 but sits in its own cell — SemDeDup " +
+        "does not compare across cells (documented recall bound)")
+  }
+
   test("cosine top-k: self-similar vector ranks first with cosine 1.0") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
