@@ -168,6 +168,7 @@ object SparkEntry {
     "q_tokenize_ids"       -> (TrainPrep.qTokenizeIds _),
     "q_rare_token_ratio"   -> (TrainPrep.qRareTokenRatio _),
     "q_domain_upsample"    -> (TrainPrep.qDomainUpsample _),
+    "q_token_budget_mix"   -> (TrainPrep.qTokenBudgetMix _),
     "q_repeated_spans"     -> (TextDedup.qRepeatedSpans _),
     "q_eval_sample"        -> (TrainPrep.qEvalSample _),
     "q_epoch_shuffle"      -> (TrainPrep.qEpochShuffle _),
@@ -2860,6 +2861,29 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % ${CorpusFilters.EvalMod} <> 0) d
          LEFT JOIN hits USING (doc_id)
          ORDER BY doc_id""",
+    // exact token-budget fill: cumulative window in "mix:"-hash order
+    // per source, target = (7777 · share_bp) div 10000, keep while the
+    // total BEFORE the doc is under target (boundary doc kept)
+    "q_token_budget_mix" -> {
+      s"""WITH sh AS (SELECT source,
+               CAST(${md5b16Sql("('share:' || source)")} % 800 + 100 AS BIGINT) AS share_bp
+             FROM (SELECT DISTINCT source FROM documents)),
+         t AS (SELECT doc_id, source,
+                 CAST(len(${toksSql("text")}) AS BIGINT) AS n_tokens,
+                 md5('mix:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+         o AS (SELECT t.doc_id, t.source, t.n_tokens, sh.share_bp,
+                 CAST(${md5b60Sql("hx")} AS BIGINT) AS bkt
+               FROM t JOIN sh USING (source)),
+         c AS (SELECT doc_id, source, n_tokens, share_bp,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY bkt, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+               FROM o)
+         SELECT doc_id, source, n_tokens, cum_tokens,
+           CAST((7777 * share_bp) // 10000 AS BIGINT) AS target_tokens,
+           (cum_tokens - n_tokens < (7777 * share_bp) // 10000) AS keep
+         FROM c ORDER BY doc_id"""
+    },
     "q_domain_mix" -> {
       s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY source),
          m AS (SELECT min(n_total) AS n_min FROM c),

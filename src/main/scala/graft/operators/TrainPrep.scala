@@ -491,6 +491,68 @@ object TrainPrep {
   def qMixSample(spark: SparkSession, dir: String): DataFrame =
     mixtureSample(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  // --- exact token-budget mixture fill ---
+
+  /** Deterministic TOKEN-budget mixture fill — the exact,
+    * token-denominated counterpart of [[mixtureSample]]: where that
+    * operator keeps ≈alloc DOCUMENTS per source by a probabilistic
+    * hash threshold, this one fills each source's TOKEN allocation
+    * exactly ("train on B tokens at THESE domain shares" — the
+    * execution half of a DoReMi-style reweighting recipe, Xie et al.
+    * 2023, where the recipe's output is token shares, not doc
+    * counts).
+    *
+    * Per source: docs order by the 60-bit `mix:` hash stream (salt
+    * decouples it from the split/leak/upsample/mixsel streams), the
+    * running token total rides one source-partitioned window, and a
+    * doc is kept while the total BEFORE it is under the source's
+    * target `(budgetTokens · share_bp) div 10000` — so the boundary
+    * doc that completes the allocation is kept (budget fill, never a
+    * hole), and every decision is integer arithmetic both engines
+    * replay bit-identically. `shares` rows are (source, share_bp)
+    * basis points; sources absent from it are absent from the output
+    * (a mixture that omits a domain drops it).
+    *
+    * Scale: one tokenize pass, a broadcast of the O(#sources) shares
+    * table, one window partitioned by source — no global order, no
+    * collect, and the null-text doc costs 0 tokens (coalesced) rather
+    * than poisoning its source's running sum. */
+  def tokenBudgetMix(docs: DataFrame, shares: DataFrame,
+                     budgetTokens: Long): DataFrame = {
+    val toks = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("bkt"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"))
+      .join(toks, Seq("doc_id"))
+      .join(broadcast(shares), Seq("source"))
+      .withColumn("bkt",
+        md5Bits60(concat(lit("mix:"), col("doc_id").cast("string"))))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("target_tokens",
+        expr(s"($budgetTokens * share_bp) div 10000").cast("long"))
+      .withColumn("keep",
+        col("cum_tokens") - col("n_tokens") < col("target_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_tokens"), col("target_tokens"), col("keep"))
+  }
+
+  /** Oracle entry: shares are hash-derived basis points per source
+    * (100..899 — arbitrary unequal targets, deliberately NOT the
+    * equal-share [[CorpusFilters.domainMix]] case), budget 7777 so the
+    * integer division is non-trivial. */
+  def qTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val shares = docs.select(col("source")).distinct()
+      .withColumn("share_bp",
+        (md5Bits16(concat(lit("share:"), col("source"))) % 800 + 100)
+          .cast("long"))
+    tokenBudgetMix(docs, shares, budgetTokens = 7777L).orderBy(col("doc_id"))
+  }
+
   // --- BPE merge learning (subword vocabulary induction) ---
 
   /** Merge budget for [[bpeMerges]] — the workload constant that bounds

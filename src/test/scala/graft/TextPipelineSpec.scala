@@ -346,6 +346,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(fp(a) !== fp(b))
   }
 
+  test("token-budget mix fills each source's allocation exactly, boundary doc kept") {
+    import graft.operators.TrainPrep
+    // source A: four 10-token docs, target 25 → in hash order the fill
+    // keeps docs while the PRIOR total is < 25: 10, 20 both start
+    // under 25 (kept), the third starts at 20 < 25 (kept, completes
+    // the budget at 30), the fourth starts at 30 (dropped). Source B
+    // is absent from the shares frame and must vanish entirely.
+    def words(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    val docs = Seq(
+      (1L, words(10), "A"), (2L, words(10), "A"),
+      (3L, words(10), "A"), (4L, words(10), "A"),
+      (9L, words(10), "B"))
+      .toDF("doc_id", "text", "source")
+    val shares = Seq(("A", 2500L)).toDF("source", "share_bp")
+    val out = TrainPrep.tokenBudgetMix(docs, shares, budgetTokens = 100L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "source B (no share) dropped")
+    assert(out.values.forall(_._2 === 25L), "target = (100 * 2500) div 10000")
+    val kept = out.filter(_._2._3).keys.toSet
+    assert(kept.size === 3, s"exactly three docs fill 25 tokens, got $kept")
+    val keptCum = out.filter(_._2._3).values.map(_._1).max
+    assert(keptCum === 30L, "the boundary doc completes (overshoots) the budget")
+    // determinism: the same call keeps the same docs
+    val again = TrainPrep.tokenBudgetMix(docs, shares, 100L)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(again === kept)
+    // a null-text doc costs 0 tokens and never blocks its source's fill
+    val withNull = docs.unionByName(
+      Seq((0L, "A")).toDF("doc_id", "source")
+        .withColumn("text", lit(null).cast("string"))
+        .select($"doc_id", $"text", $"source"))
+    val nul = TrainPrep.tokenBudgetMix(withNull, shares, 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(5)))).toMap
+    assert(nul(0L)._1 === 0L, "null text counts 0 tokens")
+    assert(nul.filter(_._2._2).keys.count(_ > 0L) === 3,
+      "the three real fills survive alongside the null doc")
+  }
+
   test("semantic dedup drops within-cell near-dups, keeps the min id, never crosses cells") {
     // centroids are the stride ids (0 and 137): cell 0 points along
     // the x axis, cell 137 along y. Within each cell everything is
