@@ -442,7 +442,11 @@ class PlanSpec extends SparkSpec {
     // any of these is a corpus×corpus accident
     for (q <- Seq("q_hybrid_rrf", "q_leakage_split", "q_leakage_incremental",
         "q_curriculum", "q_curriculum_mix", "q_curriculum_admission",
-        "q_quality_drift", "q_cross_source_dups")) {
+        "q_quality_drift", "q_cross_source_dups",
+        // round-14 additions: semantic dedup's only nested loop is the
+        // bounded O(MaxCentroids) centroid broadcast; the budget mix is
+        // equi-joins + one source-partitioned window
+        "q_semantic_dedup", "q_token_budget_mix", "q_lsh_bucket_audit")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }
