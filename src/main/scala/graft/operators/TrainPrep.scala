@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions._
 import graft.tables.Tables
 
@@ -537,6 +538,61 @@ object TrainPrep {
         col("cum_tokens") - col("n_tokens") < col("target_tokens"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("cum_tokens"), col("target_tokens"), col("keep"))
+  }
+
+  case class BudgetAdmit(doc_id: Long, source: String, n_tokens: Long,
+                         admitted_before: Long, admitted: Boolean)
+
+  /** One micro-batch of a source's documents through the budget gate:
+    * state is ONE long (tokens admitted so far); a doc is admitted
+    * while the total BEFORE it is under the target, the boundary doc
+    * completes the allocation — the [[tokenBudgetMix]] fill rule
+    * verbatim. Within a batch docs process in doc_id order (a
+    * deterministic tiebreak, the funnel's in-batch-sort convention). */
+  def budgetAdmitGroup(targets: Map[String, Long])(
+      source: String, batch: Iterator[(Long, String, Long)],
+      state: GroupState[Long]): Iterator[BudgetAdmit] = {
+    val target = targets.getOrElse(source, 0L)
+    var admitted = state.getOption.getOrElse(0L)
+    val out = batch.toVector.sortBy(_._1).map { case (id, _, n) =>
+      val before = admitted
+      val ok = before < target
+      if (ok) admitted += n
+      BudgetAdmit(id, source, n, before, ok)
+    }
+    state.update(admitted)
+    out.iterator
+  }
+
+  /** LIVE token-budget admission — the streaming twin of
+    * [[tokenBudgetMix]], `flatMapGroupsWithState` keyed by source with
+    * a single Long of state. Same fill rule, applied in ARRIVAL order
+    * where the batch form uses the canonical hash order: the two agree
+    * on the BUDGET INVARIANT (per source, admitted tokens land in
+    * `[target, target + boundary_doc)` and the gate then stays closed
+    * — StreamingSpec pins exactly that), not on which documents fill
+    * it — a live gate that reproduced the batch's hash-ordered keep
+    * set would have to buffer the whole stream, and the batch operator
+    * IS that buffered form. Sources absent from `shares` gate at
+    * target 0 (every doc emitted rejected — the gate reports, never
+    * silently drops). State: one long per source, bounded by #sources,
+    * no timeout needed. */
+  def streamingBudgetAdmission(streamDocs: DataFrame, shares: DataFrame,
+                               budgetTokens: Long): Dataset[BudgetAdmit] = {
+    val spark = streamDocs.sparkSession
+    import spark.implicits._
+    // O(#sources) driver collect — the same bounded-table handoff as
+    // the frozen-threshold gates
+    val targets = shares.select(col("source"), col("share_bp")).collect()
+      .map(r => r.getString(0) -> budgetTokens * r.getLong(1) / 10000L)
+      .toMap
+    streamDocs.select(col("doc_id"), col("source"),
+        coalesce(TextStats.tokenProfile(col("text"), Nil).getField("n_tokens")
+          .cast("long"), lit(0L)).as("n_tokens"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        budgetAdmitGroup(targets) _)
   }
 
   /** Oracle entry: shares are hash-derived basis points per source

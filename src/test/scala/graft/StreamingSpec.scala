@@ -673,4 +673,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed === gate)
   }
+
+  test("streaming budget admission holds the fill invariant across micro-batches") {
+    import graft.operators.TrainPrep
+    import spark.implicits._
+    // source A: five 10-token docs against a 25-token target → the
+    // gate admits until the running total passes 25 (boundary doc
+    // completes the budget at 30), then stays closed ACROSS batches
+    // (state survives the micro-batch boundary — one parquet file per
+    // trigger). Source B has no share → target 0, every doc emitted
+    // rejected, never silently dropped.
+    def words(n: Int) = Seq.fill(n)("tok").mkString(" ")
+    val docs = ((1 to 5).map(i => (i.toLong, words(10), "A"))
+      ++ Seq((9L, words(10), "B")))
+      .toDF("doc_id", "text", "source")
+    val shares = Seq(("A", 2500L)).toDF("source", "share_bp")
+    val srcDir = Files.createTempDirectory("graft-budget-src").toString
+    docs.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val checkpoint = Files.createTempDirectory("graft-ckpt-budget").toString
+    val q = TrainPrep.streamingBudgetAdmission(stream, shares, budgetTokens = 100L)
+      .writeStream.format("memory").queryName("budget_adm")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val rows = spark.table("budget_adm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length === 6, "every doc gets a gate row, rejected included")
+    // row rule: admitted ⟺ the total before the doc is under target
+    assert(rows.forall { case (_, s, _, before, ok) =>
+      ok === (before < (if (s == "A") 25L else 0L)) })
+    // fill invariant for A: admitted tokens land in [target, target+doc)
+    val aTokens = rows.filter(r => r._2 == "A" && r._5).map(_._3).sum
+    assert(aTokens === 30L, s"three docs complete the 25-token budget, got $aTokens")
+    // B: target 0 → nothing admitted
+    assert(rows.filter(_._2 == "B").forall(!_._5))
+    // state continuity: the largest admitted_before in A equals the
+    // fill minus the boundary doc — no batch restarted the counter
+    assert(rows.filter(r => r._2 == "A" && r._5).map(_._4).max === 20L)
+  }
 }
