@@ -190,6 +190,10 @@ object SparkEntry {
     "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
     "q_setsim_join"        -> (TextDedup.qSetSimJoin _),
     "q_strip_spans"        -> (TextDedup.qStripSpans _),
+    "q_paragraph_dedup"    -> (TextDedup.qParagraphDedup _),
+    "q_paragraph_incremental" -> (TextDedup.qParagraphIncremental _),
+    "q_winnow_fingerprints" -> (TextDedup.qWinnowFingerprints _),
+    "q_winnow_overlap"     -> (TextDedup.qWinnowOverlap _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
@@ -3107,6 +3111,139 @@ object SparkEntry {
            coalesce(agg.n_after, 0) AS n_after
          FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
          ORDER BY t.doc_id"""
+    },
+    // C4-style keep-one segment dedup: tumbling W-token chunks, the
+    // globally-first (doc_id, chunk_idx) occurrence of each distinct
+    // chunk survives, later copies are cut. md5 both sides = bit parity.
+    "q_paragraph_dedup" -> {
+      val w = TextDedup.ParaWidth
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, (len(toks) - 1) // $w)) AS c
+               FROM t WHERE len(toks) > 0),
+         ch AS (SELECT doc_id, c,
+                 array_to_string(list_slice(toks, c*$w + 1, c*$w + $w), ' ') AS chunk
+               FROM c),
+         f AS (SELECT doc_id, c, chunk,
+                 row_number() OVER (PARTITION BY md5(chunk)
+                   ORDER BY doc_id, c) AS rk
+               FROM ch),
+         agg AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   string_agg(CASE WHEN rk = 1 THEN chunk END, ' ' ORDER BY c)
+                     AS clean_text
+                 FROM f GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           coalesce(agg.n_chunks, 0) AS n_chunks,
+           coalesce(agg.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id"""
+    },
+    // incremental admission: an increment chunk survives only when its
+    // value is absent from the standing corpus AND no earlier
+    // (doc_id, chunk_idx) in the increment owns it
+    "q_paragraph_incremental" -> {
+      val w = TextDedup.ParaWidth
+      val m = TextDedup.IncrementMod
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         grid AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, (len(toks) - 1) // $w)) AS c
+                 FROM t WHERE len(toks) > 0),
+         ch AS (SELECT doc_id, c,
+                 array_to_string(list_slice(toks, c*$w + 1, c*$w + $w), ' ') AS chunk
+               FROM grid),
+         sh AS (SELECT DISTINCT md5(chunk) AS h FROM ch WHERE doc_id % $m <> 0),
+         ic AS (SELECT doc_id, c, chunk, md5(chunk) AS h FROM ch
+                WHERE doc_id % $m = 0),
+         f AS (SELECT ic.doc_id, ic.c, ic.chunk,
+                 row_number() OVER (PARTITION BY ic.h
+                   ORDER BY ic.doc_id, ic.c) AS rk,
+                 sh.h IS NOT NULL AS in_standing
+               FROM ic LEFT JOIN sh ON ic.h = sh.h),
+         agg AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rk = 1 AND NOT in_standing
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   string_agg(CASE WHEN rk = 1 AND NOT in_standing
+                     THEN chunk END, ' ' ORDER BY c) AS clean_text
+                 FROM f GROUP BY doc_id)
+         SELECT d.doc_id,
+           coalesce(agg.clean_text, '') AS clean_text,
+           coalesce(agg.n_chunks, 0) AS n_chunks,
+           coalesce(agg.n_kept, 0) AS n_kept
+         FROM documents d LEFT JOIN agg USING (doc_id)
+         WHERE d.doc_id % $m = 0
+         ORDER BY doc_id"""
+    },
+    // winnowing (Schleimer/Wilkerson/Aiken): each w-window of k-gram
+    // positions selects its (hash, pos) minimum via the fixed-width
+    // sortable key — 15 lowercase hex nibbles ‖ 6-digit position
+    "q_winnow_fingerprints" -> {
+      val k = TextDedup.WinnowK
+      val w = TextDedup.WinnowW
+      val nib60 = (0 until 15).map { j =>
+        val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+        s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - $k)) AS pos
+               FROM t),
+         g0 AS (SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
+               FROM s),
+         g AS (SELECT doc_id, pos,
+                 printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+               FROM g0),
+         wm AS (SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+               FROM g)
+         SELECT DISTINCT doc_id,
+           CAST(substring(wmin, 16, 6) AS BIGINT) AS fpos,
+           substring(wmin, 1, 15) AS fp
+         FROM wm WHERE pos <= greatest(n - $w, 0)
+         ORDER BY doc_id, fpos, fp"""
+    },
+    // MOSS-style overlap: docs sharing >= MinSharedFp selected
+    // fingerprints; ubiquitous fingerprints (> cap docs) excluded
+    "q_winnow_overlap" -> {
+      val k = TextDedup.WinnowK
+      val w = TextDedup.WinnowW
+      val cap = TextDedup.WinnowPairCap
+      val minShared = TextDedup.MinSharedFp
+      val nib60 = (0 until 15).map { j =>
+        val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+        s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         s AS (SELECT doc_id, toks,
+                 unnest(generate_series(0, len(toks) - $k)) AS pos
+               FROM t),
+         g0 AS (SELECT doc_id, pos,
+                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
+               FROM s),
+         g AS (SELECT doc_id, pos,
+                 printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+               FROM g0),
+         wm AS (SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+               FROM g),
+         sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 15) AS fp
+                 FROM wm WHERE pos <= greatest(n - $w, 0)),
+         small AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $cap),
+         kept AS (SELECT sel.doc_id, sel.fp FROM sel
+                  JOIN small ON sel.fp = small.fp)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= $minShared
+         ORDER BY doc_a, doc_b"""
     },
     "q_epoch_shuffle" ->
       s"""WITH d AS (SELECT doc_id,

@@ -1242,6 +1242,242 @@ object TextDedup {
     stripSpans(Tables.documents(spark, dir)).orderBy(col("doc_id"))
   }
 
+  /** Tumbling-chunk width (tokens) for [[paragraphDedup]]. The corpus
+    * has no newline structure, so "paragraphs" are fixed-width token
+    * chunks — the same segmentation C4 applied to three-sentence spans
+    * when source text carried no markup. */
+  val ParaWidth = 12
+
+  /** C4/CCNet-style cross-document segment dedup with a KEEP-ONE
+    * policy: split each document into non-overlapping [[ParaWidth]]-
+    * token chunks, hash each chunk, and keep only the globally-first
+    * occurrence (minimum `(doc_id, chunk_idx)`) of every distinct
+    * chunk value; later copies are cut and the survivors re-joined in
+    * order. This is deliberately DIFFERENT from [[stripSpans]]:
+    * stripSpans is the Lee-et-al "cut EVERY occurrence of a repeated
+    * passage" transform, while C4's rule ("we removed all but one of
+    * any three-sentence span occurring more than once") retains one
+    * canonical copy — a corpus deduplicated this way still contains
+    * each passage exactly once.
+    *
+    * Scale shape: one chunk explosion → a hash-groupBy `min(struct)`
+    * argmin (map-side combined — a boilerplate chunk repeated across
+    * a million documents collapses to one partial row per task before
+    * any exchange) → an equi-join of the chunk stream back against
+    * the 1-row-per-hash winner table (AQE broadcasts it when small
+    * and skew-splits the stream side when a hash is hot) → one
+    * doc_id-partitioned rebuild aggregate. No window over a corpus-
+    * global partition, no all-pairs step anywhere. The chunk
+    * derivation is evaluated once per join side (same deliberate
+    * trade as [[repeatedSpans]] — a codegen'd re-scan is cheaper at
+    * corpus scale than persisting the exploded chunks).
+    *
+    * Output: `(doc_id, clean_text, n_chunks, n_kept)`; chunk-free
+    * (empty/null-text) docs pass through with an empty clean_text. */
+  /** Tumbling chunk derivation for the paragraph-dedup family:
+    * `(doc_id, c, chunk)` with `chunk` = tokens `[c·w, (c+1)·w)`
+    * re-joined by single spaces (last chunk may be partial). */
+  private[graft] def paraChunks(docs: DataFrame, w: Int = ParaWidth): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("c", explode(
+        when(size(col("toks")) > 0,
+          sequence(lit(0), floor((size(col("toks")) - 1) / w).cast("int")))
+          .otherwise(array().cast("array<int>"))))
+      .select(col("doc_id"), col("c"),
+        concat_ws(" ", slice(col("toks"), col("c") * w + 1, lit(w)))
+          .as("chunk"))
+
+  /** Shared rebuild: a keep-flagged chunk frame back to one row per
+    * document, chunk-free docs passing through with empty text. */
+  private def paraRebuild(docs: DataFrame, flagged: DataFrame): DataFrame = {
+    val rebuilt = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the when() leaves for cut chunks;
+        // the list is bounded by the doc's own chunk count
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("c"), col("chunk"))))),
+          k => k.getField("chunk"))).as("clean_text"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  def paragraphDedup(docs: DataFrame, w: Int = ParaWidth): DataFrame = {
+    require(w >= 1, "chunk width must be >= 1")
+    val hashed = paraChunks(docs, w).withColumn("h", md5(col("chunk")))
+    // global first occurrence per distinct chunk: struct min orders by
+    // (doc_id, c) lexicographically — one row per hash after the agg
+    val winners = hashed.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("c"))).as("_w"))
+    val flagged = hashed.join(winners, Seq("h"))
+      .withColumn("keep", struct(col("doc_id"), col("c")) === col("_w"))
+    paraRebuild(docs, flagged)
+  }
+
+  def qParagraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedup(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Incremental admission for the keep-one policy: clean an INCREMENT
+    * against a STANDING corpus that already landed — an increment chunk
+    * survives only when its value appears neither anywhere in the
+    * standing corpus nor earlier (by `(doc_id, chunk_idx)`) in the
+    * increment itself. In the snapshot-then-append layout (every
+    * standing doc_id below every increment doc_id) this equals
+    * [[paragraphDedup]] over the union, restricted to the increment's
+    * rows — pinned by spec on a planted fixture. The standing side
+    * collapses to its DISTINCT chunk-hash set before the probe join
+    * (map-side combined; one 32-byte row per distinct chunk, never the
+    * standing text), so re-cleaning an increment scans the standing
+    * corpus once and ships only hashes. */
+  def paragraphDedupIncrement(increment: DataFrame, standing: DataFrame,
+                              w: Int = ParaWidth): DataFrame = {
+    require(w >= 1, "chunk width must be >= 1")
+    val standHashes = paraChunks(standing, w)
+      .select(md5(col("chunk")).as("h")).distinct()
+      .withColumn("_standing", lit(true))
+    val inc = paraChunks(increment, w).withColumn("h", md5(col("chunk")))
+    val winners = inc.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("c"))).as("_w"))
+    val flagged = inc.join(winners, Seq("h"))
+      .join(standHashes, Seq("h"), "left")
+      .withColumn("keep", col("_standing").isNull &&
+        struct(col("doc_id"), col("c")) === col("_w"))
+    paraRebuild(increment, flagged)
+  }
+
+  def qParagraphIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    paragraphDedupIncrement(
+        docs.filter(col("doc_id") % IncrementMod === 0),
+        docs.filter(col("doc_id") % IncrementMod =!= 0))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Streaming twin of [[paragraphDedupIncrement]]: each arriving
+    * micro-batch of documents is cleaned against the static standing
+    * corpus via `foreachBatch` — the batch operator runs unchanged, no
+    * streaming state, no watermark (the standing hash set is the state,
+    * and it lives in the lake, not the stream). Same checkpoint
+    * contract as [[streamingNearDup]]. */
+  def streamingParagraphAdmission(streamDocs: DataFrame, standing: DataFrame,
+                                  checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(paragraphDedupIncrement(batch, standing), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  // --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03) ---
+
+  /** Winnowing k-gram width and window size. The paper's guarantee:
+    * any token run of length ≥ t = [[WinnowW]] + [[WinnowK]] − 1 = 12
+    * shared by two documents shares at least one SELECTED fingerprint
+    * — local fingerprinting with a detection floor, unlike sampling
+    * every w-th gram (position-shift fragile) or keeping all grams
+    * (index size ∝ corpus). */
+  val WinnowK = 5
+  val WinnowW = 8
+
+  /** Per-fingerprint doc-list cap for [[winnowPairs]] — the same
+    * exclude-over-cap hot-bucket policy as [[MaxBandBucket]]: a
+    * boilerplate fingerprint shared by a 100k-doc clique would emit
+    * d²/2 pairs from one key; fingerprints selected by more than this
+    * many documents are dropped from pairing (they identify
+    * BOILERPLATE, not overlap — the MOSS practice of ignoring
+    * ubiquitous fingerprints). */
+  val WinnowPairCap = 64
+
+  /** Minimum shared fingerprints for a [[winnowPairs]] row — one
+    * coincidental selected gram is noise; two is signal. */
+  val MinSharedFp = 2
+
+  /** Selected winnowing fingerprints per document: positional k-gram
+    * hashes ([[graft.expressions.ShinglePosHashes]] — the 8-byte
+    * shuffle key again), then each length-w window of consecutive gram
+    * positions selects its minimum by `(hash, pos)` — encoded as one
+    * fixed-width sortable string (15 lowercase hex nibbles ‖ 6-digit
+    * position) so the windowed `min` is a plain string aggregate both
+    * engines order identically — and the distinct selected set is the
+    * document's fingerprint. Short documents (< w grams) winnow their
+    * single truncated window, so every document with ≥ 1 gram gets
+    * ≥ 1 fingerprint. One window pass per document (bounded by doc
+    * length, never corpus size) + one distinct; no joins.
+    *
+    * Output: `(doc_id, fpos, fp)` — selected gram position and the
+    * 15-hex-char fingerprint value. */
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowK,
+                         w: Int = WinnowW): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be >= 1")
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_pos_hashes", col("text"), lit(k))))
+      .toDF("doc_id", "pos", "sh")
+    val ordered = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos
+      .withColumn("_key",
+        concat(lpad(lower(hex(col("sh"))), 15, "0"),
+          lpad(col("pos").cast("string"), 6, "0")))
+      .withColumn("_wmin",
+        min(col("_key")).over(ordered.rowsBetween(0, w - 1)))
+      .withColumn("_n",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // window STARTS: every s ∈ [0, n−w], or the single truncated
+      // window at 0 when the document has fewer than w grams
+      .filter(col("pos") <= greatest(col("_n") - w, lit(0)))
+      .select(col("doc_id"),
+        substring(col("_wmin"), 16, 6).cast("long").as("fpos"),
+        substring(col("_wmin"), 1, 15).as("fp"))
+      .distinct()
+  }
+
+  def qWinnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    winnowFingerprints(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("fpos"), col("fp"))
+  }
+
+  /** Document-overlap report over the winnowed fingerprints — the MOSS
+    * shape: docs sharing ≥ [[MinSharedFp]] selected fingerprints, with
+    * the shared count. Pairing is an equi-join on the fingerprint
+    * value ONLY — never all-pairs — and fingerprints selected by more
+    * than [[WinnowPairCap]] documents are excluded before the join
+    * (ubiquitous boilerplate; see the cap's scaladoc), so per-key
+    * fan-out is ≤ cap²/2. The cap filter is a map-side-combined
+    * groupBy count, not a per-key window — a degenerate fingerprint
+    * never serializes its doc list into one task. */
+  def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+                  cap: Int = WinnowPairCap): DataFrame = {
+    val sel = winnowFingerprints(docs, k, w)
+      .select(col("fp"), col("doc_id")).distinct()
+    val small = sel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") <= cap)
+      .select(col("fp"))
+    val kept = sel.join(small, Seq("fp"), "left_semi")
+    kept.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+  }
+
+  def qWinnowOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    winnowPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- wide (60-bit) simhash banding: the scale path ---
 
   /** 4 bands × 15 bits over the 60-bit fingerprint: 32768 signature

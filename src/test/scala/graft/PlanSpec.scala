@@ -450,6 +450,15 @@ class PlanSpec extends SparkSpec {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }
+    // paragraph dedup and winnowing are pure equi-join machinery —
+    // nothing may fall to a nested loop; the winner/fingerprint probes
+    // must stay hash-key joins
+    for (q <- Seq("q_paragraph_dedup", "q_paragraph_incremental",
+        "q_winnow_fingerprints", "q_winnow_overlap")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$s")
+    }
   }
 
   test("curriculum joins its bucket offsets and stage floors as broadcasts") {

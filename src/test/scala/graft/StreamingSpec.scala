@@ -616,6 +616,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming paragraph admission: no standing chunk readmitted; lake is exactly-once") {
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val inc = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
+      .select(col("doc_id"), col("text"))
+    val standing0 = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+      .select(col("doc_id"), col("text"))
+    // kept chunks re-derive from clean_text: survivors are full
+    // ParaWidth-token chunks except a possibly-partial LAST one, so
+    // grouping the tokens recovers the admitted values exactly
+    def chunkify(s: String): Seq[String] =
+      if (s.isEmpty) Nil
+      else s.split(" ").grouped(TextDedup.ParaWidth).map(_.mkString(" ")).toSeq
+    val srcDir = Files.createTempDirectory("graft-para-src").toString
+    inc.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    val q = TextDedup.streamingParagraphAdmission(stream, standing0) {
+      (out, _) =>
+        val rows = out.as[(Long, String, Long, Long)].collect()
+        got.synchronized { got ++= rows }
+        ()
+    }
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    // every increment doc was admitted exactly once, chunk counts intact
+    val oneShot = TextDedup.paragraphDedupIncrement(inc, standing0).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.map(_._1).sorted.toSeq === oneShot.keys.toSeq.sorted)
+    got.foreach { case (id, _, nChunks, nKept) =>
+      assert(nChunks === oneShot(id)._1, s"doc $id chunk count drifted")
+      // static standing per micro-batch can only keep MORE than the
+      // whole-increment winner pass (cross-batch increment dups are
+      // each batch's firsts) — never fewer
+      assert(nKept >= oneShot(id)._2, s"doc $id lost chunks vs one-shot")
+    }
+    // nothing the standing corpus already owns was readmitted
+    val standingVals = TextDedup.paraChunks(standing0)
+      .select(col("chunk")).as[String].collect().toSet
+    assert(got.flatMap(r => chunkify(r._2)).forall(c => !standingVals(c)),
+      "a standing chunk value was readmitted by the stream")
+    // cumulative-lake replay: cleaning each batch against standing PLUS
+    // everything already admitted makes admission exactly-once-per-value
+    // REGARDLESS of arrival order — total kept = increment-only distinct
+    var lake = standing0
+    var keptTotal = 0L
+    val srcDir2 = Files.createTempDirectory("graft-para-src2").toString
+    inc.repartition(3).write.mode("overwrite").parquet(srcDir2)
+    val stream2 = spark.readStream.schema(inc.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir2)
+    val q2 = stream2.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.select(col("doc_id"), col("text"))
+          .as[(Long, String)].collect().toSeq
+        keptTotal += TextDedup.paragraphDedupIncrement(
+            rows.toDF("doc_id", "text"), lake)
+          .agg(sum(col("n_kept"))).as[Long].head()
+        lake = lake.unionByName(rows.toDF("doc_id", "text"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000), "streaming query did not finish in time")
+    def distinctChunks(df: org.apache.spark.sql.DataFrame): Long =
+      TextDedup.paraChunks(df).select(md5(col("chunk"))).distinct().count()
+    val expect = distinctChunks(standing0.unionByName(inc)) -
+      distinctChunks(standing0)
+    assert(keptTotal === expect)
+  }
+
   test("streaming quality drift: final-trigger PSI == the batch readout") {
     import graft.operators.CorpusAnalytics
     val docs = graft.tables.Tables.documents(spark, sfSmoke)

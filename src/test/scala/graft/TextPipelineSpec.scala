@@ -464,6 +464,105 @@ class TextPipelineSpec extends SparkSpec {
     out.values.foreach { case (_, before, after) => assert(after <= before) }
   }
 
+  test("paragraph dedup keeps exactly one copy of a shared chunk, first wins") {
+    // chunks engineered to align with the ParaWidth=12 tumbling grid
+    val X = (1 to 12).map("x" + _).mkString(" ")
+    val Y = (1 to 12).map("y" + _).mkString(" ")
+    val Z = (1 to 12).map("z" + _).mkString(" ")
+    val W = (1 to 12).map("w" + _).mkString(" ")
+    val fix = Seq(
+      (1L, s"$X $Y"),                 // owns X globally (lowest doc_id)
+      (2L, s"$X $Z"),                 // cross-doc copy of X — cut
+      (3L, s"$W $W"),                 // within-doc repeat — second cut
+      (4L, "tail chunk under width"), // partial chunk, unique — verbatim
+      (5L, ""))                       // chunk-free pass-through
+      .toDF("doc_id", "text")
+    val out = TextDedup.paragraphDedup(fix).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((s"$X $Y", 2L, 2L)))
+    assert(out(2L) === ((Z, 2L, 1L)))           // keep-ONE: X survives in 1
+    assert(out(3L) === ((W, 2L, 1L)))
+    assert(out(4L) === (("tail chunk under width", 1L, 1L)))
+    assert(out(5L) === (("", 0L, 0L)))
+    // the deduplicated corpus contains each distinct chunk exactly once
+    val keptChunks = out.values.toSeq.map(_._1).filter(_.nonEmpty)
+    assert(keptChunks.flatMap(_.split(" ")).distinct.size ===
+      keptChunks.flatMap(_.split(" ")).size)
+  }
+
+  test("paragraph incremental admission == batch keep-one on the append layout") {
+    // snapshot-then-append: every standing doc_id precedes every
+    // increment doc_id, so admission against the standing set must equal
+    // the one-shot batch dedup over the union, sliced to the increment
+    val A = (1 to 12).map("a" + _).mkString(" ")
+    val B = (1 to 12).map("b" + _).mkString(" ")
+    val C = (1 to 12).map("c" + _).mkString(" ")
+    val E = (1 to 12).map("e" + _).mkString(" ")
+    val F = (1 to 12).map("f" + _).mkString(" ")
+    val standing = Seq((1L, s"$A $B"), (2L, s"$A $C"), (3L, "short tail"))
+      .toDF("doc_id", "text")
+    val increment = Seq((11L, s"$C $E"), (12L, s"$E $F"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val inc = rows(TextDedup.paragraphDedupIncrement(increment, standing))
+    val full = rows(TextDedup.paragraphDedup(standing.unionByName(increment))
+      .filter(col("doc_id") >= 11L))
+    assert(inc === full)
+    // and the planted expectations hold: C is standing-owned (cut), E
+    // kept at its increment-first doc 11, F unique
+    val m = inc.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m(11L) === ((E, 2L, 1L)))
+    assert(m(12L) === ((F, 2L, 1L)))
+  }
+
+  test("winnowing: a shared 12-token run always shares a fingerprint; disjoint docs never") {
+    // t = w + k − 1 = 12 is the paper's guarantee threshold — any run
+    // of that length shared by two docs must share a SELECTED print
+    val shared = (1 to 12).map("s" + _).mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 20).map("a" + _).mkString(" ") + " " + shared + " " +
+        (1 to 20).map("b" + _).mkString(" ")),
+      (2L, (1 to 20).map("c" + _).mkString(" ") + " " + shared + " " +
+        (1 to 20).map("d" + _).mkString(" ")),
+      (3L, (1 to 40).map("z" + _).mkString(" ")))   // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val by = TextDedup.winnowFingerprints(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(1L) intersect by(2L)).nonEmpty, "guarantee violated")
+    assert((by(1L) intersect by(3L)).isEmpty)
+    assert((by(2L) intersect by(3L)).isEmpty)
+  }
+
+  test("winnowing: short docs winnow their truncated window; sub-k docs select nothing") {
+    val docs = Seq(
+      (1L, "just six tokens in this doc"), // 2 grams < w → ONE window
+      (2L, "four tokens only here"),       // < k tokens → no grams
+      (3L, "")).toDF("doc_id", "text")
+    val by = TextDedup.winnowFingerprints(docs).collect().groupBy(_.getLong(0))
+    assert(by(1L).length === 1)
+    assert(!by.contains(2L) && !by.contains(3L))
+  }
+
+  test("winnow pairs: ubiquitous fingerprints are excluded; real overlap survives") {
+    val clique = (1 to 40).map("q" + _).mkString(" ")
+    val passage = (1 to 30).map("pp" + _).mkString(" ")
+    val docs = Seq(
+      // exact-dup clique: identical fingerprint sets in 4 > cap docs,
+      // so every clique fingerprint is boilerplate-excluded
+      (1L, clique), (2L, clique), (3L, clique), (4L, clique),
+      // genuine overlap at different offsets with distinct contexts
+      (5L, (1 to 10).map("u" + _).mkString(" ") + " " + passage),
+      (6L, passage + " " + (1 to 10).map("v" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.winnowPairs(docs, cap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((5L, 6L)))
+  }
+
   test("vectorAudit flags zero norms, non-finite components, mixed dims") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),
