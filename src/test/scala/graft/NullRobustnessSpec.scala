@@ -62,6 +62,40 @@ class NullRobustnessSpec extends SparkSpec {
       "a degenerate doc emitted a span")
   }
 
+  test("paragraph dedup passes degenerate docs through; winnow selects nothing for them") {
+    // keep-one: the two dup docs share every chunk — doc 1 keeps all,
+    // doc 6 loses all; null/empty/whitespace/sub-chunk docs pass
+    // through with their own (possibly zero) chunk counts intact
+    val out = TextDedup.paragraphDedup(corpus).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 6L), "a row vanished")
+    assert(out(1L)._2 === out(1L)._3 && out(1L)._2 > 0, "first copy keeps all")
+    assert(out(6L) === (("", out(1L)._2, 0L)), "second copy loses every chunk")
+    Seq(2L, 3L, 4L).foreach(id => assert(out(id) === (("", 0L, 0L))))
+    assert(out(5L) === (("one", 1L, 1L)))
+    // incremental admission: same pass-through, nothing crashes when
+    // the STANDING side carries the degenerate rows too
+    val incOut = TextDedup.paragraphDedupIncrement(
+        corpus.filter($"doc_id" === 6L), corpus.filter($"doc_id" =!= 6L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(incOut(6L) === (("", out(1L)._2, 0L)))
+    // winnowing: null/empty/whitespace/sub-k docs select nothing; the
+    // dup pair shares every fingerprint and the null doc never pairs
+    val fps = TextDedup.winnowFingerprints(corpus).collect()
+    assert(fps.forall(r => !Set(2L, 3L, 4L, 5L)(r.getLong(0))),
+      "a degenerate doc selected a fingerprint")
+    // at the default w the 8-gram dup doc winnows to ONE print — under
+    // the MinSharedFp noise floor, so no pair (the floor working as
+    // designed); w=4 gives disjoint windows hence ≥ 2 shared prints
+    assert(TextDedup.winnowPairs(corpus)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().isEmpty)
+    val pairs = TextDedup.winnowPairs(corpus, w = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 6L)))
+  }
+
   test("bloom dedup handles null text in index AND increment") {
     val out = BloomDedup.bloomNewDocs(corpus, corpus).collect()
     // every real text exists in the index so nothing is new; the null

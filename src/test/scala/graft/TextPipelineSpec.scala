@@ -1668,6 +1668,76 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("PROPERTY: paragraphDedup == keep-one reference on random corpora") {
+    import org.scalacheck.Gen
+    val w = 3 // small chunks + tiny vocab force cross-doc collisions
+    val vocab = Vector("x", "y", "z")
+    val genCorpus = for {
+      n <- Gen.choose(3, 6)
+      texts <- Gen.listOfN(n, Gen.choose(0, 11).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+      dupOf <- Gen.choose(0, n - 1)
+    } yield texts :+ texts(dupOf) // one verbatim copy guarantees dups
+    def ref(corpus: Map[Long, Seq[String]]): Map[Long, (String, Long, Long)] = {
+      val all = corpus.toSeq.flatMap { case (id, toks) =>
+        toks.grouped(w).zipWithIndex
+          .map { case (c, i) => (id, i.toLong, c.mkString(" ")) }
+      }
+      val owner = all.groupBy(_._3).view
+        .mapValues(cs => cs.map(x => (x._1, x._2)).min).toMap
+      corpus.map { case (id, toks) =>
+        val cs = toks.grouped(w).zipWithIndex
+          .map { case (c, i) => (i.toLong, c.mkString(" ")) }.toSeq
+        val kept = cs.filter { case (i, ch) => owner(ch) == ((id, i)) }
+        id -> ((kept.map(_._2).mkString(" "), cs.size.toLong, kept.size.toLong))
+      }
+    }
+    samples(genCorpus, 12).foreach { corpus =>
+      val byId = corpus.zipWithIndex
+        .map { case (toks, i) => i.toLong -> toks.toSeq }.toMap
+      val docs = byId.toSeq.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextDedup.paragraphDedup(docs, w).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got === ref(byId), s"keep-one diverges on $byId")
+    }
+  }
+
+  test("PROPERTY: winnowFingerprints == window-min reference on random corpora") {
+    import org.scalacheck.Gen
+    val k = 2; val w = 3 // small params hit ties and truncated windows
+    val vocab = Vector("aa", "bb", "cc")
+    val genCorpus = Gen.choose(2, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)))))
+    def md5fp(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.take(15)
+    }
+    def ref(corpus: Map[Long, Seq[String]]): Set[(Long, Long, String)] =
+      corpus.toSeq.flatMap { case (id, toks) =>
+        val keys = toks.sliding(k).filter(_.length == k).zipWithIndex
+          .map { case (g, p) => md5fp(g.mkString(" ")) + f"$p%06d" }.toVector
+        val n = keys.size
+        if (n == 0) Seq.empty
+        else (0 to math.max(n - w, 0)).map { s =>
+          val m = keys.slice(s, s + w).min
+          (id, m.substring(15).toLong, m.substring(0, 15))
+        }
+      }.toSet
+    samples(genCorpus, 12).foreach { corpus =>
+      val byId = corpus.zipWithIndex
+        .map { case (toks, i) => i.toLong -> toks.toSeq }.toMap
+      val docs = byId.toSeq.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextDedup.winnowFingerprints(docs, k, w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === ref(byId), s"winnow diverges on $byId")
+    }
+  }
+
   test("PROPERTY: setSimilarityJoin == brute force on random mutated corpora") {
     import org.scalacheck.Gen
     val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
