@@ -90,6 +90,7 @@ object SparkEntry {
     "q_minhash_est"        -> (TextDedup.qMinhashEstimation _),
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_dedup_persisted"    -> (TextDedup.qDedupPersisted _),
+    "q_dedup_appended"     -> (TextDedup.qDedupAppended _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
@@ -1812,6 +1813,9 @@ object SparkEntry {
     "q_dedup_incremental" -> dedupIncrementalOracle,
     // the persisted-index probe is answer-invariant — same oracle
     "q_dedup_persisted" -> dedupIncrementalOracle,
+    // build(odd) + append(even) + compact covers the same standing
+    // population — the whole lifecycle is answer-invariant too
+    "q_dedup_appended" -> dedupIncrementalOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_dedup_clusters" -> dedupClustersOracle,

@@ -511,6 +511,103 @@ object TextDedup {
       spark.read.parquet(s"$path/sets"),
       MaxBandBucket)
 
+  /** Append an increment to a standing dedup index — the text twin of
+    * [[graft.operators.Similarity.appendIvfIndex]]: shingles, the
+    * exact-set collapse and bands are computed ONLY for `newDocs`;
+    * their rep-level rows land as new files under `bands/` and
+    * `sets/`, and the standing rows are never rewritten or re-read. A
+    * shingle set present in BOTH the standing index and the increment
+    * temporarily holds two rep rows with split memberships — probe
+    * ANSWERS are unchanged (every score is a function of the set, and
+    * the doc-pair expansion unions the two memberships), but the two
+    * rows count twice toward the per-(band, sig) bucket cap — the
+    * conservative direction (more exclusion, never phantom pairs).
+    * [[compactDedupIndex]] merges them away. */
+  def appendDedupIndex(spark: SparkSession, path: String,
+                       newDocs: DataFrame): Unit = {
+    val ig = collapseGroups(newDocs).cache()
+    minhashIndex(ig.select(col("set_rep").as("doc_id"), col("hs")))
+      .select(col("doc_id"), col("band"), col("sig"))
+      .write.mode("append").parquet(s"$path/bands")
+    ig.select(col("set_rep").as("doc_id"), col("hs"), col("members"))
+      .write.mode("append").parquet(s"$path/sets")
+    ig.unpersist()
+    ()
+  }
+
+  /** Compact a standing dedup index: merge the duplicate shingle-set
+    * rep rows repeated appends accumulate (one rep per DISTINCT set —
+    * the global minimum id, memberships unioned), rebuild the band
+    * table from the merged reps, and coalesce the small append files.
+    * Afterwards the layout is row-equivalent to a fresh
+    * [[writeDedupIndex]] over the union corpus (spec-pinned). Swap
+    * discipline identical to
+    * [[graft.operators.Similarity.compactIvfIndex]]: rename(live →
+    * retired), rename(compact → live), delete retired LAST — the data
+    * is present on disk at every instant and a crash between renames
+    * leaves the retired copy for recovery. */
+  def compactDedupIndex(spark: SparkSession, path: String): Unit = {
+    val merged = spark.read.parquet(s"$path/sets")
+      .select(col("doc_id"), col("hs"), explode(col("members")).as("m"))
+      // same one-long-leading group key trick as [[collapseGroups]]
+      .groupBy(xxhash64(col("hs")).as("hsh"), col("hs"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        collect_list(col("m")).as("members"))
+      .select(col("doc_id"), col("hs"), col("members"))
+      .cache()
+    merged.write.mode("overwrite").parquet(s"$path/sets_compact")
+    minhashIndex(merged.select(col("doc_id"), col("hs")))
+      .select(col("doc_id"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(s"$path/bands_compact")
+    merged.unpersist()
+    swapCompacted(spark, path, "sets")
+    swapCompacted(spark, path, "bands")
+  }
+
+  /** The never-delete-first rename swap (see [[compactDedupIndex]]);
+    * `<name>_compact` must already hold the replacement layout. */
+  private def swapCompacted(spark: SparkSession, path: String,
+                            name: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"$path/$name"),
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val retired = new org.apache.hadoop.fs.Path(s"$path/${name}_retired")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/${name}_compact")
+    fs.delete(retired, true) // clear any previous run's leftover
+    // Hadoop rename signals failure by RETURNING FALSE — check each
+    // step, and delete the retired copy only once the new layout is in
+    require(fs.rename(live, retired),
+      s"compactDedupIndex: could not retire $live — index left untouched")
+    if (!fs.rename(tmp, live)) {
+      val rolledBack = fs.rename(retired, live)
+      throw new IllegalStateException(
+        s"compactDedupIndex: could not install compacted $name at $live" +
+          (if (rolledBack) " — original layout restored"
+           else s" — ORIGINAL PRESERVED AT $retired, restore manually"))
+    }
+    fs.delete(retired, true)
+    ()
+  }
+
+  /** Harness entry: build the index on the odd standing half, append
+    * the even half, compact, then probe with the 10% increment — the
+    * full lifecycle pinned to `q_dedup_incremental`'s oracle (the
+    * standing population is identical, so persistence, append and
+    * compaction must all be answer-invariant). */
+  def qDedupAppended(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = spillPath(spark, "dedup_index_appended")
+    val standing = docs.filter(col("doc_id") % IncrementMod =!= 0)
+    writeDedupIndex(standing.filter(col("doc_id") % 2 === 1), path)
+    appendDedupIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    compactDedupIndex(spark, path)
+    dedupProbeIndex(spark, path,
+        docs.filter(col("doc_id") % IncrementMod === 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
   /** Harness entry: land the dedup index for the standing 90%, probe
     * with the 10% increment — pinned to `q_dedup_incremental`'s
     * oracle. */

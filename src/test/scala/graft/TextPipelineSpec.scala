@@ -111,6 +111,43 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedup index append+compact: lifecycle == one-shot build, probes agree") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-life")
+    try {
+      val pathA = s"$dir/appended"; val pathB = s"$dir/oneshot"
+      // the exact-dup family (1, 4) STRADDLES the build/append split,
+      // so the appended index temporarily holds two reps for one set
+      val p1 = docs.filter(col("doc_id").isin(1L, 3L))
+      val p2 = docs.filter(col("doc_id").isin(2L, 4L, 5L))
+      val probe = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      TextDedup.writeDedupIndex(p1, pathA)
+      TextDedup.appendDedupIndex(spark, pathA, p2)
+      val setsBefore = spark.read.parquet(s"$pathA/sets").count()
+      val pre = rows(TextDedup.dedupProbeIndex(spark, pathA, probe))
+      TextDedup.compactDedupIndex(spark, pathA)
+      val post = rows(TextDedup.dedupProbeIndex(spark, pathA, probe))
+      TextDedup.writeDedupIndex(docs, pathB)
+      val oneShot = rows(TextDedup.dedupProbeIndex(spark, pathB, probe))
+      assert(pre === oneShot, "append drifted from the one-shot build")
+      assert(post === oneShot, "compaction changed probe answers")
+      assert(pre.map(_._2).toSet === Set(1L, 2L, 4L))
+      // the straddling set's two reps really merged away...
+      val setsAfter = spark.read.parquet(s"$pathA/sets").count()
+      assert(setsBefore === setsAfter + 1)
+      // ...and the compacted layout is ROW-equivalent to the fresh build
+      def layout(path: String) = (
+        spark.read.parquet(s"$path/sets")
+          .select(col("doc_id"), col("hs"), array_sort(col("members")))
+          .collect().map(_.toString).sorted.toSeq,
+        spark.read.parquet(s"$path/bands")
+          .collect().map(_.toString).sorted.toSeq)
+      assert(layout(pathA) === layout(pathB))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("curate config defaults reproduce curateV2 exactly") {
     import graft.operators.Curate
     val emb = Seq((2L, Array(3f, 4f), 0)).toDF("vec_id", "embedding", "label")
