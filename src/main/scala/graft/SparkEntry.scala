@@ -195,6 +195,8 @@ object SparkEntry {
     "q_paragraph_incremental" -> (TextDedup.qParagraphIncremental _),
     "q_winnow_fingerprints" -> (TextDedup.qWinnowFingerprints _),
     "q_winnow_overlap"     -> (TextDedup.qWinnowOverlap _),
+    "q_winnow_probe"       -> (TextDedup.qWinnowProbe _),
+    "q_winnow_boiler"      -> (TextDedup.qWinnowBoiler _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
@@ -359,6 +361,37 @@ object SparkEntry {
   /** DuckDB twin of [[graft.functions.tokens]]. */
   private def toksSql(text: String): String =
     s"list_filter(regexp_split_to_array($text, '\\s+'), x -> x <> '')"
+
+  /** Shared winnowing-selection CTE chain (DuckDB): grams → md5-prefix
+    * 60-bit hash → fixed-width sortable key → per-w-window min →
+    * `sel(doc_id, fp)`, the distinct selected fingerprints — the twin
+    * of [[graft.operators.TextDedup.winnowFingerprints]] minus the
+    * position column. Interpolate after `WITH`. */
+  private lazy val winnowSelSql: String = {
+    val k = graft.operators.TextDedup.WinnowK
+    val w = graft.operators.TextDedup.WinnowW
+    val nib60 = (0 until 15).map { j =>
+      val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
+      s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
+    }.mkString(" + ")
+    s"""t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       s AS (SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - $k)) AS pos
+             FROM t),
+       g0 AS (SELECT doc_id, pos,
+               md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
+             FROM s),
+       g AS (SELECT doc_id, pos,
+               printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+             FROM g0),
+       wm AS (SELECT doc_id, pos,
+               min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
+               count(*) OVER (PARTITION BY doc_id) AS n
+             FROM g),
+       sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 15) AS fp
+               FROM wm WHERE pos <= greatest(n - $w, 0))"""
+  }
 
   /** DuckDB twin of [[graft.functions.shingles]] (distinct set). */
   private def shinglesSql(n: Int): String = {
@@ -3215,31 +3248,9 @@ object SparkEntry {
     // MOSS-style overlap: docs sharing >= MinSharedFp selected
     // fingerprints; ubiquitous fingerprints (> cap docs) excluded
     "q_winnow_overlap" -> {
-      val k = TextDedup.WinnowK
-      val w = TextDedup.WinnowW
       val cap = TextDedup.WinnowPairCap
       val minShared = TextDedup.MinSharedFp
-      val nib60 = (0 until 15).map { j =>
-        val p = java.math.BigInteger.valueOf(16L).pow(14 - j)
-        s"(instr('0123456789abcdef', substring(h, ${j + 1}, 1)) - 1) * $p"
-      }.mkString(" + ")
-      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-         s AS (SELECT doc_id, toks,
-                 unnest(generate_series(0, len(toks) - $k)) AS pos
-               FROM t),
-         g0 AS (SELECT doc_id, pos,
-                 md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
-               FROM s),
-         g AS (SELECT doc_id, pos,
-                 printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
-               FROM g0),
-         wm AS (SELECT doc_id, pos,
-                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wmin,
-                 count(*) OVER (PARTITION BY doc_id) AS n
-               FROM g),
-         sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 15) AS fp
-                 FROM wm WHERE pos <= greatest(n - $w, 0)),
+      s"""WITH $winnowSelSql,
          small AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= $cap),
          kept AS (SELECT sel.doc_id, sel.fp FROM sel
                   JOIN small ON sel.fp = small.fp)
@@ -3248,6 +3259,39 @@ object SparkEntry {
          FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING count(*) >= $minShared
          ORDER BY doc_a, doc_b"""
+    },
+    // probe-vs-index overlap: the mod-10 increment against the rest,
+    // ubiquity (and the cap) measured on the standing side only
+    "q_winnow_probe" -> {
+      val m = TextDedup.IncrementMod
+      val cap = TextDedup.WinnowPairCap
+      val minShared = TextDedup.MinSharedFp
+      s"""WITH $winnowSelSql,
+         ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0),
+         psel AS (SELECT * FROM sel WHERE doc_id % $m = 0),
+         small AS (SELECT fp FROM ssel GROUP BY fp HAVING count(*) <= $cap),
+         skept AS (SELECT ssel.doc_id, ssel.fp FROM ssel
+                   JOIN small ON ssel.fp = small.fp)
+         SELECT p.doc_id AS probe_id, s.doc_id AS index_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM psel p JOIN skept s ON p.fp = s.fp
+         GROUP BY 1, 2 HAVING count(*) >= $minShared
+         ORDER BY probe_id, index_id"""
+    },
+    // per-doc share of ubiquitous (> cap docs) fingerprints — the
+    // never-drop-silently readout of the overlap cap's cut mass
+    "q_winnow_boiler" -> {
+      val cap = TextDedup.BoilerShareCap
+      s"""WITH $winnowSelSql,
+         ub AS (SELECT fp, count(*) AS nd FROM sel GROUP BY fp)
+         SELECT sel.doc_id,
+           CAST(count(*) AS BIGINT) AS n_prints,
+           CAST(sum(CASE WHEN ub.nd > $cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ubiquitous,
+           CAST(sum(CASE WHEN ub.nd > $cap THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS boiler_share
+         FROM sel JOIN ub ON sel.fp = ub.fp
+         GROUP BY sel.doc_id ORDER BY doc_id"""
     },
     "q_epoch_shuffle" ->
       s"""WITH d AS (SELECT doc_id,

@@ -1575,6 +1575,97 @@ object TextDedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Probe-vs-index winnowing overlap — the plagiarism/provenance
+    * check for INCOMING documents: each probe doc's selected
+    * fingerprints equi-join the standing corpus's, ubiquity measured
+    * (and the over-cap exclusion applied) on the STANDING side only —
+    * the probe batch is too small to define "ubiquitous", and a
+    * standing boilerplate print must not pair however rare it looks
+    * inside one crawl batch. Fingerprint selection is per-document,
+    * so probing never re-fingerprints a standing doc, and per-probe
+    * answers are independent of how arrivals are batched — which is
+    * what makes [[streamingWinnowProbe]]'s union ≡ the one-shot batch
+    * (spec-pinned, the leakage-increment convention). */
+  def winnowProbePairs(probe: DataFrame, standing: DataFrame,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       cap: Int = WinnowPairCap): DataFrame = {
+    val sSel = winnowFingerprints(standing, k, w)
+      .select(col("fp"), col("doc_id")).distinct()
+    val sSmall = sSel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") <= cap)
+      .select(col("fp"))
+    val sKept = sSel.join(sSmall, Seq("fp"), "left_semi")
+    winnowFingerprints(probe, k, w)
+      .select(col("fp"), col("doc_id").as("probe_id")).distinct()
+      .join(sKept.select(col("fp"), col("doc_id").as("index_id")), Seq("fp"))
+      .groupBy(col("probe_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+  }
+
+  def qWinnowProbe(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    winnowProbePairs(
+        docs.filter(col("doc_id") % IncrementMod === 0),
+        docs.filter(col("doc_id") % IncrementMod =!= 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** Streaming twin of [[winnowProbePairs]]: `foreachBatch` against
+    * the static standing corpus — per-probe independence makes the
+    * streamed union equal the one-shot batch exactly. Same checkpoint
+    * contract as [[streamingNearDup]]. */
+  def streamingWinnowProbe(streamDocs: DataFrame, standing: DataFrame,
+                           checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(winnowProbePairs(batch, standing), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
+  /** Per-document boilerplate share from the winnowed prints: the
+    * fraction of a doc's selected fingerprints that are UBIQUITOUS
+    * (selected by more than `cap` docs corpus-wide) — the per-document
+    * readout of the mass [[winnowPairs]]' cap excludes, in the
+    * [[lshBucketAudit]] never-drop-silently tradition, and a template/
+    * mirror-site detector in its own right (a doc that is MOSTLY
+    * ubiquitous prints is boilerplate wearing a wrapper). One
+    * fingerprint pass, one map-side-combined count, one equi-join
+    * back, one doc-keyed aggregate. */
+  def winnowBoilerplateShare(docs: DataFrame, k: Int = WinnowK,
+                             w: Int = WinnowW,
+                             cap: Int = WinnowPairCap): DataFrame = {
+    val sel = winnowFingerprints(docs, k, w)
+      .select(col("fp"), col("doc_id")).distinct()
+    val counts = sel.groupBy(col("fp")).agg(count(lit(1)).as("_nd"))
+    sel.join(counts, Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_prints"),
+        sum(when(col("_nd") > cap, 1L).otherwise(0L)).as("n_ubiquitous"))
+      .select(col("doc_id"), col("n_prints"), col("n_ubiquitous"),
+        (col("n_ubiquitous").cast("double") / col("n_prints"))
+          .as("boiler_share"))
+  }
+
+  /** Cap for the harness boilerplate-share entry: 4, not
+    * [[WinnowPairCap]] — at fixture scale no print reaches 64 docs, so
+    * the production cap would make the accounting trivially zero (the
+    * `q_lsh_bucket_audit` precedent). */
+  val BoilerShareCap = 4
+
+  def qWinnowBoiler(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    winnowBoilerplateShare(Tables.documents(spark, dir),
+        cap = BoilerShareCap)
+      .orderBy(col("doc_id"))
+  }
+
   // --- wide (60-bit) simhash banding: the scale path ---
 
   /** 4 bands × 15 bits over the 60-bit fingerprint: 32768 signature

@@ -454,7 +454,8 @@ class PlanSpec extends SparkSpec {
     // nothing may fall to a nested loop; the winner/fingerprint probes
     // must stay hash-key joins
     for (q <- Seq("q_paragraph_dedup", "q_paragraph_incremental",
-        "q_winnow_fingerprints", "q_winnow_overlap")) {
+        "q_winnow_fingerprints", "q_winnow_overlap", "q_winnow_probe",
+        "q_winnow_boiler", "q_dedup_appended")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$s")

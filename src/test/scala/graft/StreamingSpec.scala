@@ -687,6 +687,33 @@ class StreamingSpec extends SparkSpec {
     assert(keptTotal === expect)
   }
 
+  test("streaming winnow probe: streamed pairs == the one-shot batch") {
+    import graft.operators.TextDedup
+    import spark.implicits._
+    val docs = graft.tables.Tables.documents(spark, sfSmoke)
+    val probe = docs.filter(col("doc_id") % TextDedup.IncrementMod === 0)
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    val srcDir = Files.createTempDirectory("graft-winnow-src").toString
+    probe.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = TextDedup.streamingWinnowProbe(stream, standing) { (pairs, _) =>
+      val rows = pairs.select("probe_id", "index_id", "n_shared")
+        .as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+      ()
+    }
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    // per-probe independence: the union over micro-batches must equal
+    // the one-shot batch exactly, row for row
+    val batch = TextDedup.winnowProbePairs(probe, standing)
+      .select("probe_id", "index_id", "n_shared")
+      .as[(Long, Long, Long)].collect()
+    assert(got.sortBy(p => (p._1, p._2)).toSeq ===
+      batch.sortBy(p => (p._1, p._2)).toSeq)
+  }
+
   test("streaming quality drift: final-trigger PSI == the batch readout") {
     import graft.operators.CorpusAnalytics
     val docs = graft.tables.Tables.documents(spark, sfSmoke)

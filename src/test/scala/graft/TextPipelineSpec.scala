@@ -600,6 +600,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs === Set((5L, 6L)))
   }
 
+  test("winnow probe pairs index docs only; standing ubiquity gates the cap") {
+    val passage = (1 to 30).map("pp" + _).mkString(" ")
+    val secret = (1 to 30).map("ss" + _).mkString(" ")
+    val boiler = (1 to 40).map("qq" + _).mkString(" ")
+    val standing = Seq(
+      (1L, (1 to 10).map("a" + _).mkString(" ") + " " + passage),
+      (2L, boiler), (3L, boiler), (4L, boiler), (5L, boiler),
+      (6L, (1 to 40).map("z" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      // shares `passage` with standing doc 1 AND `secret` with probe 12
+      (11L, passage + " " + secret),
+      (12L, secret + " " + (1 to 10).map("v" + _).mkString(" ")),
+      // a verbatim copy of the standing boilerplate clique's text: its
+      // prints live in 4 > cap standing docs — excluded, no pairs
+      (13L, boiler)).toDF("doc_id", "text")
+    val pairs = TextDedup.winnowProbePairs(probe, standing, cap = 3)
+      .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+    // probe-to-probe overlap (11, 12 via `secret`) must NOT pair —
+    // only the standing index answers
+    assert(pairs === Set((11L, 1L)))
+  }
+
+  test("boilerplate share: exact-dup prints count as ubiquitous, unique docs score 0") {
+    val dup = (1 to 40).map("d" + _).mkString(" ")
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, (1 to 40).map("u" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    // cap=1: any print selected by >= 2 docs is ubiquitous — for the
+    // identical pair that is EVERY print, for the unique doc none
+    val out = TextDedup.winnowBoilerplateShare(docs, cap = 1).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id)._1 > 0 && out(id)._1 === out(id)._2, s"doc $id")
+      assert(out(id)._3 === 1.0)
+    }
+    assert(out(3L)._2 === 0L && out(3L)._3 === 0.0)
+  }
+
   test("vectorAudit flags zero norms, non-finite components, mixed dims") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),
