@@ -126,6 +126,7 @@ object SparkEntry {
     "q_compress_ratio"     -> (TextStats.qCompressRatio _),
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
+    "q_similar_mmr"        -> (Similarity.qSimilarMmr _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_similar_ann2"       -> (Similarity.qSimilarAnn2 _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
@@ -2025,6 +2026,58 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
+    // MMR greedy re-rank: the chained-CTE unrolling of the bounded
+    // driver loop — sel_r carries the picked set, m_r the max-sim to
+    // it, s_r the round's argmax; weights are the SAME Scala double
+    // literals the Spark plan uses (see Similarity.MmrLambda)
+    "q_similar_mmr" -> {
+      val lam = Similarity.MmrLambda
+      val comp = Similarity.MmrLambdaComp
+      val poolK = Similarity.MmrPoolK
+      val outK = Similarity.MmrOutK
+      val rounds = (2 to outK).map { r =>
+        s"""m$r AS (SELECT sim.query_id, sim.a AS vec_id, max(sim.s) AS max_sim
+             FROM sim JOIN sel${r - 1} sl
+               ON sim.query_id = sl.query_id AND sim.b = sl.vec_id
+             GROUP BY 1, 2),
+           c$r AS (SELECT p.query_id, p.vec_id, p.rel,
+                 $lam * p.rel - $comp * m.max_sim AS score
+               FROM pool p JOIN m$r m
+                 ON p.query_id = m.query_id AND p.vec_id = m.vec_id
+               WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+                 WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)),
+           s$r AS (SELECT query_id, vec_id, CAST($r AS BIGINT) AS mmr_rank, rel
+               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id) AS rr FROM c$r) z
+               WHERE rr = 1),
+           sel$r AS (SELECT query_id, vec_id FROM sel${r - 1}
+               UNION ALL SELECT query_id, vec_id FROM s$r)"""
+      }.mkString(",\n")
+      val unions = (2 to outK)
+        .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+             FROM embeddings WHERE $isQuerySql),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+             ${cosineSql("q.qv", "e.embedding")} AS rel, e.embedding
+           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         pool AS (SELECT query_id, vec_id, rel, embedding FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, vec_id) AS prk FROM scored) z
+           WHERE prk <= $poolK),
+         sim AS (SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+             ${cosineSql("p1.embedding", "p2.embedding")} AS s
+           FROM pool p1 JOIN pool p2
+             ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id),
+         s1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY rel DESC, vec_id) AS prk FROM pool) z
+             WHERE prk = 1),
+         sel1 AS (SELECT query_id, vec_id FROM s1),
+         $rounds
+         SELECT * FROM (SELECT * FROM s1 UNION ALL $unions) u
+         ORDER BY query_id, mmr_rank"""
+    },
     // recall@3 of int8-quantized retrieval: the same floor(x/s·127+½)
     // codes as q_embed_quantize, reconstruction one */÷ chain, cosines
     // accumulated in index order — both rankings re-derived exactly

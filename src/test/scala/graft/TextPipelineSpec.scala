@@ -461,6 +461,34 @@ class TextPipelineSpec extends SparkSpec {
         "does not compare across cells (documented recall bound)")
   }
 
+  test("mmr re-rank breaks up the redundant pair a plain top-k would emit") {
+    // A1/A2 are near-identical off-axis twins; B mirrors A's off-axis
+    // component. Relevance top-3 = A1, A2, B — but MMR's redundancy
+    // penalty (sim(A2, A1) ≈ 1 vs sim(B, A1) ≈ 0.72) must promote B to
+    // rank 2 and demote the twin to rank 3.
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),       // the query
+      (1L, Array(1f, 0.40f, 0f, 0f)),    // A1: rel ≈ .929 (rank 1)
+      (2L, Array(1f, 0.41f, 0f, 0f)),    // A2: rel ≈ .925, twin of A1
+      (3L, Array(1f, -0.41f, 0f, 0f)),   // B : rel ≈ .925, diverse
+      (4L, Array(0f, 0f, 1f, 0f)))       // filler, rel 0
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+    val got = Similarity.mmrRerank(emb, queries, poolK = 4, outK = 3)
+      .orderBy("mmr_rank").as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 2L),
+      "diversity penalty did not promote the diverse doc")
+    // a pure relevance ranking would have kept the twins adjacent
+    val rel = Similarity.topK(emb, queries, 3)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(rel.map(_._2).toSeq === Seq(1L, 2L, 3L))
+    // pool smaller than outK: emit what exists, no phantom rows
+    val short = Similarity.mmrRerank(emb.filter(col("vec_id") <= 1L),
+      queries, poolK = 4, outK = 3).collect()
+    assert(short.length === 1)
+  }
+
   test("cosine top-k: self-similar vector ranks first with cosine 1.0") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
