@@ -241,6 +241,7 @@ object SparkEntry {
     "q_leakage_incremental" -> (TrainPrep.qLeakageIncremental _),
     "q_quality_drift"      -> (CorpusAnalytics.qQualityDrift _),
     "q_cross_source_dups"  -> (CorpusAnalytics.qCrossSourceDups _),
+    "q_corpus_card"        -> (CorpusAnalytics.qCorpusCard _),
     "q_contamination_report" -> (CorpusFilters.qContaminationReport _),
     "q_drift_alert"        -> (CorpusAnalytics.qDriftAlert _),
   )
@@ -2955,6 +2956,59 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % ${CorpusFilters.EvalMod} <> 0) d
          LEFT JOIN hits USING (doc_id)
          ORDER BY doc_id""",
+    // the per-source datasheet: volume, integrity, redundancy,
+    // language make-up, stopword density, contamination exposure —
+    // integer leaves, two terminal divisions
+    "q_corpus_card" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, text,
+             ${toksSql("text")} AS toks FROM documents),
+         f AS (SELECT source, lang, text, doc_id,
+             CAST(len(toks) AS BIGINT) AS tok_n,
+             CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w)))
+               AS BIGINT) AS stop_n
+           FROM t),
+         base AS (SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(tok_n) AS BIGINT) AS n_tokens,
+             CAST(sum(stop_n) AS BIGINT) AS n_stop
+           FROM f GROUP BY source),
+         lc AS (SELECT source, lang, count(*) AS n FROM documents
+                GROUP BY source, lang),
+         tl AS (SELECT source, lang AS top_lang FROM
+             (SELECT source, lang, row_number() OVER (PARTITION BY source
+                ORDER BY n DESC, lang) AS rk FROM lc) z
+           WHERE rk = 1),
+         shs AS (SELECT doc_id,
+             ${hashedShinglesSql(CorpusFilters.ContamShingleN)} AS hs FROM t),
+         banned AS (SELECT DISTINCT unnest(hs) AS h FROM shs
+                    WHERE doc_id % ${CorpusFilters.EvalMod} = 0),
+         tr AS (SELECT doc_id, unnest(hs) AS h FROM shs
+                WHERE doc_id % ${CorpusFilters.EvalMod} <> 0),
+         hits AS (SELECT doc_id, count(*) AS n FROM tr JOIN banned USING (h)
+                  GROUP BY doc_id),
+         con AS (SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN COALESCE(hits.n, 0) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated
+           FROM documents d LEFT JOIN hits USING (doc_id)
+           WHERE d.doc_id % ${CorpusFilters.EvalMod} <> 0
+           GROUP BY d.source)
+         SELECT base.source, n_docs, n_null_text,
+           n_docs - n_distinct AS dup_copies,
+           n_langs, tl.top_lang, n_tokens, base.n_stop,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE CAST(base.n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+           COALESCE(con.n_train, 0) AS n_train,
+           COALESCE(con.n_contaminated, 0) AS n_contaminated,
+           CASE WHEN COALESCE(con.n_train, 0) = 0 THEN 0.0
+                ELSE CAST(COALESCE(con.n_contaminated, 0) AS DOUBLE)
+                  / con.n_train END AS contamination_rate
+         FROM base JOIN tl USING (source) LEFT JOIN con USING (source)
+         ORDER BY source""",
     // exact token-budget fill: cumulative window in "mix:"-hash order
     // per source, target = (7777 · share_bp) div 10000, keep while the
     // total BEFORE the doc is under target (boundary doc kept)

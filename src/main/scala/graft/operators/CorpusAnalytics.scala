@@ -1059,4 +1059,68 @@ object CorpusAnalytics {
     crossSourceDups(Tables.documents(spark, dir))
       .orderBy(col("source_a"), col("source_b"))
   }
+
+  // --- the corpus datasheet ---
+
+  /** One-row-per-source corpus DATASHEET (Gebru et al., "Datasheets
+    * for Datasets") — the composition + hygiene card a corpus release
+    * ships: volume (docs, tokens), integrity (null-text rows),
+    * redundancy (exact-dup overhead), language make-up (distinct
+    * count + majority language), stopword density, and benchmark
+    * contamination exposure for the source's training half. The point
+    * is the COMPOSITION: each column is a primitive this file (or
+    * CorpusFilters) already proves out, assembled into the deliverable
+    * a dataset card quotes.
+    *
+    * Every surface is integer-exact (counts, leaf-level integer sums)
+    * with the two ratios as single terminal divisions of exact BIGINTs
+    * — nothing order-dependent, so the whole card hash-matches the
+    * oracle. Scale: three per-source aggregates (one corpus scan each
+    * — profile/count pass, language-mode pass, contamination pass) and
+    * two |sources|-row joins; the language mode uses a per-source
+    * window over ≤|langs| rows, never a corpus partition. */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextStats.tokenProfile(col("text"), TextStats.stopwords("en")).as("_p"),
+        col("text").isNull.as("_isnull"), md5(col("text")).as("_h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_isnull"), 1L).otherwise(0L)).as("n_null_text"),
+        countDistinct(col("_h")).as("n_distinct_texts"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("_p.n_tokens").cast("long")).as("n_tokens"),
+        sum(col("_p.hits").cast("long")).as("n_stop"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_rk", row_number().over(Window.partitionBy(col("source"))
+        .orderBy(col("_n").desc, col("lang"))))
+      .filter(col("_rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    val contam = CorpusFilters.contamination(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"))
+    base.join(topLang, Seq("source"))
+      .join(contam, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_null_text"),
+        (col("n_docs") - col("n_distinct_texts")).as("dup_copies"),
+        col("n_langs"), col("top_lang"), col("n_tokens"), col("n_stop"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens"))
+          .as("stop_ratio"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_train"), lit(0L)) === 0, 0.0)
+          .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_train"))
+          .as("contamination_rate"))
+  }
+
+  def qCorpusCard(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    corpusCard(Tables.documents(spark, dir)).orderBy(col("source"))
+  }
 }

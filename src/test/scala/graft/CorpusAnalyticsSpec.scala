@@ -666,4 +666,42 @@ class CorpusAnalyticsSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSeq
     assert(out === Seq(("s1", "s1", 1L), ("s1", "s2", 1L)))
   }
+
+  test("corpus card: hand-checked datasheet rows per source") {
+    import graft.operators.CorpusFilters
+    val dupText = "alpha beta gamma delta epsilon zeta"
+    val leaky = "red orange yellow green blue indigo violet"
+    val docs = docsOf(
+      (1L, dupText, "en", "s1"), (2L, dupText, "en", "s1"), // exact dups
+      (3L, "ganz anderer deutscher text hier", "de", "s1"),
+      (5L, leaky, "en", "s2"),
+      // doc 29 ≡ 0 mod EvalMod — the benchmark half; it shares a
+      // 5-gram run with train doc 5, contaminating it
+      (CorpusFilters.EvalMod.toLong, leaky + " plus a tail", "en", "s2"))
+      .unionByName(Seq((4L, "en", "s2")).toDF("doc_id", "lang", "source")
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("n_chars", lit(null).cast("long"))
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars"))
+    val out = CorpusAnalytics.corpusCard(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getLong(1) === 3L)          // n_docs
+    assert(s1.getLong(2) === 0L)          // n_null_text
+    assert(s1.getLong(3) === 1L)          // dup_copies: one redundant copy
+    assert(s1.getLong(4) === 2L && s1.getString(5) === "en")
+    assert(s1.getLong(9) === 3L && s1.getLong(10) === 0L) // n_train, clean
+    val s2 = out("s2")
+    assert(s2.getLong(1) === 3L)
+    assert(s2.getLong(2) === 1L)          // the null-text row
+    // null text joins the dup overhead by the distinct-md5 convention
+    assert(s2.getLong(3) === 1L)
+    assert(s2.getLong(9) === 2L)          // docs 4, 5 are the train half
+    assert(s2.getLong(10) === 1L)         // doc 5 leaked from eval 29
+    assert(s2.getDouble(11) === 0.5)      // contamination_rate
+    // ratio consistency on every row
+    out.values.foreach { r =>
+      val (tok, stop, ratio) = (r.getLong(6), r.getLong(7), r.getDouble(8))
+      if (tok > 0) assert(ratio === stop.toDouble / tok) else assert(ratio === 0.0)
+    }
+  }
 }
