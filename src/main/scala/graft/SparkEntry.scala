@@ -198,6 +198,7 @@ object SparkEntry {
     "q_winnow_overlap"     -> (TextDedup.qWinnowOverlap _),
     "q_winnow_probe"       -> (TextDedup.qWinnowProbe _),
     "q_winnow_boiler"      -> (TextDedup.qWinnowBoiler _),
+    "q_winnow_attribution" -> (TextDedup.qWinnowAttribution _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
@@ -3384,6 +3385,34 @@ object SparkEntry {
          FROM psel p JOIN skept s ON p.fp = s.fp
          GROUP BY 1, 2 HAVING count(*) >= $minShared
          ORDER BY probe_id, index_id"""
+    },
+    // provenance attribution: the probe's best-matching standing doc
+    // (max shared prints, ties to lowest id) + probe-side coverage
+    "q_winnow_attribution" -> {
+      val m = TextDedup.IncrementMod
+      val cap = TextDedup.WinnowPairCap
+      val minShared = TextDedup.MinSharedFp
+      s"""WITH $winnowSelSql,
+         ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0),
+         psel AS (SELECT * FROM sel WHERE doc_id % $m = 0),
+         small AS (SELECT fp FROM ssel GROUP BY fp HAVING count(*) <= $cap),
+         skept AS (SELECT ssel.doc_id, ssel.fp FROM ssel
+                   JOIN small ON ssel.fp = small.fp),
+         pairs AS (SELECT p.doc_id AS probe_id, s.doc_id AS index_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+           FROM psel p JOIN skept s ON p.fp = s.fp
+           GROUP BY 1, 2 HAVING count(*) >= $minShared),
+         np AS (SELECT doc_id AS probe_id,
+             CAST(count(*) AS BIGINT) AS n_prints
+           FROM psel GROUP BY doc_id),
+         best AS (SELECT probe_id, index_id, n_shared FROM
+             (SELECT *, row_number() OVER (PARTITION BY probe_id
+                ORDER BY n_shared DESC, index_id) AS rk FROM pairs) z
+           WHERE rk = 1)
+         SELECT best.probe_id, best.index_id, best.n_shared, np.n_prints,
+           CAST(best.n_shared AS DOUBLE) / np.n_prints AS coverage
+         FROM best JOIN np ON best.probe_id = np.probe_id
+         ORDER BY best.probe_id"""
     },
     // per-doc share of ubiquitous (> cap docs) fingerprints — the
     // never-drop-silently readout of the overlap cap's cut mass

@@ -1666,6 +1666,43 @@ object TextDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Provenance ATTRIBUTION over the winnow probe — the similarity
+    * twin of [[graft.operators.CorpusFilters.contaminationReport]]'s
+    * exact-shingle trail: each probe document's single best-matching
+    * standing document (most shared prints; ties to the lowest
+    * index id), with the probe-side coverage fraction
+    * `n_shared / n_prints` — "this incoming doc is X% fingerprint-
+    * covered by THAT standing doc", the row a crawl-provenance audit
+    * publishes. The argmax window partitions on probe_id over that
+    * probe's match list (bounded by cap-gated fingerprint fan-out),
+    * never a corpus partition; probe docs with no match emit
+    * nothing. */
+  def winnowAttribution(probe: DataFrame, standing: DataFrame,
+                        k: Int = WinnowK, w: Int = WinnowW,
+                        cap: Int = WinnowPairCap): DataFrame = {
+    val nPrints = winnowFingerprints(probe, k, w)
+      .select(col("doc_id").as("probe_id"), col("fp")).distinct()
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_prints"))
+    winnowProbePairs(probe, standing, k, w, cap)
+      .withColumn("_rk", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("n_shared").desc, col("index_id"))))
+      .filter(col("_rk") === 1)
+      .join(nPrints, Seq("probe_id"))
+      .select(col("probe_id"), col("index_id"), col("n_shared"),
+        col("n_prints"),
+        (col("n_shared").cast("double") / col("n_prints")).as("coverage"))
+  }
+
+  def qWinnowAttribution(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    winnowAttribution(
+        docs.filter(col("doc_id") % IncrementMod === 0),
+        docs.filter(col("doc_id") % IncrementMod =!= 0))
+      .orderBy(col("probe_id"))
+  }
+
   // --- wide (60-bit) simhash banding: the scale path ---
 
   /** 4 bands × 15 bits over the 60-bit fingerprint: 32768 signature

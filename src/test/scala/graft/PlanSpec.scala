@@ -457,7 +457,8 @@ class PlanSpec extends SparkSpec {
     // must stay hash-key joins
     for (q <- Seq("q_paragraph_dedup", "q_paragraph_incremental",
         "q_winnow_fingerprints", "q_winnow_overlap", "q_winnow_probe",
-        "q_winnow_boiler", "q_dedup_appended")) {
+        "q_winnow_boiler", "q_winnow_attribution", "q_dedup_appended",
+        "q_corpus_card")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$s")

@@ -651,6 +651,25 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs === Set((11L, 1L)))
   }
 
+  test("winnow attribution picks the strongest standing match, ties to lowest id") {
+    val x = (1 to 30).map("x" + _).mkString(" ")
+    val standing = Seq(
+      (1L, x), (2L, x),  // identical pair — the probe matches both equally
+      (3L, (1 to 30).map("o" + _).mkString(" "))).toDF("doc_id", "text")
+    val probe = Seq(
+      (11L, x + " some tail tokens"),
+      (12L, (1 to 30).map("n" + _).mkString(" "))) // matches nothing
+      .toDF("doc_id", "text")
+    val out = TextDedup.winnowAttribution(probe, standing).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.length === 1, "match-less probes must emit nothing")
+    val (idx, shared, prints, cov) = out.head._2
+    assert(out.head._1 === 11L && idx === 1L, "tie must break to the lowest id")
+    assert(shared >= 2 && shared <= prints)
+    assert(cov > 0.0 && cov <= 1.0 && cov === shared.toDouble / prints)
+  }
+
   test("boilerplate share: exact-dup prints count as ubiquitous, unique docs score 0") {
     val dup = (1 to 40).map("d" + _).mkString(" ")
     val docs = Seq((1L, dup), (2L, dup),
@@ -1840,6 +1859,52 @@ class TextPipelineSpec extends SparkSpec {
       val got = TextDedup.winnowFingerprints(docs, k, w).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(got === ref(byId), s"winnow diverges on $byId")
+    }
+  }
+
+  test("PROPERTY: mmrRerank == driver-side greedy reference on random embeddings") {
+    import org.scalacheck.Gen
+    // the reference cosine replays CosineSim's exact accumulation:
+    // index-order double sums, dot / (√na · √nb)
+    def refCos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // Spark normalizes -0.0 to 0.0 in sort keys; mirror it, or an
+    // exact ±0.0 score tie orders differently in the reference
+    def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+    val genCorpus = Gen.choose(4, 9).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.choose(-3, 3))
+        .map(v => if (v.forall(_ == 0)) List(1, 0, 0, 0) else v)))
+    val (poolK, outK) = (5, 3)
+    samples(genCorpus, 10).foreach { vs =>
+      val emb = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      val got = Similarity.mmrRerank(emb, queries, poolK, outK)
+        .orderBy("mmr_rank").as[(Long, Long, Long, Double)].collect().toSeq
+      val q = vs.head.map(_.toFloat).toArray
+      val cand = vs.zipWithIndex.drop(1)
+        .map { case (v, i) => i.toLong -> v.map(_.toFloat).toArray }.toMap
+      val rel = cand.map { case (id, v) => id -> refCos(q, v) }
+      val pool = cand.keys.toSeq.sortBy(id => (-norm(rel(id)), id)).take(poolK)
+      var selected = Vector(pool.head)
+      for (_ <- 2 to outK if selected.size < pool.size) {
+        val pick = pool.filterNot(selected.contains).minBy { id =>
+          val ms = selected.map(s => refCos(cand(id), cand(s))).max
+          (-norm(Similarity.MmrLambda * rel(id) -
+            Similarity.MmrLambdaComp * ms), id)
+        }
+        selected :+= pick
+      }
+      assert(got.map(_._2).toSeq === selected, s"greedy diverges on $vs")
+      got.foreach { case (_, id, _, r) => assert(r === rel(id)) }
     }
   }
 
