@@ -127,6 +127,7 @@ object SparkEntry {
     "q_tfidf_top_terms"    -> (TextStats.qTfidfTopTerms _),
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_mmr"        -> (Similarity.qSimilarMmr _),
+    "q_contrastive_pairs"  -> (Similarity.qContrastivePairs _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_similar_ann2"       -> (Similarity.qSimilarAnn2 _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
@@ -2028,6 +2029,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 5
          ORDER BY query_id, rk""",
+    // contrastive mining: hardest same-label positive + NegK hardest
+    // different-label negatives per anchor, per-(anchor, role) windows
+    "q_contrastive_pairs" -> {
+      val negK = Similarity.NegK
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding AS qv,
+             label AS q_label FROM embeddings WHERE $isQuerySql),
+         scored AS (
+           SELECT a.query_id,
+             CASE WHEN e.label = a.q_label THEN 'positive'
+                  ELSE 'negative' END AS role,
+             e.vec_id, ${cosineSql("a.qv", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN a WHERE e.vec_id <> a.query_id),
+         ranked AS (
+           SELECT query_id, role, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id, role
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, role, CAST(rk AS BIGINT) AS rk, vec_id, cosine
+         FROM ranked
+         WHERE (role = 'positive' AND rk = 1)
+            OR (role = 'negative' AND rk <= $negK)
+         ORDER BY query_id, role, rk"""
+    },
     // MMR greedy re-rank: the chained-CTE unrolling of the bounded
     // driver loop — sel_r carries the picked set, m_r the max-sim to
     // it, s_r the round's argmax; weights are the SAME Scala double

@@ -447,8 +447,9 @@ class PlanSpec extends SparkSpec {
         // bounded O(MaxCentroids) centroid broadcast; the budget mix is
         // equi-joins + one source-partitioned window
         "q_semantic_dedup", "q_token_budget_mix", "q_lsh_bucket_audit",
-        // mmr's only nested loop is the bounded ≤MaxQueries broadcast
-        "q_similar_mmr")) {
+        // mmr/contrastive: the only nested loop is the bounded
+        // ≤MaxQueries anchor broadcast
+        "q_similar_mmr", "q_contrastive_pairs")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }

@@ -489,6 +489,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(short.length === 1)
   }
 
+  test("contrastive mining: hardest same-label positive, hardest cross-label negatives") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 7),     // the anchor (label 7)
+      (1L, Array(1f, 0.1f, 0f, 0f), 7),   // close positive
+      (2L, Array(0.2f, 1f, 0f, 0f), 7),   // far positive — not emitted
+      (3L, Array(1f, 0.05f, 0f, 0f), 9),  // hardest negative (closest impostor)
+      (4L, Array(0f, 1f, 0f, 0f), 9),     // easy negative
+      (5L, Array(0f, 0f, 1f, 0f), 8))     // easy negative
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.contrastivePairs(emb, negK = 2)
+      .orderBy("role", "rk")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // negatives: impostor 3 first, then the best of the easy ones;
+    // positive: exactly ONE row, the confusable same-label neighbor
+    assert(out.map(r => (r._2, r._3, r._4)) ===
+      Seq(("negative", 1L, 3L), ("negative", 2L, 4L), ("positive", 1L, 1L)))
+    // an anchor whose label is unique emits negatives but NO positive
+    val lone = Similarity.contrastivePairs(
+      emb.withColumn("label",
+        when(col("vec_id") === 0L, lit(42)).otherwise(col("label"))),
+      negK = 2).collect()
+    assert(lone.forall(_.getString(1) === "negative") && lone.length === 2)
+  }
+
   test("cosine top-k: self-similar vector ranks first with cosine 1.0") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f), 0),
