@@ -225,6 +225,7 @@ object SparkEntry {
     "q_value_histogram"    -> (Analytics.qValueHistogram _),
     "q_label_centroids"    -> (Similarity.qLabelCentroids _),
     "q_dim_variance"       -> (Similarity.qDimVariance _),
+    "q_centroid_drift"     -> (Similarity.qCentroidDrift _),
     "q_heavy_hitters"      -> (CorpusAnalytics.qHeavyHitters _),
     "q_strip_heavy"        -> (CorpusAnalytics.qStripHeavy _),
     "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
@@ -4107,6 +4108,36 @@ object SparkEntry {
            CAST(n_vecs * sum_q2 - sum_q * sum_q AS DOUBLE)
              / CAST(n_vecs * n_vecs AS DOUBLE) AS var_q
          FROM m ORDER BY dim""",
+    // per-label centroid drift between the even/odd snapshot halves:
+    // cosine of the two integer component-SUM vectors (scale-invariant
+    // ≡ the mean centroids), moments in HUGEINT, one double terminal
+    "q_centroid_drift" ->
+      """WITH ix AS (
+           SELECT vec_id, label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+         q AS (SELECT label, vec_id % 2 = 0 AS a, CAST(i - 1 AS INTEGER) AS dim,
+                 CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                   AS BIGINT) AS qv
+               FROM ix),
+         s AS (SELECT label, dim,
+                 sum(CASE WHEN a THEN qv ELSE 0 END) AS sa,
+                 sum(CASE WHEN a THEN 0 ELSE qv END) AS sb
+               FROM q GROUP BY label, dim),
+         d AS (SELECT label, sum(sa * sb) AS dot,
+                 sum(sa * sa) AS na2, sum(sb * sb) AS nb2
+               FROM s GROUP BY label),
+         c AS (SELECT label,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+               FROM embeddings GROUP BY label)
+         SELECT d.label, c.n_a, c.n_b,
+           CASE WHEN d.na2 = 0 OR d.nb2 = 0 THEN NULL
+                ELSE CAST(d.dot AS DOUBLE) /
+                  (sqrt(CAST(d.na2 AS DOUBLE)) * sqrt(CAST(d.nb2 AS DOUBLE)))
+           END AS drift_cos
+         FROM d JOIN c ON d.label = c.label
+         ORDER BY d.label""",
     // exact heavy hitters: the Spark side only uses its MG sketch to
     // DECIDE WHAT TO COUNT (candidate superset, then exact verify), so
     // the answer equals the plain GROUP BY … HAVING over the strict

@@ -489,6 +489,19 @@ class TextPipelineSpec extends SparkSpec {
     assert(short.length === 1)
   }
 
+  test("centroid drift: aligned halves read 1.0, orthogonal 0.0, one-sided NULL") {
+    val emb = Seq(
+      (0L, Array(2f, 0f), 0), (1L, Array(4f, 0f), 0), // same direction
+      (2L, Array(1f, 0f), 1), (3L, Array(0f, 1f), 1), // orthogonal halves
+      (4L, Array(1f, 1f), 2))                          // even half only
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidDrift(emb).orderBy("label").collect()
+    assert(out(0).getLong(1) === 1L && out(0).getLong(2) === 1L)
+    assert(out(0).getDouble(3) === 1.0, "scale must not register as drift")
+    assert(out(1).getDouble(3) === 0.0)
+    assert(out(2).isNullAt(3), "a one-sided label must page as NULL, not 0")
+  }
+
   test("contrastive mining: hardest same-label positive, hardest cross-label negatives") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 7),     // the anchor (label 7)
@@ -1849,6 +1862,34 @@ class TextPipelineSpec extends SparkSpec {
         .map(r => r.getLong(0) ->
           ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
       assert(got === ref(byId), s"keep-one diverges on $byId")
+    }
+  }
+
+  test("PROPERTY: paragraph incremental == union-batch slice on random append splits") {
+    import org.scalacheck.Gen
+    val w = 3
+    val vocab = Vector("x", "y", "z")
+    val genCase = for {
+      n <- Gen.choose(4, 7)
+      texts <- Gen.listOfN(n, Gen.choose(0, 11).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab))))
+      dupOf <- Gen.choose(0, n - 1)
+      split <- Gen.choose(1, n) // append boundary over the n+1 docs
+    } yield (texts :+ texts(dupOf), split)
+    samples(genCase, 10).foreach { case (corpus, split) =>
+      val all = corpus.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val standing = all.filter(col("doc_id") < split)
+      val inc = all.filter(col("doc_id") >= split)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // append layout (standing ids strictly below increment ids) ⇒
+      // admission against the standing set ≡ one-shot batch sliced
+      assert(rows(TextDedup.paragraphDedupIncrement(inc, standing, w)) ===
+        rows(TextDedup.paragraphDedup(all, w).filter(col("doc_id") >= split)),
+        s"incremental diverges on $corpus split $split")
     }
   }
 
