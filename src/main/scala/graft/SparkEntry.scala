@@ -128,6 +128,7 @@ object SparkEntry {
     "q_similar_topk"       -> (Similarity.qSimilarTopK _),
     "q_similar_mmr"        -> (Similarity.qSimilarMmr _),
     "q_contrastive_pairs"  -> (Similarity.qContrastivePairs _),
+    "q_context_assembly"   -> (Retrieval.qContextAssembly _),
     "q_similar_ann"        -> (Similarity.qSimilarAnn _),
     "q_similar_ann2"       -> (Similarity.qSimilarAnn2 _),
     "q_embed_neardup"      -> (Similarity.qEmbedNearDup _),
@@ -396,6 +397,60 @@ object SparkEntry {
              FROM g),
        sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 15) AS fp
                FROM wm WHERE pos <= greatest(n - $w, 0))"""
+  }
+
+  /** Shared MMR CTE chain (DuckDB): relevance pool → pool-pairwise
+    * sims → the greedy rounds unrolled (`sel_r` the picked set, `m_r`
+    * max-sim to it, `s_r` the round's argmax) → `mmr(query_id, vec_id,
+    * mmr_rank, rel)`. Weights are the SAME Scala double literals the
+    * Spark plan uses (see [[graft.operators.Similarity.MmrLambda]]).
+    * Interpolate after `WITH`. */
+  private lazy val mmrCtesSql: String = {
+    val lam = Similarity.MmrLambda
+    val comp = Similarity.MmrLambdaComp
+    val poolK = Similarity.MmrPoolK
+    val outK = Similarity.MmrOutK
+    val rounds = (2 to outK).map { r =>
+      s"""m$r AS (SELECT sim.query_id, sim.a AS vec_id, max(sim.s) AS max_sim
+           FROM sim JOIN sel${r - 1} sl
+             ON sim.query_id = sl.query_id AND sim.b = sl.vec_id
+           GROUP BY 1, 2),
+         c$r AS (SELECT p.query_id, p.vec_id, p.rel,
+               $lam * p.rel - $comp * m.max_sim AS score
+             FROM pool p JOIN m$r m
+               ON p.query_id = m.query_id AND p.vec_id = m.vec_id
+             WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
+               WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)),
+         s$r AS (SELECT query_id, vec_id, CAST($r AS BIGINT) AS mmr_rank, rel
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id) AS rr FROM c$r) z
+             WHERE rr = 1),
+         sel$r AS (SELECT query_id, vec_id FROM sel${r - 1}
+             UNION ALL SELECT query_id, vec_id FROM s$r)"""
+    }.mkString(",\n")
+    val unions = (2 to outK)
+      .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
+    s"""q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE $isQuerySql),
+       scored AS (
+         SELECT q.query_id, e.vec_id,
+           ${cosineSql("q.qv", "e.embedding")} AS rel, e.embedding
+         FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       pool AS (SELECT query_id, vec_id, rel, embedding FROM
+           (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS prk FROM scored) z
+         WHERE prk <= $poolK),
+       sim AS (SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
+           ${cosineSql("p1.embedding", "p2.embedding")} AS s
+         FROM pool p1 JOIN pool p2
+           ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id),
+       s1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel
+           FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY rel DESC, vec_id) AS prk FROM pool) z
+           WHERE prk = 1),
+       sel1 AS (SELECT query_id, vec_id FROM s1),
+       $rounds,
+       mmr AS (SELECT * FROM s1 UNION ALL $unions)"""
   }
 
   /** DuckDB twin of [[graft.functions.shingles]] (distinct set). */
@@ -2054,55 +2109,30 @@ object SparkEntry {
          ORDER BY query_id, role, rk"""
     },
     // MMR greedy re-rank: the chained-CTE unrolling of the bounded
-    // driver loop — sel_r carries the picked set, m_r the max-sim to
-    // it, s_r the round's argmax; weights are the SAME Scala double
-    // literals the Spark plan uses (see Similarity.MmrLambda)
-    "q_similar_mmr" -> {
-      val lam = Similarity.MmrLambda
-      val comp = Similarity.MmrLambdaComp
-      val poolK = Similarity.MmrPoolK
-      val outK = Similarity.MmrOutK
-      val rounds = (2 to outK).map { r =>
-        s"""m$r AS (SELECT sim.query_id, sim.a AS vec_id, max(sim.s) AS max_sim
-             FROM sim JOIN sel${r - 1} sl
-               ON sim.query_id = sl.query_id AND sim.b = sl.vec_id
-             GROUP BY 1, 2),
-           c$r AS (SELECT p.query_id, p.vec_id, p.rel,
-                 $lam * p.rel - $comp * m.max_sim AS score
-               FROM pool p JOIN m$r m
-                 ON p.query_id = m.query_id AND p.vec_id = m.vec_id
-               WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} s
-                 WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)),
-           s$r AS (SELECT query_id, vec_id, CAST($r AS BIGINT) AS mmr_rank, rel
-               FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                   ORDER BY score DESC, vec_id) AS rr FROM c$r) z
-               WHERE rr = 1),
-           sel$r AS (SELECT query_id, vec_id FROM sel${r - 1}
-               UNION ALL SELECT query_id, vec_id FROM s$r)"""
-      }.mkString(",\n")
-      val unions = (2 to outK)
-        .map(r => s"SELECT * FROM s$r").mkString(" UNION ALL ")
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-             FROM embeddings WHERE $isQuerySql),
-         scored AS (
-           SELECT q.query_id, e.vec_id,
-             ${cosineSql("q.qv", "e.embedding")} AS rel, e.embedding
-           FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
-         pool AS (SELECT query_id, vec_id, rel, embedding FROM
-             (SELECT *, row_number() OVER (PARTITION BY query_id
-                ORDER BY rel DESC, vec_id) AS prk FROM scored) z
-           WHERE prk <= $poolK),
-         sim AS (SELECT p1.query_id, p1.vec_id AS a, p2.vec_id AS b,
-             ${cosineSql("p1.embedding", "p2.embedding")} AS s
-           FROM pool p1 JOIN pool p2
-             ON p1.query_id = p2.query_id AND p1.vec_id <> p2.vec_id),
-         s1 AS (SELECT query_id, vec_id, CAST(1 AS BIGINT) AS mmr_rank, rel
-             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                 ORDER BY rel DESC, vec_id) AS prk FROM pool) z
-             WHERE prk = 1),
-         sel1 AS (SELECT query_id, vec_id FROM s1),
-         $rounds
-         SELECT * FROM (SELECT * FROM s1 UNION ALL $unions) u
+    // driver loop (shared chain — see winnowSelSql's sibling mmrCtesSql)
+    "q_similar_mmr" ->
+      s"""WITH $mmrCtesSql
+         SELECT query_id, vec_id, mmr_rank, rel FROM mmr
+         ORDER BY query_id, mmr_rank""",
+    // context assembly: the MMR list charged per-doc token counts,
+    // admitted in rank order while the total BEFORE the doc is under
+    // budget (boundary kept — the token_budget_mix convention)
+    "q_context_assembly" -> {
+      val budget = graft.operators.Retrieval.ContextBudget
+      s"""WITH $mmrCtesSql,
+         tok AS (SELECT doc_id,
+             CAST(coalesce(len(${toksSql("text")}), 0) AS BIGINT) AS n_tokens
+           FROM documents),
+         j AS (SELECT m.query_id, m.mmr_rank, m.vec_id AS doc_id,
+             tok.n_tokens,
+             CAST(coalesce(sum(tok.n_tokens) OVER (PARTITION BY m.query_id
+                 ORDER BY m.mmr_rank
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+           FROM mmr m JOIN tok ON m.vec_id = tok.doc_id)
+         SELECT query_id, mmr_rank, doc_id, n_tokens,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+         FROM j WHERE cum_before < $budget
          ORDER BY query_id, mmr_rank"""
     },
     // recall@3 of int8-quantized retrieval: the same floor(x/s·127+½)

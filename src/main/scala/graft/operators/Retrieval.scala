@@ -148,4 +148,52 @@ object Retrieval {
   def qHybridIvf(spark: SparkSession, dir: String): DataFrame =
     hybridRrfIvf(Tables.documents(spark, dir), Tables.embeddings(spark, dir))
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+
+  // --- context-window assembly (the RAG capstone) ---
+
+  /** Token budget for [[contextAssembly]]'s harness entry — sized so
+    * the fixture corpus genuinely CUTS (average docs run ~50 tokens;
+    * five diversified picks would blow 96, so the boundary logic is
+    * exercised at every scale factor). */
+  val ContextBudget = 96L
+
+  /** Context-window assembly under a token budget — the last step of a
+    * RAG / retrieval-augmented training stack: take each query's
+    * MMR-DIVERSIFIED pick list ([[Similarity.mmrRerank]] — redundancy
+    * never spends the window twice), charge each pick its token count,
+    * and admit picks in MMR order until the budget is spent, KEEPING
+    * the boundary document ([[TrainPrep.tokenBudgetMix]]'s convention:
+    * admit while the total BEFORE the doc is under budget — a budget
+    * is a target, not a hard ceiling, and a partially-fitting doc
+    * truncates downstream, not here).
+    *
+    * Scale shape: the pick list is bounded (≤ MaxQueries·outK rows),
+    * so everything after the MMR stage is a broadcast-sized join
+    * against the per-doc token counts (one projection of the corpus
+    * scan) plus a window over ≤outK-row partitions.
+    *
+    * Output: `(query_id, mmr_rank, doc_id, n_tokens, cum_tokens)` —
+    * the per-query reading list with its running total. */
+  def contextAssembly(docs: DataFrame, embeddings: DataFrame,
+                      budget: Long = ContextBudget): DataFrame = {
+    val picks = Similarity.mmrRerank(embeddings,
+      Similarity.queryVectors(embeddings))
+    val toks = docs.select(col("doc_id").as("vec_id"),
+      greatest(size(graft.functions.tokens(col("text"))), lit(0))
+        .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("mmr_rank"))
+    picks.join(toks, Seq("vec_id"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("query_id"), col("mmr_rank"),
+        col("vec_id").as("doc_id"), col("n_tokens"),
+        (col("cum_before") + col("n_tokens")).as("cum_tokens"))
+  }
+
+  def qContextAssembly(spark: SparkSession, dir: String): DataFrame =
+    contextAssembly(Tables.documents(spark, dir),
+        Tables.embeddings(spark, dir))
+      .orderBy(col("query_id"), col("mmr_rank"))
 }

@@ -166,6 +166,32 @@ class RetrievalSpec extends SparkSpec {
     assert(recall >= 0.6, s"fused recall $recall fell below the contract")
   }
 
+  test("context assembly admits in MMR order, keeps the boundary doc, then stops") {
+    // anchor 0 with three candidates whose MMR order is their rel
+    // order (mutually near-orthogonal, so diversity never reorders)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),  // rank 1
+      (2L, Array(0.5f, 0f, 0.6f, 0f)),  // rank 2
+      (3L, Array(0.3f, 0f, 0f, 0.8f)))  // rank 3
+      .toDF("vec_id", "embedding")
+    def docOf(id: Long, n: Int) = (id, (1 to n).map("t" + _).mkString(" "))
+    val docs = Seq(docOf(0L, 1), docOf(1L, 50), docOf(2L, 40), docOf(3L, 30))
+      .toDF("doc_id", "text")
+    def got(budget: Long) =
+      Retrieval.contextAssembly(docs, emb, budget)
+        .orderBy("mmr_rank")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // budget 96: cum_before = 0, 50, 90 — all admitted (90 < 96, the
+    // boundary doc 3 overshoots to 120 and is KEPT)
+    assert(got(96L).map(r => (r._3, r._4, r._5)) ===
+      Seq((1L, 50L, 50L), (2L, 40L, 90L), (3L, 30L, 120L)))
+    // budget 80: doc 3's prior total 90 >= 80 — cut
+    assert(got(80L).map(_._3) === Seq(1L, 2L))
+    // budget 1: the first doc always lands (0 < budget)
+    assert(got(1L).map(_._3) === Seq(1L))
+  }
+
   test("every window in the hybrid plan is partitioned (no global-order funnel)") {
     val plan = Retrieval.qHybridRrf(spark, sf("sf0.001"))
       .queryExecution.optimizedPlan
