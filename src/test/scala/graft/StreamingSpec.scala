@@ -687,6 +687,43 @@ class StreamingSpec extends SparkSpec {
     assert(keptTotal === expect)
   }
 
+  test("streaming hard-negative miner: final per-anchor tops == batch mining") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = graft.tables.Tables.embeddings(spark, sfSmoke)
+    val anchors = Similarity.anchorVectors(emb)
+    val srcDir = Files.createTempDirectory("graft-miner-src").toString
+    emb.repartition(3).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // keep each anchor's LATEST emission (its state is final there)
+    val latest = scala.collection.mutable.Map
+      .empty[Long, (Long, Seq[(String, Long, Long, Double)])]
+    val q = Similarity.streamingHardNegatives(stream, anchors)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        b.as[(Long, String, Long, Long, Double)].collect()
+          .groupBy(_._1).foreach { case (qid, rows) =>
+            latest.synchronized {
+              latest(qid) = (id, rows.map(r => (r._2, r._3, r._4, r._5)).toSeq)
+            }
+          }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming query did not finish in time")
+    val batch = Similarity.contrastivePairs(emb)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3, r._4, r._5)).toSeq.sorted).toMap
+    assert(latest.nonEmpty)
+    assert(latest.keySet === batch.keySet)
+    latest.foreach { case (qid, (_, rows)) =>
+      assert(rows.sorted === batch(qid), s"anchor $qid tops diverge")
+    }
+  }
+
   test("streaming winnow probe: streamed pairs == the one-shot batch") {
     import graft.operators.TextDedup
     import spark.implicits._
