@@ -29,7 +29,12 @@ object Plans {
     "q_strip_spans", "q_curate_v4", "q_last_touch", "q_first_touch",
     "q_growth_accounting", "q_stickiness", "q_top_journeys",
     "q_rfm_segments", "q_value_drift", "q_zorder_curve",
-    "q_bigram_lift", "q_temperature_mix", "q_quant_recall")
+    "q_bigram_lift", "q_temperature_mix", "q_quant_recall",
+    // round-14 additions
+    "q_paragraph_dedup", "q_paragraph_incremental",
+    "q_winnow_fingerprints", "q_winnow_overlap", "q_winnow_probe",
+    "q_winnow_attribution", "q_similar_mmr", "q_contrastive_pairs",
+    "q_corpus_card", "q_centroid_drift", "q_context_assembly")
 
   def main(args: Array[String]): Unit = {
     val names = if (args.nonEmpty) args.toSeq else headline

@@ -162,6 +162,8 @@ object SparkEntry {
     "q_media_meta"         -> (Multimodal.qMediaMeta _),
     "q_media_frames"       -> (Multimodal.qMediaFrames _),
     "q_media_resize"       -> (Multimodal.qMediaResize _),
+    "q_media_phash"        -> (Multimodal.qMediaPhash _),
+    "q_media_neardup"      -> (Multimodal.qMediaNearDup _),
     "q_audio_energy"       -> (Multimodal.qAudioEnergy _),
     // training-batch preparation (packing / chunking / vocab / rebalance)
     "q_seq_pack"           -> (TrainPrep.qSeqPack _),
@@ -3149,6 +3151,66 @@ object SparkEntry {
            CAST(sum(smp * smp) AS BIGINT) < $th * count(*) AS silent
          FROM v GROUP BY doc_id, frame_idx
          ORDER BY doc_id, frame_idx"""
+    },
+    // 60-bit byte-level dHash: evenly-spread sample points, bit j =
+    // byte(p_j) > byte(p_j+1); the DuckDB twin reads the same bytes
+    // through hex()+nibble arithmetic (the q_audio_energy pattern)
+    "q_media_phash" -> {
+      val bits = graft.operators.Multimodal.PhashBits
+      def nib(pos: String) =
+        s"(instr('0123456789ABCDEF', substring(hx, $pos, 1)) - 1)"
+      def byteAt(p: String) =
+        s"(${nib(s"2 * ($p) + 1")} * 16 + ${nib(s"2 * ($p) + 2")})"
+      val pa = s"((j * (n - 1)) // $bits)"
+      val pb = s"(((j + 1) * (n - 1)) // $bits)"
+      s"""WITH b AS (SELECT doc_id, hex(from_base64(payload_b64)) AS hx,
+             octet_length(from_base64(payload_b64)) AS n
+           FROM ${fx("media")}),
+         g AS (SELECT doc_id, hx, n, unnest(range(0, $bits)) AS j
+               FROM b WHERE n >= 2),
+         v AS (SELECT doc_id,
+                 CASE WHEN ${byteAt(pa)} > ${byteAt(pb)}
+                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+               FROM g)
+         SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+         FROM v GROUP BY doc_id ORDER BY doc_id"""
+    },
+    // banded perceptual near-dup: pairs sharing any 15-bit band,
+    // exact popcount verify within the pigeonhole radius
+    "q_media_neardup" -> {
+      val bits = graft.operators.Multimodal.PhashBits
+      val bands = graft.operators.Multimodal.PhashBands
+      val bb = graft.operators.Multimodal.PhashBandBits
+      val radius = graft.operators.Multimodal.PhashHammingMax
+      def nib(pos: String) =
+        s"(instr('0123456789ABCDEF', substring(hx, $pos, 1)) - 1)"
+      def byteAt(p: String) =
+        s"(${nib(s"2 * ($p) + 1")} * 16 + ${nib(s"2 * ($p) + 2")})"
+      val pa = s"((j * (n - 1)) // $bits)"
+      val pb = s"(((j + 1) * (n - 1)) // $bits)"
+      s"""WITH b AS (SELECT doc_id, hex(from_base64(payload_b64)) AS hx,
+             octet_length(from_base64(payload_b64)) AS n
+           FROM ${fx("media")}),
+         g AS (SELECT doc_id, hx, n, unnest(range(0, $bits)) AS j
+               FROM b WHERE n >= 2),
+         v AS (SELECT doc_id,
+                 CASE WHEN ${byteAt(pa)} > ${byteAt(pb)}
+                      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END AS bit
+               FROM g),
+         h AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+               FROM v GROUP BY doc_id),
+         bs AS (SELECT doc_id, phash, band,
+                 (phash >> CAST(band * $bb AS INTEGER)) & ${(1L << bb) - 1} AS sig
+               FROM (SELECT doc_id, phash, unnest(range(0, $bands)) AS band
+                     FROM h) z),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.phash AS ha, b.phash AS hb
+               FROM bs a JOIN bs b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(ha, hb)) <= $radius
+         ORDER BY doc_a, doc_b"""
     },
     "q_media_frames" ->
       s"""WITH b AS (SELECT doc_id, octet_length(from_base64(payload_b64)) AS n

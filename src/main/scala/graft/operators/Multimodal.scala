@@ -206,6 +206,110 @@ object Multimodal {
     resize(blobs).map(_._1).toDF().orderBy(col("doc_id"))
   }
 
+  // --- perceptual near-dup over media blobs ---
+
+  /** Perceptual-hash geometry: 60 bits (the repo's standard width),
+    * 4 × 15-bit bands — pigeonhole guarantees any pair within hamming
+    * distance [[PhashHammingMax]] = bands − 1 shares an intact band,
+    * the same recall argument as the simhash60 banding. */
+  val PhashBits = 60
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashHammingMax = 3
+
+  /** dHash-SHAPED 60-bit perceptual fingerprint over the raw byte
+    * stream: 61 sample points spread evenly across the blob
+    * (`p_i = ⌊i·(n−1)/60⌋`), bit i set when `byte[p_i] > byte[p_i+1]`
+    * — the gradient-sign construction of the classic image dHash,
+    * applied at the byte level per the media-stub convention
+    * ([[resizeDown]]): a true pixel dHash swaps this sampler for
+    * decoded grayscale rows, and the banding, pair machinery and
+    * oracle stay identical. Length-normalized sampling makes the
+    * print stable under uniform re-encoding of the whole blob, NOT
+    * under real image edits (that robustness needs the pixel kernel).
+    * Blobs under 2 bytes carry no gradient and emit nothing. */
+  def perceptualHash(bytes: Array[Byte]): Option[Long] = {
+    val n = if (bytes == null) 0 else bytes.length
+    if (n < 2) None
+    else {
+      var h = 0L
+      var i = 0
+      while (i < PhashBits) {
+        val a = bytes(((i.toLong * (n - 1)) / PhashBits).toInt) & 0xff
+        val b = bytes((((i + 1).toLong * (n - 1)) / PhashBits).toInt) & 0xff
+        if (a > b) h |= (1L << i)
+        i += 1
+      }
+      Some(h)
+    }
+  }
+
+  def phashes(media: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { case (id, b) => perceptualHash(b).map(h => (id, h)) }
+      .toDF("doc_id", "phash")
+  }
+
+  def qMediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.media(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    phashes(blobs).orderBy(col("doc_id"))
+  }
+
+  /** Perceptual near-dup pairs over the banded fingerprints — image
+    * dedup as the text dedup family does it, HOT-BUCKET-GUARDED the
+    * same way: blobs collapse to one representative per DISTINCT
+    * hash before banding (an identical-asset clique — the logo served
+    * a million times — is one band row, and its intra-group pairs
+    * expand as pure hamming-0 output, never candidate waste), reps
+    * pair via (band, sig) equi-joins, and the exact `bit_count(xor)`
+    * verify keeps pairs within [[PhashHammingMax]]. */
+  def mediaNearDups(media: Dataset[(Long, Array[Byte])],
+                    radius: Int = PhashHammingMax): DataFrame = {
+    require(radius <= PhashBands - 1,
+      s"banding only guarantees recall to hamming ${PhashBands - 1}")
+    val groups = phashes(media)
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val bands = groups.select(col("phash"), col("rep"), col("members"),
+      explode(array((0 until PhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * PhashBandBits)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1)).as("sig"))): _*))
+        .as("bs"))
+      .select(col("phash"), col("rep"), col("members"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cross = bands.select(col("band"), col("sig"), col("rep").as("ra"),
+        col("phash").as("ha"), col("members").as("ma"))
+      .join(bands.select(col("band"), col("sig"), col("rep").as("rb"),
+        col("phash").as("hb"), col("members").as("mb")), Seq("band", "sig"))
+      .filter(col("ra") < col("rb"))
+      .dropDuplicates("ra", "rb")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= radius)
+      .select(explode(col("ma")).as("pa"), col("mb"), col("hamming"))
+      .select(col("pa"), explode(col("mb")).as("pb"), col("hamming"))
+      .select(least(col("pa"), col("pb")).as("doc_a"),
+        greatest(col("pa"), col("pb")).as("doc_b"), col("hamming"))
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("doc_a"), col("members"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0))
+    cross.unionByName(intra)
+  }
+
+  def qMediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val blobs = Fixtures.media(spark)
+      .select(col("doc_id"), unbase64(col("payload_b64")).as("blob"))
+      .as[(Long, Array[Byte])]
+    mediaNearDups(blobs).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // --- audio: raw PCM interpretation (a REAL decode, no codec needed) ---
 
   case class AudioFrame(doc_id: Long, frame_idx: Long, n_samples: Int,

@@ -459,7 +459,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_paragraph_dedup", "q_paragraph_incremental",
         "q_winnow_fingerprints", "q_winnow_overlap", "q_winnow_probe",
         "q_winnow_boiler", "q_winnow_attribution", "q_dedup_appended",
-        "q_corpus_card")) {
+        "q_corpus_card", "q_media_neardup")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$s")

@@ -1659,6 +1659,32 @@ class TextPipelineSpec extends SparkSpec {
       Seq((4L, null.asInstanceOf[Array[Byte]])).toDS()).collect().isEmpty)
   }
 
+  test("perceptual near-dup: identical blobs at hamming 0, spiked twin verified, inverse far") {
+    val b1 = Array.tabulate[Byte](122)(i => ((i * 7) % 251).toByte)
+    val b2 = b1.clone()
+    val b3 = b1.clone(); b3(60) = (b3(60) ^ 0x7f).toByte // one-byte spike
+    val b4 = Array.tabulate[Byte](122)(i => (250 - (i * 7) % 251).toByte)
+    val h1 = Multimodal.perceptualHash(b1).get
+    val h3 = Multimodal.perceptualHash(b3).get
+    val h4 = Multimodal.perceptualHash(b4).get
+    val d13 = java.lang.Long.bitCount(h1 ^ h3)
+    // fixture preconditions — fail LOUDLY if a hash change voids them
+    assert(d13 >= 1 && d13 <= 3, s"spike fixture drifted: hamming $d13")
+    assert(java.lang.Long.bitCount(h1 ^ h4) > 3, "inverse fixture drifted")
+    val out = Multimodal.mediaNearDups(
+        Seq((1L, b1), (2L, b2), (3L, b3), (4L, b4)).toDS())
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 2L)) === 0, "the identical pair must pair at hamming 0")
+    assert(out((1L, 3L)) === d13 && out((2L, 3L)) === d13,
+      "the spiked twin must pair through BOTH members of the dup group")
+    assert(!out.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "the inverse blob is past the radius")
+    // sub-gradient blobs emit no fingerprint, no pair, no crash
+    assert(Multimodal.mediaNearDups(
+      Seq((9L, Array[Byte](1)), (10L, null.asInstanceOf[Array[Byte]]))
+        .toDS()).collect().isEmpty)
+  }
+
   /** Minimal valid BMP: 14-byte file header + BITMAPINFOHEADER, zero
     * pixel payload (the parser reads only the header). */
   private def miniBmp(w: Int, h: Int, bpp: Int): Array[Byte] = {
