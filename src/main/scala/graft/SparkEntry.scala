@@ -201,6 +201,7 @@ object SparkEntry {
     "q_winnow_fingerprints" -> (TextDedup.qWinnowFingerprints _),
     "q_winnow_overlap"     -> (TextDedup.qWinnowOverlap _),
     "q_winnow_probe"       -> (TextDedup.qWinnowProbe _),
+    "q_winnow_persisted"   -> (TextDedup.qWinnowPersisted _),
     "q_winnow_boiler"      -> (TextDedup.qWinnowBoiler _),
     "q_winnow_attribution" -> (TextDedup.qWinnowAttribution _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
@@ -399,6 +400,25 @@ object SparkEntry {
              FROM g),
        sel AS (SELECT DISTINCT doc_id, substring(wmin, 1, 15) AS fp
                FROM wm WHERE pos <= greatest(n - $w, 0))"""
+  }
+
+  /** Probe-vs-standing winnow overlap (shared by the direct and the
+    * landed-index spellings — persistence is answer-invariant). */
+  private lazy val winnowProbeOracle: String = {
+    val m = graft.operators.TextDedup.IncrementMod
+    val cap = graft.operators.TextDedup.WinnowPairCap
+    val minShared = graft.operators.TextDedup.MinSharedFp
+    s"""WITH $winnowSelSql,
+       ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0),
+       psel AS (SELECT * FROM sel WHERE doc_id % $m = 0),
+       small AS (SELECT fp FROM ssel GROUP BY fp HAVING count(*) <= $cap),
+       skept AS (SELECT ssel.doc_id, ssel.fp FROM ssel
+                 JOIN small ON ssel.fp = small.fp)
+       SELECT p.doc_id AS probe_id, s.doc_id AS index_id,
+         CAST(count(*) AS BIGINT) AS n_shared
+       FROM psel p JOIN skept s ON p.fp = s.fp
+       GROUP BY 1, 2 HAVING count(*) >= $minShared
+       ORDER BY probe_id, index_id"""
   }
 
   /** Shared MMR CTE chain (DuckDB): relevance pool → pool-pairwise
@@ -3487,22 +3507,9 @@ object SparkEntry {
     },
     // probe-vs-index overlap: the mod-10 increment against the rest,
     // ubiquity (and the cap) measured on the standing side only
-    "q_winnow_probe" -> {
-      val m = TextDedup.IncrementMod
-      val cap = TextDedup.WinnowPairCap
-      val minShared = TextDedup.MinSharedFp
-      s"""WITH $winnowSelSql,
-         ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0),
-         psel AS (SELECT * FROM sel WHERE doc_id % $m = 0),
-         small AS (SELECT fp FROM ssel GROUP BY fp HAVING count(*) <= $cap),
-         skept AS (SELECT ssel.doc_id, ssel.fp FROM ssel
-                   JOIN small ON ssel.fp = small.fp)
-         SELECT p.doc_id AS probe_id, s.doc_id AS index_id,
-           CAST(count(*) AS BIGINT) AS n_shared
-         FROM psel p JOIN skept s ON p.fp = s.fp
-         GROUP BY 1, 2 HAVING count(*) >= $minShared
-         ORDER BY probe_id, index_id"""
-    },
+    "q_winnow_probe" -> winnowProbeOracle,
+    // the landed-index probe is answer-invariant — same oracle
+    "q_winnow_persisted" -> winnowProbeOracle,
     // provenance attribution: the probe's best-matching standing doc
     // (max shared prints, ties to lowest id) + probe-side coverage
     "q_winnow_attribution" -> {

@@ -1551,7 +1551,16 @@ object TextDedup {
     * (ubiquitous boilerplate; see the cap's scaladoc), so per-key
     * fan-out is ≤ cap²/2. The cap filter is a map-side-combined
     * groupBy count, not a per-key window — a degenerate fingerprint
-    * never serializes its doc list into one task. */
+    * never serializes its doc list into one task.
+    *
+    * The selection pass is re-evaluated once per consumer (the two
+    * self-join sides and the cap count) rather than persisted — the
+    * [[repeatedSpans]] trade, deliberately: the pass is a codegen'd
+    * hash + doc-bounded window over the scan, cheaper at corpus scale
+    * than materializing the selected set, and a production run that
+    * reuses prints across MANY jobs should land them once via the
+    * probe path's standing side instead (one parquet of
+    * (doc_id, fp) IS the winnow index). */
   def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
                   cap: Int = WinnowPairCap): DataFrame = {
     val sel = winnowFingerprints(docs, k, w)
@@ -1610,6 +1619,55 @@ object TextDedup {
     winnowProbePairs(
         docs.filter(col("doc_id") % IncrementMod === 0),
         docs.filter(col("doc_id") % IncrementMod =!= 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** Land the standing corpus's winnow index: ONE parquet of
+    * `(doc_id, fp)` — fingerprint selection is per-document, so the
+    * landed rows ARE `winnowFingerprints(standing)` and every future
+    * probe skips re-fingerprinting the standing side entirely (the
+    * `writeDedupIndex` lifecycle, minus the band/set split this
+    * simpler index doesn't need). */
+  def writeWinnowIndex(standing: DataFrame, path: String,
+                       k: Int = WinnowK, w: Int = WinnowW): Unit = {
+    winnowFingerprints(standing, k, w)
+      .select(col("fp"), col("doc_id"))
+      .write.mode("overwrite").parquet(path)
+    ()
+  }
+
+  /** Probe a landed winnow index: identical semantics to
+    * [[winnowProbePairs]] (persistence is answer-invariant by
+    * construction — spec-pinned); only the probe side fingerprints. */
+  def winnowProbeIndex(spark: SparkSession, path: String, probe: DataFrame,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       cap: Int = WinnowPairCap): DataFrame = {
+    val sSel = spark.read.parquet(path)
+      .select(col("fp"), col("doc_id")).distinct()
+    val sSmall = sSel.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") <= cap)
+      .select(col("fp"))
+    val sKept = sSel.join(sSmall, Seq("fp"), "left_semi")
+    winnowFingerprints(probe, k, w)
+      .select(col("fp"), col("doc_id").as("probe_id")).distinct()
+      .join(sKept.select(col("fp"), col("doc_id").as("index_id")), Seq("fp"))
+      .groupBy(col("probe_id"), col("index_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+  }
+
+  /** Harness entry: land the standing 90%'s winnow index, probe with
+    * the 10% increment — pinned to `q_winnow_probe`'s oracle (the
+    * standing population is identical, so persistence must be
+    * answer-invariant). */
+  def qWinnowPersisted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = spillPath(spark, "winnow_index")
+    writeWinnowIndex(docs.filter(col("doc_id") % IncrementMod =!= 0), path)
+    winnowProbeIndex(spark, path,
+        docs.filter(col("doc_id") % IncrementMod === 0))
       .orderBy(col("probe_id"), col("index_id"))
   }
 

@@ -686,6 +686,15 @@ class TextPipelineSpec extends SparkSpec {
     // probe-to-probe overlap (11, 12 via `secret`) must NOT pair —
     // only the standing index answers
     assert(pairs === Set((11L, 1L)))
+    // the LANDED index answers identically (persistence-invariance)
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-idx")
+    try {
+      TextDedup.writeWinnowIndex(standing, s"$dir/idx")
+      val persisted = TextDedup
+        .winnowProbeIndex(spark, s"$dir/idx", probe, cap = 3)
+        .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+      assert(persisted === pairs)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
   test("winnow attribution picks the strongest standing match, ties to lowest id") {
