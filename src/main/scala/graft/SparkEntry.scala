@@ -140,6 +140,7 @@ object SparkEntry {
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
     "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
+    "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
     // no oracle entry (learned centroids: distributed float means are
     // partitioning-dependent in the last ULP): rows-only gate
     "q_similar_kmeans"     -> (Similarity.qSimilarKmeans _),
@@ -2302,6 +2303,9 @@ object SparkEntry {
     "q_similar_ivf_appended" -> ivfProbedOracle,
     "q_similar_ivf_quantized" -> ivfQuantizedOracle,
     "q_embed_neardup_persisted" -> embedIncrementalOracle,
+    // build(odd) + append(even) covers the same standing population —
+    // banding is per-vector, so the append is answer-invariant too
+    "q_embed_neardup_appended" -> embedIncrementalOracle,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
          event_type, count(*) AS n_events,

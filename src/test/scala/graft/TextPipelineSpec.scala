@@ -111,6 +111,17 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("band index append: build(odd)+append(even) probes == the one-shot build") {
+    // banding is per-vector (no corpus-derived state), so the append
+    // is unconditionally answer-invariant — row-for-row
+    val one = Similarity.qEmbedNearDupPersisted(spark, sfSmoke)
+      .collect().map(_.toString).toSeq
+    val app = Similarity.qEmbedNearDupAppended(spark, sfSmoke)
+      .collect().map(_.toString).toSeq
+    assert(app === one)
+    assert(one.nonEmpty)
+  }
+
   test("dedup index append+compact: lifecycle == one-shot build, probes agree") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-life")
     try {
