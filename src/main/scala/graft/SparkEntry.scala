@@ -135,6 +135,7 @@ object SparkEntry {
     "q_embed_incremental"  -> (Similarity.qEmbedIncremental _),
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_semantic_dedup"     -> (Similarity.qSemanticDedup _),
+    "q_semantic_dedup_auto" -> (Similarity.qSemanticDedupAuto _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
@@ -244,6 +245,9 @@ object SparkEntry {
     "q_hybrid_ivf"         -> (Retrieval.qHybridIvf _),
     "q_leakage_split"      -> (TrainPrep.qLeakageSplit _),
     "q_curriculum"         -> (TrainPrep.qCurriculum _),
+    // rows-only (t-digest boundaries are engine-specific);
+    // accuracy contract pinned in TrainPrepSpec
+    "q_curriculum_approx"  -> (TrainPrep.qCurriculumApprox _),
     "q_curriculum_mix"     -> (TrainPrep.qCurriculumMix _),
     "q_curriculum_admission" -> (TrainPrep.qCurriculumAdmission _),
     "q_leakage_incremental" -> (TrainPrep.qLeakageIncremental _),
@@ -372,6 +376,39 @@ object SparkEntry {
   private def toksSql(text: String): String =
     s"list_filter(regexp_split_to_array($text, '\\s+'), x -> x <> '')"
 
+  /** Shared trigram-language-ID CTE chain (DuckDB): the profile table
+    * interpolated from the SAME micro-nat integers the Spark plan
+    * embeds ([[graft.operators.TextStats.trigramProfile]] — one
+    * computation, two engines), token → padded-trigram explode,
+    * profile-intersection sum, argmax with ties to the first sorted
+    * language → `lpred(doc_id, lang, predicted)`. Interpolate after
+    * `WITH`. */
+  private lazy val langIdNgramSql: String = {
+    val langs = graft.operators.TextStats.trigramLangs
+    val cols = langs.map(l => s"s_$l").mkString(", ")
+    val values = graft.operators.TextStats.trigramProfile.map {
+      case (g, ss) => s"('${g.replace("'", "''")}', ${ss.mkString(", ")})"
+    }.mkString(", ")
+    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1)
+      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""prof(gram, $cols) AS (VALUES $values),
+       ltok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w
+                FROM documents),
+       lpad3 AS (SELECT doc_id, ' ' || w || ' ' AS p FROM ltok),
+       lpos AS (SELECT doc_id, p,
+                unnest(generate_series(1, length(p) - 2)) AS i FROM lpad3),
+       lgram AS (SELECT doc_id, substring(p, i, 3) AS gram FROM lpos),
+       lsum AS (SELECT lgram.doc_id,
+                ${langs.map(l => s"sum(prof.s_$l) AS s_$l").mkString(", ")}
+                FROM lgram JOIN prof USING (gram) GROUP BY lgram.doc_id),
+       lpred AS (SELECT d.doc_id, d.lang,
+           CASE WHEN lsum.doc_id IS NULL THEN 'und' $caseArms
+                ELSE '${langs.last}' END AS predicted
+         FROM documents d LEFT JOIN lsum ON d.doc_id = lsum.doc_id)"""
+  }
+
   /** Shared winnowing-selection CTE chain (DuckDB): grams → md5-prefix
     * 60-bit hash → fixed-width sortable key → per-w-window min →
     * `sel(doc_id, fp)`, the distinct selected fingerprints — the twin
@@ -392,7 +429,7 @@ object SparkEntry {
                md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
              FROM s),
        g AS (SELECT doc_id, pos,
-               printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+               printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 10, '0') AS key
              FROM g0),
        wm AS (SELECT doc_id, pos,
                min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -522,10 +559,6 @@ object SparkEntry {
   }
 
   private val stopsSqlEn = TextStats.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
-  private def hitsSql(lang: String): String = {
-    val words = TextStats.stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter(toks, w -> list_contains($words, w)))"
-  }
 
   /** DuckDB twin of [[TextDedup.hashedShingles]]: distinct int base
     * hashes of n-gram shingles (`toks` must be in scope). */
@@ -2020,28 +2053,19 @@ object SparkEntry {
          CAST(sum(len(${toksSql("text")})) AS BIGINT) AS sum_tokens,
          CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // trigram-profile language ID (round 15): the profile integers are
+    // interpolated from the same TextStats.trigramProfile computation
+    // the Spark plan embeds
     "q_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
-         h AS (SELECT doc_id, lang, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
-               ${hitsSql("fr")} AS h_fr FROM t)
-         SELECT doc_id, lang,
-           CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
-                WHEN h_en > h_de THEN 'en' ELSE 'de' END AS predicted,
-           lang = (CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
-                WHEN h_en > h_de THEN 'en' ELSE 'de' END) AS correct
-         FROM h ORDER BY doc_id""",
-    // confusion matrix over the same prediction CASE; frac is a
+      s"""WITH $langIdNgramSql
+         SELECT doc_id, lang, predicted, lang = predicted AS correct
+         FROM lpred ORDER BY doc_id""",
+    // confusion matrix over the same trigram prediction; frac is a
     // count/count rational within each true language
     "q_langid_eval" ->
-      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
-         h AS (SELECT doc_id, lang, ${hitsSql("de")} AS h_de, ${hitsSql("en")} AS h_en,
-               ${hitsSql("fr")} AS h_fr FROM t),
-         p AS (SELECT lang,
-             CASE WHEN h_fr > greatest(h_de, h_en) THEN 'fr'
-                  WHEN h_en > h_de THEN 'en' ELSE 'de' END AS predicted
-           FROM h),
+      s"""WITH $langIdNgramSql,
          c AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
-               FROM p GROUP BY lang, predicted)
+               FROM lpred GROUP BY lang, predicted)
          SELECT lang, predicted, n_docs,
            CAST(n_docs AS DOUBLE) /
              CAST(sum(n_docs) OVER (PARTITION BY lang) AS DOUBLE) AS frac
@@ -2282,6 +2306,31 @@ object SparkEntry {
     "q_semantic_dedup" ->
       s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                      WHERE $isCentroidSql),
+         d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+                 ${cosineSql("e.embedding", "c.cv")} AS dist
+               FROM embeddings e CROSS JOIN c),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                 SELECT *, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dist DESC, centroid_id) AS rk FROM d)
+               WHERE rk = 1),
+         dom AS (SELECT DISTINCT b.vec_id
+                 FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+                 WHERE ${cosineSql("x.embedding", "b.embedding")} >= 0.4)
+         SELECT a.vec_id, a.cell, (dom.vec_id IS NOT NULL) AS dropped
+         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+         ORDER BY a.vec_id""",
+    // the AUTO-SIZED cells: (stride, count) derived from count(*) with
+    // the same ceil(sqrt)/floor-div arithmetic as
+    // Similarity.autoCentroidParams — both engines size identically
+    "q_semantic_dedup_auto" ->
+      s"""WITH p AS (SELECT
+             greatest(1, CAST(count(*) AS BIGINT) //
+               greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride,
+             greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cnum
+           FROM embeddings),
+         c AS (SELECT vec_id AS centroid_id, embedding AS cv
+               FROM embeddings, p
+               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
          d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
                  ${cosineSql("e.embedding", "c.cv")} AS dist
                FROM embeddings e CROSS JOIN c),
@@ -3062,7 +3111,7 @@ object SparkEntry {
                 GROUP BY source, lang),
          tl AS (SELECT source, lang AS top_lang FROM
              (SELECT source, lang, row_number() OVER (PARTITION BY source
-                ORDER BY n DESC, lang) AS rk FROM lc) z
+                ORDER BY n DESC, lang ASC NULLS LAST) AS rk FROM lc) z
            WHERE rk = 1),
          shs AS (SELECT doc_id,
              ${hashedShinglesSql(CorpusFilters.ContamShingleN)} AS hs FROM t),
@@ -3465,7 +3514,7 @@ object SparkEntry {
     },
     // winnowing (Schleimer/Wilkerson/Aiken): each w-window of k-gram
     // positions selects its (hash, pos) minimum via the fixed-width
-    // sortable key — 15 lowercase hex nibbles ‖ 6-digit position
+    // sortable key — 15 lowercase hex nibbles ‖ 10-digit position
     "q_winnow_fingerprints" -> {
       val k = TextDedup.WinnowK
       val w = TextDedup.WinnowW
@@ -3481,7 +3530,7 @@ object SparkEntry {
                  md5(array_to_string(list_slice(toks, pos + 1, pos + $k), ' ')) AS h
                FROM s),
          g AS (SELECT doc_id, pos,
-                 printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 6, '0') AS key
+                 printf('%015x', $nib60) || lpad(CAST(pos AS VARCHAR), 10, '0') AS key
                FROM g0),
          wm AS (SELECT doc_id, pos,
                  min(key) OVER (PARTITION BY doc_id ORDER BY pos
@@ -3489,7 +3538,7 @@ object SparkEntry {
                  count(*) OVER (PARTITION BY doc_id) AS n
                FROM g)
          SELECT DISTINCT doc_id,
-           CAST(substring(wmin, 16, 6) AS BIGINT) AS fpos,
+           CAST(substring(wmin, 16, 10) AS BIGINT) AS fpos,
            substring(wmin, 1, 15) AS fp
          FROM wm WHERE pos <= greatest(n - $w, 0)
          ORDER BY doc_id, fpos, fp"""

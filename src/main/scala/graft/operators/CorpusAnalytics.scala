@@ -1091,10 +1091,14 @@ object CorpusAnalytics {
         countDistinct(col("lang")).as("n_langs"),
         sum(col("_p.n_tokens").cast("long")).as("n_tokens"),
         sum(col("_p.hits").cast("long")).as("n_stop"))
+    // the tie-break's null placement is EXPLICIT: Spark's plain asc is
+    // NULLS FIRST while DuckDB's is NULLS LAST, so a modal-count tie
+    // between a NULL lang and a named one would silently diverge from
+    // the oracle under the defaults
     val topLang = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("_n"))
       .withColumn("_rk", row_number().over(Window.partitionBy(col("source"))
-        .orderBy(col("_n").desc, col("lang"))))
+        .orderBy(col("_n").desc, col("lang").asc_nulls_last)))
       .filter(col("_rk") === 1)
       .select(col("source"), col("lang").as("top_lang"))
     val contam = CorpusFilters.contamination(docs)

@@ -60,9 +60,122 @@ object TextStats {
     corpusStats(Tables.documents(spark, dir)).orderBy(col("lang"), col("source"))
   }
 
+  /** Per-language seed lexicons for the character-trigram profiles:
+    * the most frequent function/content words of each language
+    * (public frequency-list words). Deterministic and
+    * data-independent — the profiles below are a pure function of
+    * these lists, computed once at class load. `es` is profile-only
+    * (it has no stopword-hit twin in [[stopwords]]). */
+  val seedLexicon: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "you", "that",
+      "it", "he", "was", "for", "on", "are", "as", "with", "his", "they",
+      "at", "be", "this", "have", "from", "or", "one", "had", "by", "word",
+      "but", "not", "what", "all", "were", "we", "when", "your", "can",
+      "said", "there"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das",
+      "mit", "sich", "des", "auf", "ist", "im", "dem", "nicht",
+      "ein", "eine", "als", "auch", "es", "an", "werden", "aus", "er",
+      "hat", "dass", "sie", "nach", "wird", "bei", "einer", "um", "am",
+      "sind", "noch", "wie", "einem", "wurde", "zwischen"),
+    "fr" -> Seq("de", "la", "le", "et", "les", "des", "en", "un", "du",
+      "une", "que", "est", "pour", "qui", "dans", "par", "plus", "pas",
+      "au", "sur", "ne", "se", "ce", "il", "sont", "son", "avec",
+      "comme", "ou", "mais", "nous", "tout", "sa", "leur", "bien",
+      "peut", "ces", "aux", "était", "même"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "a", "los", "del",
+      "se", "las", "por", "un", "para", "con", "no", "una", "su", "al",
+      "lo", "como", "pero", "sus", "le", "ya", "o", "este", "porque",
+      "esta", "entre", "cuando", "muy", "sin", "sobre", "me", "hasta",
+      "hay", "donde", "también", "años"))
+
+  /** Languages the trigram profiles score, sorted — the argmax
+    * tie-break order on BOTH engines. */
+  val trigramLangs: Seq[String] = seedLexicon.keys.toSeq.sorted
+
+  /** Word-boundary-padded character trigrams of one lexicon word —
+    * `" word "` sliding by 1 — the Cavnar–Trenkle n-gram-profile
+    * construction restricted to n = 3. */
+  private def wordTrigrams(w: String): Seq[String] = {
+    val p = " " + w + " "
+    (0 to p.length - 3).map(i => p.substring(i, i + 3))
+  }
+
+  /** The trigram → per-language score table (micro-nat-quantized
+    * add-one-smoothed log-probabilities over the union trigram
+    * vocabulary), computed ONCE from [[seedLexicon]] and embedded as
+    * LITERALS in both the Spark plan and the DuckDB oracle (SparkEntry
+    * interpolates the same integers), so the two engines compare
+    * identical BIGINTs — the lmPerplexity integer-quantization
+    * discipline. Keys sorted for deterministic iteration; scores
+    * follow [[trigramLangs]] order. */
+  val trigramProfile: Seq[(String, Seq[Long])] = {
+    val byLang: Map[String, Map[String, Long]] = seedLexicon.map {
+      case (l, ws) => l -> ws.flatMap(wordTrigrams).groupBy(identity)
+        .map { case (g, xs) => g -> xs.size.toLong }
+    }
+    val vocab = byLang.values.flatMap(_.keys).toSeq.distinct.sorted
+    val denom = trigramLangs.map(l =>
+      l -> (byLang(l).values.sum + vocab.size).toDouble).toMap
+    vocab.map { g =>
+      g -> trigramLangs.map { l =>
+        math.round(math.log(
+          (byLang(l).getOrElse(g, 0L) + 1L).toDouble / denom(l)) * 1e6)
+      }
+    }
+  }
+
+  /** Character-trigram language ID (Cavnar–Trenkle 1994, "N-Gram-Based
+    * Text Categorization", the fastText-free deterministic shape):
+    * each document's word-padded trigrams score against the
+    * per-language [[trigramProfile]]; prediction = argmax of the
+    * summed micro-nat scores, ties to the first of [[trigramLangs]],
+    * documents with NO in-profile trigram → "und". Out-of-profile
+    * trigrams are neutral by contract (profile-intersection scoring)
+    * — well-defined on both engines without an unseen-mass constant.
+    *
+    * Separates CLOSE languages the stopword-hit heuristic ([[langId]])
+    * cannot: a stopword-free sentence scores 0 on every stopword list
+    * (degenerating to the tie-break), but still carries hundreds of
+    * characteristic character transitions (spec-pinned fixture).
+    *
+    * Scale shape: one narrow pass (lower + token explode + trigram
+    * explode — output rows ≈ corpus characters), one BROADCAST join
+    * against the ≤ few-hundred-row profile table, one doc-keyed
+    * aggregate, and a left join back for the no-gram docs. No corpus
+    * shuffle except the doc_id aggregate. */
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = trigramProfile.map { case (g, ss) => (g, ss(0), ss(1), ss(2), ss(3)) }
+      .toDF("gram", s"s_${trigramLangs(0)}", s"s_${trigramLangs(1)}",
+        s"s_${trigramLangs(2)}", s"s_${trigramLangs(3)}")
+    val grams = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("_t"))
+      .select(col("doc_id"), concat(lit(" "), col("_t"), lit(" ")).as("_p"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(_p) - 2), i -> substring(_p, i, 3))"))
+        .as("gram"))
+    val scores = grams.join(broadcast(prof), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col(s"s_${trigramLangs.head}")).as(s"s_${trigramLangs.head}"),
+        trigramLangs.tail.map(l => sum(col(s"s_$l")).as(s"s_$l")): _*)
+    val pred = trigramLangs.foldLeft(
+      (lit("und"), lit(Long.MinValue))) { case ((bl, bs), l) =>
+      val s = col(s"s_$l")
+      (when(s.isNotNull && s > bs, lit(l)).otherwise(bl),
+        when(s.isNotNull && s > bs, s).otherwise(bs))
+    }._1
+    docs.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), pred.as("predicted"))
+  }
+
   /** Heuristic language ID: argmax of stopword hits (ties broken by
     * language code order — pinned, both engines). One native profile
-    * pass per language instead of an interpreted filter lambda each. */
+    * pass per language instead of an interpreted filter lambda each.
+    * The REFERENCE baseline [[langIdNgram]] is scored against in
+    * TextPipelineSpec — production fidelity lives in the trigram
+    * scorer; this stays as the cheap single-Column form. */
   def langId(text: Column): Column = {
     val langs = stopwords.keys.toSeq.sorted
     val hits = langs.map(l => tokenProfile(text, stopwords(l)).getField("hits"))
@@ -74,10 +187,14 @@ object TextStats {
     }._1
   }
 
+  /** Harness entry on the TRIGRAM scorer ([[langIdNgram]]) — upgraded
+    * from the stopword-hit heuristic in round 15; the oracle carries
+    * the identical profile integers. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), langId(col("text")).as("predicted"))
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("lang"))
+      .join(langIdNgram(docs), Seq("doc_id"))
       .withColumn("correct", col("lang") === col("predicted"))
       .orderBy(col("doc_id"))
   }
@@ -147,8 +264,9 @@ object TextStats {
   def qLangIdEval(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val w = Window.partitionBy(col("lang"))
-    Tables.documents(spark, dir)
-      .select(col("lang"), langId(col("text")).as("predicted"))
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("lang"))
+      .join(langIdNgram(docs), Seq("doc_id"))
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("frac",

@@ -1098,6 +1098,49 @@ object TrainPrep {
     curriculumStages(Tables.documents(spark, dir)).orderBy(col("rank"))
   }
 
+  /** [[curriculumStages]] with APPROXIMATE stage boundaries — the
+    * documented 100-TB monolingual swap made a real code path instead
+    * of prose: stage membership comes from k−1 `percentile_approx`
+    * boundaries of the quality score (one t-digest aggregate,
+    * broadcast as a 1-row frame) rather than a global exact rank, so
+    * there is NO global ordering, no bucket-offset collect, and no
+    * per-bucket window — the only corpus-wide exchange is the
+    * aggregate's partial/final pair. The emitted schema is
+    * [[curriculumStages]] minus `rank` (an approximate split cannot
+    * honestly emit a global rank): (doc_id, quality_score, stage),
+    * stage 1 = highest quality.
+    *
+    * Assignment: with ascending boundaries b₁ ≤ … ≤ b₍k₋₁₎,
+    * stage = k − |{j : bⱼ ≤ score}| — scores above every boundary
+    * land in stage 1, below all of them in stage k. Null-score docs
+    * coalesce to −∞ (stage k), the [[stagesWithTokens]] rule.
+    *
+    * Not oracle-hashable (t-digest internals are engine-specific) —
+    * rows-only harness entry plus the accuracy-contract spec
+    * (TrainPrepSpec): stage sizes within tie-tolerance of n/k and
+    * every assignment within one stage of the exact split. */
+  def curriculumStagesApprox(docs: DataFrame, k: Int = CurriculumStages,
+                             accuracy: Int = 10000): DataFrame = {
+    val q = TextStats.qualityFeatures(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("_s",
+        coalesce(col("quality_score"), lit(Double.NegativeInfinity)))
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val bounds = q.agg(percentile_approx(col("_s"),
+      array(probs.map(lit): _*), lit(accuracy)).as("bs"))
+    q.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("quality_score"),
+        (lit(k) - aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(b <= col("_s"), 1).otherwise(0)))
+          .cast("long").as("stage"))
+  }
+
+  def qCurriculumApprox(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curriculumStagesApprox(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** The mixture schedule a curriculum implies: per (stage, source)
     * document and token counts — what each training phase actually
     * feeds the model, domain by domain. One doc_id equi-join onto the

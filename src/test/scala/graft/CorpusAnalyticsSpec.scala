@@ -704,4 +704,20 @@ class CorpusAnalyticsSpec extends SparkSpec {
       if (tok > 0) assert(ratio === stop.toDouble / tok) else assert(ratio === 0.0)
     }
   }
+
+  test("corpus card: a modal tie between NULL and a named lang resolves to the named lang") {
+    // one doc each of lang=NULL and lang="en" in the same source — a
+    // count tie; both engines must break it identically (explicit
+    // NULLS LAST — Spark's plain asc is NULLS FIRST, DuckDB's is
+    // NULLS LAST, so the defaults silently diverge on this corpus)
+    val docs = docsOf((1L, "alpha beta gamma", "en", "s1"))
+      .unionByName(Seq((2L, "delta epsilon zeta", "s1"))
+        .toDF("doc_id", "text", "source")
+        .withColumn("lang", lit(null).cast("string"))
+        .withColumn("n_chars", lit(null).cast("long"))
+        .select($"doc_id", $"text", $"lang", $"source", $"n_chars"))
+    val out = CorpusAnalytics.corpusCard(docs).collect()
+    assert(out.length === 1 && out.head.getString(5) === "en",
+      "NULL lang must lose the tie-break to the named lang")
+  }
 }

@@ -136,7 +136,7 @@ class TextPipelineSpec extends SparkSpec {
         .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
       TextDedup.writeDedupIndex(p1, pathA)
       TextDedup.appendDedupIndex(spark, pathA, p2)
-      val setsBefore = spark.read.parquet(s"$pathA/sets").count()
+      val setsBefore = TextDedup.dedupIndexSets(spark, pathA).count()
       val pre = rows(TextDedup.dedupProbeIndex(spark, pathA, probe))
       TextDedup.compactDedupIndex(spark, pathA)
       val post = rows(TextDedup.dedupProbeIndex(spark, pathA, probe))
@@ -146,17 +146,128 @@ class TextPipelineSpec extends SparkSpec {
       assert(post === oneShot, "compaction changed probe answers")
       assert(pre.map(_._2).toSet === Set(1L, 2L, 4L))
       // the straddling set's two reps really merged away...
-      val setsAfter = spark.read.parquet(s"$pathA/sets").count()
+      val setsAfter = TextDedup.dedupIndexSets(spark, pathA).count()
       assert(setsBefore === setsAfter + 1)
       // ...and the compacted layout is ROW-equivalent to the fresh build
       def layout(path: String) = (
-        spark.read.parquet(s"$path/sets")
-          .select(col("doc_id"), col("hs"), array_sort(col("members")))
+        TextDedup.dedupIndexSets(spark, path)
+          .select(col("doc_id"), col("hs"), col("chunk_id"),
+            array_sort(col("members")))
           .collect().map(_.toString).sorted.toSeq,
-        spark.read.parquet(s"$path/bands")
+        TextDedup.dedupIndexBands(spark, path)
           .collect().map(_.toString).sorted.toSeq)
       assert(layout(pathA) === layout(pathB))
+      // compaction is idempotent: a second compact re-lands the same rows
+      TextDedup.compactDedupIndex(spark, pathA)
+      assert(layout(pathA) === layout(pathB), "compact ∘ compact drifted")
+      assert(rows(TextDedup.dedupProbeIndex(spark, pathA, probe)) === oneShot)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("membership chunking: a planted mega-family splits into bounded rows; answers are chunk-invariant") {
+    // two exact-dup families, near-dups of EACH OTHER: exercises the
+    // intra (within-set) and cross (between-set) expansions across
+    // chunk boundaries
+    val famA = (1L to 23L).map(i => (i, base + " alpha"))
+    val famB = (101L to 118L).map(i => (i, base + " beta"))
+    val mega = (famA ++ famB :+
+      ((200L, "totally unrelated text about glaciers and moraines today")))
+      .toDF("doc_id", "text")
+    def pairs() = TextDedup.minhashPairs(mega).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def xpairs() = TextDedup.crossCorpusPairs(
+        mega.filter(col("doc_id") >= 100L), mega.filter(col("doc_id") < 100L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val defaultPairs = pairs(); val defaultCross = xpairs()
+    assert(defaultPairs.nonEmpty && defaultCross.nonEmpty)
+    spark.conf.set("spark.graft.dedupChunkMembers", "7")
+    try {
+      val groups = TextDedup.collapseGroups(mega).collect()
+      assert(groups.forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 7),
+        "chunk rows must be bounded by the configured size")
+      assert(groups.count(_.getAs[Int]("chunk_id") > 0) > 0,
+        "the families must really have split")
+      // chunk 0 always carries the representative (the group minimum)
+      groups.groupBy(_.getLong(0)).foreach { case (rep, rs) =>
+        val c0 = rs.filter(_.getAs[Int]("chunk_id") == 0)
+        assert(c0.length == 1 &&
+          c0.head.getAs[scala.collection.Seq[Long]]("members").contains(rep),
+          s"set $rep: chunk 0 must hold the representative")
+      }
+      assert(pairs() === defaultPairs,
+        "self-join pairs changed under chunking")
+      assert(xpairs() === defaultCross,
+        "cross-corpus pairs changed under chunking")
+      // persisted lifecycle under chunking: build + append + compact +
+      // probe, with the probe matching the in-memory spelling
+      val dir =
+        java.nio.file.Files.createTempDirectory("graft-chunk-idx")
+      try {
+        val p = dir.toString
+        TextDedup.writeDedupIndex(mega.filter(col("doc_id") <= 10L), p)
+        TextDedup.appendDedupIndex(spark, p,
+          mega.filter(col("doc_id") > 10L))
+        TextDedup.compactDedupIndex(spark, p)
+        assert(TextDedup.dedupIndexSets(spark, p).collect()
+          .forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 7),
+          "persisted chunk rows must stay bounded through the lifecycle")
+        val probe = Seq((900L, base + " alpha")).toDF("doc_id", "text")
+        def ids(df: org.apache.spark.sql.DataFrame) = df
+          .select("probe_id", "index_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got = ids(TextDedup.dedupProbeIndex(spark, p, probe))
+        assert(got === ids(TextDedup.crossCorpusPairs(probe, mega)),
+          "persisted probe drifted from the in-memory spelling")
+        assert(famA.map(f => (900L, f._1)).toSet.subsetOf(got),
+          "probe must reach EVERY member of the chunked family")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    } finally spark.conf.unset("spark.graft.dedupChunkMembers")
+  }
+
+  test("PROPERTY: dedup index lifecycle under random increments == one-shot build") {
+    import org.scalacheck.Gen
+    val pool = docs.select("doc_id", "text").unionByName(Seq(
+      (6L, base + " tomorrow"),
+      (7L, base + " today"), // third copy of the 1/4 exact-dup family
+      (8L, "eight unique tokens appear here without repeats at all now"))
+      .toDF("doc_id", "text"))
+    val poolIds = (1L to 8L).toVector
+    val probe = Seq((10L, base + " tonight"),
+      (11L, "nothing remotely similar lives in this probe sentence"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "index_id", "jaccard")
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val oneDir = java.nio.file.Files.createTempDirectory("graft-prop-one")
+    val want = try {
+      TextDedup.writeDedupIndex(pool, oneDir.toString)
+      rows(TextDedup.dedupProbeIndex(spark, oneDir.toString, probe))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(oneDir.toFile)
+    assert(want.nonEmpty, "one-shot probe found nothing — property untested")
+    // each doc lands in one of 4 increments (some possibly EMPTY);
+    // compaction interleaves at random positions — every trajectory
+    // must probe identically to the one-shot build
+    val gen = Gen.zip(Gen.listOfN(poolIds.size, Gen.choose(0, 3)),
+      Gen.listOfN(4, Gen.oneOf(true, false)))
+    samples(gen, 10).foreach { case (assign, compacts) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft-prop-life")
+      try {
+        val p = dir.toString
+        def inc(k: Int) = {
+          val ids = poolIds.zip(assign).filter(_._2 == k).map(_._1)
+          if (ids.isEmpty) pool.filter(lit(false))
+          else pool.filter(col("doc_id").isin(ids: _*))
+        }
+        TextDedup.writeDedupIndex(inc(0), p)
+        (1 to 3).foreach { k =>
+          TextDedup.appendDedupIndex(spark, p, inc(k))
+          if (compacts(k)) TextDedup.compactDedupIndex(spark, p)
+        }
+        if (compacts(0)) TextDedup.compactDedupIndex(spark, p)
+        assert(rows(TextDedup.dedupProbeIndex(spark, p, probe)) === want,
+          s"lifecycle (assign=$assign compacts=$compacts) drifted")
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
   }
 
   test("curate config defaults reproduce curateV2 exactly") {
@@ -299,7 +410,7 @@ class TextPipelineSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     val dir = java.nio.file.Files.createTempDirectory("graft-xidx").toString
     TextDedup.writeDedupIndex(standing, dir)
-    val bands = spark.read.parquet(s"$dir/bands")
+    val bands = TextDedup.dedupIndexBands(spark, dir)
     assert(bands.count() === 3L * TextDedup.Bands,
       "persisted bands must be rep-level: 3 distinct sets x 4 bands")
     val got = TextDedup.dedupProbeIndex(spark, dir, probe)
@@ -373,6 +484,36 @@ class TextPipelineSpec extends SparkSpec {
     assert(pairs.flatMap(p => Seq(p._1, p._2)).forall(_ < 10L),
       "pairs must come only from the kept (smallest-id) docs")
     assert(res.droppedDocs.value === 40L)
+  }
+
+  test("trigram language id separates close languages the stopword heuristic cannot") {
+    // STOPWORD-FREE sentences: every stopword list scores 0, so the
+    // hit heuristic degenerates to its tie-break ('de' for all) — but
+    // the character transitions still identify each language
+    val labeled = Seq(
+      (1L, "kleine beispiele wurden zwischen mehreren saetzen geschrieben", "de"),
+      (2L, "plusieurs exemples simples sont souvent choisis ensemble", "fr"),
+      (3L, "muchos ejemplos sencillos son elegidos juntos", "es"),
+      (4L, "several simple examples are often chosen together", "en"))
+      .toDF("doc_id", "text", "lang")
+    val ngram = TextStats.langIdNgram(labeled).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Map(1L -> "de", 2L -> "fr", 3L -> "es", 4L -> "en")
+    want.foreach { case (id, l) =>
+      assert(ngram(id) === l, s"doc $id: trigram predicted ${ngram(id)}")
+    }
+    val stopword = labeled
+      .select(col("doc_id"), TextStats.langId(col("text")).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val stopRight = want.count { case (id, l) => stopword(id) == l }
+    assert(stopRight < want.size,
+      "fixture no longer separates the heuristics — rebuild it")
+    // degenerate inputs: no tokens / no in-profile grams -> "und"
+    val degenerate = Seq((10L, ""), (11L, "zzzz qqqq"))
+      .toDF("doc_id", "text")
+    val dp = TextStats.langIdNgram(degenerate).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dp(10L) === "und")
   }
 
   test("language id picks the stopword profile; quality guards zero division") {
@@ -744,6 +885,36 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(3L)._2 === 0L && out(3L)._3 === 0.0)
   }
 
+  test("memo'd winnow prints serve every harness shape identically to recomputation") {
+    val dir = sf("sf0.001")
+    val corpus = graft.tables.Tables.documents(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val m = graft.operators.TextDedup.IncrementMod
+    val probe = corpus.filter(col("doc_id") % m === 0)
+    val standing = corpus.filter(col("doc_id") % m =!= 0)
+    // the landed frame IS the selection pass
+    val memo = TextDedup.winnowPrints(spark, dir)(corpus)
+    assert(rows(memo) === rows(TextDedup.winnowFingerprints(corpus)),
+      "memo'd prints drifted from recomputation")
+    assert(rows(memo).nonEmpty, "fixture selected no prints — untested")
+    // every memo-routed harness entry == its direct two-corpus spelling
+    assert(rows(TextDedup.qWinnowOverlap(spark, dir)) ===
+      rows(TextDedup.winnowPairs(corpus)), "overlap via memo drifted")
+    assert(rows(TextDedup.qWinnowProbe(spark, dir)) ===
+      rows(TextDedup.winnowProbePairs(probe, standing)),
+      "probe via memo drifted")
+    assert(rows(TextDedup.qWinnowAttribution(spark, dir)) ===
+      rows(TextDedup.winnowAttribution(probe, standing)),
+      "attribution via memo drifted")
+    assert(rows(TextDedup.qWinnowBoiler(spark, dir)) ===
+      rows(TextDedup.winnowBoilerplateShare(corpus,
+        cap = TextDedup.BoilerShareCap)), "boiler via memo drifted")
+    assert(rows(TextDedup.qWinnowPersisted(spark, dir)) ===
+      rows(TextDedup.winnowProbePairs(probe, standing)),
+      "persisted-index probe via memo drifted")
+  }
+
   test("vectorAudit flags zero norms, non-finite components, mixed dims") {
     val emb = Seq(
       (1L, Array(3f, 4f), 0),
@@ -970,6 +1141,34 @@ class TextPipelineSpec extends SparkSpec {
     assert(Similarity.queryVectors(emb).count() === Similarity.MaxQueries)
     assert(emb.filter(Similarity.isCentroidId($"vec_id")).count()
       === Similarity.MaxCentroids)
+  }
+
+  test("auto-sized ivf cells: centroid count tracks sqrt(N); occupancy stays bounded at 10x") {
+    // the fixed-stride quantizer caps at MaxCentroids, so its max-cell
+    // occupancy grows linearly with N; the auto-sized path must grow
+    // the CELL COUNT instead, keeping occupancy ~sqrt(N)
+    def mkEmb(n: Int) = {
+      val rnd = new scala.util.Random(7)
+      (0 until n).map(i =>
+          (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+        .toDF("vec_id", "embedding")
+    }
+    def stats(n: Int) = {
+      val occ = Similarity.ivfCellsAuto(mkEmb(n))
+        .groupBy("cell").count().collect().map(_.getLong(1))
+      (occ.length.toLong, occ.max)
+    }
+    assert(Similarity.autoCentroidParams(400L) === ((20L, 20L)))
+    assert(Similarity.autoCentroidParams(4000L) === ((62L, 64L)))
+    assert(Similarity.autoCentroidParams(0L) === ((1L, 1L)))
+    val (c1, max1) = stats(400)
+    val (c10, max10) = stats(4000)
+    assert(c1 === 20L, "every centroid owns at least itself")
+    assert(c10 === 64L)
+    // 10x the corpus must NOT 10x the heaviest cell (sqrt scaling —
+    // allow slack for the imbalance of random 4-d cells)
+    assert(max10.toDouble / max1 <= 6.0,
+      s"max occupancy grew $max1 -> $max10 on 10x rows")
   }
 
   test("ivf assigns vectors to the nearest centroid and probes one cell") {
@@ -1954,7 +2153,7 @@ class TextPipelineSpec extends SparkSpec {
     def ref(corpus: Map[Long, Seq[String]]): Set[(Long, Long, String)] =
       corpus.toSeq.flatMap { case (id, toks) =>
         val keys = toks.sliding(k).filter(_.length == k).zipWithIndex
-          .map { case (g, p) => md5fp(g.mkString(" ")) + f"$p%06d" }.toVector
+          .map { case (g, p) => md5fp(g.mkString(" ")) + f"$p%010d" }.toVector
         val n = keys.size
         if (n == 0) Seq.empty
         else (0 to math.max(n - w, 0)).map { s =>

@@ -868,6 +868,43 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("curriculum approx: accuracy contract — near-balanced stages, within one stage of exact") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    val k = TrainPrep.CurriculumStages
+    val approx = TrainPrep.curriculumStagesApprox(docs)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    val exact = TrainPrep.curriculumStages(docs)
+      .select("doc_id", "stage").as[(Long, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet, "approx must stage every doc")
+    // stage-size skew: boundary TIES move whole tie-groups to one side
+    // (exact ntile splits them by doc_id; score-only boundaries
+    // cannot), so tolerance = the largest tie group, not a constant
+    val scores = graft.operators.TextStats.qualityFeatures(docs)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect()
+    val maxTie = scores.groupBy(_._2).values.map(_.length).max
+    val n = scores.length
+    val sizes = approx.values.groupBy(identity).view.mapValues(_.size)
+    (1 to k).foreach { s =>
+      val sz = sizes.getOrElse(s.toLong, 0)
+      assert(math.abs(sz - n / k) <= maxTie + 1,
+        s"stage $s size $sz vs ideal ${n / k} (tie tolerance $maxTie)")
+    }
+    // per-doc agreement: never further than one stage from exact
+    approx.foreach { case (id, s) =>
+      assert(math.abs(s - exact(id)) <= 1L,
+        s"doc $id: approx stage $s vs exact ${exact(id)}")
+    }
+    // and with ties excluded, the two splits agree exactly for most docs
+    val agree = approx.count { case (id, s) => s == exact(id) }
+    assert(agree >= n * 9 / 10, s"only $agree of $n assignments agree")
+    // no global ordering anywhere in the approx plan
+    val out = TrainPrep.qCurriculumApprox(spark, sf("sf0.001"))
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "approx staging must not introduce windows")
+  }
+
   test("curriculum: stages are balanced and no window is globally ordered") {
     val out = TrainPrep.qCurriculum(spark, sf("sf0.001"))
     val sizes = out.groupBy("stage").count()
