@@ -136,6 +136,7 @@ object SparkEntry {
     "q_similar_ivf"        -> (Similarity.qSimilarIvf _),
     "q_semantic_dedup"     -> (Similarity.qSemanticDedup _),
     "q_semantic_dedup_auto" -> (Similarity.qSemanticDedupAuto _),
+    "q_semantic_dedup_auto2" -> (Similarity.qSemanticDedupAuto2 _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
@@ -188,6 +189,7 @@ object SparkEntry {
     "q_rare_bigrams"       -> (CorpusAnalytics.qRareBigrams _),
     "q_source_divergence"  -> (CorpusAnalytics.qSourceDivergence _),
     "q_lm_perplexity"      -> (CorpusAnalytics.qLmPerplexity _),
+    "q_lm_perplexity_approx" -> (CorpusAnalytics.qLmPerplexityApprox _),
     "q_dsir_weights"       -> (TrainPrep.qDsirWeights _),
     "q_dsir_admission"     -> (TrainPrep.qDsirAdmission _),
     "q_bigram_lift"        -> (CorpusAnalytics.qBigramLift _),
@@ -385,14 +387,17 @@ object SparkEntry {
     * `WITH`. */
   private lazy val langIdNgramSql: String = {
     val langs = graft.operators.TextStats.trigramLangs
+    val margin = graft.operators.TextStats.LangIdMarginMicroNat
     val cols = langs.map(l => s"s_$l").mkString(", ")
     val values = graft.operators.TextStats.trigramProfile.map {
       case (g, ss) => s"('${g.replace("'", "''")}', ${ss.mkString(", ")})"
     }.mkString(", ")
-    val caseArms = langs.init.zipWithIndex.map { case (l, i) =>
-      val rest = langs.drop(i + 1)
-      s"WHEN ${rest.map(r => s"s_$l >= s_$r").mkString(" AND ")} THEN '$l'"
-    }.mkString(" ")
+    // unpivot the per-language sums into (doc_id, lc, s) rows and rank:
+    // rk 1 = the argmax (ties to the first sorted language — the Spark
+    // fold's strict-> keeps the earlier language too), rk 2 = the
+    // runner-up whose gap the abstain margin tests
+    val unpivot = langs.map(l =>
+      s"SELECT doc_id, '$l' AS lc, s_$l AS s FROM lsum").mkString(" UNION ALL ")
     s"""prof(gram, $cols) AS (VALUES $values),
        ltok AS (SELECT doc_id, unnest(${toksSql("lower(text)")}) AS w
                 FROM documents),
@@ -403,10 +408,18 @@ object SparkEntry {
        lsum AS (SELECT lgram.doc_id,
                 ${langs.map(l => s"sum(prof.s_$l) AS s_$l").mkString(", ")}
                 FROM lgram JOIN prof USING (gram) GROUP BY lgram.doc_id),
+       lrank AS (SELECT doc_id, lc, s,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY s DESC, lc) AS rk
+                FROM ($unpivot)),
+       ltop AS (SELECT a.doc_id, a.lc AS l1, a.s AS s1, b.s AS s2
+                FROM lrank a JOIN lrank b
+                  ON a.doc_id = b.doc_id AND a.rk = 1 AND b.rk = 2),
        lpred AS (SELECT d.doc_id, d.lang,
-           CASE WHEN lsum.doc_id IS NULL THEN 'und' $caseArms
-                ELSE '${langs.last}' END AS predicted
-         FROM documents d LEFT JOIN lsum ON d.doc_id = lsum.doc_id)"""
+           CASE WHEN t.doc_id IS NULL THEN 'und'
+                WHEN t.s1 - t.s2 < $margin THEN 'und'
+                ELSE t.l1 END AS predicted
+         FROM documents d LEFT JOIN ltop t ON d.doc_id = t.doc_id)"""
   }
 
   /** Shared winnowing-selection CTE chain (DuckDB): grams → md5-prefix
@@ -2337,6 +2350,52 @@ object SparkEntry {
          a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
                  SELECT *, row_number() OVER (PARTITION BY vec_id
                    ORDER BY dist DESC, centroid_id) AS rk FROM d)
+               WHERE rk = 1),
+         dom AS (SELECT DISTINCT b.vec_id
+                 FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+                 WHERE ${cosineSql("x.embedding", "b.embedding")} >= 0.4)
+         SELECT a.vec_id, a.cell, (dom.vec_id IS NOT NULL) AS dropped
+         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+         ORDER BY a.vec_id""",
+    // the TWO-LEVEL assignment (Similarity.ivfCellsTwoLevel): coarse
+    // params derive from the fine count with the SAME ceil(sqrt)/
+    // floor-div arithmetic; every rank carries the identical
+    // (dist DESC, id ASC) tie-break, so the deterministic
+    // coarse→refine approximation replays exactly
+    "q_semantic_dedup_auto2" ->
+      s"""WITH p AS (SELECT
+             greatest(1, CAST(count(*) AS BIGINT) //
+               greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride,
+             greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cnum
+           FROM embeddings),
+         p2 AS (SELECT
+             stride * greatest(1, cnum //
+               greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT))) AS span,
+             greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT)) AS gnum
+           FROM p),
+         fine AS (SELECT vec_id AS centroid_id, embedding AS cv
+               FROM embeddings, p
+               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
+         coarse AS (SELECT vec_id AS coarse_id, embedding AS gv
+               FROM embeddings, p2
+               WHERE vec_id % p2.span = 0 AND vec_id < p2.span * p2.gnum),
+         fmap AS (SELECT coarse_id, centroid_id, cv FROM (
+                 SELECT f.centroid_id, f.cv, g.coarse_id,
+                   row_number() OVER (PARTITION BY f.centroid_id
+                     ORDER BY ${cosineSql("f.cv", "g.gv")} DESC, g.coarse_id) AS grk
+                 FROM fine f CROSS JOIN coarse g)
+               WHERE grk = 1),
+         vg AS (SELECT vec_id, embedding, coarse_id FROM (
+                 SELECT e.vec_id, e.embedding, g.coarse_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC, g.coarse_id) AS grk
+                 FROM embeddings e CROSS JOIN coarse g)
+               WHERE grk = 1),
+         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                 SELECT v.vec_id, v.embedding, f.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC, f.centroid_id) AS rk
+                 FROM vg v JOIN fmap f ON v.coarse_id = f.coarse_id)
                WHERE rk = 1),
          dom AS (SELECT DISTINCT b.vec_id
                  FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id

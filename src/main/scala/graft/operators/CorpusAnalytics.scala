@@ -821,6 +821,22 @@ object CorpusAnalytics {
     * ppl_bucket) for every doc with ≥ 2 tokens.
     */
   def lmPerplexity(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("nats_per_pos"), col("doc_id"))
+    perplexityScored(docs)
+      .withColumn("_t", ntile(3).over(w))
+      .withColumn("ppl_bucket",
+        when(col("_t") === 1, "head")
+          .when(col("_t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("_t")
+  }
+
+  /** The shared leave-one-out scoring chain of [[lmPerplexity]] /
+    * [[lmPerplexityApprox]]: (doc_id, lang, n_positions, nats_micro,
+    * nats_per_pos) for every doc with ≥ 2 tokens — everything except
+    * the bucket assignment. */
+  private def perplexityScored(docs: DataFrame): DataFrame = {
     val base = docs
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
       .withColumn("m", size(col("toks")).cast("long"))
@@ -882,22 +898,50 @@ object CorpusAnalytics {
       .agg((-sum(col("k") * lp)).as("nats_micro"))
     val ratio = col("nats_micro").cast("double") /
       (col("m") - 1).cast("double")
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("nats_per_pos"), col("doc_id"))
     scored
       .select(col("doc_id"), col("lang"),
         (col("m") - 1).as("n_positions"),
         col("nats_micro"), ratio.as("nats_per_pos"))
-      .withColumn("_t", ntile(3).over(w))
+  }
+
+  /** [[lmPerplexity]] with APPROXIMATE bucket boundaries — the
+    * documented monolingual-100-TB swap made a real code path (the
+    * [[TrainPrep.curriculumStagesApprox]] pattern applied here): the
+    * exact per-language `ntile(3)` is one global sort PER LANGUAGE
+    * PARTITION, and a monolingual corpus makes that a single
+    * global-sort partition — the classic scale-killer. Here bucket
+    * membership comes from two `percentile_approx` boundaries of
+    * `nats_per_pos` per language (one mergeable t-digest aggregate
+    * over the scored frame — fixed memory per language, partial-
+    * aggregable) broadcast back onto the same frame, so there is NO
+    * per-language ordering anywhere: the only exchanges are the
+    * scoring chain's own joins plus one tiny boundary aggregate.
+    *
+    * Same emitted schema as [[lmPerplexity]]; assignment is
+    * `nats_per_pos ≤ b₁ → head, ≤ b₂ → middle, else tail` (ascending
+    * nats = descending quality, matching the exact ntile's ordering).
+    * Not oracle-hashable (t-digest internals are engine-specific) —
+    * rows-only harness entry plus the accuracy-contract spec
+    * (CorpusAnalyticsSpec: every doc within one bucket of exact). */
+  def lmPerplexityApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val scored = perplexityScored(docs)
+    val bounds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("nats_per_pos"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("bs"))
+    scored.join(broadcast(bounds), Seq("lang"))
       .withColumn("ppl_bucket",
-        when(col("_t") === 1, "head")
-          .when(col("_t") === 2, "middle")
+        when(col("nats_per_pos") <= element_at(col("bs"), 1), "head")
+          .when(col("nats_per_pos") <= element_at(col("bs"), 2), "middle")
           .otherwise("tail"))
-      .drop("_t")
+      .select(col("doc_id"), col("lang"), col("n_positions"),
+        col("nats_micro"), col("nats_per_pos"), col("ppl_bucket"))
   }
 
   def qLmPerplexity(spark: SparkSession, dir: String): DataFrame =
     lmPerplexity(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  def qLmPerplexityApprox(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexityApprox(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
   // --- quality distribution drift (PSI) ---
 

@@ -171,13 +171,25 @@ object TextDedup {
     * set representative — the group minimum — is always in chunk 0).
     * The group key leads with xxhash64(hs) so hashing/comparison work
     * rides one long; the raw `hs` stays in the key for exactness
-    * (hash ties — i.e. equal sets — compare arrays). Chunk assignment
-    * is a `row_number` over the same (hsh, hs) partitioning the
-    * aggregate needs, so chunking adds a per-partition sort but NO
-    * exchange (HashPartitioning(hsh, hs) satisfies the refined
-    * grouping (hsh, hs, chunk_id)), and the trailing set_rep window
-    * runs over chunk rows only — ≤ |set|/[[ChunkMembers]] rows per
-    * partition, never the membership itself. */
+    * (hash ties — i.e. equal sets — compare arrays).
+    *
+    * Chunk assignment is RANGE-BUCKETED — bucket = ⌊doc_id/chunk⌋,
+    * exact integer arithmetic — NOT a `row_number` slice: a value
+    * bucket needs no per-group ordering of the raw membership rows,
+    * so the whole collapse runs sort-free over the corpus — one
+    * explicit (hsh, hs) exchange, one hash aggregate on the refined
+    * (hsh, hs, bucket) key (clustering satisfied by the exchange —
+    * no second shuffle), and ONE ordered window over the bounded
+    * chunk rows (≤ |set|/chunk each carrying ≤ chunk ids) that both
+    * renumbers buckets to contiguous 0-based chunk ids and reads the
+    * set representative off the first bucket. Round-16 forensics:
+    * the row_number spelling's corpus-wide per-partition sort was the
+    * steady-state +30–55% on every collapse consumer — value buckets
+    * delete the sort and keep every bound: ≤ chunk ids per row (a
+    * range of `chunk` integers holds at most `chunk` distinct ids),
+    * deterministic contents (buckets are id-absolute, so build ≡
+    * append+compact ≡ one-shot BY CONSTRUCTION — merge-stable without
+    * re-slicing), and chunk 0 = lowest bucket = the rep's chunk. */
   private[graft] def collapseGroups(docs: DataFrame): DataFrame =
     collapseGroupsAt(docs, chunkSize(docs.sparkSession))
 
@@ -210,15 +222,23 @@ object TextDedup {
     * one-shot (spec-pinned). */
   private[graft] def chunkMembers(pairs: DataFrame, chunk: Int): DataFrame = {
     require(chunk >= 1, "chunk size must be >= 1")
-    val byId = Window.partitionBy(col("hsh"), col("hs")).orderBy(col("doc_id"))
+    // exact integer floor-div (doc ids are non-negative): pmod strips
+    // the remainder, so the double divide is an exact multiple
+    val c = lit(chunk.toLong)
+    val bucket = ((col("doc_id") - pmod(col("doc_id"), c)) / c).cast("long")
+    // ONE ordered window over chunk rows only: dense_rank renumbers the
+    // sparse value buckets to contiguous 0-based chunk ids, and first()
+    // over the same ordering reads the set rep (the lowest bucket's
+    // min) — the unbounded-preceding default frame is exactly right
+    val ow = Window.partitionBy(col("hsh"), col("hs")).orderBy(col("bucket"))
     pairs.select(xxhash64(col("hs")).as("hsh"), col("hs"), col("doc_id"))
-      .withColumn("chunk_id",
-        ((row_number().over(byId) - 1) / chunk).cast("int"))
-      .groupBy(col("hsh"), col("hs"), col("chunk_id"))
+      .repartition(col("hsh"), col("hs"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("hsh"), col("hs"), col("bucket"))
       .agg(min(col("doc_id")).as("chunk_min"),
-        collect_list(col("doc_id")).as("members"))
-      .withColumn("set_rep",
-        min(col("chunk_min")).over(Window.partitionBy(col("hsh"), col("hs"))))
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("chunk_id", (dense_rank().over(ow) - 1).cast("int"))
+      .withColumn("set_rep", first(col("chunk_min")).over(ow))
       .select(col("set_rep"), col("hs"), col("chunk_id"), col("members"))
   }
 
@@ -625,14 +645,48 @@ object TextDedup {
     }
   }
 
-  /** The live (highest COMMITTED) version directory of a dedup index
-    * — the single resolution point every reader goes through. */
-  private[graft] def currentIndexDir(spark: SparkSession,
-                                     path: String): String = {
+  /** The committed (version, dir) pairs under an index root. */
+  private def committedVersions(spark: SparkSession, path: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
     val fs = indexFs(spark, path)
-    val committed = indexVersions(spark, path).filter { case (_, p) =>
+    indexVersions(spark, path).filter { case (_, p) =>
       fs.exists(new org.apache.hadoop.fs.Path(p, "_COMMITTED"))
     }
+  }
+
+  /** One-shot migration of the PRE-VERSIONING layout (`<path>/{bands,
+    * sets}` directly at the root, no v<NNNNNN>/_COMMITTED): wrap the
+    * two tables into `v000000` and commit it, so standing indexes
+    * persisted by the previous code keep working instead of throwing
+    * "no committed version". Runs only when NO committed version
+    * exists and both legacy tables do; the renames are directory
+    * moves (metadata-only on any real filesystem), and the marker
+    * lands last — interrupted mid-migration, the next call simply
+    * resumes (rename of an already-moved dir is skipped). */
+  private def migrateLegacyLayout(spark: SparkSession, path: String): Unit = {
+    val fs = indexFs(spark, path)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val legacyBands = p(s"$path/bands")
+    val legacySets = p(s"$path/sets")
+    if (committedVersions(spark, path).isEmpty &&
+        (fs.exists(legacyBands) || fs.exists(legacySets))) {
+      val v0 = p(s"$path/v000000")
+      fs.mkdirs(v0)
+      if (fs.exists(legacySets)) fs.rename(legacySets, p(s"$v0/sets"))
+      if (fs.exists(legacyBands)) fs.rename(legacyBands, p(s"$v0/bands"))
+      fs.createNewFile(p(s"$v0/_COMMITTED"))
+      ()
+    }
+  }
+
+  /** The live (highest COMMITTED) version directory of a dedup index
+    * — the single resolution point every reader goes through. A
+    * legacy pre-versioning layout is wrapped into v000000 on first
+    * resolution ([[migrateLegacyLayout]]). */
+  private[graft] def currentIndexDir(spark: SparkSession,
+                                     path: String): String = {
+    migrateLegacyLayout(spark, path)
+    val committed = committedVersions(spark, path)
     require(committed.nonEmpty,
       s"no committed dedup-index version under $path")
     committed.maxBy(_._1)._2.toString
@@ -647,22 +701,37 @@ object TextDedup {
     spark.read.parquet(s"${currentIndexDir(spark, path)}/bands")
 
   /** Write a full index layout under the NEXT version directory, then
-    * commit it with one atomic `_COMMITTED` create and sweep every
-    * other version (old committed ones and crashed uncommitted
-    * leftovers). The sweep runs strictly AFTER the commit, so the
-    * previous version stays fully readable until the new one is
-    * live. */
-  private def installIndexVersion(spark: SparkSession, path: String)(
+    * commit it with one atomic `_COMMITTED` create and sweep stale
+    * versions (older committed ones and crashed uncommitted
+    * leftovers). The sweep runs strictly AFTER the commit and RETAINS
+    * the immediately-previous committed version: a reader that
+    * resolved [[currentIndexDir]] moments before this install can
+    * still be mid-scan on the previous version's parquet, so its
+    * files must survive this call — the previous version is swept by
+    * the NEXT lifecycle call instead (by which point any scan started
+    * against two installs ago has long finished; a deployment with
+    * genuinely unbounded reader lifetimes would pin versions with
+    * leases). Crash contract: a kill at ANY instant — mid-write,
+    * between the two table writes, before the marker — leaves the old
+    * version fully committed and readable (the marker is the single
+    * commit point), and the orphaned uncommitted directory is swept
+    * here on the next call (spec-pinned for all three windows). */
+  private[graft] def installIndexVersion(spark: SparkSession, path: String)(
       write: String => Unit): Unit = {
+    migrateLegacyLayout(spark, path)
     val fs = indexFs(spark, path)
+    val prevCommitted = committedVersions(spark, path)
+      .map(_._1).maxOption
     val nextN = indexVersions(spark, path).map(_._1).maxOption.getOrElse(-1L) + 1
     val dir = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path), f"v$nextN%06d")
     write(dir.toString)
     require(fs.createNewFile(new org.apache.hadoop.fs.Path(dir, "_COMMITTED")),
       s"could not commit dedup-index version $dir")
-    indexVersions(spark, path).foreach { case (_, p) =>
-      if (p.getName != dir.getName) { fs.delete(p, true); () }
+    indexVersions(spark, path).foreach { case (n, p) =>
+      if (p.getName != dir.getName && !prevCommitted.contains(n)) {
+        fs.delete(p, true); ()
+      }
     }
   }
 

@@ -86,7 +86,37 @@ object TextStats {
       "se", "las", "por", "un", "para", "con", "no", "una", "su", "al",
       "lo", "como", "pero", "sus", "le", "ya", "o", "este", "porque",
       "esta", "entre", "cuando", "muy", "sin", "sobre", "me", "hasta",
-      "hay", "donde", "también", "años"))
+      "hay", "donde", "también", "años"),
+    "it" -> Seq("di", "che", "la", "il", "un", "per", "in", "una",
+      "sono", "non", "le", "con", "si", "da", "come", "io", "questo",
+      "ma", "del", "lui", "lei", "più", "mi", "era", "se", "ho", "lo",
+      "ha", "anche", "tutto", "della", "alla", "su", "al", "bene",
+      "qui", "sei", "cosa", "nel", "gli"),
+    "pt" -> Seq("de", "que", "o", "do", "da", "em", "um", "para",
+      "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+      "dos", "como", "mas", "ao", "ele", "das", "seu", "sua", "ou",
+      "quando", "muito", "nos", "já", "eu", "também", "só", "pelo",
+      "pela", "até", "isso", "ela", "entre"),
+    "nl" -> Seq("de", "en", "van", "ik", "te", "dat", "die", "in",
+      "een", "hij", "het", "niet", "zijn", "is", "was", "op", "aan",
+      "met", "als", "voor", "had", "er", "maar", "om", "hem", "dan",
+      "zou", "of", "wat", "mijn", "men", "dit", "zo", "door", "over",
+      "ze", "zich", "bij", "ook", "je"),
+    "pl" -> Seq("nie", "to", "się", "na", "i", "z", "co", "jest",
+      "że", "do", "tak", "jak", "o", "mnie", "ale", "mi", "za", "ja",
+      "ci", "tu", "ty", "czy", "tym", "go", "tego", "tylko", "jestem",
+      "po", "cię", "ma", "już", "mam", "jej", "od", "dla", "was",
+      "będzie", "są", "było", "byli"),
+    "sv" -> Seq("och", "i", "att", "det", "som", "en", "på", "är",
+      "av", "för", "med", "till", "den", "har", "de", "inte", "om",
+      "ett", "han", "men", "var", "jag", "sig", "från", "vi", "så",
+      "kan", "när", "år", "hon", "också", "efter", "eller", "nu",
+      "sin", "där", "vid", "mot", "ska", "kommer"),
+    "da" -> Seq("og", "i", "at", "det", "er", "en", "den", "til",
+      "på", "de", "med", "han", "af", "for", "ikke", "der", "var",
+      "mig", "sig", "men", "et", "har", "om", "vi", "min", "havde",
+      "ham", "hun", "nu", "over", "da", "fra", "du", "ud", "sin",
+      "dem", "os", "op", "man", "hans"))
 
   /** Languages the trigram profiles score, sorted — the argmax
     * tie-break order on BOTH engines. */
@@ -124,12 +154,24 @@ object TextStats {
     }
   }
 
+  /** Confidence margin for [[langIdNgram]], in micro-nats: when the
+    * best and second-best language scores sit closer than this, the
+    * prediction is "und" rather than a coin-flip between two close
+    * languages — the standard abstain rule a crawl pipeline wants
+    * before routing a document to language-specific processing. A
+    * code-mixed document scores high on BOTH its languages; zero
+    * coverage was previously the ONLY path to "und". Pinned as one
+    * literal shared by both engines (the [[trigramProfile]]
+    * discipline). */
+  val LangIdMarginMicroNat = 200000L
+
   /** Character-trigram language ID (Cavnar–Trenkle 1994, "N-Gram-Based
     * Text Categorization", the fastText-free deterministic shape):
     * each document's word-padded trigrams score against the
     * per-language [[trigramProfile]]; prediction = argmax of the
     * summed micro-nat scores, ties to the first of [[trigramLangs]],
-    * documents with NO in-profile trigram → "und". Out-of-profile
+    * documents with NO in-profile trigram — or with a top-2 score gap
+    * under [[LangIdMarginMicroNat]] — → "und". Out-of-profile
     * trigrams are neutral by contract (profile-intersection scoring)
     * — well-defined on both engines without an unseen-mass constant.
     *
@@ -138,6 +180,11 @@ object TextStats {
     * (degenerating to the tie-break), but still carries hundreds of
     * characteristic character transitions (spec-pinned fixture).
     *
+    * The profile frame is built GENERICALLY from [[trigramLangs]] —
+    * the lexicon is the single source of arity, so adding a language
+    * to [[seedLexicon]] regenerates the scorer (and the interpolated
+    * oracle) with no code change here.
+    *
     * Scale shape: one narrow pass (lower + token explode + trigram
     * explode — output rows ≈ corpus characters), one BROADCAST join
     * against the ≤ few-hundred-row profile table, one doc-keyed
@@ -145,10 +192,16 @@ object TextStats {
     * shuffle except the doc_id aggregate. */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
-    val prof = trigramProfile.map { case (g, ss) => (g, ss(0), ss(1), ss(2), ss(3)) }
-      .toDF("gram", s"s_${trigramLangs(0)}", s"s_${trigramLangs(1)}",
-        s"s_${trigramLangs(2)}", s"s_${trigramLangs(3)}")
+    val profSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("gram",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        trigramLangs.map(l => org.apache.spark.sql.types.StructField(
+          s"s_$l", org.apache.spark.sql.types.LongType, nullable = false)))
+    val profRows = trigramProfile.map { case (g, ss) =>
+      org.apache.spark.sql.Row.fromSeq(g +: ss)
+    }
+    val prof = spark.createDataFrame(
+      spark.sparkContext.parallelize(profRows, 1), profSchema)
     val grams = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("_t"))
       .select(col("doc_id"), concat(lit(" "), col("_t"), lit(" ")).as("_p"))
@@ -159,12 +212,22 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(sum(col(s"s_${trigramLangs.head}")).as(s"s_${trigramLangs.head}"),
         trigramLangs.tail.map(l => sum(col(s"s_$l")).as(s"s_$l")): _*)
-    val pred = trigramLangs.foldLeft(
-      (lit("und"), lit(Long.MinValue))) { case ((bl, bs), l) =>
-      val s = col(s"s_$l")
-      (when(s.isNotNull && s > bs, lit(l)).otherwise(bl),
-        when(s.isNotNull && s > bs, s).otherwise(bs))
-    }._1
+    // fold: best language + best AND second-best scores (ties keep the
+    // first sorted language as best; the tied score still lands in
+    // second, so a dead tie reads as a zero gap -> "und")
+    val (bl, bs, ss) = trigramLangs.foldLeft(
+      (lit("und"), lit(Long.MinValue), lit(Long.MinValue))) {
+      case ((bl, bs, ss), l) =>
+        val s = col(s"s_$l")
+        val isBest = s.isNotNull && s > bs
+        val isSecond = s.isNotNull && !(s > bs) && s > ss
+        (when(isBest, lit(l)).otherwise(bl),
+          when(isBest, s).otherwise(bs),
+          when(isBest, bs).otherwise(when(isSecond, s).otherwise(ss)))
+    }
+    val pred = when(bl === "und", lit("und"))
+      .when(bs - ss < LangIdMarginMicroNat, lit("und"))
+      .otherwise(bl)
     docs.select(col("doc_id"))
       .join(scores, Seq("doc_id"), "left")
       .select(col("doc_id"), pred.as("predicted"))

@@ -359,6 +359,38 @@ class CorpusAnalyticsSpec extends SparkSpec {
     assert(out(3L).getLong(3) === 5L * floor)
   }
 
+  test("lm perplexity approx: accuracy contract — within one bucket of exact, no per-language sort") {
+    val docs = graft.tables.Tables.documents(spark, sf("sf0.001"))
+    def bnum(b: String): Int = b match {
+      case "head" => 1; case "middle" => 2; case _ => 3
+    }
+    val exact = CorpusAnalytics.lmPerplexity(docs)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    val approx = CorpusAnalytics.lmPerplexityApprox(docs)
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(approx.keySet === exact.keySet, "approx must bucket every scored doc")
+    approx.foreach { case (id, b) =>
+      assert(math.abs(bnum(b) - bnum(exact(id))) <= 1,
+        s"doc $id: approx bucket $b vs exact ${exact(id)}")
+    }
+    // and most docs agree outright (boundary ties are the only slack)
+    val agree = approx.count { case (id, b) => b == exact(id) }
+    assert(agree >= approx.size * 9 / 10,
+      s"only $agree of ${approx.size} bucket assignments agree")
+    // the scale point: NO window operator (the exact form's per-language
+    // ntile sort) anywhere in the approx plan — h_d's doc-keyed window
+    // in the scoring chain is the one allowed exception
+    val out = CorpusAnalytics.lmPerplexityApprox(docs)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(parts.exists(_.startsWith("doc_id")),
+        s"approx plan may only window per-doc, found partition on $parts")
+    }
+  }
+
   test("lm perplexity: deterministic across partitionings, one-token docs dropped") {
     val docs = (1 to 30).map { i =>
       (i.toLong, s"a${i % 5} b${i % 3} c${i % 7} a${i % 5}", "en", "s")

@@ -16,7 +16,7 @@ class SmokeSpec extends SparkSpec {
     * pinned by dedicated specs. */
   val oracleExempt: Set[String] =
     Set("q_approx_users", "q_approx_quantiles", "q_similar_kmeans",
-      "q_compress_ratio", "q_curriculum_approx")
+      "q_compress_ratio", "q_curriculum_approx", "q_lm_perplexity_approx")
 
   test("every query has an oracle or is explicitly exempt") {
     val noOracle =

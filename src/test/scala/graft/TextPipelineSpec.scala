@@ -164,6 +164,95 @@ class TextPipelineSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("index install crash windows: reader keeps the old version; next lifecycle sweeps orphans, retains previous") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-crash")
+    try {
+      val path = s"$dir/idx"
+      val p1 = docs.filter(col("doc_id").isin(1L, 3L))
+      val probe = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      def versions() = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.matches("v\\d{6}")).sorted.toSeq
+      def committed(v: String) =
+        new java.io.File(s"$path/$v/_COMMITTED").exists()
+      TextDedup.writeDedupIndex(p1, path)
+      val v0 = TextDedup.currentIndexDir(spark, path)
+      val baseline = rows(TextDedup.dedupProbeIndex(spark, path, probe))
+      assert(baseline.nonEmpty, "vacuous: probe must hit the standing side")
+      // simulate a kill in each window of the NEXT install: before any
+      // table lands, after sets/, and after sets/ + bands/ (marker never
+      // created) — the reader must keep resolving the old version with
+      // identical probe answers after every crash
+      (0 to 2).foreach { after =>
+        intercept[RuntimeException] {
+          TextDedup.installIndexVersion(spark, path) { d =>
+            if (after >= 1)
+              Seq((1L, "x")).toDF("doc_id", "hs").write.parquet(s"$d/sets")
+            if (after >= 2)
+              Seq((1L, "x")).toDF("doc_id", "hs").write.parquet(s"$d/bands")
+            throw new RuntimeException("simulated crash")
+          }
+        }
+        assert(TextDedup.currentIndexDir(spark, path) === v0,
+          s"crash window $after moved the live version")
+        assert(rows(TextDedup.dedupProbeIndex(spark, path, probe)) === baseline,
+          s"crash window $after changed probe answers")
+      }
+      // the window-0 crash writes nothing, so no dir lands for it;
+      // windows 1 and 2 each leave an uncommitted orphan dir
+      assert(versions().size === 3, "two orphan version dirs + v000000")
+      // the next real lifecycle call sweeps every orphan, commits the
+      // new version, and RETAINS the previous committed one (in-flight
+      // readers of v0 keep their files)
+      TextDedup.writeDedupIndex(docs, path)
+      val afterBuild = versions()
+      assert(afterBuild.size === 2, s"expected {v0, new}, got $afterBuild")
+      assert(afterBuild.contains(v0.split('/').last), "previous version swept too early")
+      assert(afterBuild.forall(committed), "orphans must be gone")
+      val full = rows(TextDedup.dedupProbeIndex(spark, path, probe))
+      // one MORE install finally sweeps v0
+      TextDedup.writeDedupIndex(docs, path)
+      val afterSecond = versions()
+      assert(afterSecond.size === 2)
+      assert(!afterSecond.contains(v0.split('/').last),
+        "two-installs-ago version must now be swept")
+      assert(rows(TextDedup.dedupProbeIndex(spark, path, probe)) === full)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("legacy pre-versioning index layout migrates to v000000 on first resolution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-legacy")
+    try {
+      val path = s"$dir/idx"
+      val p1 = docs.filter(col("doc_id").isin(1L, 3L))
+      val probe = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      TextDedup.writeDedupIndex(p1, path)
+      val baseline = rows(TextDedup.dedupProbeIndex(spark, path, probe))
+      // reconstruct the legacy layout: tables at the root, no versions
+      // (currentIndexDir returns a hadoop URI — strip the file scheme)
+      val cur = new java.io.File(
+        TextDedup.currentIndexDir(spark, path).stripPrefix("file:"))
+      assert(new java.io.File(cur, "sets")
+        .renameTo(new java.io.File(s"$path/sets")))
+      assert(new java.io.File(cur, "bands")
+        .renameTo(new java.io.File(s"$path/bands")))
+      org.apache.commons.io.FileUtils.deleteDirectory(cur)
+      // first resolution migrates and probes identically; append keeps
+      // working against the migrated layout
+      assert(rows(TextDedup.dedupProbeIndex(spark, path, probe)) === baseline)
+      assert(TextDedup.currentIndexDir(spark, path).endsWith("v000000"))
+      TextDedup.appendDedupIndex(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L, 5L)))
+      val appended = rows(TextDedup.dedupProbeIndex(spark, path, probe))
+      assert(appended.map(_._2).toSet === Set(1L, 2L, 4L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("membership chunking: a planted mega-family splits into bounded rows; answers are chunk-invariant") {
     // two exact-dup families, near-dups of EACH OTHER: exercises the
     // intra (within-set) and cross (between-set) expansions across
@@ -493,7 +582,7 @@ class TextPipelineSpec extends SparkSpec {
     val labeled = Seq(
       (1L, "kleine beispiele wurden zwischen mehreren saetzen geschrieben", "de"),
       (2L, "plusieurs exemples simples sont souvent choisis ensemble", "fr"),
-      (3L, "muchos ejemplos sencillos son elegidos juntos", "es"),
+      (3L, "los muchachos escogieron ejemplos sencillos y los jueces hablaron mucho", "es"),
       (4L, "several simple examples are often chosen together", "en"))
       .toDF("doc_id", "text", "lang")
     val ngram = TextStats.langIdNgram(labeled).collect()
@@ -508,12 +597,17 @@ class TextPipelineSpec extends SparkSpec {
     val stopRight = want.count { case (id, l) => stopword(id) == l }
     assert(stopRight < want.size,
       "fixture no longer separates the heuristics — rebuild it")
-    // degenerate inputs: no tokens / no in-profile grams -> "und"
-    val degenerate = Seq((10L, ""), (11L, "zzzz qqqq"))
+    // degenerate inputs: no tokens / no in-profile grams -> "und";
+    // a CODE-MIXED doc (fr + en halves) scores its two languages
+    // within the confidence margin and must abstain too — the margin
+    // is the only path to "und" for a doc with real coverage
+    val degenerate = Seq((10L, ""), (11L, "zzzz qqqq"),
+      (12L, "un petit exemple simple a small simple example"))
       .toDF("doc_id", "text")
     val dp = TextStats.langIdNgram(degenerate).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dp(10L) === "und")
+    assert(dp(12L) === "und", "mixed-language doc must abstain")
   }
 
   test("language id picks the stopword profile; quality guards zero division") {
@@ -1171,6 +1265,41 @@ class TextPipelineSpec extends SparkSpec {
       s"max occupancy grew $max1 -> $max10 on 10x rows")
   }
 
+  test("two-level ivf equals flat assignment on a well-separated fixture and fails loudly on sparse ids") {
+    // n=16 -> c=4 fine centroids {0,4,8,12}, g=2 coarse {0,8}. Four
+    // tight direction clusters, one per fine centroid; the two coarse
+    // centroids each own their pair of fine centroids (cos 0.9 within a
+    // pair, 0 across), so every vector's nearest coarse cell contains
+    // its globally nearest fine centroid — flat and two-level must
+    // agree exactly.
+    val bases = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0.9f, 0.43589f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0.9f, 0.43589f))
+    val emb = (0 until 16).map { i =>
+      val b = bases(i / 4).clone()
+      val jitter = 0.01f * (i % 4) // 0 for the centroid member itself
+      if (i / 4 == 0) b(1) += jitter
+      else if (i / 4 == 1) b(1) += jitter
+      else b(3) += jitter
+      (i.toLong, b)
+    }.toDF("vec_id", "embedding")
+    val flat = Similarity.ivfCellsAuto(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().sortBy(_._1)
+    val two = Similarity.ivfCellsTwoLevel(emb)
+      .select("vec_id", "cell").as[(Long, Long)].collect().sortBy(_._1)
+    assert(two === flat)
+    // every cluster must land on its planted fine centroid
+    assert(two.toMap === (0 until 16).map(i => i.toLong -> (i / 4 * 4).toLong).toMap)
+    // sparse/offset id space: the stride selection finds no centroids
+    // and must fail loudly, never return an empty assignment
+    val off = (0 until 16).map(i => ((i + 1000).toLong, bases(i / 4)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Similarity.ivfCellsAuto(off))
+    assert(e.getMessage.contains("centroid selection"))
+    val e2 = intercept[IllegalArgumentException](Similarity.ivfCellsTwoLevel(off))
+    assert(e2.getMessage.contains("centroid selection"))
+  }
+
   test("ivf assigns vectors to the nearest centroid and probes one cell") {
     // centroid 0 ~ x-axis, centroid 137 ~ y-axis (ids chosen to be centroids)
     val emb = Seq(
@@ -1716,6 +1845,22 @@ class TextPipelineSpec extends SparkSpec {
       }
       rm(new java.io.File(dir))
     }
+  }
+
+  test("memoized near-drop set: curate family over the memo equals recomputation") {
+    import graft.operators.Curate
+    val dir = sf("sf0.001")
+    val cdocs = graft.tables.Tables.documents(spark, dir)
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).toSet
+    val memo = Curate.nearDropIds(spark, dir)
+    assert(rows(Curate.curateWith(cdocs, emb, memo)) ===
+      rows(Curate.curate(cdocs, emb)), "curate over the memo drifted")
+    assert(rows(Curate.curateV2With(cdocs, emb, memo)) ===
+      rows(Curate.curateV2(cdocs, emb)), "v2 over the memo drifted")
+    assert(rows(Curate.curateV4With(cdocs, emb, memo)) ===
+      rows(Curate.curateV4(cdocs, emb)), "v4 over the memo drifted")
   }
 
   test("materialized cluster labels serve every consumer identically to recomputation") {
