@@ -212,25 +212,33 @@ object TextStats {
       .groupBy(col("doc_id"))
       .agg(sum(col(s"s_${trigramLangs.head}")).as(s"s_${trigramLangs.head}"),
         trigramLangs.tail.map(l => sum(col(s"s_$l")).as(s"s_$l")): _*)
-    // fold: best language + best AND second-best scores (ties keep the
-    // first sorted language as best; the tied score still lands in
-    // second, so a dead tie reads as a zero gap -> "und")
-    val (bl, bs, ss) = trigramLangs.foldLeft(
-      (lit("und"), lit(Long.MinValue), lit(Long.MinValue))) {
-      case ((bl, bs, ss), l) =>
-        val s = col(s"s_$l")
-        val isBest = s.isNotNull && s > bs
-        val isSecond = s.isNotNull && !(s > bs) && s > ss
-        (when(isBest, lit(l)).otherwise(bl),
-          when(isBest, s).otherwise(bs),
-          when(isBest, bs).otherwise(when(isSecond, s).otherwise(ss)))
+    // argmax + runner-up in LINEAR-size expressions, staged through
+    // projected columns: a folded accumulator that re-references its
+    // previous step N times grows the tree ~3^N with the language
+    // count (measured: the 10-language fold serialized to a 16 MiB
+    // task binary and put q_lang_id at 36 s) — `greatest` + a CASE
+    // over the projected best keep every stage O(langs). The score
+    // columns are all-or-nothing per doc (every profile gram carries
+    // every language's smoothed logprob), so null handling rides the
+    // best score alone. Ties: the CASE takes the FIRST sorted
+    // language; the tied runner-up score then reads as a zero gap ->
+    // "und" via the margin.
+    val best = greatest(trigramLangs.map(l => col(s"s_$l")): _*)
+    val bestLang = trigramLangs.foldRight(lit(null).cast("string")) {
+      (l, acc) => when(col(s"s_$l") === col("_bs"), lit(l)).otherwise(acc)
     }
-    val pred = when(bl === "und", lit("und"))
-      .when(bs - ss < LangIdMarginMicroNat, lit("und"))
-      .otherwise(bl)
+    val second = greatest(trigramLangs.map(l =>
+      when(lit(l) === col("_bl"), lit(Long.MinValue))
+        .otherwise(col(s"s_$l"))): _*)
     docs.select(col("doc_id"))
       .join(scores, Seq("doc_id"), "left")
-      .select(col("doc_id"), pred.as("predicted"))
+      .withColumn("_bs", best)
+      .withColumn("_bl", bestLang)
+      .withColumn("_ss", second)
+      .select(col("doc_id"),
+        when(col("_bs").isNull, lit("und"))
+          .when(col("_bs") - col("_ss") < LangIdMarginMicroNat, lit("und"))
+          .otherwise(col("_bl")).as("predicted"))
   }
 
   /** Heuristic language ID: argmax of stopword hits (ties broken by
