@@ -137,6 +137,8 @@ object SparkEntry {
     "q_semantic_dedup"     -> (Similarity.qSemanticDedup _),
     "q_semantic_dedup_auto" -> (Similarity.qSemanticDedupAuto _),
     "q_semantic_dedup_auto2" -> (Similarity.qSemanticDedupAuto2 _),
+    "q_similar_ivf_2lvl"   -> (Similarity.qSimilarIvfTwoLevel _),
+    "q_semantic_admission" -> (Similarity.qSemanticAdmission _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
@@ -421,6 +423,58 @@ object SparkEntry {
                 ELSE t.l1 END AS predicted
          FROM documents d LEFT JOIN ltop t ON d.doc_id = t.doc_id)"""
   }
+
+  /** Shared two-level IVF assignment CTE chain (DuckDB): auto-sized
+    * fine params from count(*), coarse params from the fine count via
+    * the identical ⌈√·⌉/floor-div arithmetic, fine→coarse map, coarse
+    * assignment, refine — → `a(vec_id, embedding, cell)`, the twin of
+    * [[graft.operators.Similarity.ivfCellsTwoLevel]]. Every rank
+    * carries the (dist DESC, id ASC) tie-break, so the deterministic
+    * approximation replays exactly. Interpolate after `WITH`. */
+  private def twoLevelStructSql(src: String): String =
+    s"""p AS (SELECT
+             greatest(1, CAST(count(*) AS BIGINT) //
+               greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride,
+             greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cnum
+           FROM $src),
+         p2 AS (SELECT
+             stride * greatest(1, cnum //
+               greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT))) AS span,
+             greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT)) AS gnum
+           FROM p),
+         fine AS (SELECT vec_id AS centroid_id, embedding AS cv
+               FROM $src, p
+               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
+         coarse AS (SELECT vec_id AS coarse_id, embedding AS gv
+               FROM $src, p2
+               WHERE vec_id % p2.span = 0 AND vec_id < p2.span * p2.gnum),
+         fmap AS (SELECT coarse_id, centroid_id, cv FROM (
+                 SELECT f.centroid_id, f.cv, g.coarse_id,
+                   row_number() OVER (PARTITION BY f.centroid_id
+                     ORDER BY ${cosineSql("f.cv", "g.gv")} DESC, g.coarse_id) AS grk
+                 FROM fine f CROSS JOIN coarse g)
+               WHERE grk = 1)"""
+
+  /** The placement half: assign `vecSrc`'s (vec_id, embedding) rows to
+    * the structures' cells → `$out(vec_id, embedding, cell)`. */
+  private def twoLevelAssignSql(vecSrc: String, vg: String,
+                                out: String): String =
+    s"""$vg AS (SELECT vec_id, embedding, coarse_id FROM (
+                 SELECT e.vec_id, e.embedding, g.coarse_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC, g.coarse_id) AS grk
+                 FROM $vecSrc e CROSS JOIN coarse g)
+               WHERE grk = 1),
+         $out AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
+                 SELECT v.vec_id, v.embedding, f.centroid_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC, f.centroid_id) AS rk
+                 FROM $vg v JOIN fmap f ON v.coarse_id = f.coarse_id)
+               WHERE rk = 1)"""
+
+  private lazy val twoLevelCellsSql: String =
+    s"""${twoLevelStructSql("embeddings")},
+        ${twoLevelAssignSql("embeddings", "vg", "a")}"""
 
   /** Shared winnowing-selection CTE chain (DuckDB): grams → md5-prefix
     * 60-bit hash → fixed-width sortable key → per-w-window min →
@@ -2363,46 +2417,45 @@ object SparkEntry {
     // (dist DESC, id ASC) tie-break, so the deterministic
     // coarse→refine approximation replays exactly
     "q_semantic_dedup_auto2" ->
-      s"""WITH p AS (SELECT
-             greatest(1, CAST(count(*) AS BIGINT) //
-               greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride,
-             greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cnum
-           FROM embeddings),
-         p2 AS (SELECT
-             stride * greatest(1, cnum //
-               greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT))) AS span,
-             greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT)) AS gnum
-           FROM p),
-         fine AS (SELECT vec_id AS centroid_id, embedding AS cv
-               FROM embeddings, p
-               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
-         coarse AS (SELECT vec_id AS coarse_id, embedding AS gv
-               FROM embeddings, p2
-               WHERE vec_id % p2.span = 0 AND vec_id < p2.span * p2.gnum),
-         fmap AS (SELECT coarse_id, centroid_id, cv FROM (
-                 SELECT f.centroid_id, f.cv, g.coarse_id,
-                   row_number() OVER (PARTITION BY f.centroid_id
-                     ORDER BY ${cosineSql("f.cv", "g.gv")} DESC, g.coarse_id) AS grk
-                 FROM fine f CROSS JOIN coarse g)
-               WHERE grk = 1),
-         vg AS (SELECT vec_id, embedding, coarse_id FROM (
-                 SELECT e.vec_id, e.embedding, g.coarse_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                     ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC, g.coarse_id) AS grk
-                 FROM embeddings e CROSS JOIN coarse g)
-               WHERE grk = 1),
-         a AS (SELECT vec_id, embedding, centroid_id AS cell FROM (
-                 SELECT v.vec_id, v.embedding, f.centroid_id,
-                   row_number() OVER (PARTITION BY v.vec_id
-                     ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC, f.centroid_id) AS rk
-                 FROM vg v JOIN fmap f ON v.coarse_id = f.coarse_id)
-               WHERE rk = 1),
+      s"""WITH $twoLevelCellsSql,
          dom AS (SELECT DISTINCT b.vec_id
                  FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
                  WHERE ${cosineSql("x.embedding", "b.embedding")} >= 0.4)
          SELECT a.vec_id, a.cell, (dom.vec_id IS NOT NULL) AS dropped
          FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
          ORDER BY a.vec_id""",
+    // the same two-level cells composed with the probed search —
+    // ivfTopKTwoLevel's "no downstream schema change" claim replayed
+    "q_similar_ivf_2lvl" ->
+      s"""WITH $twoLevelCellsSql,
+         q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM a
+               WHERE $isQuerySql),
+         s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
+               FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id, cosine,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+               FROM s)
+         SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // SemDeDup admission on the append-shaped split: standing = the
+    // dense id prefix (structures + cells from it), probe = the tail,
+    // dropped iff ANY standing same-cell vector clears the threshold
+    "q_semantic_admission" ->
+      s"""WITH tsplit AS (SELECT (count(*) * 9) // 10 AS t FROM embeddings),
+         std AS (SELECT vec_id, embedding FROM embeddings, tsplit
+                 WHERE vec_id < t),
+         pr AS (SELECT vec_id, embedding FROM embeddings, tsplit
+                WHERE vec_id >= t),
+         ${twoLevelStructSql("std")},
+         ${twoLevelAssignSql("std", "vgs", "a")},
+         ${twoLevelAssignSql("pr", "vgp", "pa")},
+         dom AS (SELECT DISTINCT pa.vec_id
+                 FROM pa JOIN a ON pa.cell = a.cell
+                 WHERE ${cosineSql("pa.embedding", "a.embedding")} >= 0.4)
+         SELECT pa.vec_id AS probe_id, pa.cell,
+           (dom.vec_id IS NOT NULL) AS dropped
+         FROM pa LEFT JOIN dom ON pa.vec_id = dom.vec_id
+         ORDER BY probe_id""",
     "q_similar_ivf2" -> ivfProbedOracle,
     // the persisted-index probe MUST be answer-invariant vs the
     // rebuilt-per-call form — same oracle, word for word

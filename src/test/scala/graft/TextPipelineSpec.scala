@@ -1169,6 +1169,42 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic admission equals the one-shot batch gate") {
+    // standing = dense id prefix (two direction clusters); probe 100
+    // is an exact copy of standing 3 (same cell by determinism, cos 1
+    // -> dropped), probe 101 a novel direction (kept)
+    val dir = java.nio.file.Files.createTempDirectory("graft-semadm-stream")
+    val standing = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0.98f, 0.2f, 0f, 0f)),
+      (2L, Array(0.95f, 0.3f, 0f, 0f)), (3L, Array(0.9f, 0.43f, 0f, 0f)),
+      (4L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0f, 0.98f, 0.2f)),
+      (6L, Array(0f, 0f, 0.9f, 0.43f)), (7L, Array(0f, 0f, 0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq(
+      (100L, Array(0.9f, 0.43f, 0f, 0f)),
+      (101L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val q = Similarity.streamingSemanticAdmission(stream, standing, 0.9) {
+      (adm, _) =>
+        val rows = adm.select("probe_id", "cell", "dropped")
+          .as[(Long, Long, Boolean)].collect()
+        got.synchronized { got ++= rows }; ()
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = Similarity.semanticAdmission(probe, standing, 0.9)
+        .select("probe_id", "cell", "dropped")
+        .as[(Long, Long, Boolean)].collect()
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+      val dropped = got.map(r => r._1 -> r._3).toMap
+      assert(dropped === Map(100L -> true, 101L -> false),
+        "copy must be dropped, novel direction admitted")
+    } finally q.stop()
+  }
+
   test("streaming increments probe the PERSISTED band index, same answers") {
     // the full lifecycle: land the band index once, then stream
     // increments against the read-back table — embedCrossPairs takes
