@@ -61,11 +61,14 @@ object TextStats {
   }
 
   /** Per-language seed lexicons for the character-trigram profiles:
-    * the most frequent function/content words of each language
+    * the most frequent function/content words of each of 18 languages
     * (public frequency-list words). Deterministic and
     * data-independent — the profiles below are a pure function of
-    * these lists, computed once at class load. `es` is profile-only
-    * (it has no stopword-hit twin in [[stopwords]]). */
+    * these lists, computed once at class load, and [[langIdNgram]]'s
+    * scorer + the interpolated DuckDB oracle both regenerate from
+    * them (the lexicon is the single source of arity — adding a
+    * language is one entry here, no code change). Only en/de/fr have
+    * stopword-hit twins in [[stopwords]]; the rest are profile-only. */
   val seedLexicon: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "of", "and", "a", "to", "in", "is", "you", "that",
       "it", "he", "was", "for", "on", "are", "as", "with", "his", "they",
@@ -116,7 +119,49 @@ object TextStats {
       "på", "de", "med", "han", "af", "for", "ikke", "der", "var",
       "mig", "sig", "men", "et", "har", "om", "vi", "min", "havde",
       "ham", "hun", "nu", "over", "da", "fra", "du", "ud", "sin",
-      "dem", "os", "op", "man", "hans"))
+      "dem", "os", "op", "man", "hans"),
+    "no" -> Seq("og", "i", "jeg", "det", "at", "en", "et", "den",
+      "til", "er", "som", "på", "de", "med", "han", "av", "ikke",
+      "der", "så", "var", "meg", "seg", "men", "har", "om", "vi",
+      "min", "mitt", "ha", "hadde", "hun", "nå", "over", "da", "ved",
+      "fra", "du", "ut", "sin", "mot"),
+    "fi" -> Seq("ja", "on", "ei", "se", "että", "oli", "hän",
+      "mutta", "niin", "kun", "minä", "joka", "sen", "mitä", "tai",
+      "kaikki", "me", "ovat", "ole", "hyvin", "nyt", "vain", "myös",
+      "sitten", "kuin", "jos", "mukaan", "siinä", "tämä", "ne",
+      "sitä", "olen", "olla", "jo", "koska", "voi", "sanoi",
+      "kanssa", "mitään", "hänen"),
+    "cs" -> Seq("a", "se", "na", "je", "že", "o", "s", "z", "do",
+      "i", "to", "k", "ve", "pro", "za", "by", "ale", "si", "jako",
+      "po", "co", "jsem", "jeho", "své", "který", "byl", "tak", "od",
+      "nebo", "jsou", "při", "už", "být", "více", "bude", "když",
+      "však", "až", "může", "pak"),
+    "ro" -> Seq("de", "la", "a", "în", "și", "cu", "o", "pe", "un",
+      "care", "ce", "mai", "din", "este", "al", "lui", "pentru",
+      "dar", "sunt", "fost", "sau", "dacă", "când", "nu", "să", "se",
+      "ca", "după", "tot", "fi", "el", "ea", "noi", "avea", "acest",
+      "prin", "între", "ani", "două", "foarte"),
+    "tr" -> Seq("bir", "ve", "bu", "da", "de", "ne", "için", "ben",
+      "o", "çok", "ama", "gibi", "daha", "kadar", "sen", "ki", "mi",
+      "her", "şey", "var", "bana", "beni", "sonra", "ile", "onu",
+      "değil", "diye", "sana", "seni", "zaman", "iki", "kendi",
+      "biz", "en", "olarak", "olan", "yok", "nasıl", "şimdi", "eğer"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "ini", "untuk",
+      "dari", "dalam", "tidak", "akan", "pada", "juga", "saya", "ke",
+      "karena", "ada", "mereka", "kita", "sudah", "atau", "bisa",
+      "anda", "kami", "seperti", "satu", "lebih", "harus", "aku",
+      "tahun", "orang", "hanya", "banyak", "telah", "masih", "bagi",
+      "saat", "oleh", "sebagai", "kamu"),
+    "hu" -> Seq("a", "az", "és", "hogy", "nem", "is", "egy", "ez",
+      "de", "van", "volt", "mi", "ha", "meg", "én", "csak", "már",
+      "el", "te", "mint", "azt", "vagy", "még", "ki", "lesz", "neki",
+      "minden", "amikor", "itt", "most", "nagyon", "úgy", "aki",
+      "majd", "mert", "akkor", "így", "lehet", "volna", "vele"),
+    "ca" -> Seq("de", "la", "que", "el", "i", "a", "en", "un", "per",
+      "amb", "no", "una", "els", "es", "dels", "al", "més", "com",
+      "les", "seu", "ha", "això", "són", "ser", "o", "si", "hi",
+      "del", "va", "ell", "però", "tot", "aquest", "quan", "molt",
+      "sense", "fins", "on", "també", "anys"))
 
   /** Languages the trigram profiles score, sorted — the argmax
     * tie-break order on BOTH engines. */

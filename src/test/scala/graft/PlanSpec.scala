@@ -466,6 +466,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-16 queries: no cartesian products; two-level nests only bounded broadcasts") {
+    // the two-level IVF chain nests exactly its bounded broadcasts
+    // (coarse ≤ N^0.25 rows, fmap ≤ √N rows — both hinted); an
+    // unhinted CartesianProduct anywhere is a corpus×corpus accident
+    for (q <- Seq("q_semantic_dedup_auto", "q_semantic_dedup_auto2",
+        "q_similar_ivf_2lvl", "q_semantic_admission",
+        "q_lm_perplexity_approx", "q_curriculum_approx")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+    }
+    // language ID is pure equi-join machinery: trigram explode +
+    // broadcast profile join + doc-keyed aggregate — nothing may fall
+    // to a nested loop
+    for (q <- Seq("q_lang_id", "q_langid_eval")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$s")
+    }
+  }
+
   test("curriculum joins its bucket offsets and stage floors as broadcasts") {
     val s = planString("q_curriculum")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),

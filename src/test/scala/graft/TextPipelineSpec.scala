@@ -583,7 +583,7 @@ class TextPipelineSpec extends SparkSpec {
       (1L, "kleine beispiele wurden zwischen mehreren saetzen geschrieben", "de"),
       (2L, "plusieurs exemples simples sont souvent choisis ensemble", "fr"),
       (3L, "los muchachos escogieron ejemplos sencillos y los jueces hablaron mucho", "es"),
-      (4L, "several simple examples are often chosen together", "en"))
+      (4L, "the simple examples were often chosen with their friends", "en"))
       .toDF("doc_id", "text", "lang")
     val ngram = TextStats.langIdNgram(labeled).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
