@@ -260,6 +260,11 @@ object SparkEntry {
     "q_corpus_card"        -> (CorpusAnalytics.qCorpusCard _),
     "q_contamination_report" -> (CorpusFilters.qContaminationReport _),
     "q_drift_alert"        -> (CorpusAnalytics.qDriftAlert _),
+    "q_nb_classify"        -> (CorpusFilters.qNbClassify _),
+    "q_nb_confusion"       -> (CorpusFilters.qNbConfusion _),
+    "q_rp_project"         -> (Similarity.qRpProject _),
+    "q_similar_rp"         -> (Similarity.qSimilarRp _),
+    "q_cluster_sample"     -> (Similarity.qClusterSample _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -379,6 +384,94 @@ object SparkEntry {
   /** DuckDB twin of [[graft.functions.tokens]]. */
   private def toksSql(text: String): String =
     s"list_filter(regexp_split_to_array($text, '\\s+'), x -> x <> '')"
+
+  /** Shared trained-NB CTE chain (DuckDB): md5-bucket train/test
+    * split, per-class add-one token counts, and the micro-nat score
+    * `prior + Σ k·qln(n_cw+1) − n_tokens·qln(N_c+V)` — leaf-quantized
+    * exactly as [[graft.operators.CorpusFilters.nbClassifyAgainst]]
+    * has it, arg-max with the same (score desc, class asc) tie-break.
+    * Interpolate after `WITH`; exposes `nb_out(doc_id, lang,
+    * n_tokens, pred, score_micro, margin_micro)`. */
+  private lazy val nbClassifySql: String = {
+    val b = s"(${md5b16Sql("('split:' || CAST(doc_id AS VARCHAR))")} % 100)"
+    def qln(x: String) = s"CAST(round(ln($x) * 1000000) AS BIGINT)"
+    s"""nb_split AS (SELECT doc_id, lang, ${toksSql("text")} AS toks, $b AS bk
+                     FROM documents),
+       nb_model AS (SELECT lang AS pred, toks FROM nb_split WHERE bk < 80),
+       nb_probe AS (SELECT doc_id, lang, toks FROM nb_split WHERE bk >= 90),
+       nb_mt AS (SELECT pred, t.w AS w FROM nb_model, UNNEST(toks) AS t(w)),
+       nb_cnt AS (SELECT pred, w, CAST(count(*) AS BIGINT) AS n_cw
+                  FROM nb_mt GROUP BY pred, w),
+       nb_voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM nb_cnt),
+       nb_ctot AS (SELECT pred, CAST(sum(n_cw) AS BIGINT) AS nn_c
+                   FROM nb_cnt GROUP BY pred),
+       nb_pri AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_docs
+                  FROM nb_model GROUP BY pred),
+       nb_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM nb_model),
+       nb_cc AS (SELECT c.pred,
+           ${qln("p.n_docs")} - ${qln("t.n_total")} AS prior_micro,
+           ${qln("c.nn_c + v.v")} AS den_micro
+         FROM nb_ctot c JOIN nb_pri p USING (pred)
+         CROSS JOIN nb_voc v CROSS JOIN nb_tot t),
+       nb_pt AS (SELECT doc_id, t.w AS w, CAST(count(*) AS BIGINT) AS k
+                 FROM nb_probe, UNNEST(toks) AS t(w) GROUP BY doc_id, t.w),
+       nb_mch AS (SELECT pt.doc_id, c.pred,
+             CAST(sum(pt.k * ${qln("c.n_cw + 1")}) AS BIGINT) AS num_micro
+           FROM nb_pt pt JOIN nb_cnt c USING (w) GROUP BY pt.doc_id, c.pred),
+       nb_base AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens
+                   FROM nb_probe),
+       nb_sc AS (SELECT b.doc_id, b.lang, b.n_tokens, cc.pred,
+             coalesce(m.num_micro, 0) + cc.prior_micro
+               - b.n_tokens * cc.den_micro AS score_micro
+           FROM nb_base b CROSS JOIN nb_cc cc
+           LEFT JOIN nb_mch m ON m.doc_id = b.doc_id AND m.pred = cc.pred),
+       nb_rk AS (SELECT doc_id, lang, n_tokens, pred, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, pred ASC) AS rk,
+             lead(score_micro, 1) OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, pred ASC) AS nxt
+           FROM nb_sc),
+       nb_out AS (SELECT doc_id, lang, n_tokens, pred,
+             CAST(score_micro AS BIGINT) AS score_micro,
+             CAST(score_micro - coalesce(nxt, score_micro) AS BIGINT)
+               AS margin_micro
+           FROM nb_rk WHERE rk = 1)"""
+  }
+
+  /** Shared random-projection CTE chain (DuckDB): micro-quantized
+    * components, ±1 signs re-derived per (i, j) from md5 (the oracle
+    * does NOT share [[Similarity.rpSign]]'s literals — it recomputes
+    * the matrix, certifying the plan-time bake), integer sums ordered
+    * back into a list → `rp(vec_id, proj)`. Interpolate after `WITH`. */
+  private lazy val rpProjectSql: String = {
+    import Similarity._
+    val sign = "(CASE WHEN instr('01234567', substring(md5('rp:' || " +
+      "CAST(e.i - 1 AS VARCHAR) || ':' || CAST(oj.j AS VARCHAR)), 1, 1)) > 0 " +
+      "THEN 1 ELSE -1 END)"
+    s"""rp_q AS (SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
+         FROM embeddings),
+       rp_ex AS (SELECT vec_id, gs.i AS i, qv[gs.i] AS c
+         FROM rp_q, UNNEST(generate_series(1, len(qv))) AS gs(i)),
+       rp_t AS (SELECT e.vec_id, oj.j AS j,
+           CAST(sum($sign * e.c) AS BIGINT) AS p
+         FROM rp_ex e, UNNEST(generate_series(0, ${RpOutDims - 1})) AS oj(j)
+         GROUP BY e.vec_id, oj.j),
+       rp AS (SELECT vec_id, list(p ORDER BY j) AS proj
+              FROM rp_t GROUP BY vec_id)"""
+  }
+
+  /** Sign bands over the projected space (`rp` must be in scope) —
+    * [[Similarity.RpBands]] bands of [[Similarity.PlanesPerBand]]. */
+  private lazy val rpBandsSql: String = {
+    import Similarity._
+    (0 until RpBands).map { b =>
+      val sig = (0 until PlanesPerBand).map(j =>
+        s"(CASE WHEN proj[${b * PlanesPerBand + j + 1}] > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT vec_id, $b AS band, $sig AS sig FROM rp"
+    }.mkString(" UNION ALL ")
+  }
 
   /** Shared trigram-language-ID CTE chain (DuckDB): the profile table
     * interpolated from the SAME micro-nat integers the Spark plan
@@ -4746,6 +4839,56 @@ object SparkEntry {
              AS BIGINT) AS gone_mass
          FROM f"""
     },
+    // trained add-one NB classifier: same md5 train/test split, counts
+    // and micro-nat logs re-derived leaf-for-leaf (shared chain below)
+    "q_nb_classify" ->
+      s"""WITH $nbClassifySql
+         SELECT doc_id, lang, n_tokens, pred, score_micro, margin_micro
+         FROM nb_out ORDER BY doc_id""",
+    "q_nb_confusion" ->
+      s"""WITH $nbClassifySql
+         SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+         FROM nb_out GROUP BY lang, pred ORDER BY lang, pred""",
+    // random projection: every ±1 matrix entry re-derived from md5 in
+    // SQL (not a shared literal) — the integer sums must land exactly
+    "q_rp_project" ->
+      s"""WITH $rpProjectSql
+         SELECT vec_id, proj FROM rp ORDER BY vec_id""",
+    // project-then-re-rank ANN: bands over the projected integers,
+    // exact full-precision cosine on the original vectors
+    "q_similar_rp" ->
+      s"""WITH $rpProjectSql,
+         bands AS ($rpBandsSql),
+         qb AS (SELECT vec_id AS query_id, band, sig FROM bands
+                WHERE $isQuerySql),
+         cand AS (SELECT DISTINCT b.vec_id, q.query_id
+                  FROM bands b JOIN qb q ON b.band = q.band AND b.sig = q.sig
+                  WHERE b.vec_id <> q.query_id),
+         scored AS (
+           SELECT c.query_id, c.vec_id,
+             ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+           FROM cand c
+           JOIN embeddings e ON e.vec_id = c.vec_id
+           JOIN embeddings qe ON qe.vec_id = c.query_id),
+         ranked AS (
+           SELECT query_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, rk, cosine FROM ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // cluster-balanced sample: the two-level cells + a salted-md5
+    // pseudo-random per-cell pick, both re-derived end to end
+    "q_cluster_sample" ->
+      s"""WITH $twoLevelCellsSql,
+         cbr AS (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY ${md5b60Sql("md5('cbs:' || CAST(vec_id AS VARCHAR))")},
+                 vec_id) AS rk
+           FROM a)
+         SELECT vec_id, cell, rk FROM cbr
+         WHERE rk <= ${Similarity.BalancedPerCell}
+         ORDER BY cell, rk""",
   )
 
   /** Lexical candidate CTE chain shared by the hybrid oracles — ends

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.tables.Tables
@@ -310,5 +311,142 @@ object CorpusFilters {
           .otherwise(coalesce(col("raw"), lit(0L))).as("clf_raw"))
       .withColumn("keep_clf",
         col("clf_raw") * ClassifierDen >= col("n_tokens"))
+  }
+
+  // --- Trained Naive-Bayes document classifier ---
+
+  /** The label the shipped NB queries train on. `lang` has a gold
+    * column in the corpus, so the classifier's test-split predictions
+    * are directly gradable (the confusion query) — the evaluation a
+    * real pipeline runs before trusting a model-based filter. */
+  val NbLabelCol = "lang"
+
+  /** Distributed add-one (Laplace) multinomial Naive-Bayes: score
+    * PROBE documents against per-class token models trained from the
+    * MODEL corpus's label column, and take the arg-max class. This is
+    * the TRAINING half that [[classifierScore]] deliberately leaves
+    * offline — here the "training" is pure counting, which is exactly
+    * the part a cluster does well, so the whole fastText-style
+    * train-on-seed / apply-to-corpus loop runs in one engine.
+    *
+    * Scoring discipline (the [[graft.functions.qlnMicro]] contract —
+    * same as `dsirWeights` / `lmPerplexity`): every log is quantized
+    * to integer micro-nats AT THE LEAF, so a document's class score
+    *
+    *   score(d, c) = ln P(c) + Σ_w k_w · ln((n_{c,w}+1) / (N_c+V))
+    *
+    * becomes exact integer arithmetic — summation order, engine, and
+    * partitioning cannot move it. The per-class denominator is folded
+    * closed-form: each of the doc's n_tokens occurrences pays
+    * −qln(N_c+V) whether or not the token was seen in class c, and
+    * the numerator contributes only for seen (class, token) pairs
+    * (ln 1 = 0 otherwise) — so the token join can stay INNER and
+    * unseen-token handling costs nothing.
+    *
+    * Plan shape, sized for a 100-TB probe corpus: probe tokens
+    * pre-aggregate to (doc, w, k) BEFORE touching the model (the
+    * Heaps-law shrink), join the (w, class) count table on the token
+    * key, partial-sum to (doc, class), and re-enter through a
+    * broadcast class-constant frame crossed with the probe base —
+    * |classes| rows per doc, never |classes| rows per occurrence.
+    * The arg-max is a per-doc window over ≤ |classes| rows with a
+    * deterministic tie-break (score desc, class asc), engine-exact.
+    *
+    * Output: (doc_id, <labelCol> true label, n_tokens, pred,
+    * score_micro, margin_micro) — margin is best minus runner-up
+    * (0 when there is no runner-up), the abstention signal a
+    * confidence-gated deployment thresholds on. */
+  def nbClassifyAgainst(probe: DataFrame, model: DataFrame,
+                        labelCol: String = NbLabelCol): DataFrame = {
+    val modelTok = model
+      .select(col(labelCol).as("pred"), explode(tokens(col("text"))).as("w"))
+    val counts = modelTok.groupBy(col("pred"), col("w"))
+      .agg(count(lit(1)).as("n_cw"))
+    // V (train vocab) in one 1-row frame; per-class totals + doc priors
+    val vocab = counts.agg(countDistinct(col("w")).as("v"),
+      sum(col("n_cw")).as("nn_all"))
+    val classTotals = counts.groupBy(col("pred"))
+      .agg(sum(col("n_cw")).as("nn_c"))
+    val priors = model.groupBy(col(labelCol).as("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totalDocs = model.agg(count(lit(1)).as("n_total"))
+    // O(|classes|) broadcast frame: prior and denominator in micro-nats
+    val classConst = classTotals
+      .join(priors, Seq("pred"))
+      .crossJoin(vocab.select(col("v")))
+      .crossJoin(totalDocs)
+      .select(col("pred"),
+        (qlnMicro(col("n_docs")) - qlnMicro(col("n_total"))).as("prior_micro"),
+        qlnMicro(col("nn_c") + col("v")).as("den_micro"))
+    val probeTok = probe
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val matched = probeTok
+      .join(counts, Seq("w"))
+      .groupBy(col("doc_id"), col("pred"))
+      .agg(sum(col("k") * qlnMicro(col("n_cw") + 1)).as("num_micro"))
+    val base = probe
+      .select(col("doc_id"), col(labelCol),
+        coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+          .as("n_tokens"))
+      .crossJoin(broadcast(classConst))
+    val scored = base
+      .join(matched, Seq("doc_id", "pred"), "left")
+      .select(col("doc_id"), col(labelCol), col("n_tokens"), col("pred"),
+        (coalesce(col("num_micro"), lit(0L)) + col("prior_micro")
+          - col("n_tokens") * col("den_micro")).as("score_micro"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("pred").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("margin_micro",
+        col("score_micro") - coalesce(
+          lead(col("score_micro"), 1).over(w), col("score_micro")))
+      .filter(col("rk") === 1)
+      .drop("rk")
+  }
+
+  /** Self-contained train/evaluate split of [[nbClassifyAgainst]]:
+    * train on the md5-bucket train split, classify the held-out test
+    * split — the same split rule as `TextStats.qHashSplit`, so the
+    * model never sees its evaluation docs (and the split is stable
+    * under any reshuffle or engine). */
+  def nbClassify(docs: DataFrame, labelCol: String = NbLabelCol): DataFrame = {
+    val bucket = TextStats.splitBucket(col("doc_id"))
+    nbClassifyAgainst(docs.filter(bucket >= 90),
+      docs.filter(bucket < 80), labelCol)
+  }
+
+  def qNbClassify(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** Test-split confusion matrix of the trained classifier — the
+    * model-card number (per-class hit/miss counts) a pipeline reviews
+    * before wiring the classifier into an admission gate. */
+  def qNbConfusion(spark: SparkSession, dir: String): DataFrame =
+    nbClassify(Tables.documents(spark, dir))
+      .groupBy(col(NbLabelCol), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col(NbLabelCol), col("pred"))
+
+  /** Live NB classification of an arriving document stream against a
+    * FROZEN model corpus — the model-based admission gate's streaming
+    * twin. Per micro-batch the IDENTICAL batch code runs (the
+    * classification of a doc depends only on the frozen model, so
+    * stateless `foreachBatch` is exactly right — same reasoning as
+    * `TextDedup.streamingNearDup`); StreamingSpec pins streamed
+    * predictions ≡ batch predictions under any batch slicing. */
+  def streamingNbAdmission(streamDocs: DataFrame, model: DataFrame,
+                           labelCol: String = NbLabelCol,
+                           checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(nbClassifyAgainst(batch, model, labelCol), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 }

@@ -279,4 +279,104 @@ class CorpusFiltersSpec extends SparkSpec {
       "v6 must equal v5 gated by the classifier keep set")
     assert(v6.size < v5.size, "fixture corpus should exercise the gate")
   }
+
+  // --- trained Naive-Bayes classifier ---
+
+  private def labeled(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("nb: separates two classes with distinctive vocabularies") {
+    val model = labeled(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "a dog and a fox met the cat"),
+      (3L, "de", "der schnelle braune fuchs springt und der hund schlaeft"),
+      (4L, "de", "ein hund und eine katze und der fuchs"))
+    val probe = labeled(
+      (10L, "en", "the dog jumps over the cat"),
+      (11L, "de", "der hund springt und die katze"))
+    val out = CorpusFilters.nbClassifyAgainst(probe, model)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("pred")).toSeq === Seq("en", "de"))
+    assert(out.forall(_.getAs[Long]("margin_micro") > 0L))
+  }
+
+  test("nb: score is the exact micro-nat arithmetic, leaf-quantized") {
+    // model: class a = "x x", class b = "y"; probe = "x"
+    // counts: (a,x)=2, (b,y)=1; V=2; N_a=2, N_b=1; priors 1/2 each
+    // score(a) = qln(1)-qln(2) + qln(3) - qln(4) = -693147+1098612-1386294
+    // score(b) = qln(1)-qln(2) + 0      - qln(3) = -693147-1098612
+    val model = labeled((1L, "a", "x x"), (2L, "b", "y"))
+    val probe = labeled((10L, "a", "x"))
+    val r = CorpusFilters.nbClassifyAgainst(probe, model).collect().head
+    assert(r.getAs[String]("pred") === "a")
+    assert(r.getAs[Long]("score_micro") === -980829L)
+    assert(r.getAs[Long]("margin_micro") === (-980829L - (-1791759L)))
+    assert(r.getAs[Long]("n_tokens") === 1L)
+  }
+
+  test("nb: an all-unseen probe falls back to the prior argmax") {
+    // class a has 2 train docs, b has 1 -> larger prior wins when no
+    // token matches; the denominator term also favors the class with
+    // the SMALLER N_c+V, so pin the fixture so both point the same way
+    val model = labeled(
+      (1L, "a", "x"), (2L, "a", "x"), (3L, "b", "y y y"))
+    val probe = labeled((10L, "b", "zzz www"))
+    val r = CorpusFilters.nbClassifyAgainst(probe, model).collect().head
+    assert(r.getAs[String]("pred") === "a")
+  }
+
+  test("nb: deterministic tie-break on equal scores goes to the first class") {
+    // perfectly symmetric classes -> equal scores; pred must be the
+    // lexicographically smallest, margin exactly 0
+    val model = labeled((1L, "a", "x"), (2L, "b", "y"))
+    val probe = labeled((10L, "a", "q"))
+    val r = CorpusFilters.nbClassifyAgainst(probe, model).collect().head
+    assert(r.getAs[String]("pred") === "a")
+    assert(r.getAs[Long]("margin_micro") === 0L)
+  }
+
+  test("nb: the self-contained split never trains on its probe docs") {
+    val ids = (0L until 400L)
+    val d = labeled(ids.map(i => (i, if (i % 2 == 0) "en" else "de",
+      if (i % 2 == 0) "alpha beta gamma" else "eins zwei drei")): _*)
+    val out = CorpusFilters.nbClassify(d)
+    val outIds = out.select("doc_id").as[Long].collect().toSet
+    val testIds = d.filter(
+        graft.operators.TextStats.splitBucket(col("doc_id")) >= 90)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outIds === testIds, "classified docs must be exactly the test split")
+    assert(outIds.nonEmpty)
+    // with cleanly separated vocabularies the held-out accuracy is 100%
+    assert(out.filter(col("pred") === col("lang")).count() === outIds.size)
+  }
+
+  test("nb: streamed classification equals the batch classification") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb-stream")
+    val model = labeled(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "de", "der schnelle braune fuchs springt und der hund"))
+    val probe = labeled(
+      (10L, "en", "the dog and the fox"),
+      (11L, "de", "der hund und der fuchs"),
+      (12L, "en", "unseen tokens only zzz"))
+    probe.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = CorpusFilters.streamingNbAdmission(stream, model) { (preds, _) =>
+      val rows = preds.select("doc_id", "pred", "score_micro")
+        .as[(Long, String, Long)].collect()
+      got.synchronized { got ++= rows }
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish in time")
+      val batch = CorpusFilters.nbClassifyAgainst(probe, model)
+        .select("doc_id", "pred", "score_micro")
+        .as[(Long, String, Long)].collect()
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+    } finally {
+      q.stop()
+    }
+  }
 }

@@ -2452,4 +2452,75 @@ class TextPipelineSpec extends SparkSpec {
     // unrelated docs never reach the output
     assert(!got.keys.exists { case (a, b) => a == 5L || b == 5L })
   }
+
+  // --- random-projection dimensionality reduction ---
+
+  test("rp: sign matrix is deterministic and non-degenerate") {
+    val signs = for (i <- 0 until Similarity.RpInDims;
+                     j <- 0 until Similarity.RpOutDims)
+      yield Similarity.rpSign(i, j)
+    assert(signs.forall(s => s == 1 || s == -1))
+    assert(signs.contains(1) && signs.contains(-1),
+      "a constant matrix would collapse every projection direction")
+    // stable across calls (plan-time bake must be reproducible)
+    assert(Similarity.rpSign(3, 7) === Similarity.rpSign(3, 7))
+    // rough balance: a heavily skewed md5 parity would be a bug
+    val plus = signs.count(_ == 1)
+    assert(plus > signs.size / 4 && plus < signs.size * 3 / 4)
+  }
+
+  test("rp: projection is the signed sum of micro-quantized components") {
+    // 2 live dims; dims 3..64 absent -> contribute exactly 0
+    val emb = Seq((1L, Array(1.0f, -0.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.rpProject(emb).as[(Long, Seq[Long])].head()
+    val want = (0 until Similarity.RpOutDims).map { j =>
+      Similarity.rpSign(0, j) * 1000000L + Similarity.rpSign(1, j) * -500000L
+    }
+    assert(got._2 === want)
+    // identical vectors project identically; zero projects to zero
+    val z = Seq((2L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rpProject(z).as[(Long, Seq[Long])].head()._2 ===
+      Seq.fill(Similarity.RpOutDims)(0L))
+  }
+
+  test("rp ann: an identical vector is retrieved through the projected bands") {
+    // query id 0 (isQueryId); 700 shares the exact vector -> identical
+    // projection -> identical band sigs -> candidate; cosine 1.0 at rk 1
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val other = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq((0L, v), (700L, v), (13L, other), (29L, other.map(-_)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.annTopKProjected(emb, k = 3)
+      .filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.head._2 === 700L && got.head._4 > 0.999999)
+  }
+
+  // --- cluster-balanced diversity sampling ---
+
+  test("cluster sample: at most perCell per cell, deterministic, covers every cell") {
+    // 64 vectors in 4 tight direction clusters (c=8 fine centroids)
+    val bases = Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f), Array(0f, 0f, 0f, 1f))
+    val emb = (0 until 64).map { i =>
+      val b = bases(i % 4).clone(); b((i % 4 + 1) % 4) += 0.01f * (i / 4)
+      (i.toLong, b)
+    }.toDF("vec_id", "embedding")
+    val per = 3
+    val s1 = Similarity.clusterBalancedSample(emb, per)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val s2 = Similarity.clusterBalancedSample(emb, per)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1 === s2, "hash order must make the pick reshuffle-stable")
+    val byCell = s1.groupBy(_._2)
+    assert(byCell.values.forall(_.length <= per))
+    // ranks are exactly 1..n within each cell
+    assert(byCell.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.length.toLong)))
+    // every nonempty cell of the assignment is represented
+    val cells = Similarity.ivfCellsTwoLevel(emb)
+      .select("cell").as[Long].collect().toSet
+    assert(byCell.keySet === cells,
+      "balanced sampling must cover every cell, including sparse ones")
+  }
 }
