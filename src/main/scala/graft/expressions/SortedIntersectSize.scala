@@ -166,10 +166,27 @@ object GraftFunctions {
       MisraGriesTokens(children.head, cap)
     })
 
+  val rpProject: Registration = (
+    FunctionIdentifier("rp_project"),
+    new ExpressionInfo(classOf[RpProject].getName, "rp_project"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          s"rp_project: expected rp_project(array<float>, in_lit, out_lit), " +
+            s"got ${children.length} argument(s)")
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"rp_project: $what must be an int literal, got $other")
+      }
+      RpProject(children.head, intLit(children(1), "in_dims"),
+        intLit(children(2), "out_dims"))
+    })
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
       simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
-      deflateRatio, misraGries)
+      deflateRatio, misraGries, rpProject)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

@@ -924,7 +924,15 @@ object CorpusAnalytics {
     * rows-only harness entry plus the accuracy-contract spec
     * (CorpusAnalyticsSpec: every doc within one bucket of exact). */
   def lmPerplexityApprox(docs: DataFrame, accuracy: Int = 10000): DataFrame = {
+    // persisted because BOTH branches below read it — the boundary
+    // aggregate and the assignment join would otherwise each replay
+    // the scoring chain's joins + window from the (doc, gram) caches
+    // (measured: the approx form timed SLOWER than the exact ntile it
+    // replaces until this doc-scale frame was cached). One row per
+    // scored doc, far smaller than the chain's own (doc, gram)
+    // persists, so the footprint is a rounding error next to them.
     val scored = perplexityScored(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bounds = scored.groupBy(col("lang"))
       .agg(percentile_approx(col("nats_per_pos"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("bs"))

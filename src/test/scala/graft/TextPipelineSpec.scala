@@ -2483,6 +2483,25 @@ class TextPipelineSpec extends SparkSpec {
       Seq.fill(Similarity.RpOutDims)(0L))
   }
 
+  test("rp: null elements contribute 0; components past inDims are ignored") {
+    // 64 ones -> p_j = sum of signs(*, j) in micro-units
+    val base = (0 until Similarity.RpInDims).map(i =>
+      (0 until Similarity.RpOutDims).map(j => Similarity.rpSign(i, j)))
+    val want = (0 until Similarity.RpOutDims).map(j =>
+      base.map(_(j)).sum * 1000000L)
+    // 70-long vector of ones: dims 65..70 must not contribute
+    val long = Seq((1L, Array.fill(70)(1.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.rpProject(long).as[(Long, Seq[Long])].head()._2 === want)
+    // a null element zeroes only its own term (dim 0 here)
+    val withNull = Seq((2L, Array[java.lang.Float](null) ++
+      Array.fill(63)(java.lang.Float.valueOf(1.0f))))
+      .toDF("vec_id", "embedding")
+    val wantNull = (0 until Similarity.RpOutDims).map(j =>
+      base.drop(1).map(_(j)).sum * 1000000L)
+    assert(Similarity.rpProject(withNull)
+      .as[(Long, Seq[Long])].head()._2 === wantNull)
+  }
+
   test("rp ann: an identical vector is retrieved through the projected bands") {
     // query id 0 (isQueryId); 700 shares the exact vector -> identical
     // projection -> identical band sigs -> candidate; cosine 1.0 at rk 1
