@@ -265,6 +265,8 @@ object SparkEntry {
     "q_rp_project"         -> (Similarity.qRpProject _),
     "q_similar_rp"         -> (Similarity.qSimilarRp _),
     "q_cluster_sample"     -> (Similarity.qClusterSample _),
+    "q_cdc_chunks"         -> (TrainPrep.qCdcChunks _),
+    "q_cdc_shared"         -> (TrainPrep.qCdcShared _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -471,6 +473,42 @@ object SparkEntry {
         .mkString(" + ")
       s"SELECT vec_id, $b AS band, $sig AS sig FROM rp"
     }.mkString(" UNION ALL ")
+  }
+
+  /** Shared content-defined-chunking CTE chain (DuckDB): positional
+    * token unnest, the salted 60-bit marker gate, the per-doc boundary
+    * cumsum (marker ENDS its chunk — `1 PRECEDING` frame), and the
+    * ordered `string_agg` re-assembly — leaf-for-leaf the
+    * [[graft.operators.TrainPrep.cdcChunks]] plan. Interpolate after
+    * `WITH`; exposes `cdc_out(doc_id, chunk_id, n_tokens, fp,
+    * chunk_text)`. */
+  private lazy val cdcChunksSql: String = {
+    val d = TrainPrep.CdcDivisor
+    s"""cdc_t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       cdc_e AS (SELECT doc_id, toks[i] AS tok, i AS pos
+                 FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                       FROM cdc_t)),
+       cdc_h AS (SELECT doc_id, tok, pos, md5('cdc:' || tok) AS hx
+                 FROM cdc_e),
+       cdc_m AS (SELECT doc_id, tok, pos,
+           CASE WHEN ${md5b60Sql("hx")} % $d = 0 THEN 1 ELSE 0 END AS m
+         FROM cdc_h),
+       cdc_c AS (SELECT doc_id, tok, pos,
+           CAST(coalesce(sum(m) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS chunk_id
+         FROM cdc_m),
+       cdc_g AS (SELECT doc_id, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+         FROM cdc_c GROUP BY doc_id, chunk_id),
+       cdc_f AS (SELECT doc_id, chunk_id, n_tokens, chunk_text,
+           md5('cdcfp:' || chunk_text) AS fx
+         FROM cdc_g),
+       cdc_out AS (SELECT doc_id, chunk_id, n_tokens,
+           ${md5b60Sql("fx")} AS fp, chunk_text
+         FROM cdc_f)"""
   }
 
   /** Shared trigram-language-ID CTE chain (DuckDB): the profile table
@@ -3534,6 +3572,20 @@ object SparkEntry {
            array_to_string(list_slice(toks, i * $s + 1, i * $s + $w), ' ') AS chunk_text
          FROM e ORDER BY doc_id, chunk_id"""
     },
+    // content-defined chunking: the boundary markers, the per-doc
+    // boundary cumsum, the ordered chunk re-assembly, and both 60-bit
+    // hashes all re-derive in SQL (shared CTE below)
+    "q_cdc_chunks" ->
+      s"""WITH $cdcChunksSql
+         SELECT doc_id, chunk_id, n_tokens, fp, chunk_text
+         FROM cdc_out ORDER BY doc_id, chunk_id""",
+    "q_cdc_shared" ->
+      s"""WITH $cdcChunksSql
+         SELECT fp, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(n_tokens) AS BIGINT) AS n_tokens
+         FROM cdc_out GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY fp""",
     "q_vocab_topk" -> {
       s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
          c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,

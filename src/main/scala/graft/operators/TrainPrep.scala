@@ -122,6 +122,88 @@ object TrainPrep {
     tokenChunks(Tables.documents(spark, dir))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  // --- content-defined chunking ---
+
+  /** CDC marker divisor: a token ends its chunk when
+    * `md5₆₀("cdc:" ++ token) % CdcDivisor == 0`, so chunks average
+    * [[CdcDivisor]] tokens. */
+  val CdcDivisor = 16
+
+  /** Content-defined chunking — [[tokenChunks]]' variable-length
+    * sibling: chunk boundaries are CONTENT markers (a token whose
+    * salted 60-bit hash is ≡ 0 mod [[CdcDivisor]] ends its chunk),
+    * not fixed offsets. The property fixed windows can't give:
+    * inserting or deleting a sentence re-chunks ONLY the chunk it
+    * lands in — every other chunk keeps its byte-identical text and
+    * fingerprint (spec-pinned), which is what makes CDC the standard
+    * segmentation for dedup across near-identical long documents
+    * (boilerplate-wrapped crawls, versioned wiki/code files): shared
+    * runs keep producing the SAME chunk fingerprints no matter how
+    * the surrounding offsets moved.
+    *
+    * Classic CDC (LBFS, FastCDC) hashes a sliding byte window; a
+    * single-token marker is the same mechanism at word granularity
+    * and keeps both engines' replay exact (the md5-60 helper the
+    * bucket gates already share). No min/max chunk clamps — the
+    * geometric length distribution is the documented contract.
+    *
+    * Plan (100 TB): ONE doc-keyed exchange carries everything — the
+    * positional explode shuffles to doc_id clustering, the boundary
+    * cumsum is a per-doc window (bounded by document length, never
+    * corpus-wide), and the chunk re-assembly groups on (doc_id,
+    * chunk_id) — a prefix of the clustering already in place, so no
+    * second shuffle. Chunk text re-assembles via sort_array over the
+    * collected (pos, tok) structs — engine-exact ordering, no
+    * collect_list order assumption.
+    *
+    * Output: (doc_id, chunk_id, n_tokens, fp, chunk_text) — fp is the
+    * salted 60-bit fingerprint of the chunk text, the dedup key
+    * [[cdcSharedChunks]] joins on. */
+  def cdcChunks(docs: DataFrame, divisor: Int = CdcDivisor): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tok
+      .withColumn("m",
+        (md5Bits60(concat(lit("cdc:"), col("tok"))) % divisor === 0)
+          .cast("int"))
+      .withColumn("chunk_id",
+        coalesce(sum(col("m")).over(w), lit(0)).cast("long"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("chunk_text"))
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        md5Bits60(concat(lit("cdcfp:"), col("chunk_text"))).as("fp"),
+        col("chunk_text"))
+  }
+
+  def qCdcChunks(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Cross-document shared-chunk readout: every CDC chunk fingerprint
+    * appearing in ≥ 2 distinct documents, with its document and
+    * occurrence counts — the chunk-granular dup signal (which
+    * boilerplate runs, license blocks, navigation footers recur
+    * across the corpus) that document-level dedup can't see when the
+    * surrounding text differs. One aggregate on the fingerprint key
+    * over [[cdcChunks]]' output; at 100 TB this is a count-distinct
+    * per fp — partial-aggregable, no corpus-wide anything. */
+  def cdcSharedChunks(docs: DataFrame, divisor: Int = CdcDivisor): DataFrame =
+    cdcChunks(docs, divisor)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+
+  def qCdcShared(spark: SparkSession, dir: String): DataFrame =
+    cdcSharedChunks(Tables.documents(spark, dir)).orderBy(col("fp"))
+
   // --- vocabulary construction ---
 
   /** Vocabulary size cap. */

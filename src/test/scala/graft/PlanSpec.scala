@@ -486,6 +486,49 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-16b queries: projection is one narrow pass; NB/ANN stay equi-joined") {
+    // rp_project is a single scan + native expression: no join anywhere,
+    // and the ONLY exchange is the final presentation sort's range
+    // partitioning — a second exchange would mean the projection
+    // shuffled corpus data
+    val rp = planString("q_rp_project")
+    assert(!rp.contains("Join"), s"q_rp_project grew a join:\n$rp")
+    assert("Exchange".r.findAllIn(rp).size <= 1,
+      s"q_rp_project shuffles beyond the final sort:\n$rp")
+    // NB classifier: the class-constant frame rides a bounded
+    // O(|classes|) broadcast nest by design; anything unhinted
+    // (corpus × corpus) is an accident. The token joins are equi.
+    for (q <- Seq("q_nb_classify", "q_nb_confusion",
+        "q_similar_rp", "q_cluster_sample")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+    }
+    // the projected-ANN candidate join must stay a hash equi-join on
+    // (band, sig) — a nested loop here is the all-pairs degeneration
+    // the banding exists to avoid
+    val srp = planString("q_similar_rp")
+    assert(srp.contains("BroadcastHashJoin") || srp.contains("SortMergeJoin")
+      || srp.contains("ShuffledHashJoin"),
+      s"q_similar_rp lost its equi-join:\n$srp")
+  }
+
+  test("cdc chunking: one doc-keyed exchange carries window AND re-assembly") {
+    // the chunk-id cumsum window and the (doc_id, chunk_id) re-assembly
+    // aggregate must share one hashpartitioning(doc_id) — a second hash
+    // exchange between them means the aggregate stopped riding the
+    // window's clustering; the only other exchange is the presentation
+    // sort's range partitioning
+    val s = planString("q_cdc_chunks")
+    assert(!s.contains("Join"), s"cdc grew a join:\n$s")
+    assert("Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"cdc re-shuffled between window and aggregate:\n$s")
+    assert("Exchange".r.findAllIn(s).size <= 2,
+      s"cdc has more exchanges than (doc-key + final sort):\n$s")
+    val scan = formattedPlan("q_cdc_chunks")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"cdc scan must prune to (doc_id, text):\n$scan")
+  }
+
   test("curriculum joins its bucket offsets and stage floors as broadcasts") {
     val s = planString("q_curriculum")
     assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastExchange"),

@@ -919,4 +919,95 @@ class TrainPrepSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"global-order window funnel in curriculum plan: $w"))
   }
+
+  // --- content-defined chunking ---
+
+  private def cdcDoc(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")))
+
+  test("cdc: chunks partition the token stream in order, boundaries follow markers") {
+    val text = (1 to 200).map(i => s"w$i").mkString(" ")
+    val d = cdcDoc((1L, text))
+    val chunks = TrainPrep.cdcChunks(d).orderBy("chunk_id")
+      .select("chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    // chunk ids contiguous from 0; concatenation restores the document
+    assert(chunks.map(_._1).toSeq === (0L until chunks.length.toLong))
+    assert(chunks.map(_._3).mkString(" ") === text)
+    assert(chunks.map(_._2).sum === 200L)
+    // every chunk except possibly the last ENDS with a marker token
+    def isMarker(t: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$t".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TrainPrep.CdcDivisor == 0
+    }
+    chunks.dropRight(1).foreach { case (_, _, ctext) =>
+      assert(isMarker(ctext.split(" ").last),
+        s"non-final chunk must end at a marker: '$ctext'")
+    }
+    // interior tokens of any chunk are never markers
+    chunks.foreach { case (_, _, ctext) =>
+      ctext.split(" ").dropRight(1).foreach(t =>
+        assert(!isMarker(t), s"marker '$t' must have ended its chunk"))
+    }
+  }
+
+  test("cdc: insertion re-chunks ONLY the chunk it lands in (offset stability)") {
+    val text = (1 to 300).map(i => s"tok$i").mkString(" ")
+    val base = TrainPrep.cdcChunks(cdcDoc((1L, text)))
+      .select("fp").as[Long].collect().toVector
+    assert(base.length > 3, "fixture must produce several chunks")
+    // insert a sentence mid-document (after token 150)
+    val toks = text.split(" ")
+    val edited = (toks.take(150) ++ Array("inserted", "sentence", "here") ++
+      toks.drop(150)).mkString(" ")
+    val after = TrainPrep.cdcChunks(cdcDoc((1L, edited)))
+      .select("fp").as[Long].collect().toVector
+    // every original chunk except the touched one keeps its fingerprint:
+    // the edit may split/extend one chunk (so >= length-1 survivors of
+    // the original multiset), a fixed-window chunking would shift EVERY
+    // chunk after the insertion point
+    val baseCounts = base.groupBy(identity).view.mapValues(_.length).toMap
+    val afterCounts = after.groupBy(identity).view.mapValues(_.length).toMap
+    val survivors = baseCounts.map { case (fp, n) =>
+      math.min(n, afterCounts.getOrElse(fp, 0)) }.sum
+    assert(survivors >= base.length - 1,
+      s"only one chunk may change: $survivors of ${base.length} survived")
+    // and the fixed-window sibling does NOT have this property here
+    val fixedBase = TrainPrep.tokenChunks(cdcDoc((1L, text)))
+      .select("chunk_text").as[String].collect().toSet
+    val fixedAfter = TrainPrep.tokenChunks(cdcDoc((1L, edited)))
+      .select("chunk_text").as[String].collect().toSet
+    assert((fixedBase intersect fixedAfter).size < fixedBase.size - 1,
+      "fixture too small to demonstrate the contrast")
+  }
+
+  test("cdc: shared chunks surface across documents sharing a boilerplate run") {
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val d = cdcDoc(
+      (1L, s"alpha one two three $boiler"),
+      (2L, s"completely different prefix words $boiler"),
+      (3L, "no shared content at all in this one"))
+    val shared = TrainPrep.cdcSharedChunks(d)
+      .select("fp", "n_docs").as[(Long, Long)].collect()
+    assert(shared.nonEmpty, "the shared boilerplate must surface")
+    assert(shared.forall(_._2 === 2L))
+    // doc 3 contributes no shared chunk
+    val doc3 = TrainPrep.cdcChunks(d).filter(col("doc_id") === 3L)
+      .select("fp").as[Long].collect().toSet
+    assert(shared.map(_._1).toSet.intersect(doc3).isEmpty)
+  }
+
+  test("cdc: empty and single-token documents chunk without error") {
+    val d = cdcDoc((1L, ""), (2L, "solo"), (3L, "   "))
+    val out = TrainPrep.cdcChunks(d)
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    // empty/whitespace docs emit no tokens -> no chunk rows
+    assert(out.map(_._1).toSet === Set(2L))
+    assert(out.head === ((2L, 0L, 1L, "solo")))
+  }
 }
