@@ -61,7 +61,7 @@ object TextStats {
   }
 
   /** Per-language seed lexicons for the character-trigram profiles:
-    * the most frequent function/content words of each of 18 languages
+    * the most frequent function/content words of each of 36 languages
     * (public frequency-list words). Deterministic and
     * data-independent — the profiles below are a pure function of
     * these lists, computed once at class load, and [[langIdNgram]]'s
@@ -161,7 +161,98 @@ object TextStats {
       "amb", "no", "una", "els", "es", "dels", "al", "més", "com",
       "les", "seu", "ha", "això", "són", "ser", "o", "si", "hi",
       "del", "va", "ell", "però", "tot", "aquest", "quan", "molt",
-      "sense", "fins", "on", "també", "anys"))
+      "sense", "fins", "on", "també", "anys"),
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "он", "с", "как",
+      "это", "а", "то", "все", "она", "так", "его", "но", "да", "ты",
+      "к", "у", "же", "вы", "за", "бы", "по", "только", "её", "мне",
+      "было", "вот", "от", "меня", "ещё", "нет", "о", "из", "ему",
+      "теперь", "когда"),
+    "uk" -> Seq("і", "в", "не", "на", "я", "що", "він", "з", "як",
+      "це", "а", "то", "все", "вона", "так", "його", "але", "ти",
+      "до", "у", "же", "ви", "за", "би", "по", "тільки", "її",
+      "мені", "було", "ось", "від", "мене", "ще", "немає", "про",
+      "нього", "тепер", "коли", "цього", "може"),
+    "bg" -> Seq("и", "в", "не", "на", "аз", "че", "той", "с", "как",
+      "това", "а", "то", "всички", "тя", "така", "него", "но", "да",
+      "ти", "към", "у", "вие", "за", "би", "по", "само", "нея",
+      "ми", "беше", "ето", "от", "мен", "още", "няма", "о", "му",
+      "сега", "когато", "това", "може"),
+    "el" -> Seq("και", "το", "να", "του", "η", "με", "σε", "που",
+      "δεν", "από", "είναι", "για", "την", "τον", "τα", "ότι", "θα",
+      "στο", "αυτό", "τους", "μου", "ένα", "οι", "σου", "αλλά",
+      "τη", "μια", "ως", "κι", "αν", "είχε", "ήταν", "μας", "πιο",
+      "στη", "ο", "τι", "αυτή", "τώρα", "εδώ"),
+    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong",
+      "đã", "người", "cho", "một", "tôi", "những", "với", "này",
+      "để", "khi", "anh", "ra", "thì", "cũng", "em", "sẽ", "đi",
+      "về", "như", "ở", "nó", "lại", "còn", "trên", "bạn", "đây",
+      "làm", "nhưng", "phải", "rất", "nhiều", "các", "đến"),
+    "hr" -> Seq("je", "i", "u", "se", "na", "da", "za", "su", "s",
+      "što", "od", "kao", "ali", "ja", "ti", "to", "mi", "smo",
+      "bio", "sam", "će", "ne", "po", "iz", "o", "svoje", "više",
+      "ili", "samo", "kad", "nije", "bi", "još", "a", "te",
+      "njegov", "koji", "ga", "ovo", "ima"),
+    "sk" -> Seq("a", "sa", "v", "na", "je", "to", "že", "som", "si",
+      "z", "do", "ako", "ale", "ma", "po", "čo", "za", "by", "o",
+      "mu", "ja", "ho", "tak", "s", "pre", "bol", "keď", "už",
+      "ten", "nie", "my", "vy", "ich", "im", "od", "aj", "tu",
+      "bude", "len", "môže"),
+    "sl" -> Seq("je", "in", "se", "na", "da", "za", "so", "z",
+      "kaj", "od", "kot", "ampak", "jaz", "ti", "to", "mi", "smo",
+      "bil", "sem", "bo", "ne", "po", "iz", "o", "svoje", "več",
+      "ali", "samo", "ko", "ni", "bi", "še", "a", "te", "ki",
+      "ga", "tudi", "lahko", "zdaj", "ima"),
+    "lt" -> Seq("ir", "yra", "kad", "jis", "tai", "aš", "su", "bet",
+      "kaip", "buvo", "jo", "ji", "iš", "apie", "taip", "dar",
+      "tik", "mes", "jūs", "savo", "per", "nuo", "po", "už",
+      "prie", "ką", "nes", "ar", "be", "daug", "jau", "net",
+      "gali", "kur", "viskas", "man", "tu", "čia", "nei", "tada"),
+    "lv" -> Seq("un", "ir", "ka", "viņš", "tas", "es", "ar", "bet",
+      "kā", "bija", "viņa", "no", "par", "tā", "vēl", "tikai",
+      "mēs", "jūs", "savu", "pa", "pēc", "uz", "pie", "ko", "jo",
+      "vai", "bez", "daudz", "jau", "pat", "var", "kur", "viss",
+      "man", "tu", "šeit", "ne", "tad", "arī", "kas"),
+    "et" -> Seq("ja", "on", "et", "ta", "see", "ma", "oli", "ka",
+      "kui", "aga", "oma", "siis", "ning", "mis", "või", "nii",
+      "veel", "ainult", "me", "te", "tema", "üle", "pärast",
+      "juures", "mida", "sest", "kas", "ilma", "palju", "juba",
+      "isegi", "saab", "kus", "kõik", "mulle", "sa", "siin", "ei",
+      "selle", "nüüd"),
+    "is" -> Seq("og", "að", "í", "á", "það", "er", "ég", "sem",
+      "ekki", "var", "hann", "um", "en", "við", "hún", "með",
+      "þetta", "fyrir", "svo", "hafa", "þeir", "því", "til", "af",
+      "sér", "eða", "hér", "nú", "þá", "mér", "þú", "verið",
+      "hans", "upp", "út", "eru", "hvað", "allt", "mjög", "bara"),
+    "sq" -> Seq("dhe", "të", "në", "e", "një", "për", "me", "nga",
+      "se", "si", "por", "ai", "ajo", "kjo", "u", "i", "më",
+      "janë", "ka", "ishte", "do", "jo", "ne", "ju", "tij", "saj",
+      "pas", "nën", "mbi", "pa", "shumë", "tani", "vetëm", "ku",
+      "gjithë", "mua", "ti", "këtu", "nuk", "është"),
+    "af" -> Seq("die", "en", "van", "is", "in", "nie", "het", "om",
+      "dat", "ek", "hy", "sy", "was", "op", "met", "as", "vir",
+      "aan", "by", "wat", "word", "hulle", "ons", "jy", "my",
+      "daar", "een", "so", "maar", "tot", "al", "uit", "oor",
+      "na", "kan", "sal", "baie", "nog", "gaan", "sê"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا",
+      "التي", "الذي", "كان", "لم", "ما", "لا", "هو", "هي", "أو",
+      "ثم", "قد", "كل", "بعد", "قبل", "عند", "غير", "بين", "يوم",
+      "أي", "لها", "له", "منذ", "حتى", "إذا", "هناك", "كيف",
+      "نحن", "أنا", "أنت", "هم", "ذلك", "هذه"),
+    "he" -> Seq("של", "את", "על", "לא", "אני", "זה", "הוא", "עם",
+      "כל", "אם", "היא", "אבל", "יש", "מה", "כי", "גם", "כמו",
+      "רק", "או", "אז", "אנחנו", "אתה", "הם", "שלי", "היה",
+      "אין", "עוד", "כאן", "עכשיו", "מי", "לי", "לו", "אותו",
+      "אותה", "שלא", "תחת", "בין", "אחרי", "לפני", "אחד"),
+    "hi" -> Seq("के", "में", "की", "है", "को", "और", "से", "का",
+      "पर", "यह", "कि", "नहीं", "हो", "था", "वह", "एक", "भी",
+      "कर", "रहा", "लिए", "अपने", "तो", "ही", "कुछ", "अब", "जो",
+      "मैं", "हम", "तुम", "आप", "उस", "इस", "साथ", "बाद", "तक",
+      "या", "फिर", "बहुत", "गया", "थी"),
+    "fa" -> Seq("و", "در", "به", "از", "که", "این", "را", "با",
+      "است", "برای", "آن", "یک", "خود", "تا", "بر", "او", "ما",
+      "من", "شما", "آنها", "بود", "شد", "هم", "نه", "اگر", "هر",
+      "چه", "می", "کرد", "دارد", "باید", "پس", "هیچ", "همه",
+      "دو", "بین", "روی", "هنوز", "چون", "حالا"))
 
   /** Languages the trigram profiles score, sorted — the argmax
     * tie-break order on BOTH engines. */
@@ -199,16 +290,28 @@ object TextStats {
     }
   }
 
-  /** Confidence margin for [[langIdNgram]], in micro-nats: when the
-    * best and second-best language scores sit closer than this, the
-    * prediction is "und" rather than a coin-flip between two close
-    * languages — the standard abstain rule a crawl pipeline wants
-    * before routing a document to language-specific processing. A
-    * code-mixed document scores high on BOTH its languages; zero
-    * coverage was previously the ONLY path to "und". Pinned as one
-    * literal shared by both engines (the [[trigramProfile]]
-    * discipline). */
-  val LangIdMarginMicroNat = 200000L
+  /** Confidence margin for [[langIdNgram]], in micro-nats: abstain
+    * ("und") when `best − second < margin` — the confidence rule a
+    * crawl pipeline wants before routing a document to
+    * language-specific processing. 300k at 36 languages (raised from
+    * the 18-language 200k: a wider field lets a small-lexicon
+    * interloper sit closer to the top — the mixed-language fixture's
+    * runner-up gap grew to 257k when the field doubled, so the
+    * abstain line moved above it).
+    *
+    * Deliberately FLAT, not per-matched-gram. The per-gram form
+    * (`margin · n_hits`) was built and measured first — it reads
+    * principled (a long document accumulates absolute gap from pure
+    * noise) but the two populations it must separate overlap in
+    * per-gram terms: corpus documents sit at ~28k micro-nats/gram
+    * median (p25 11k) while a genuinely code-mixed sentence measures
+    * ~17k/gram — no per-gram threshold classifies the former and
+    * abstains the latter (100k/gram sent 96% of the corpus to "und").
+    * The flat total gap separates cleanly: corpus median 2.74M,
+    * mixed fixture 257k — 300k abstains 7.8% of the corpus and every
+    * mixed/ambiguous fixture. Pinned as one literal shared by both
+    * engines (the [[trigramProfile]] discipline). */
+  val LangIdMarginMicroNat = 300000L
 
   /** Character-trigram language ID (Cavnar–Trenkle 1994, "N-Gram-Based
     * Text Categorization", the fastText-free deterministic shape):
