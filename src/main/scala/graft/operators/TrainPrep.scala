@@ -204,6 +204,30 @@ object TrainPrep {
   def qCdcShared(spark: SparkSession, dir: String): DataFrame =
     cdcSharedChunks(Tables.documents(spark, dir)).orderBy(col("fp"))
 
+  /** Live CDC chunking of an arriving document stream with a FROZEN
+    * boilerplate index: each micro-batch chunks via the IDENTICAL
+    * batch code and anti-joins away chunks whose fingerprint sits in
+    * `bannedFps` (typically a persisted [[cdcSharedChunks]] readout
+    * from the standing corpus — the recurring license blocks and
+    * navigation footers). A document's chunking depends only on its
+    * own text and the frozen index, so stateless `foreachBatch` is
+    * exactly right (the [[CorpusFilters.streamingNbAdmission]] /
+    * `TextDedup.streamingNearDup` reasoning); the spec pins streamed
+    * ≡ batch under any batch slicing. */
+  def streamingCdcAdmission(streamDocs: DataFrame, bannedFps: DataFrame,
+                            divisor: Int = CdcDivisor,
+                            checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val banned = bannedFps.select(col("fp"))
+    val writer = streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(cdcChunks(batch, divisor).join(banned, Seq("fp"), "left_anti"), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
+
   // --- vocabulary construction ---
 
   /** Vocabulary size cap. */

@@ -1001,6 +1001,83 @@ class TrainPrepSpec extends SparkSpec {
     assert(shared.map(_._1).toSet.intersect(doc3).isEmpty)
   }
 
+  test("property: cdc edit locality — one random edit changes at most one chunk") {
+    import org.scalacheck.Gen
+    // random doc length, edit position and edit kind (insert/delete/
+    // replace one token): the CDC contract is that the chunk multiset
+    // changes by AT MOST the chunks the touched position participates
+    // in — for a 1-token edit that is exactly one original chunk (it
+    // may split in two or merge with a neighbour when the edited token
+    // was/becomes a marker, so compare surviving-multiset size, which
+    // must lose at most 2: the touched chunk and — for a marker
+    // delete/replace — the neighbour it merges into)
+    val cases = samples(Gen.zip(Gen.choose(40, 250), Gen.choose(0, 249),
+      Gen.oneOf("ins", "del", "rep")), 20)
+    cases.zipWithIndex.foreach { case ((n, rawPos, kind), i) =>
+      val toks = (1 to n).map(t => s"w${(t * 31 + i) % 97}x$t")
+      val pos = rawPos % n
+      val edited = kind match {
+        case "ins" => toks.take(pos) ++ Seq("EDITED") ++ toks.drop(pos)
+        case "del" => toks.take(pos) ++ toks.drop(pos + 1)
+        case _     => toks.updated(pos, "EDITED")
+      }
+      def fps(ts: Seq[String]) = TrainPrep.cdcChunks(
+          Seq((1L, ts.mkString(" "))).toDF("doc_id", "text")
+            .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+            .withColumn("n_chars", length(col("text"))))
+        .select("fp").as[Long].collect().toVector
+      val base = fps(toks); val after = fps(edited)
+      val baseCounts = base.groupBy(identity).view.mapValues(_.length).toMap
+      val afterCounts = after.groupBy(identity).view.mapValues(_.length).toMap
+      val survivors = baseCounts.map { case (fp, c) =>
+        math.min(c, afterCounts.getOrElse(fp, 0)) }.sum
+      assert(survivors >= base.length - 2,
+        s"(n=$n pos=$pos $kind): ${base.length - survivors} chunks changed")
+    }
+  }
+
+  test("cdc streaming admission equals the batch chunk-and-filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val probe = Seq(
+      (10L, s"fresh words only here $boiler"),
+      (11L, s"$boiler and a different tail"),
+      (12L, "entirely novel content with no boilerplate"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    // frozen index: the shared chunks of a standing 2-doc corpus that
+    // both carry the boilerplate run
+    val standing = Seq((1L, s"alpha $boiler"), (2L, s"beta $boiler"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val banned = TrainPrep.cdcSharedChunks(standing).select("fp")
+    assert(banned.count() > 0, "fixture must yield banned chunks")
+    probe.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = TrainPrep.streamingCdcAdmission(stream, banned) { (chunks, _) =>
+      val rows = chunks.select("doc_id", "chunk_id", "fp")
+        .as[(Long, Long, Long)].collect()
+      got.synchronized { got ++= rows }
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      val batch = TrainPrep.cdcChunks(probe)
+        .join(banned, Seq("fp"), "left_anti")
+        .select("doc_id", "chunk_id", "fp")
+        .as[(Long, Long, Long)].collect()
+      assert(got.sortBy(r => (r._1, r._2)).toSeq ===
+        batch.sortBy(r => (r._1, r._2)).toSeq)
+      // the novel doc survives in full; banned fps never appear
+      assert(got.exists(_._1 == 12L))
+      val bannedSet = banned.as[Long].collect().toSet
+      assert(!got.exists(r => bannedSet(r._3)))
+    } finally q.stop()
+  }
+
   test("cdc: empty and single-token documents chunk without error") {
     val d = cdcDoc((1L, ""), (2L, "solo"), (3L, "   "))
     val out = TrainPrep.cdcChunks(d)
