@@ -267,6 +267,7 @@ object SparkEntry {
     "q_cluster_sample"     -> (Similarity.qClusterSample _),
     "q_cdc_chunks"         -> (TrainPrep.qCdcChunks _),
     "q_cdc_shared"         -> (TrainPrep.qCdcShared _),
+    "q_cdc_containment"    -> (TrainPrep.qCdcContainment _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3586,6 +3587,34 @@ object SparkEntry {
            CAST(min(n_tokens) AS BIGINT) AS n_tokens
          FROM cdc_out GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
          ORDER BY fp""",
+    // CDC containment dedup: inverted fp index, singleton + hot-fp
+    // gate, within-group pairs, containment on the smaller side
+    "q_cdc_containment" -> {
+      import TrainPrep._
+      s"""WITH $cdcChunksSql,
+         fpd AS (SELECT DISTINCT doc_id, fp FROM cdc_out),
+         pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                FROM fpd GROUP BY doc_id),
+         live AS (SELECT fp FROM fpd GROUP BY fp
+                  HAVING count(*) >= 2 AND count(*) <= $CdcMaxFpDocs),
+         rare AS (SELECT f.doc_id, f.fp FROM fpd f JOIN live USING (fp)),
+         prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+                 FROM rare a JOIN rare b ON a.fp = b.fp
+                   AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+         SELECT p.doc_a, p.doc_b, p.n_shared,
+           pa.n_chunks AS n_a, pb.n_chunks AS n_b,
+           CAST(p.n_shared AS DOUBLE) / CAST(least(pa.n_chunks, pb.n_chunks)
+             AS DOUBLE) AS containment
+         FROM prs p
+         JOIN pd pa ON pa.doc_id = p.doc_a
+         JOIN pd pb ON pb.doc_id = p.doc_b
+         WHERE p.n_shared >= $CdcMinShared
+           AND CAST(p.n_shared AS DOUBLE) / CAST(least(pa.n_chunks,
+             pb.n_chunks) AS DOUBLE) >= $CdcMinContainment
+         ORDER BY doc_a, doc_b"""
+    },
     "q_vocab_topk" -> {
       s"""WITH t AS (SELECT doc_id, unnest(${toksSql("text")}) AS token FROM documents),
          c AS (SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,

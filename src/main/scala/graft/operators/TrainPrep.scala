@@ -204,6 +204,74 @@ object TrainPrep {
   def qCdcShared(spark: SparkSession, dir: String): DataFrame =
     cdcSharedChunks(Tables.documents(spark, dir)).orderBy(col("fp"))
 
+  /** Hot-fingerprint guard for [[cdcContainmentPairs]]: a chunk
+    * fingerprint carried by more than this many documents is treated
+    * as boilerplate (that is [[cdcSharedChunks]]' report, not a dup
+    * signal) and generates NO pairs — the same reason the MinHash
+    * band join caps hot buckets: pair volume within one fp is
+    * quadratic in its document count, and a license block shared by
+    * 10⁷ docs must not emit 10¹⁴ pairs. */
+  val CdcMaxFpDocs = 8
+
+  /** Minimum shared-chunk count and containment fraction for a pair
+    * to surface. */
+  val CdcMinShared = 2
+  val CdcMinContainment = 0.5
+
+  /** Document-level near-dup detection over CDC chunks — the chunking
+    * put to its dedup use: two documents pair when they share ≥
+    * `minShared` distinct chunk fingerprints covering ≥
+    * `minContainment` of the SMALLER document's chunks (containment,
+    * not Jaccard — a short doc embedded whole in a long one scores 1.0
+    * on the short side, the quote/mirror case Jaccard dilutes). CDC
+    * boundaries make this robust to insertions: unlike fixed windows,
+    * the shared run keeps identical fingerprints however the
+    * surrounding offsets moved.
+    *
+    * Plan (100 TB): an inverted fp → doc index (distinct per doc),
+    * per-fp document counts gate out singletons AND hot boilerplate
+    * fps ([[CdcMaxFpDocs]] — those are [[cdcSharedChunks]]' report),
+    * the self-join runs only within surviving fp groups (pair volume
+    * ≤ maxFpDocs · |index|, never quadratic in the corpus), and the
+    * pair aggregate + two bounded per-doc-count joins ride doc keys.
+    * The id inequality (`doc_a < doc_b`) canonicalizes pairs.
+    *
+    * Output: (doc_a, doc_b, n_shared, n_a, n_b, containment). */
+  def cdcContainmentPairs(docs: DataFrame, divisor: Int = CdcDivisor,
+                          maxFpDocs: Int = CdcMaxFpDocs,
+                          minShared: Int = CdcMinShared,
+                          minContainment: Double = CdcMinContainment): DataFrame = {
+    val chunks = cdcChunks(docs, divisor)
+    val fpDocs = chunks.select(col("doc_id"), col("fp")).distinct()
+    val perDoc = fpDocs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val liveFps = fpDocs.groupBy(col("fp"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= maxFpDocs)
+      .select(col("fp"))
+    val rare = fpDocs.join(liveFps, Seq("fp"))
+    val pairs = rare.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_chunks").as("n_a")),
+        Seq("doc_a"))
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_chunks").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("containment", col("n_shared").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("n_shared") >= minShared &&
+        col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("containment"))
+  }
+
+  def qCdcContainment(spark: SparkSession, dir: String): DataFrame =
+    cdcContainmentPairs(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Live CDC chunking of an arriving document stream with a FROZEN
     * boilerplate index: each micro-batch chunks via the IDENTICAL
     * batch code and anti-joins away chunks whose fingerprint sits in

@@ -503,6 +503,13 @@ class PlanSpec extends SparkSpec {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }
+    // CDC containment is pure equi-join machinery (inverted fp index,
+    // within-group self-join, doc-keyed count joins) — nothing may
+    // fall to a nested loop
+    val cc = planString("q_cdc_containment")
+    assert(!cc.contains("CartesianProduct") &&
+      !cc.contains("BroadcastNestedLoopJoin"),
+      s"q_cdc_containment degenerated to all-pairs:\n$cc")
     // the projected-ANN candidate join must stay a hash equi-join on
     // (band, sig) — a nested loop here is the all-pairs degeneration
     // the banding exists to avoid

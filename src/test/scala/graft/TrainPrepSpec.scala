@@ -1036,6 +1036,38 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("cdc containment: edited near-dups pair; hot boilerplate never generates pairs") {
+    val body = (1 to 120).map(i => s"c$i").mkString(" ")
+    val boiler = (1 to 40).map(i => s"bb$i").mkString(" ")
+    // docs 1/2: same long body, one word replaced mid-way -> CDC keeps
+    // every untouched chunk identical -> high containment pair.
+    // docs 3..12: UNRELATED bodies + the same boilerplate run carried
+    // by all twelve docs -> its fps exceed CdcMaxFpDocs=8 and are
+    // gated out, so no boilerplate-only pair may surface.
+    val d = (Seq(
+      (1L, s"$body $boiler"),
+      (2L, s"${body.replace("c60", "EDITED")} $boiler")) ++
+      (3L to 12L).map(i =>
+        (i, (1 to 80).map(j => s"u${i}_$j").mkString(" ") + " " + boiler)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val pairs = TrainPrep.cdcContainmentPairs(d)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)),
+      s"exactly the edited near-dup must pair, got ${pairs.toSeq}")
+    // conservative by construction: gated (hot) fps still count in the
+    // denominator but never as evidence, so the boilerplate tail
+    // depresses the fraction — 8 of 13 chunks here
+    assert(pairs.head._3 > 0.55, "one mid-doc edit must keep containment high")
+    // the boilerplate run IS visible to the shared-chunk readout the
+    // guard defers to (12 docs > CdcMaxFpDocs)
+    val shared = TrainPrep.cdcSharedChunks(d)
+      .filter(col("n_docs") >= 12).count()
+    assert(shared > 0, "the hot fps must land in cdcSharedChunks instead")
+  }
+
   test("cdc streaming admission equals the batch chunk-and-filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream")
     val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
