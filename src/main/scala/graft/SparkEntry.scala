@@ -451,17 +451,28 @@ object SparkEntry {
     val sign = "(CASE WHEN instr('01234567', substring(md5('rp:' || " +
       "CAST(e.i - 1 AS VARCHAR) || ':' || CAST(oj.j AS VARCHAR)), 1, 1)) > 0 " +
       "THEN 1 ELSE -1 END)"
+    val zeros = Seq.fill(RpOutDims)("CAST(0 AS BIGINT)").mkString("[", ", ", "]")
+    // full off-fixture parity with graft.expressions.RpProject:
+    // components past RpInDims are IGNORED (series capped by least),
+    // NULL components contribute 0 (sum skips nulls; an all-null group
+    // coalesces to 0), and a zero-length embedding still projects — to
+    // the all-zero vector (left join back to rp_q)
     s"""rp_q AS (SELECT vec_id, list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS qv
          FROM embeddings),
        rp_ex AS (SELECT vec_id, gs.i AS i, qv[gs.i] AS c
-         FROM rp_q, UNNEST(generate_series(1, len(qv))) AS gs(i)),
+         FROM rp_q, UNNEST(generate_series(1, least(len(qv), $RpInDims)))
+           AS gs(i)),
        rp_t AS (SELECT e.vec_id, oj.j AS j,
-           CAST(sum($sign * e.c) AS BIGINT) AS p
+           CAST(coalesce(sum($sign * e.c), 0) AS BIGINT) AS p
          FROM rp_ex e, UNNEST(generate_series(0, ${RpOutDims - 1})) AS oj(j)
          GROUP BY e.vec_id, oj.j),
-       rp AS (SELECT vec_id, list(p ORDER BY j) AS proj
-              FROM rp_t GROUP BY vec_id)"""
+       rp_g AS (SELECT vec_id, list(p ORDER BY j) AS proj
+                FROM rp_t GROUP BY vec_id),
+       rp AS (SELECT q.vec_id,
+           CASE WHEN q.qv IS NULL THEN NULL
+                ELSE coalesce(g.proj, $zeros) END AS proj
+         FROM rp_q q LEFT JOIN rp_g g USING (vec_id))"""
   }
 
   /** Sign bands over the projected space (`rp` must be in scope) —

@@ -363,8 +363,7 @@ object CorpusFilters {
     val counts = modelTok.groupBy(col("pred"), col("w"))
       .agg(count(lit(1)).as("n_cw"))
     // V (train vocab) in one 1-row frame; per-class totals + doc priors
-    val vocab = counts.agg(countDistinct(col("w")).as("v"),
-      sum(col("n_cw")).as("nn_all"))
+    val vocab = counts.agg(countDistinct(col("w")).as("v"))
     val classTotals = counts.groupBy(col("pred"))
       .agg(sum(col("n_cw")).as("nn_c"))
     val priors = model.groupBy(col(labelCol).as("pred"))

@@ -167,29 +167,20 @@ object TextDedup {
 
   /** The collapse as one exchange: `(set_rep, hs, chunk_id, members)`
     * per distinct shingle set, membership split across chunk rows of
-    * ≤ [[ChunkMembers]] ids (chunk 0 holds the smallest ids, so the
-    * set representative — the group minimum — is always in chunk 0).
-    * The group key leads with xxhash64(hs) so hashing/comparison work
-    * rides one long; the raw `hs` stays in the key for exactness
-    * (hash ties — i.e. equal sets — compare arrays).
+    * ≤ 2·[[ChunkMembers]] − 1 ids in ≤ ⌈|set|/[[ChunkMembers]]⌉ + 1
+    * rows (chunk 0 holds the smallest ids, so the set representative
+    * — the group minimum — is always in chunk 0). The group key leads
+    * with xxhash64(hs) so hashing/comparison work rides one long; the
+    * raw `hs` stays in the key for exactness (hash ties — i.e. equal
+    * sets — compare arrays).
     *
-    * Chunk assignment is RANGE-BUCKETED — bucket = ⌊doc_id/chunk⌋,
-    * exact integer arithmetic — NOT a `row_number` slice: a value
-    * bucket needs no per-group ordering of the raw membership rows,
-    * so the whole collapse runs sort-free over the corpus — one
-    * explicit (hsh, hs) exchange, one hash aggregate on the refined
-    * (hsh, hs, bucket) key (clustering satisfied by the exchange —
-    * no second shuffle), and ONE ordered window over the bounded
-    * chunk rows (≤ |set|/chunk each carrying ≤ chunk ids) that both
-    * renumbers buckets to contiguous 0-based chunk ids and reads the
-    * set representative off the first bucket. Round-16 forensics:
-    * the row_number spelling's corpus-wide per-partition sort was the
-    * steady-state +30–55% on every collapse consumer — value buckets
-    * delete the sort and keep every bound: ≤ chunk ids per row (a
-    * range of `chunk` integers holds at most `chunk` distinct ids),
-    * deterministic contents (buckets are id-absolute, so build ≡
-    * append+compact ≡ one-shot BY CONSTRUCTION — merge-stable without
-    * re-slicing), and chunk 0 = lowest bucket = the rep's chunk. */
+    * Chunk assignment is two-level — sort-free VALUE buckets
+    * (⌊doc_id/chunk⌋, bounding row SIZE) then a count-based PACKING
+    * of the bucket rows (bounding row COUNT) — see [[chunkMembers]]
+    * for why both bounds are load-bearing. Round-16 forensics: the
+    * row_number spelling's corpus-wide per-partition member sort was
+    * a steady-state +30–55% on every collapse consumer — here the
+    * only ordered work runs over already-aggregated bucket rows. */
   private[graft] def collapseGroups(docs: DataFrame): DataFrame =
     collapseGroupsAt(docs, chunkSize(docs.sparkSession))
 
@@ -222,23 +213,58 @@ object TextDedup {
     * one-shot (spec-pinned). */
   private[graft] def chunkMembers(pairs: DataFrame, chunk: Int): DataFrame = {
     require(chunk >= 1, "chunk size must be >= 1")
-    // exact integer floor-div (doc ids are non-negative): pmod strips
-    // the remainder, so the double divide is an exact multiple
-    val c = lit(chunk.toLong)
-    val bucket = ((col("doc_id") - pmod(col("doc_id"), c)) / c).cast("long")
-    // ONE ordered window over chunk rows only: dense_rank renumbers the
-    // sparse value buckets to contiguous 0-based chunk ids, and first()
-    // over the same ordering reads the set rep (the lowest bucket's
-    // min) — the unbounded-preceding default frame is exactly right
+    // Two levels, both riding the ONE (hsh, hs) exchange:
+    //
+    //   1. VALUE buckets (`doc_id div chunk` — exact long floor-div;
+    //      the earlier double spelling was exact only below 2^53):
+    //      a sort-free aggregate over the raw member rows, each output
+    //      row bounded at ≤ chunk ids (a range of `chunk` integers).
+    //   2. COUNT-based packing of those bucket rows into chunks: a
+    //      prefix-sum window + one more aggregate — over BUCKET rows
+    //      only, never the raw members, so the corpus-wide member sort
+    //      the round-15 row_number spelling paid (+30–55% on every
+    //      collapse consumer) stays deleted.
+    //
+    // Level 2 exists because value buckets alone bound row SIZE but
+    // not row COUNT: a dup family's ids land wherever the crawl put
+    // them, so a 10⁷-copy family spread over a 10¹⁰-id corpus is one
+    // member per bucket — 10⁷ chunk rows — and the banded-candidate
+    // join (which carries every chunk row of a set through its
+    // buckets) would pay chunkPairs ∝ |A|·|B| per matching set pair,
+    // the exact d² blowup the collapse exists to prevent. Packing by
+    // cumulative member count makes chunk count ≤ ⌈|set|/chunk⌉ + 1
+    // (spread-independent) at ≤ 2·chunk − 1 ids per row (a bucket
+    // straddling a boundary ships whole).
+    //
+    // Chunk ids are contiguous from 0 by construction (the prefix sum
+    // starts at 0 and grows by ≤ chunk per bucket row), buckets are id
+    // ranges so the flattened members stay globally sorted, and chunk
+    // 0 therefore still opens with the set representative (the group
+    // minimum). Layouts are NOT merge-stable across build/append/
+    // compact (packing depends on the full membership, as the r15
+    // slicing did) — ANSWERS are, which the chunk-invariance and
+    // lifecycle-fuzz specs pin.
+    // the ONE ordered window (the packing prefix sum) sorts only the
+    // aggregated bucket rows; the rep read is an UNORDERED min window
+    // (clustering satisfied, no sort), and per-chunk reassembly is
+    // sort_array over the ≤ 2·chunk-bounded flattened ids — collection
+    // order never matters
     val ow = Window.partitionBy(col("hsh"), col("hs")).orderBy(col("bucket"))
+    val cumBefore = coalesce(
+      sum(size(col("members")).cast("long"))
+        .over(ow.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
     pairs.select(xxhash64(col("hs")).as("hsh"), col("hs"), col("doc_id"))
       .repartition(col("hsh"), col("hs"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", expr(s"doc_id div $chunk"))
       .groupBy(col("hsh"), col("hs"), col("bucket"))
-      .agg(min(col("doc_id")).as("chunk_min"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .withColumn("chunk_id", (dense_rank().over(ow) - 1).cast("int"))
-      .withColumn("set_rep", first(col("chunk_min")).over(ow))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+      .withColumn("_cum", cumBefore)
+      .withColumn("chunk_id", expr(s"_cum div $chunk").cast("int"))
+      .groupBy(col("hsh"), col("hs"), col("chunk_id"))
+      .agg(sort_array(flatten(collect_list(col("members")))).as("members"))
+      .withColumn("set_rep",
+        min(element_at(col("members"), 1)).over(
+          Window.partitionBy(col("hsh"), col("hs"))))
       .select(col("set_rep"), col("hs"), col("chunk_id"), col("members"))
   }
 
@@ -676,6 +702,25 @@ object TextDedup {
       if (fs.exists(legacyBands)) fs.rename(legacyBands, p(s"$v0/bands"))
       fs.createNewFile(p(s"$v0/_COMMITTED"))
       ()
+    } else if (committedVersions(spark, path).isEmpty) {
+      // resume the one window the branch above can't see: a kill AFTER
+      // both legacy renames but BEFORE the marker leaves no legacy dir
+      // and no committed version — previously unresolvable forever, and
+      // the next install's sweep would even delete the migrated data.
+      // An unmarked v000000 whose BOTH tables carry their per-table
+      // _SUCCESS is complete and internally consistent wherever it came
+      // from (an interrupted migration moved complete legacy tables; a
+      // first build that died between its last _SUCCESS and its marker
+      // wrote both tables in one call), so committing it IS the resume.
+      // A partial build (either _SUCCESS missing) is left for the next
+      // install's post-commit sweep.
+      val v0 = p(s"$path/v000000")
+      if (fs.exists(p(s"$v0/sets/_SUCCESS")) &&
+          fs.exists(p(s"$v0/bands/_SUCCESS")) &&
+          !fs.exists(p(s"$v0/_COMMITTED"))) {
+        fs.createNewFile(p(s"$v0/_COMMITTED"))
+        ()
+      }
     }
   }
 

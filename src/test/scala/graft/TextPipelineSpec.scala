@@ -253,6 +253,68 @@ class TextPipelineSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("migration killed after its renames but before its marker still resumes") {
+    // the one crash window the legacy-dir guard can't see: both tables
+    // already renamed into v000000, no _COMMITTED yet, no legacy dirs
+    // left — the next resolution must commit the complete unmarked
+    // version instead of throwing forever (or worse, letting the next
+    // install's sweep delete the migrated data)
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-crashmig")
+    try {
+      val path = s"$dir/idx"
+      val p1 = docs.filter(col("doc_id").isin(1L, 3L))
+      val probe = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      TextDedup.writeDedupIndex(p1, path)
+      val baseline = rows(TextDedup.dedupProbeIndex(spark, path, probe))
+      // simulate the interrupted migration's end state: a complete
+      // v000000 (both tables with their _SUCCESS) whose marker is gone
+      val cur = new java.io.File(
+        TextDedup.currentIndexDir(spark, path).stripPrefix("file:"))
+      assert(new java.io.File(cur, "_COMMITTED").delete())
+      assert(rows(TextDedup.dedupProbeIndex(spark, path, probe)) === baseline,
+        "resolution must resume the complete unmarked version")
+      assert(new java.io.File(cur, "_COMMITTED").exists(),
+        "the resume must have committed v000000")
+      // and the lifecycle keeps working on top of the resumed version
+      TextDedup.appendDedupIndex(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L, 5L)))
+      assert(rows(TextDedup.dedupProbeIndex(spark, path, probe))
+        .map(_._2).toSet === Set(1L, 2L, 4L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("membership chunking: spread ids pack into count-based chunks, not one row per bucket") {
+    // a dup family whose ids land all over the id space — the normal
+    // crawl case. Pure value-bucketing would emit ONE chunk row per
+    // member (every id its own 7-wide bucket) and the banded candidate
+    // join would pay chunk-pairs ∝ |A|·|B|; the count-based second
+    // level must pack them back to ~|set|/chunk rows
+    val ids = (0 until 24).map(i => i.toLong * 1000003L)
+    val spread = ids.map(i => (i, base + " spread"))
+      .toDF("doc_id", "text")
+    spark.conf.set("spark.graft.dedupChunkMembers", "7")
+    try {
+      val rows = TextDedup.collapseGroups(spread).collect()
+      assert(rows.length <= 24 / 7 + 1,
+        s"spread ids must pack by count, got ${rows.length} rows")
+      assert(rows.map(_.getAs[scala.collection.Seq[Long]]("members").size).sum == 24)
+      assert(rows.forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 13))
+      // chunk ids contiguous from 0, rep (global min = 0) in chunk 0
+      assert(rows.map(_.getAs[Int]("chunk_id")).sorted.toSeq ===
+        (0 until rows.length))
+      assert(rows.filter(_.getAs[Int]("chunk_id") == 0).head
+        .getAs[scala.collection.Seq[Long]]("members").head === 0L)
+      assert(rows.forall(_.getLong(0) == 0L), "set_rep must be the minimum")
+      // members stay globally sorted across the packed chunks
+      val inOrder = rows.sortBy(_.getAs[Int]("chunk_id"))
+        .flatMap(_.getAs[scala.collection.Seq[Long]]("members"))
+      assert(inOrder.toSeq === ids.sorted)
+    } finally spark.conf.unset("spark.graft.dedupChunkMembers")
+  }
+
   test("membership chunking: a planted mega-family splits into bounded rows; answers are chunk-invariant") {
     // two exact-dup families, near-dups of EACH OTHER: exercises the
     // intra (within-set) and cross (between-set) expansions across
@@ -272,8 +334,16 @@ class TextPipelineSpec extends SparkSpec {
     spark.conf.set("spark.graft.dedupChunkMembers", "7")
     try {
       val groups = TextDedup.collapseGroups(mega).collect()
-      assert(groups.forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 7),
-        "chunk rows must be bounded by the configured size")
+      // two-level packing bound: a bucket straddling a pack boundary
+      // ships whole, so rows carry < 2x the configured size
+      assert(groups.forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 13),
+        "chunk rows must be bounded by 2x the configured size - 1")
+      // and the ROW COUNT is count-based, never id-spread-based
+      groups.groupBy(_.getLong(0)).foreach { case (rep, rs) =>
+        val total = rs.map(_.getAs[scala.collection.Seq[Long]]("members").size).sum
+        assert(rs.length <= total / 7 + 1,
+          s"set $rep: ${rs.length} chunk rows for $total members")
+      }
       assert(groups.count(_.getAs[Int]("chunk_id") > 0) > 0,
         "the families must really have split")
       // chunk 0 always carries the representative (the group minimum)
@@ -298,7 +368,7 @@ class TextPipelineSpec extends SparkSpec {
           mega.filter(col("doc_id") > 10L))
         TextDedup.compactDedupIndex(spark, p)
         assert(TextDedup.dedupIndexSets(spark, p).collect()
-          .forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 7),
+          .forall(_.getAs[scala.collection.Seq[Long]]("members").size <= 13),
           "persisted chunk rows must stay bounded through the lifecycle")
         val probe = Seq((900L, base + " alpha")).toDF("doc_id", "text")
         def ids(df: org.apache.spark.sql.DataFrame) = df
