@@ -358,6 +358,22 @@ object CorpusFilters {
     * confidence-gated deployment thresholds on. */
   def nbClassifyAgainst(probe: DataFrame, model: DataFrame,
                         labelCol: String = NbLabelCol): DataFrame = {
+    val (counts, classConst) = nbTrain(model, labelCol)
+    nbScoreAgainst(probe, counts, classConst, labelCol)
+  }
+
+  /** The TRAINING half alone: the standing model frames —
+    * `(counts(pred, w, n_cw), classConst(pred, prior_micro,
+    * den_micro))` — everything [[nbScoreAgainst]] needs to score ANY
+    * probe frame. The seam a caller that scores many probe batches
+    * against ONE frozen model needs (the [[streamingNbAdmission]]
+    * twin): without it every admission call re-runs the full model
+    * tokenize/count/prior aggregation — K micro-batches cost K
+    * training passes over the frozen corpus, the same per-batch
+    * standing-rebuild hazard `streamingSemanticAdmission` fixed with
+    * [[Similarity.semanticStandingParts]]. */
+  def nbTrain(model: DataFrame, labelCol: String = NbLabelCol):
+      (DataFrame, DataFrame) = {
     val modelTok = model
       .select(col(labelCol).as("pred"), explode(tokens(col("text"))).as("w"))
     val counts = modelTok.groupBy(col("pred"), col("w"))
@@ -377,6 +393,14 @@ object CorpusFilters {
       .select(col("pred"),
         (qlnMicro(col("n_docs")) - qlnMicro(col("n_total"))).as("prior_micro"),
         qlnMicro(col("nn_c") + col("v")).as("den_micro"))
+    (counts, classConst)
+  }
+
+  /** The SCORING half: classify a probe frame against [[nbTrain]]'s
+    * standing frames. */
+  def nbScoreAgainst(probe: DataFrame, counts: DataFrame,
+                     classConst: DataFrame,
+                     labelCol: String = NbLabelCol): DataFrame = {
     val probeTok = probe
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
@@ -431,19 +455,29 @@ object CorpusFilters {
 
   /** Live NB classification of an arriving document stream against a
     * FROZEN model corpus — the model-based admission gate's streaming
-    * twin. Per micro-batch the IDENTICAL batch code runs (the
-    * classification of a doc depends only on the frozen model, so
-    * stateless `foreachBatch` is exactly right — same reasoning as
-    * `TextDedup.streamingNearDup`); StreamingSpec pins streamed
-    * predictions ≡ batch predictions under any batch slicing. */
+    * twin. The trained frames build ONCE, before the query starts, and
+    * persist (MEMORY_AND_DISK — `counts` is vocab × classes, the only
+    * corpus-derived one); each micro-batch then pays only ITS OWN
+    * tokenize/score against the standing frames — same reasoning as
+    * `streamingSemanticAdmission`'s standing-parts split (the previous
+    * spelling handed the raw model to [[nbClassifyAgainst]] per batch:
+    * K micro-batches cost K full training passes). Classification of a
+    * doc depends only on the frozen model, so stateless `foreachBatch`
+    * stays exactly right; StreamingSpec pins streamed predictions ≡
+    * batch predictions under any batch slicing. */
   def streamingNbAdmission(streamDocs: DataFrame, model: DataFrame,
                            labelCol: String = NbLabelCol,
                            checkpoint: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (counts0, classConst0) = nbTrain(model, labelCol)
+    val counts = counts0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val classConst = classConst0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writer = streamDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(nbClassifyAgainst(batch, model, labelCol), id)
+        sink(nbScoreAgainst(batch, counts, classConst, labelCol), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
