@@ -707,16 +707,26 @@ object TextDedup {
       // both legacy renames but BEFORE the marker leaves no legacy dir
       // and no committed version — previously unresolvable forever, and
       // the next install's sweep would even delete the migrated data.
-      // An unmarked v000000 whose BOTH tables carry their per-table
-      // _SUCCESS is complete and internally consistent wherever it came
-      // from (an interrupted migration moved complete legacy tables; a
-      // first build that died between its last _SUCCESS and its marker
-      // wrote both tables in one call), so committing it IS the resume.
-      // A partial build (either _SUCCESS missing) is left for the next
-      // install's post-commit sweep.
+      // An unmarked v000000 whose BOTH tables are complete is
+      // internally consistent wherever it came from (an interrupted
+      // migration moved complete legacy tables; a first build that
+      // died between its last table commit and its marker wrote both
+      // tables in one call), so committing it IS the resume. A table
+      // counts as complete when the committer's _SUCCESS marker is
+      // present, or — for committers configured not to write one
+      // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false,
+      // common on object stores) — when the dir holds at least one
+      // parquet part file and no leftover _temporary staging dir (the
+      // committer removes _temporary at job commit, so its presence
+      // means the write died mid-flight). A partial build is left for
+      // the next install's post-commit sweep.
       val v0 = p(s"$path/v000000")
-      if (fs.exists(p(s"$v0/sets/_SUCCESS")) &&
-          fs.exists(p(s"$v0/bands/_SUCCESS")) &&
+      def tableComplete(t: org.apache.hadoop.fs.Path): Boolean =
+        fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS")) ||
+          (fs.exists(t) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(t, "_temporary")) &&
+            fs.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
+      if (tableComplete(p(s"$v0/sets")) && tableComplete(p(s"$v0/bands")) &&
           !fs.exists(p(s"$v0/_COMMITTED"))) {
         fs.createNewFile(p(s"$v0/_COMMITTED"))
         ()
