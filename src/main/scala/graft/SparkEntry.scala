@@ -139,6 +139,8 @@ object SparkEntry {
     "q_semantic_dedup_auto2" -> (Similarity.qSemanticDedupAuto2 _),
     "q_similar_ivf_2lvl"   -> (Similarity.qSimilarIvfTwoLevel _),
     "q_semantic_admission" -> (Similarity.qSemanticAdmission _),
+    "q_semantic_dedup_sparse" -> (Similarity.qSemanticDedupSparse _),
+    "q_semantic_admission_sparse" -> (Similarity.qSemanticAdmissionSparse _),
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
@@ -268,6 +270,8 @@ object SparkEntry {
     "q_cdc_chunks"         -> (TrainPrep.qCdcChunks _),
     "q_cdc_shared"         -> (TrainPrep.qCdcShared _),
     "q_cdc_containment"    -> (TrainPrep.qCdcContainment _),
+    "q_cdc_persisted"      -> (TrainPrep.qCdcPersisted _),
+    "q_cdc_strip"          -> (TrainPrep.qCdcStrip _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -569,8 +573,14 @@ object SparkEntry {
 
   /** Shared two-level IVF assignment CTE chain (DuckDB): auto-sized
     * fine params from count(*), coarse params from the fine count via
-    * the identical ⌈√·⌉/floor-div arithmetic, fine→coarse map, coarse
-    * assignment, refine — → `a(vec_id, embedding, cell)`, the twin of
+    * the identical ⌈√·⌉/floor-div arithmetic, RANK-stride centroid
+    * selection (the twin of
+    * [[graft.operators.Similarity.centroidsByRank]] — `row_number()
+    * over (order by vec_id) − 1`, so sparse/offset/re-keyed id spaces
+    * select the same ⌈√n⌉ centroids both engines; on the dense fixture
+    * rank == vec_id and the chain replays the r16 selection
+    * unchanged), fine→coarse map, coarse assignment, refine — →
+    * `a(vec_id, embedding, cell)`, the twin of
     * [[graft.operators.Similarity.ivfCellsTwoLevel]]. Every rank
     * carries the (dist DESC, id ASC) tie-break, so the deterministic
     * approximation replays exactly. Interpolate after `WITH`. */
@@ -585,12 +595,15 @@ object SparkEntry {
                greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT))) AS span,
              greatest(1, CAST(ceil(sqrt(CAST(cnum AS DOUBLE))) AS BIGINT)) AS gnum
            FROM p),
+         tl_rnk AS (SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) - 1 AS vrk
+             FROM $src),
          fine AS (SELECT vec_id AS centroid_id, embedding AS cv
-               FROM $src, p
-               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
+               FROM tl_rnk, p
+               WHERE vrk % p.stride = 0 AND vrk < p.stride * p.cnum),
          coarse AS (SELECT vec_id AS coarse_id, embedding AS gv
-               FROM $src, p2
-               WHERE vec_id % p2.span = 0 AND vec_id < p2.span * p2.gnum),
+               FROM tl_rnk, p2
+               WHERE vrk % p2.span = 0 AND vrk < p2.span * p2.gnum),
          fmap AS (SELECT coarse_id, centroid_id, cv FROM (
                  SELECT f.centroid_id, f.cv, g.coarse_id,
                    row_number() OVER (PARTITION BY f.centroid_id
@@ -2531,16 +2544,21 @@ object SparkEntry {
          ORDER BY a.vec_id""",
     // the AUTO-SIZED cells: (stride, count) derived from count(*) with
     // the same ceil(sqrt)/floor-div arithmetic as
-    // Similarity.autoCentroidParams — both engines size identically
+    // Similarity.autoCentroidParams — both engines size identically —
+    // and centroids selected by RANK stride (centroidsByRank's twin;
+    // rank == vec_id on the dense fixture)
     "q_semantic_dedup_auto" ->
       s"""WITH p AS (SELECT
              greatest(1, CAST(count(*) AS BIGINT) //
                greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS stride,
              greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cnum
            FROM embeddings),
+         rnkv AS (SELECT vec_id, embedding,
+               row_number() OVER (ORDER BY vec_id) - 1 AS vrk
+             FROM embeddings),
          c AS (SELECT vec_id AS centroid_id, embedding AS cv
-               FROM embeddings, p
-               WHERE vec_id % p.stride = 0 AND vec_id < p.stride * p.cnum),
+               FROM rnkv, p
+               WHERE vrk % p.stride = 0 AND vrk < p.stride * p.cnum),
          d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
                  ${cosineSql("e.embedding", "c.cv")} AS dist
                FROM embeddings e CROSS JOIN c),
@@ -2589,6 +2607,40 @@ object SparkEntry {
                  WHERE vec_id < t),
          pr AS (SELECT vec_id, embedding FROM embeddings, tsplit
                 WHERE vec_id >= t),
+         ${twoLevelStructSql("std")},
+         ${twoLevelAssignSql("std", "vgs", "a")},
+         ${twoLevelAssignSql("pr", "vgp", "pa")},
+         dom AS (SELECT DISTINCT pa.vec_id
+                 FROM pa JOIN a ON pa.cell = a.cell
+                 WHERE ${cosineSql("pa.embedding", "a.embedding")} >= 0.4)
+         SELECT pa.vec_id AS probe_id, pa.cell,
+           (dom.vec_id IS NOT NULL) AS dropped
+         FROM pa LEFT JOIN dom ON pa.vec_id = dom.vec_id
+         ORDER BY probe_id""",
+    // rank-selection certificates: the SAME two-level chains over a
+    // sparse/offset re-keyed id view (holes: ids ≡ 0 mod 3 removed;
+    // re-key: 7·id + 3) — the id shape the r16 raw-id stride selection
+    // require()d away. Rank stride selects the full ⌈√n⌉ centroid set
+    // on both engines regardless of the id line.
+    "q_semantic_dedup_sparse" ->
+      s"""WITH semb AS (SELECT vec_id * 7 + 3 AS vec_id, embedding
+               FROM embeddings WHERE vec_id % 3 <> 0),
+         ${twoLevelStructSql("semb")},
+         ${twoLevelAssignSql("semb", "vg", "a")},
+         dom AS (SELECT DISTINCT b.vec_id
+                 FROM a x JOIN a b ON x.cell = b.cell AND x.vec_id < b.vec_id
+                 WHERE ${cosineSql("x.embedding", "b.embedding")} >= 0.4)
+         SELECT a.vec_id, a.cell, (dom.vec_id IS NOT NULL) AS dropped
+         FROM a LEFT JOIN dom ON a.vec_id = dom.vec_id
+         ORDER BY a.vec_id""",
+    // admission on a MODULO split over the sparse ids — the standing
+    // corpus is full of holes at every stride, so only rank selection
+    // can size its centroid set
+    "q_semantic_admission_sparse" ->
+      s"""WITH semb AS (SELECT vec_id * 7 + 3 AS vec_id, embedding
+               FROM embeddings WHERE vec_id % 3 <> 0),
+         std AS (SELECT vec_id, embedding FROM semb WHERE vec_id % 5 <> 0),
+         pr AS (SELECT vec_id, embedding FROM semb WHERE vec_id % 5 = 0),
          ${twoLevelStructSql("std")},
          ${twoLevelAssignSql("std", "vgs", "a")},
          ${twoLevelAssignSql("pr", "vgp", "pa")},
@@ -3598,6 +3650,46 @@ object SparkEntry {
            CAST(min(n_tokens) AS BIGINT) AS n_tokens
          FROM cdc_out GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
          ORDER BY fp""",
+    // persisted CDC-index lifecycle: the oracle re-derives the
+    // standing boilerplate (fps in ≥ 2 standing docs) from the raw
+    // corpus in one shot — build(odd) + append(even) + compact over
+    // the same standing population must be answer-invariant
+    "q_cdc_persisted" ->
+      s"""WITH $cdcChunksSql,
+         std AS (SELECT * FROM cdc_out
+                 WHERE doc_id % ${TextDedup.IncrementMod} <> 0),
+         banned AS (SELECT fp FROM std GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+         probe AS (SELECT * FROM cdc_out
+                   WHERE doc_id % ${TextDedup.IncrementMod} = 0)
+         SELECT p.doc_id, p.chunk_id, p.n_tokens, p.fp
+         FROM probe p LEFT JOIN banned b ON p.fp = b.fp
+         WHERE b.fp IS NULL
+         ORDER BY doc_id, chunk_id""",
+    // shared-span STRIP: boilerplate fps (≥ 2 docs) removed from the
+    // text, survivors re-assembled in chunk order — every document
+    // keeps a row (all-boilerplate → '', empty/null text → '' at 0)
+    "q_cdc_strip" ->
+      s"""WITH $cdcChunksSql,
+         banned AS (SELECT fp FROM cdc_out GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT c.doc_id, c.chunk_id, c.chunk_text
+                  FROM cdc_out c LEFT JOIN banned b ON c.fp = b.fp
+                  WHERE b.fp IS NULL),
+         ka AS (SELECT doc_id,
+                  string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                    AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                 FROM cdc_out GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+           CAST(coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0)
+             AS BIGINT) AS n_dropped_chunks
+         FROM documents d
+         LEFT JOIN ka ON ka.doc_id = d.doc_id
+         LEFT JOIN tot ON tot.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     // CDC containment dedup: inverted fp index, singleton + hot-fp
     // gate, within-group pairs, containment on the smaller side
     "q_cdc_containment" -> {
@@ -4942,10 +5034,16 @@ object SparkEntry {
          SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
          FROM nb_out GROUP BY lang, pred ORDER BY lang, pred""",
     // random projection: every ±1 matrix entry re-derived from md5 in
-    // SQL (not a shared literal) — the integer sums must land exactly
+    // SQL (not a shared literal) — the integer sums must land exactly.
+    // Exploded to one scalar row per (vec_id, dim): the harness cannot
+    // canonicalize a raw LIST column (round-16 red row), and the inner
+    // lateral unnest mirrors Spark's posexplode on NULL/empty inputs
     "q_rp_project" ->
       s"""WITH $rpProjectSql
-         SELECT vec_id, proj FROM rp ORDER BY vec_id""",
+         SELECT r.vec_id, CAST(gs.i - 1 AS BIGINT) AS dim,
+           r.proj[gs.i] AS coord
+         FROM rp r, UNNEST(generate_series(1, len(r.proj))) AS gs(i)
+         ORDER BY r.vec_id, dim""",
     // project-then-re-rank ANN: bands over the projected integers,
     // exact full-precision cosine on the original vectors
     "q_similar_rp" ->

@@ -183,10 +183,15 @@ object GraftFunctions {
         intLit(children(2), "out_dims"))
     })
 
+  val trigramCounts: Registration = (
+    FunctionIdentifier("trigram_counts"),
+    new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
+    (children: Seq[Expression]) => TrigramCounts(children.head))
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
       simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
-      deflateRatio, misraGries, rpProject)
+      deflateRatio, misraGries, rpProject, trigramCounts)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

@@ -1,0 +1,87 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Per-document padded character-trigram HISTOGRAM over a token array:
+  * `map<gram, count>` of every `" token "` sliding 3-codepoint window —
+  * the [[graft.operators.TextStats.langIdNgram]] gram stream collapsed
+  * AT THE ROW, before anything is emitted into the plan.
+  *
+  * Why custom: the composed spelling (token explode → pad → sequence +
+  * transform + substring → gram explode) emits ONE ROW PER CORPUS
+  * CHARACTER into the join/aggregate machinery — at 100 TB that is the
+  * dominant data-proportional term of language ID (measured at sf0.1:
+  * ~55% of q_lang_id wall-time before any scoring work). This
+  * expression walks the same windows in one tight JVM loop and emits
+  * one (gram, count) entry per DISTINCT in-document gram (~5–8× fewer
+  * rows on natural text), with no shuffle and no new exchange — the
+  * per-document histogram is the perfect map-side combine. Scores then
+  * reassemble exactly: Σ_occurrences s_l(g) = Σ_distinct count·s_l(g),
+  * integer arithmetic on the same quantized micro-nats.
+  *
+  * Parity contract (hash-certified through `q_lang_id`): windows slide
+  * by UNICODE CODE POINT, exactly like Spark's `substring` and
+  * DuckDB's `substring` in the oracle's unnest replay — NOT by Java
+  * UTF-16 unit (an astral-plane character must count once). Null
+  * tokens contribute nothing (the composed form's `concat(' ', NULL,
+  * ' ')` swallowed them via a null padded string); tokens shorter than
+  * one padded window (empty string) contribute nothing. Interpreted
+  * eval (CodegenFallback) is the right trade here: ONE call per
+  * document row, cost ∝ its characters — per-row interpretation
+  * overhead is amortized over the whole document, unlike a per-gram
+  * expression.
+  */
+case class TrigramCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "trigram_counts"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = new java.util.HashMap[String, Long]()
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val padded = " " + arr.getUTF8String(t).toString + " "
+        // slide by CODE POINT (see parity contract)
+        val cps = padded.codePoints().toArray
+        var i = 0
+        while (i + 3 <= cps.length) {
+          val g = new String(cps, i, 3)
+          val cur = m.get(g)
+          m.put(g, cur + 1L)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    val keys = new Array[Any](m.size)
+    val vals = new Array[Any](m.size)
+    var i = 0
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(i) = UTF8String.fromString(e.getKey)
+      vals(i) = e.getValue
+      i += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramCounts =
+    copy(child = newChild)
+}

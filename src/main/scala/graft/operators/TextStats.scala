@@ -176,7 +176,7 @@ object TextStats {
       "това", "а", "то", "всички", "тя", "така", "него", "но", "да",
       "ти", "към", "у", "вие", "за", "би", "по", "само", "нея",
       "ми", "беше", "ето", "от", "мен", "още", "няма", "о", "му",
-      "сега", "когато", "това", "може"),
+      "сега", "когато", "тук", "може"),
     "el" -> Seq("και", "το", "να", "του", "η", "με", "σε", "που",
       "δεν", "από", "είναι", "για", "την", "τον", "τα", "ότι", "θα",
       "στο", "αυτό", "τους", "μου", "ένα", "οι", "σου", "αλλά",
@@ -274,18 +274,56 @@ object TextStats {
     * identical BIGINTs — the lmPerplexity integer-quantization
     * discipline. Keys sorted for deterministic iteration; scores
     * follow [[trigramLangs]] order. */
-  val trigramProfile: Seq[(String, Seq[Long])] = {
-    val byLang: Map[String, Map[String, Long]] = seedLexicon.map {
+  private lazy val trigramCounts: Map[String, Map[String, Long]] =
+    seedLexicon.map {
       case (l, ws) => l -> ws.flatMap(wordTrigrams).groupBy(identity)
         .map { case (g, xs) => g -> xs.size.toLong }
     }
-    val vocab = byLang.values.flatMap(_.keys).toSeq.distinct.sorted
-    val denom = trigramLangs.map(l =>
-      l -> (byLang(l).values.sum + vocab.size).toDouble).toMap
-    vocab.map { g =>
+  private lazy val trigramVocab: Seq[String] =
+    trigramCounts.values.flatMap(_.keys).toSeq.distinct.sorted
+  private lazy val trigramDenom: Map[String, Double] =
+    trigramLangs.map(l =>
+      l -> (trigramCounts(l).values.sum + trigramVocab.size).toDouble).toMap
+
+  val trigramProfile: Seq[(String, Seq[Long])] =
+    trigramVocab.map { g =>
       g -> trigramLangs.map { l =>
         math.round(math.log(
-          (byLang(l).getOrElse(g, 0L) + 1L).toDouble / denom(l)) * 1e6)
+          (trigramCounts(l).getOrElse(g, 0L) + 1L).toDouble
+            / trigramDenom(l)) * 1e6)
+      }
+    }
+
+  /** Per-language UNSEEN-gram penalty in micro-nats:
+    * `round(ln(1/denom_l)·10⁶)` — exactly the [[trigramProfile]] value
+    * of any gram the language's lexicon never saw (n = 0 makes the
+    * add-one numerator 1). The constant the sparse scorer folds. */
+  val trigramPenalty: Seq[(String, Long)] = trigramLangs.map(l =>
+    l -> math.round(math.log(1.0 / trigramDenom(l)) * 1e6))
+
+  /** SPARSE profile rows — only the (gram, lang) pairs the lexicon
+    * actually saw, with `delta = s_l(g) − penalty_l` (an exact integer
+    * subtraction of two already-quantized micro-nat values — no new
+    * rounding anywhere) and `cnt` marking exactly ONE entry per gram
+    * (the matched-gram counter's ride-along). Identity the scorer
+    * folds on:
+    *
+    *   s_l(doc) = Σ_{matched g} s_l(g)
+    *            = Σ_{matched g seen by l} delta_l(g) + n_matched · penalty_l
+    *
+    * because an unseen gram's s_l(g) IS penalty_l exactly. ~18× fewer
+    * entries than the dense vocab × 36 table (most grams are
+    * script-exclusive — a Cyrillic trigram carries no Latin-language
+    * rows — so the fold prunes cross-script dead weight automatically,
+    * and same-script sparsity too). */
+  val trigramSparse: Seq[(String, String, Long, Boolean)] = {
+    val penalty = trigramPenalty.toMap
+    trigramVocab.flatMap { g =>
+      val seen = trigramLangs.filter(l => trigramCounts(l).contains(g))
+      seen.zipWithIndex.map { case (l, i) =>
+        val sLg = math.round(math.log(
+          (trigramCounts(l)(g) + 1L).toDouble / trigramDenom(l)) * 1e6)
+        (g, l, sLg - penalty(l), i == 0)
       }
     }
   }
@@ -328,18 +366,35 @@ object TextStats {
     * (degenerating to the tie-break), but still carries hundreds of
     * characteristic character transitions (spec-pinned fixture).
     *
-    * The profile frame is built GENERICALLY from [[trigramLangs]] —
+    * The profile frames are built GENERICALLY from [[trigramLangs]] —
     * the lexicon is the single source of arity, so adding a language
     * to [[seedLexicon]] regenerates the scorer (and the interpolated
     * oracle) with no code change here.
     *
+    * Scoring runs in the SPARSE folded-penalty form ([[trigramSparse]]
+    * — the same fold [[CorpusFilters.nbClassifyAgainst]] uses for its
+    * class denominators): the corpus gram stream joins only the
+    * (gram, lang) entries the lexicon saw, so a Latin-script document
+    * never touches the 30 non-Latin languages' rows (the r16 dense
+    * form summed all 36 smoothed columns for every matched gram —
+    * measured 1.65× the 4-language wall-time; most of that was
+    * cross-script dead weight), and every language's exact score
+    * reassembles as `Σ delta + n_matched · penalty_l`. Bitwise the
+    * SAME integers as the dense form — the r16 oracle replays
+    * unchanged, which is itself a cross-formulation certificate.
+    *
     * Scale shape: one narrow pass (lower + token explode + trigram
     * explode — output rows ≈ corpus characters), one BROADCAST join
-    * against the ≤ few-hundred-row profile table, one doc-keyed
-    * aggregate, and a left join back for the no-gram docs. No corpus
-    * shuffle except the doc_id aggregate. */
+    * against the sparse entry table (output ≈ matched grams × seen
+    * langs, ~2 rows per gram), a (doc, lang)-keyed aggregate, then a
+    * 36-rows-per-doc assembly (docs × broadcast penalty frame) whose
+    * argmax + runner-up is one per-doc window over ≤ 36 rows — the
+    * [[CorpusFilters.nbClassifyAgainst]] plan shape, replacing the r16
+    * 36-column staged `greatest` projections. No corpus shuffle except
+    * the doc-keyed aggregate and window. */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
+    graft.expressions.GraftFunctions.register(spark)
     val profSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("gram",
         org.apache.spark.sql.types.StringType, nullable = false) +:
@@ -350,16 +405,28 @@ object TextStats {
     }
     val prof = spark.createDataFrame(
       spark.sparkContext.parallelize(profRows, 1), profSchema)
-    val grams = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("_t"))
-      .select(col("doc_id"), concat(lit(" "), col("_t"), lit(" ")).as("_p"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(_p) - 2), i -> substring(_p, i, 3))"))
-        .as("gram"))
-    val scores = grams.join(broadcast(prof), Seq("gram"))
+    // the gram stream collapses AT THE ROW to a per-document histogram
+    // (native [[graft.expressions.TrigramCounts]]): one (gram, k) row
+    // per DISTINCT in-document trigram instead of one per corpus
+    // character, no shuffle added — s_l(doc) = Σ_distinct k · s_l(g)
+    // reassembles the per-occurrence integers exactly. Two slower
+    // spellings were built and measured first at sf0.1: the r16
+    // per-occurrence explode (1.65 s — the character-proportional rows
+    // feed the join and aggregate), and a sparse (gram, lang, delta)
+    // fold of the NB kind (2.4–3.3 s — with 36 mostly-Latin languages
+    // the common grams fan out to ~10 language rows each, multiplying
+    // the aggregate input by more than the narrow rows save); a
+    // groupBy(doc, gram) shrink of the explode (2.2 s) pays an extra
+    // corpus exchange the row-local histogram gets for free.
+    val gk = docs
+      .select(col("doc_id"),
+        explode(call_function("trigram_counts", tokens(lower(col("text")))))
+          .as(Seq("gram", "k")))
+    val scores = gk.join(broadcast(prof), Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(sum(col(s"s_${trigramLangs.head}")).as(s"s_${trigramLangs.head}"),
-        trigramLangs.tail.map(l => sum(col(s"s_$l")).as(s"s_$l")): _*)
+      .agg(sum(col("k") * col(s"s_${trigramLangs.head}"))
+          .as(s"s_${trigramLangs.head}"),
+        trigramLangs.tail.map(l => sum(col("k") * col(s"s_$l")).as(s"s_$l")): _*)
     // argmax + runner-up in LINEAR-size expressions, staged through
     // projected columns: a folded accumulator that re-references its
     // previous step N times grows the tree ~3^N with the language

@@ -296,6 +296,173 @@ object TrainPrep {
     checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
   }
 
+  // --- persisted CDC boilerplate-index lifecycle ---
+
+  /** Per-fingerprint chunk statistics WITHOUT [[cdcSharedChunks]]'
+    * ≥ 2-docs filter — the MERGEABLE form the persisted index stores.
+    * Appends land new-document batches whose doc-id sets are disjoint
+    * from the standing corpus (the [[TextDedup.appendDedupIndex]]
+    * contract: new documents get new ids), so per-batch
+    * `countDistinct` rows SUM to the union's count, `n_occurrences`
+    * sums, and `n_tokens` merges by min — whereas a pre-filtered
+    * readout is not appendable at all (a standing singleton fp that
+    * crosses the 2-doc threshold only WITH the increment is absent
+    * from both sides' filtered rows). */
+  def cdcFpStats(docs: DataFrame, divisor: Int = CdcDivisor): DataFrame =
+    cdcChunks(docs, divisor)
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"))
+
+  /** Persist the CDC boilerplate index as a standing parquet layout —
+    * the [[TextDedup.writeDedupIndex]] treatment applied to the CDC
+    * side, closing the lifecycle asymmetry where the MinHash index was
+    * versioned/appendable but [[streamingCdcAdmission]]'s `bannedFps`
+    * had to be re-derived from the raw corpus per snapshot. Layout:
+    * one `fps/` table ([[cdcFpStats]]' unfiltered per-fp rows) under a
+    * committed `v<NNNNNN>/` directory with the same atomic
+    * `_COMMITTED` marker, resolver, and crash-window sweep as the
+    * dedup index ([[TextDedup.installIndexVersion]] is shared
+    * machinery, not a copy). Built ONCE per corpus snapshot; every
+    * probe batch and streaming gate then reads the O(|distinct fps|)
+    * table instead of re-chunking 100 TB of standing text. */
+  def writeCdcIndex(docs: DataFrame, path: String,
+                    divisor: Int = CdcDivisor): Unit = {
+    TextDedup.installIndexVersion(docs.sparkSession, path) { dir =>
+      cdcFpStats(docs, divisor)
+        .write.mode("overwrite").parquet(s"$dir/fps")
+    }
+  }
+
+  /** Append an increment's fp statistics to the standing CDC index:
+    * chunking runs ONLY over `newDocs`, and their per-fp rows land as
+    * new files inside the current committed version's `fps/` — the
+    * standing rows are never rewritten or re-read. A fp present in
+    * both sides temporarily holds two rows; every reader goes through
+    * [[cdcIndexStats]]' merge, so answers are unchanged.
+    * [[compactCdcIndex]] merges the rows away physically. Crash
+    * contract: a died append leaves at most orphan part files of ONE
+    * table write — re-running the same append replaces nothing and
+    * the compact merge keeps counts exact only if the replay did not
+    * double-land; recovery is therefore compact-from-scratch
+    * ([[writeCdcIndex]] over the union corpus) — cheap relative to
+    * the MinHash side because the stored rows are per-fp counts, not
+    * per-document sets. */
+  def appendCdcIndex(spark: SparkSession, path: String, newDocs: DataFrame,
+                     divisor: Int = CdcDivisor): Unit = {
+    val live = TextDedup.currentIndexDir(spark, path)
+    cdcFpStats(newDocs, divisor)
+      .write.mode("append").parquet(s"$live/fps")
+    ()
+  }
+
+  /** The merged per-fp statistics of a standing CDC index — the
+    * single read-side resolution point (sums the disjoint-batch rows
+    * appends accumulate; see [[cdcFpStats]] for why the merge is
+    * exact). */
+  def cdcIndexStats(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .parquet(s"${TextDedup.currentIndexDir(spark, path)}/fps")
+      .groupBy(col("fp"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_occurrences")).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"))
+
+  /** The boilerplate readout of a standing index: fps carried by
+    * ≥ `minDocs` documents — [[cdcSharedChunks]]' answer served from
+    * the landed snapshot, and the `bannedFps` frame
+    * [[streamingCdcAdmission]] wants. */
+  def cdcIndexBoilerplate(spark: SparkSession, path: String,
+                          minDocs: Long = 2L): DataFrame =
+    cdcIndexStats(spark, path).filter(col("n_docs") >= minDocs)
+
+  /** Compact a standing CDC index: merge the duplicate per-fp rows
+    * repeated appends accumulate and install the result as one atomic
+    * new version — afterwards the layout is row-equivalent to a fresh
+    * [[writeCdcIndex]] over the union corpus (spec-pinned), and
+    * compact∘compact ≡ compact. */
+  def compactCdcIndex(spark: SparkSession, path: String): Unit = {
+    // reads the CURRENT version, writes the NEXT — never in-place
+    // (installIndexVersion's sweep retains the version being read)
+    TextDedup.installIndexVersion(spark, path) { dir =>
+      cdcIndexStats(spark, path)
+        .write.mode("overwrite").parquet(s"$dir/fps")
+    }
+  }
+
+  /** Harness entry for the full CDC-index lifecycle: build on the odd
+    * standing half, append the even half, compact, then admit the 10%
+    * increment against the landed boilerplate (chunks whose fp the
+    * standing index saw in ≥ 2 documents are dropped). The oracle
+    * re-derives end-to-end from the raw corpus — persistence, append
+    * and compaction must all be answer-invariant. */
+  def qCdcPersisted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = TextDedup.spillPath(spark, "cdc_index")
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    writeCdcIndex(standing.filter(col("doc_id") % 2 === 1), path)
+    appendCdcIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    compactCdcIndex(spark, path)
+    val banned = cdcIndexBoilerplate(spark, path).select(col("fp"))
+    cdcChunks(docs.filter(col("doc_id") % TextDedup.IncrementMod === 0))
+      .join(banned, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  // --- cross-document shared-span STRIP ---
+
+  /** Remove corpus-level boilerplate spans FROM the text — the
+    * ExactSubstr-style removal pass (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" run detection-then-
+    * removal the same way) downstream of the detection the engine
+    * already has: every CDC chunk whose fingerprint appears in ≥
+    * `minDocs` distinct documents (the license blocks, navigation
+    * footers and shared headers [[cdcSharedChunks]] reports) is
+    * dropped from EVERY document, and the surviving chunks re-assemble
+    * in chunk order. CDC boundaries make the strip robust to position:
+    * the same license block fingerprints identically wherever it sits.
+    *
+    * Output: (doc_id, clean_text, n_dropped_chunks) — one row per
+    * input document (a fully-boilerplate document survives with
+    * clean_text = '' and every chunk counted dropped; so does an
+    * empty/null-text one at 0 drops). `clean_text` is TOKEN-NORMALIZED
+    * (single-space joined), the same normalization [[cdcChunks]]'
+    * chunk_text carries — the downstream trainer consumes tokens, not
+    * raw bytes.
+    *
+    * Plan (100 TB): [[cdcChunks]]' one doc-keyed exchange, a per-fp
+    * count aggregate, an anti-join on the fp key, and a doc-keyed
+    * re-assembly — no corpus-wide anything, no driver state. */
+  def cdcStripShared(docs: DataFrame, divisor: Int = CdcDivisor,
+                     minDocs: Long = 2L): DataFrame = {
+    val chunks = cdcChunks(docs, divisor)
+    val boiler = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"))
+    val kept = chunks.join(boiler, Seq("fp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (coalesce(col("n_chunks"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("n_dropped_chunks"))
+  }
+
+  def qCdcStrip(spark: SparkSession, dir: String): DataFrame =
+    cdcStripShared(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   // --- vocabulary construction ---
 
   /** Vocabulary size cap. */

@@ -219,6 +219,51 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge.isNullAt(1))
   }
 
+  test("trigram_counts equals the composed explode histogram; codepoint windows; null/empty tokens inert") {
+    graft.expressions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    // parity with the composed spelling langIdNgram shipped through
+    // round 16 (pad → sequence → substring → explode → count), on text
+    // including multi-byte and ASTRAL characters — windows must slide
+    // by code point, like Spark's and DuckDB's substring
+    val texts = Seq(
+      (1L, Seq("hello", "world", "hello")),
+      (2L, Seq("ü", "straße", "așa")),
+      (3L, Seq("a😀b", "x")), // astral emoji inside a token
+      (4L, Seq.empty[String]),
+      (5L, Seq("", "ab")))
+    val df = texts.toDF("doc_id", "toks")
+    val native = df
+      .select(col("doc_id"),
+        explode(call_function("trigram_counts", col("toks")))
+          .as(Seq("gram", "k")))
+      .as[(Long, String, Long)].collect().toSet
+    val composed = df
+      .select(col("doc_id"), explode(col("toks")).as("_t"))
+      .select(col("doc_id"), concat(lit(" "), col("_t"), lit(" ")).as("_p"))
+      .filter(length(col("_p")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(_p) - 2), i -> substring(_p, i, 3))"))
+        .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("k"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native === composed)
+    // the emoji token: " a😀b " = 5 code points -> 3 windows, each 3
+    // code points long
+    val emoji = native.filter(_._1 == 3L).filter(_._2.contains("😀"))
+    assert(emoji.nonEmpty)
+    assert(native.filter(_._1 == 3L)
+      .forall(g => g._2.codePointCount(0, g._2.length) == 3))
+    // null token array -> null map; null token element contributes nothing
+    val edge = Seq((1L, null), (2L, Seq("ok", null)))
+      .toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        call_function("trigram_counts", col("toks")).as("m"))
+      .collect()
+    assert(edge(0).isNullAt(1))
+    assert(edge(1).getMap[String, Long](1).size === 2) // " ok" / "ok "
+  }
+
   test("misra_gries SQL registration: arity and literal-type errors are clear") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq(Tuple1(Seq("a", "a", "b"))).toDF("toks")

@@ -1371,7 +1371,7 @@ class TextPipelineSpec extends SparkSpec {
       s"max occupancy grew $max1 -> $max10 on 10x rows")
   }
 
-  test("two-level ivf equals flat assignment on a well-separated fixture and fails loudly on sparse ids") {
+  test("two-level ivf equals flat assignment on a well-separated fixture and rank-selects on sparse ids") {
     // n=16 -> c=4 fine centroids {0,4,8,12}, g=2 coarse {0,8}. Four
     // tight direction clusters, one per fine centroid; the two coarse
     // centroids each own their pair of fine centroids (cos 0.9 within a
@@ -1396,14 +1396,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(two === flat)
     // every cluster must land on its planted fine centroid
     assert(two.toMap === (0 until 16).map(i => i.toLong -> (i / 4 * 4).toLong).toMap)
-    // sparse/offset id space: the stride selection finds no centroids
-    // and must fail loudly, never return an empty assignment
+    // sparse/offset id space: rank-stride selection picks the same
+    // centroid STRUCTURE regardless of the id line (ranks 0,4,8,12 →
+    // ids 1000,1004,1008,1012) — the r16 raw-id stride selection
+    // require()d dense 0-based ids here and told callers to re-key
     val off = (0 until 16).map(i => ((i + 1000).toLong, bases(i / 4)))
       .toDF("vec_id", "embedding")
-    val e = intercept[IllegalArgumentException](Similarity.ivfCellsAuto(off))
-    assert(e.getMessage.contains("centroid selection"))
-    val e2 = intercept[IllegalArgumentException](Similarity.ivfCellsTwoLevel(off))
-    assert(e2.getMessage.contains("centroid selection"))
+    val offExpected =
+      (0 until 16).map(i => (i + 1000).toLong -> (i / 4 * 4 + 1000).toLong).toMap
+    val offFlat = Similarity.ivfCellsAuto(off)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(offFlat === offExpected)
+    val offTwo = Similarity.ivfCellsTwoLevel(off)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(offTwo === offExpected)
   }
 
   test("ivf assigns vectors to the nearest centroid and probes one cell") {

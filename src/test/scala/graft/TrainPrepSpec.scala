@@ -1119,4 +1119,74 @@ class TrainPrepSpec extends SparkSpec {
     assert(out.map(_._1).toSet === Set(2L))
     assert(out.head === ((2L, 0L, 1L, "solo")))
   }
+
+  test("cdc index lifecycle: build + append + compact ≡ one-shot; singletons cross the threshold on append") {
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val d = cdcDoc(
+      (1L, s"alpha one two $boiler"), // odd half -> initial build
+      (3L, "odd half unique content here entirely"),
+      (2L, s"beta other words $boiler"), // even half -> append
+      (4L, "even half unique content too and more"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cdc-idx").toString
+    TrainPrep.writeCdcIndex(d.filter(col("doc_id") % 2 === 1), path)
+    // the boilerplate run is a SINGLETON in the standing build (only
+    // doc 1 carries it): not yet boilerplate — the case a pre-filtered
+    // index could never recover from
+    assert(TrainPrep.cdcIndexBoilerplate(spark, path).count() === 0L)
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    def stats() = TrainPrep.cdcIndexStats(spark, path)
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    val oneShot = TrainPrep.cdcFpStats(d)
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats() === oneShot,
+      "append-merged stats must equal the one-shot aggregate")
+    // threshold crossing: shared run becomes boilerplate only with the
+    // increment counted in, and matches the raw-corpus readout exactly
+    val banned = TrainPrep.cdcIndexBoilerplate(spark, path)
+      .select("fp").as[Long].collect().toSet
+    val rawShared = TrainPrep.cdcSharedChunks(d)
+      .select("fp").as[Long].collect().toSet
+    assert(banned === rawShared && banned.nonEmpty)
+    TrainPrep.compactCdcIndex(spark, path)
+    assert(stats() === oneShot, "compaction must be answer-invariant")
+    TrainPrep.compactCdcIndex(spark, path)
+    assert(stats() === oneShot, "compact ∘ compact ≡ compact")
+  }
+
+  test("cdc strip: a planted license block vanishes from every doc; unique text survives") {
+    def isMarker(t: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$t".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TrainPrep.CdcDivisor == 0
+    }
+    // end the license with a marker token so its chunks are
+    // SELF-CONTAINED (the boundary cannot blend into the unique text
+    // that follows) and therefore byte-identical in every carrier
+    val lic0 = (1 to 30).map(i => s"lic$i")
+    val mk = (1 to 1000).map(i => s"mk$i").find(isMarker).get
+    val lic = (lic0 :+ mk).mkString(" ")
+    def body(p: String) = (1 to 40).map(i => s"$p$i").mkString(" ")
+    val d = cdcDoc(
+      (1L, s"$lic ${body("a")}"), (2L, s"$lic ${body("b")}"),
+      (3L, s"$lic ${body("c")}"), (4L, body("d")))
+    val out = TrainPrep.cdcStripShared(d).orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_dropped_chunks")
+      .as[(Long, String, Long)].collect()
+    // no license token survives anywhere
+    out.foreach { case (id, txt, _) =>
+      val kept = txt.split(" ").toSet
+      (lic0 :+ mk).foreach(t =>
+        assert(!kept(t), s"doc $id kept license token '$t'"))
+    }
+    // every carrier's unique body survives IN FULL AND IN ORDER; the
+    // non-carrier is untouched at zero drops
+    assert(out(0)._2 === body("a") && out(1)._2 === body("b") &&
+      out(2)._2 === body("c"))
+    assert(out(3) === ((4L, body("d"), 0L)))
+    val drops = out.take(3).map(_._3)
+    assert(drops.forall(_ >= 1L) && drops.distinct.size === 1,
+      s"identical license must cost identical drops: ${drops.toSeq}")
+  }
 }
