@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Seam-cost probe for the ADMISSION operators — measures the
+  * standing-vs-probe split economics that SCALING.md's round-17 table
+  * records, which the per-query Bench numbers cannot see (a bench
+  * query prices one END-TO-END call; the admission seams exist
+  * precisely so that K probe batches do NOT pay K standing builds).
+  *
+  * For each gate it reports three numbers (min-of-3 each, Bench's
+  * noop-write materialization):
+  *
+  *  - `standing_build` — the one-time cost of the standing structures
+  *    (two-level cells for the semantic gate, trained count/constant
+  *    frames for NB, the boilerplate fp set for CDC), persisted the
+  *    way the streaming twins persist them;
+  *  - `per_batch` — the marginal cost of admitting ONE probe batch
+  *    (1/5 of the 10% increment) against the persisted structures;
+  *  - `naive_batch` — the same batch through the one-shot entry that
+  *    rebuilds the standing side per call (what a caller without the
+  *    seam pays per micro-batch).
+  *
+  * The split is economical when naive_batch ≈ standing_build +
+  * per_batch and per_batch ≪ naive_batch; the ratio is the K at which
+  * a streaming deployment amortizes. Run at sf0.01 and sf0.1 to get
+  * the slopes of each column separately — standing_build should track
+  * the corpus, per_batch the batch.
+  *
+  * Output: one JSON line to stdout (and SPARK_GRAFT_SEAM_OUT if set).
+  */
+object SeamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.operators.{CorpusFilters, Similarity, TrainPrep}
+    import graft.tables.Tables
+
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timeMin3(f: => Unit): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
+    def round3(d: Double): Double = math.round(d * 1000) / 1000.0
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // --- semantic admission (two-level SemDeDup gate) ---
+    {
+      val emb = Tables.embeddings(spark, sfDir)
+      val standing = emb.filter(col("vec_id") % 10 =!= 0)
+      val batches = (0 until 5).map(i =>
+        emb.filter(col("vec_id") % 10 === 0 && (col("vec_id") / 10) % 5 === i))
+      // warmup: one full naive call touches every input column
+      run(Similarity.semanticAdmission(batches.head, standing, 0.4))
+      var persisted: org.apache.spark.sql.DataFrame = null
+      var parts: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
+      results("semantic_standing_build") = round3(timeMin3 {
+        if (persisted != null) persisted.unpersist()
+        val (c, f, cells0) = Similarity.semanticStandingParts(standing)
+        persisted = cells0.persist(StorageLevel.MEMORY_AND_DISK)
+        parts = (c, f, persisted)
+        run(persisted) // materialize the standing cells
+      })
+      results("semantic_per_batch") = round3(batches.map(b => timeMin3 {
+        run(Similarity.semanticAdmissionAgainst(b, parts._1, parts._2,
+          parts._3, 0.4))
+      }).min)
+      results("semantic_naive_batch") = round3(timeMin3 {
+        run(Similarity.semanticAdmission(batches.head, standing, 0.4))
+      })
+      persisted.unpersist(); ()
+    }
+
+    // --- NB admission (trained-classifier gate) ---
+    {
+      val docs = Tables.documents(spark, sfDir)
+      val standing = docs.filter(col("doc_id") % 10 =!= 0)
+      val batches = (0 until 5).map(i =>
+        docs.filter(col("doc_id") % 10 === 0 && (col("doc_id") / 10) % 5 === i))
+      run(CorpusFilters.nbClassifyAgainst(batches.head, standing))
+      var counts: org.apache.spark.sql.DataFrame = null
+      var classConst: org.apache.spark.sql.DataFrame = null
+      results("nb_standing_build") = round3(timeMin3 {
+        if (counts != null) { counts.unpersist(); classConst.unpersist() }
+        val (c0, cc0) = CorpusFilters.nbTrain(standing)
+        counts = c0.persist(StorageLevel.MEMORY_AND_DISK)
+        classConst = cc0.persist(StorageLevel.MEMORY_AND_DISK)
+        run(counts); run(classConst)
+      })
+      results("nb_per_batch") = round3(batches.map(b => timeMin3 {
+        run(CorpusFilters.nbScoreAgainst(b, counts, classConst))
+      }).min)
+      results("nb_naive_batch") = round3(timeMin3 {
+        run(CorpusFilters.nbClassifyAgainst(batches.head, standing))
+      })
+      counts.unpersist(); classConst.unpersist(); ()
+    }
+
+    // --- CDC admission (boilerplate-chunk gate) ---
+    {
+      val docs = Tables.documents(spark, sfDir)
+      val standing = docs.filter(col("doc_id") % 10 =!= 0)
+      val batches = (0 until 5).map(i =>
+        docs.filter(col("doc_id") % 10 === 0 && (col("doc_id") / 10) % 5 === i))
+      def gate(b: org.apache.spark.sql.DataFrame,
+               banned: org.apache.spark.sql.DataFrame) =
+        TrainPrep.cdcChunks(b).join(banned, Seq("fp"), "left_anti")
+      run(gate(batches.head, TrainPrep.cdcSharedChunks(standing).select("fp")))
+      var banned: org.apache.spark.sql.DataFrame = null
+      results("cdc_standing_build") = round3(timeMin3 {
+        if (banned != null) banned.unpersist()
+        banned = TrainPrep.cdcSharedChunks(standing).select(col("fp"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        run(banned)
+      })
+      results("cdc_per_batch") = round3(batches.map(b => timeMin3 {
+        run(gate(b, banned))
+      }).min)
+      results("cdc_naive_batch") = round3(timeMin3 {
+        run(gate(batches.head, TrainPrep.cdcSharedChunks(standing).select("fp")))
+      })
+      banned.unpersist(); ()
+    }
+
+    def jstr(s: String) = "\"" + s + "\""
+    val body = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
+    val line = s"""{"sf":${jstr(sfDir)},$body}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_SEAM_OUT").foreach(p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n"))
+    spark.stop()
+  }
+}
