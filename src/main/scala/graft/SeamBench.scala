@@ -65,6 +65,13 @@ object SeamBench {
         emb.filter(col("vec_id") % 10 === 0 && (col("vec_id") / 10) % 5 === i))
       // warmup: one full naive call touches every input column
       run(Similarity.semanticAdmission(batches.head, standing, 0.4))
+      // naive FIRST — after the standing persist, Spark's CacheManager
+      // would substitute the cached standing sub-plans into the naive
+      // lineage (plan-equality matching) and the "rebuild per call"
+      // number would silently measure the seam it is the control for
+      results("semantic_naive_batch") = round3(timeMin3 {
+        run(Similarity.semanticAdmission(batches.head, standing, 0.4))
+      })
       var persisted: org.apache.spark.sql.DataFrame = null
       var parts: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
@@ -79,9 +86,6 @@ object SeamBench {
         run(Similarity.semanticAdmissionAgainst(b, parts._1, parts._2,
           parts._3, 0.4))
       }).min)
-      results("semantic_naive_batch") = round3(timeMin3 {
-        run(Similarity.semanticAdmission(batches.head, standing, 0.4))
-      })
       persisted.unpersist(); ()
     }
 
@@ -92,6 +96,9 @@ object SeamBench {
       val batches = (0 until 5).map(i =>
         docs.filter(col("doc_id") % 10 === 0 && (col("doc_id") / 10) % 5 === i))
       run(CorpusFilters.nbClassifyAgainst(batches.head, standing))
+      results("nb_naive_batch") = round3(timeMin3 {
+        run(CorpusFilters.nbClassifyAgainst(batches.head, standing))
+      })
       var counts: org.apache.spark.sql.DataFrame = null
       var classConst: org.apache.spark.sql.DataFrame = null
       results("nb_standing_build") = round3(timeMin3 {
@@ -104,9 +111,6 @@ object SeamBench {
       results("nb_per_batch") = round3(batches.map(b => timeMin3 {
         run(CorpusFilters.nbScoreAgainst(b, counts, classConst))
       }).min)
-      results("nb_naive_batch") = round3(timeMin3 {
-        run(CorpusFilters.nbClassifyAgainst(batches.head, standing))
-      })
       counts.unpersist(); classConst.unpersist(); ()
     }
 
@@ -120,6 +124,9 @@ object SeamBench {
                banned: org.apache.spark.sql.DataFrame) =
         TrainPrep.cdcChunks(b).join(banned, Seq("fp"), "left_anti")
       run(gate(batches.head, TrainPrep.cdcSharedChunks(standing).select("fp")))
+      results("cdc_naive_batch") = round3(timeMin3 {
+        run(gate(batches.head, TrainPrep.cdcSharedChunks(standing).select("fp")))
+      })
       var banned: org.apache.spark.sql.DataFrame = null
       results("cdc_standing_build") = round3(timeMin3 {
         if (banned != null) banned.unpersist()
@@ -130,9 +137,6 @@ object SeamBench {
       results("cdc_per_batch") = round3(batches.map(b => timeMin3 {
         run(gate(b, banned))
       }).min)
-      results("cdc_naive_batch") = round3(timeMin3 {
-        run(gate(batches.head, TrainPrep.cdcSharedChunks(standing).select("fp")))
-      })
       banned.unpersist(); ()
     }
 
