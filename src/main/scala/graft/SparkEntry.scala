@@ -145,6 +145,8 @@ object SparkEntry {
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
     "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
+    "q_similar_pq"         -> (Similarity.qSimilarPq _),
+    "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
     // no oracle entry (learned centroids: distributed float means are
@@ -754,6 +756,82 @@ object SparkEntry {
       "CAST(0 AS DOUBLE)", "(acc, x) -> acc + x")})"
   private def cosineSql(q: String, e: String): String =
     s"${dotSql(q, e)} / (${normSql(q)} * ${normSql(e)})"
+
+  /** Shared PQ CTE chain (DuckDB): rank-stride codebook training rows,
+    * per-subspace micro-int codewords, exact L2² encode (unrolled
+    * 8-term integer sums), the per-query ADC lookup table, integer ADC
+    * accumulation over the codes, the pinned `num/(√nsq·√qn2)` double
+    * score, shortlist, and the exact full-precision re-rank — ends
+    * with `pq_ranked(query_id, vec_id, rk, cosine)`, the twin of
+    * [[graft.operators.Similarity.pqTopK]]. Interpolate after `WITH`. */
+  private lazy val pqChainSql: String = {
+    import Similarity._
+    def micro(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    val dotp = (1 to PqSubDim).map(d => s"q.qq[$d] * c.cw[$d]").mkString(" + ")
+    val cwn2 = (1 to PqSubDim).map(d => s"c.cw[$d] * c.cw[$d]").mkString(" + ")
+    val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
+    s"""pq_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       pq_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
+           greatest(1, n // greatest(1, least($PqK, n))) AS stride FROM pq_n),
+       pq_rnk AS (SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY vec_id) - 1 AS vrk FROM embeddings),
+       pq_train AS (SELECT vec_id, embedding FROM pq_rnk, pq_kp
+           WHERE vrk % stride = 0 AND vrk < stride * kk),
+       pq_cw0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
+           embedding FROM pq_train),
+       pq_cb AS (SELECT CAST(ms.m AS BIGINT) AS m, j,
+           list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS cw
+         FROM pq_cw0, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
+       pq_x AS (SELECT vec_id, CAST(ms.m AS BIGINT) AS m,
+           list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS xq
+         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
+       pq_d AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+         FROM pq_x x JOIN pq_cb c ON x.m = c.m),
+       pq_code AS (SELECT vec_id, m, j FROM (
+           SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+             ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM pq_d)
+         WHERE rk = 1),
+       pq_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
+           list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS qq
+         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
+         WHERE $isQuerySql),
+       pq_lut AS (SELECT q.query_id, q.m, c.j,
+           CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
+         FROM pq_qs q JOIN pq_cb c ON q.m = c.m),
+       pq_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
+         FROM pq_qs GROUP BY query_id),
+       pq_adc AS (SELECT l.query_id, v.vec_id,
+           CAST(sum(l.dotp) AS BIGINT) AS num,
+           CAST(sum(l.cwn2) AS BIGINT) AS nsq
+         FROM pq_code v JOIN pq_lut l ON v.m = l.m AND v.j = l.j
+         GROUP BY l.query_id, v.vec_id),
+       pq_sc AS (SELECT a.query_id, a.vec_id,
+           CASE WHEN a.nsq = 0 OR n.qn2 = 0 THEN 0.0
+                ELSE CAST(a.num AS DOUBLE)
+                  / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
+           END AS adc
+         FROM pq_adc a JOIN pq_qn n ON a.query_id = n.query_id
+         WHERE a.vec_id <> a.query_id),
+       pq_short AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS srk FROM pq_sc)
+         WHERE srk <= $PqShortlist),
+       pq_rr AS (SELECT s.query_id, s.vec_id,
+           ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+         FROM pq_short s
+         JOIN embeddings e ON e.vec_id = s.vec_id
+         JOIN embeddings qe ON qe.vec_id = s.query_id),
+       pq_ranked AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk, cosine
+         FROM pq_rr)"""
+  }
 
   /** DuckDB twins of [[Similarity.isQueryId]] / [[Similarity.isCentroidId]]
     * — the bounded (O(K) at any corpus size) workload predicates. */
@@ -2658,6 +2736,40 @@ object SparkEntry {
     // build+append must equal the all-at-once build — same oracle again
     "q_similar_ivf_appended" -> ivfProbedOracle,
     "q_similar_ivf_quantized" -> ivfQuantizedOracle,
+    // PQ/ADC: codebook training rows, exact integer encode, the ADC
+    // table, shortlist and exact re-rank all re-derive from the raw
+    // corpus — the landed codebook/codes layout and the append must be
+    // answer-invariant
+    "q_similar_pq" ->
+      s"""WITH $pqChainSql
+         SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // recall of the PQ shortlist-then-re-rank vs brute force — both
+    // rankings deterministic, so the fractions hash-certify
+    "q_pq_recall" ->
+      s"""WITH $pqChainSql,
+         pq_ap AS (SELECT query_id, vec_id FROM pq_ranked WHERE rk <= 3),
+         qx AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE $isQuerySql),
+         scored_x AS (
+           SELECT qx.query_id, e.vec_id,
+             ${cosineSql("qx.qv", "e.embedding")} AS cosine
+           FROM embeddings e CROSS JOIN qx WHERE e.vec_id <> qx.query_id),
+         ranked_x AS (
+           SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, vec_id) AS rk
+           FROM scored_x),
+         ex AS (SELECT query_id, vec_id FROM ranked_x WHERE rk <= 3),
+         hits AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hit
+                  FROM ex JOIN pq_ap ON ex.query_id = pq_ap.query_id
+                    AND ex.vec_id = pq_ap.vec_id
+                  GROUP BY ex.query_id)
+         SELECT q.query_id,
+           coalesce(h.n_hit, 0) AS n_hit,
+           CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 3 AS recall
+         FROM qx q LEFT JOIN hits h ON q.query_id = h.query_id
+         ORDER BY q.query_id""",
     "q_embed_neardup_persisted" -> embedIncrementalOracle,
     // build(odd) + append(even) covers the same standing population —
     // banding is per-vector, so the append is answer-invariant too

@@ -501,7 +501,7 @@ class PlanSpec extends SparkSpec {
     // O(|classes|) broadcast nest by design; anything unhinted
     // (corpus × corpus) is an accident. The token joins are equi.
     for (q <- Seq("q_nb_classify", "q_nb_confusion",
-        "q_similar_rp", "q_cluster_sample")) {
+        "q_similar_rp", "q_cluster_sample", "q_pq_recall")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }

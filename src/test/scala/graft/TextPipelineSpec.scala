@@ -2591,6 +2591,59 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 === 700L && got.head._4 > 0.999999)
   }
 
+  // --- product quantization ---
+
+  test("pq: codes are M nibbles from the codebook; append ≡ one-shot; exact dup retrieved at rk 1") {
+    import Similarity._
+    // 32 vectors: query id 0 (isQueryId), an exact duplicate at id 7,
+    // the rest spread over deterministic directions
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = (Seq((0L, v), (7L, v)) ++ (1 until 32).filter(_ != 7).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.cos(i * 64 + d).toFloat))))
+      .toDF("vec_id", "embedding")
+    val cb = pqCodebook(emb)
+    val cbRows = cb.as[(Long, Long, Seq[Long])].collect()
+    assert(cbRows.length === PqM * math.min(PqK, 32),
+      "codebook must be M rows per training vector")
+    assert(cbRows.forall(_._3.length === PqSubDim))
+    val codes = pqEncode(emb, cb).as[(Long, Seq[Long])].collect()
+    assert(codes.length === 32)
+    assert(codes.forall(c => c._2.length === PqM &&
+      c._2.forall(j => j >= 0 && j < PqK)))
+    // identical vectors encode identically (deterministic argmin)
+    val byId = codes.toMap
+    assert(byId(0L) === byId(7L))
+    // exact dup sits at rk 1 with full-precision cosine 1.0 — the ADC
+    // shortlist must surface it and the re-rank scores it exactly
+    val got = pqTopK(emb, k = 3).filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.head._2 === 7L && got.head._4 > 0.999999)
+    // append ≡ one-shot: same codebook, increment encoded separately
+    val p1 = java.nio.file.Files.createTempDirectory("graft-pq1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-pq2").toString
+    writePqIndex(emb, p1)
+    val isNew = col("vec_id") % 3 === 1
+    // p2 shares p1's codebook (the append contract: codes are only
+    // comparable under ONE frozen codebook) and lands the standing
+    // codes first, then the increment through the append path
+    val cbStanding = spark.read.parquet(s"$p1/codebook")
+    cbStanding.write.mode("overwrite").parquet(s"$p2/codebook")
+    pqEncode(emb.filter(!isNew), cbStanding)
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$p2/codes")
+    appendPqIndex(spark, p2, emb.filter(isNew))
+    def landed(p: String) = spark.read.parquet(s"$p/codes")
+      .select("vec_id", "codes").as[(Long, Seq[Long])].collect()
+      .sortBy(_._1).toSeq
+    assert(landed(p2) === landed(p1),
+      "build+append must land the one-shot codes")
+    val probe1 = pqProbeIndex(spark, p1, queryVectors(emb), 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val probe2 = pqProbeIndex(spark, p2, queryVectors(emb), 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(probe1.toSeq === probe2.toSeq)
+  }
+
   // --- cluster-balanced diversity sampling ---
 
   test("cluster sample: at most perCell per cell, deterministic, covers every cell") {
