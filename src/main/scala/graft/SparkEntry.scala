@@ -146,6 +146,7 @@ object SparkEntry {
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
     "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
     "q_similar_pq"         -> (Similarity.qSimilarPq _),
+    "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
@@ -757,14 +758,12 @@ object SparkEntry {
   private def cosineSql(q: String, e: String): String =
     s"${dotSql(q, e)} / (${normSql(q)} * ${normSql(e)})"
 
-  /** Shared PQ CTE chain (DuckDB): rank-stride codebook training rows,
+  /** Shared PQ BASE CTEs (DuckDB): rank-stride codebook training rows,
     * per-subspace micro-int codewords, exact L2² encode (unrolled
-    * 8-term integer sums), the per-query ADC lookup table, integer ADC
-    * accumulation over the codes, the pinned `num/(√nsq·√qn2)` double
-    * score, shortlist, and the exact full-precision re-rank — ends
-    * with `pq_ranked(query_id, vec_id, rk, cosine)`, the twin of
-    * [[graft.operators.Similarity.pqTopK]]. Interpolate after `WITH`. */
-  private lazy val pqChainSql: String = {
+    * 8-term integer sums), the per-query ADC lookup table and query
+    * norms — ends with `pq_code`/`pq_lut`/`pq_qn`; [[pqTailSql]]
+    * finishes the chain. Interpolate after `WITH`. */
+  private lazy val pqBaseSql: String = {
     import Similarity._
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
@@ -805,12 +804,32 @@ object SparkEntry {
            CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
          FROM pq_qs q JOIN pq_cb c ON q.m = c.m),
        pq_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
-         FROM pq_qs GROUP BY query_id),
-       pq_adc AS (SELECT l.query_id, v.vec_id,
+         FROM pq_qs GROUP BY query_id)"""
+  }
+
+  /** The ADC/shortlist/re-rank tail over [[pqBaseSql]]'s frames —
+    * unrestricted (brute ADC over every code) when `cand` is None,
+    * or restricted to a `(query_id, vec_id)` candidate CTE (the
+    * IVF-PQ composition). Interpolate after pqBaseSql + ",". */
+  private def pqTailSql(cand: Option[String]): String = {
+    import Similarity.PqShortlist
+    val adcFrom = cand match {
+      case Some(c) =>
+        s"""FROM $c cd
+         JOIN pq_code v ON v.vec_id = cd.vec_id
+         JOIN pq_lut l ON l.query_id = cd.query_id
+           AND l.m = v.m AND l.j = v.j
+         GROUP BY cd.query_id, cd.vec_id"""
+      case None =>
+        s"""FROM pq_code v JOIN pq_lut l ON v.m = l.m AND v.j = l.j
+         GROUP BY l.query_id, v.vec_id"""
+    }
+    val (qid, vid) = cand.fold(("l.query_id", "v.vec_id"))(_ =>
+      ("cd.query_id", "cd.vec_id"))
+    s"""pq_adc AS (SELECT $qid AS query_id, $vid AS vec_id,
            CAST(sum(l.dotp) AS BIGINT) AS num,
            CAST(sum(l.cwn2) AS BIGINT) AS nsq
-         FROM pq_code v JOIN pq_lut l ON v.m = l.m AND v.j = l.j
-         GROUP BY l.query_id, v.vec_id),
+         $adcFrom),
        pq_sc AS (SELECT a.query_id, a.vec_id,
            CASE WHEN a.nsq = 0 OR n.qn2 = 0 THEN 0.0
                 ELSE CAST(a.num AS DOUBLE)
@@ -832,6 +851,12 @@ object SparkEntry {
              ORDER BY cosine DESC, vec_id) AS rk, cosine
          FROM pq_rr)"""
   }
+
+  /** The full unrestricted (brute-ADC) PQ chain — the twin of
+    * [[graft.operators.Similarity.pqTopK]]; ends with
+    * `pq_ranked(query_id, vec_id, rk, cosine)`. */
+  private lazy val pqChainSql: String =
+    s"$pqBaseSql,\n       ${pqTailSql(None)}"
 
   /** DuckDB twins of [[Similarity.isQueryId]] / [[Similarity.isCentroidId]]
     * — the bounded (O(K) at any corpus size) workload predicates. */
@@ -2742,6 +2767,34 @@ object SparkEntry {
     // answer-invariant
     "q_similar_pq" ->
       s"""WITH $pqChainSql
+         SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
+         ORDER BY query_id, rk""",
+    // IVF-PQ: the two-level cells prune candidates to the query's 2
+    // probed cells (coarse rank-1, fine rank ≤ 2 — the Spark side's
+    // nprobe), then the PQ tail ranks ONLY those pairs by ADC before
+    // the exact re-rank
+    "q_similar_ivfpq" ->
+      s"""WITH $twoLevelCellsSql,
+         pq_vgq AS (SELECT vec_id, embedding, coarse_id FROM (
+             SELECT e.vec_id, e.embedding, g.coarse_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC,
+                   g.coarse_id) AS grk
+             FROM (SELECT vec_id, embedding FROM embeddings
+                   WHERE $isQuerySql) e
+             CROSS JOIN coarse g) WHERE grk = 1),
+         pq_qcell AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+             SELECT v.vec_id, f.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC,
+                   f.centroid_id) AS rk
+             FROM pq_vgq v JOIN fmap f ON v.coarse_id = f.coarse_id)
+           WHERE rk <= 2),
+         pq_cand AS (SELECT q.query_id, a.vec_id
+           FROM a JOIN pq_qcell q ON a.cell = q.cell
+           WHERE a.vec_id <> q.query_id),
+         $pqBaseSql,
+         ${pqTailSql(Some("pq_cand"))}
          SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
     // recall of the PQ shortlist-then-re-rank vs brute force — both

@@ -2618,6 +2618,12 @@ class TextPipelineSpec extends SparkSpec {
     val got = pqTopK(emb, k = 3).filter(col("query_id") === 0L)
       .orderBy("rk").as[(Long, Long, Long, Double)].collect()
     assert(got.nonEmpty && got.head._2 === 7L && got.head._4 > 0.999999)
+    // IVF-PQ: the identical vector lands in the query's own cell, so
+    // the cell-pruned candidate set still surfaces it at rk 1
+    val got2 = ivfPqTopK(emb, k = 3, nprobe = 2)
+      .filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(got2.nonEmpty && got2.head._2 === 7L && got2.head._4 > 0.999999)
     // append ≡ one-shot: same codebook, increment encoded separately
     val p1 = java.nio.file.Files.createTempDirectory("graft-pq1").toString
     val p2 = java.nio.file.Files.createTempDirectory("graft-pq2").toString
