@@ -275,6 +275,7 @@ object SparkEntry {
     "q_cdc_containment"    -> (TrainPrep.qCdcContainment _),
     "q_cdc_persisted"      -> (TrainPrep.qCdcPersisted _),
     "q_cdc_strip"          -> (TrainPrep.qCdcStrip _),
+    "q_cdc_strip_incremental" -> (TrainPrep.qCdcStripIncremental _),
   )
 
   /** Absolute fixture paths for the DuckDB oracle (the driver's DuckDB
@@ -3852,6 +3853,35 @@ object SparkEntry {
            CAST(coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0)
              AS BIGINT) AS n_dropped_chunks
          FROM documents d
+         LEFT JOIN ka ON ka.doc_id = d.doc_id
+         LEFT JOIN tot ON tot.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // admission-time strip: standing boilerplate (fps in >= 2 standing
+    // docs), removal applied to the increment only — every increment
+    // doc keeps a row
+    "q_cdc_strip_incremental" ->
+      s"""WITH $cdcChunksSql,
+         std AS (SELECT * FROM cdc_out
+                 WHERE doc_id % ${TextDedup.IncrementMod} <> 0),
+         banned AS (SELECT fp FROM std GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+         probe AS (SELECT * FROM cdc_out
+                   WHERE doc_id % ${TextDedup.IncrementMod} = 0),
+         kept AS (SELECT p.doc_id, p.chunk_id, p.chunk_text
+                  FROM probe p LEFT JOIN banned b ON p.fp = b.fp
+                  WHERE b.fp IS NULL),
+         ka AS (SELECT doc_id,
+                  string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                    AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                 FROM probe GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+           CAST(coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0)
+             AS BIGINT) AS n_dropped_chunks
+         FROM (SELECT doc_id FROM documents
+               WHERE doc_id % ${TextDedup.IncrementMod} = 0) d
          LEFT JOIN ka ON ka.doc_id = d.doc_id
          LEFT JOIN tot ON tot.doc_id = d.doc_id
          ORDER BY d.doc_id""",

@@ -443,7 +443,13 @@ object TrainPrep {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("fp"))
-    val kept = chunks.join(boiler, Seq("fp"), "left_anti")
+    stripWithBanned(docs, chunks, boiler)
+  }
+
+  /** The shared removal/re-assembly tail of both strip forms. */
+  private def stripWithBanned(docs: DataFrame, chunks: DataFrame,
+                              banned: DataFrame): DataFrame = {
+    val kept = chunks.join(banned, Seq("fp"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(concat_ws(" ", transform(
           sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
@@ -462,6 +468,49 @@ object TrainPrep {
 
   def qCdcStrip(spark: SparkSession, dir: String): DataFrame =
     cdcStripShared(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
+  /** STRIP against a FROZEN boilerplate set — the admission-time form:
+    * chunks whose fp sits in `bannedFps` (typically
+    * [[cdcIndexBoilerplate]] from a landed snapshot) are removed from
+    * each document of `docs`, survivors re-assemble exactly as in
+    * [[cdcStripShared]]. A document's strip depends only on its own
+    * text and the frozen set, so this runs per micro-batch unchanged. */
+  def cdcStripAgainst(docs: DataFrame, bannedFps: DataFrame,
+                      divisor: Int = CdcDivisor): DataFrame =
+    stripWithBanned(docs, cdcChunks(docs, divisor),
+      bannedFps.select(col("fp")))
+
+  /** Harness entry: strip the 10% increment against the STANDING
+    * corpus's boilerplate — the admission-time strip a crawl pipeline
+    * runs on every batch (detection paid on the snapshot, removal per
+    * increment). */
+  def qCdcStripIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    cdcStripAgainst(
+        docs.filter(col("doc_id") % TextDedup.IncrementMod === 0),
+        cdcSharedChunks(docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Live shared-span STRIP of an arriving document stream against a
+    * frozen boilerplate index — the removal-side twin of
+    * [[streamingCdcAdmission]] (that gate REPORTS the clean chunks;
+    * this one emits whole cleaned documents). Stateless foreachBatch,
+    * same reasoning; spec pins streamed ≡ batch under any slicing. */
+  def streamingCdcStrip(streamDocs: DataFrame, bannedFps: DataFrame,
+                        divisor: Int = CdcDivisor,
+                        checkpoint: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val banned = bannedFps.select(col("fp"))
+    val writer = streamDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(cdcStripAgainst(batch, banned, divisor), id)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+  }
 
   // --- vocabulary construction ---
 

@@ -1110,6 +1110,47 @@ class TrainPrepSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdc streaming strip equals the batch strip-against-frozen-index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-strip-stream")
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val probe = Seq(
+      (10L, s"fresh words only here $boiler"),
+      (11L, s"$boiler and a different tail"),
+      (12L, "entirely novel content with no boilerplate"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val standing = Seq((1L, s"alpha $boiler"), (2L, s"beta $boiler"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+    val banned = TrainPrep.cdcSharedChunks(standing).select("fp")
+    probe.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(probe.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = TrainPrep.streamingCdcStrip(stream, banned) { (cleaned, _) =>
+      val rows = cleaned.as[(Long, String, Long)].collect()
+      got.synchronized { got ++= rows }
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      val batch = TrainPrep.cdcStripAgainst(probe, banned)
+        .as[(Long, String, Long)].collect()
+      assert(got.sortBy(_._1).toSeq === batch.sortBy(_._1).toSeq)
+      // interior boilerplate chunks are gone from both carriers (the
+      // SEAM chunk — unique prefix + boiler head up to its first
+      // marker — rightfully survives: its fp is doc-specific); the
+      // novel doc is untouched at zero drops
+      val byId = got.map(r => r._1 -> r).toMap
+      assert(byId(10L)._3 >= 1L && byId(11L)._3 >= 1L)
+      assert(byId(10L)._2.split(" ").length <
+        s"fresh words only here $boiler".split(" ").length)
+      assert(byId(12L)._3 === 0L)
+      assert(byId(12L)._2 === "entirely novel content with no boilerplate")
+    } finally q.stop()
+  }
+
   test("cdc: empty and single-token documents chunk without error") {
     val d = cdcDoc((1L, ""), (2L, "solo"), (3L, "   "))
     val out = TrainPrep.cdcChunks(d)
