@@ -72,21 +72,27 @@ object SeamBench {
       results("semantic_naive_batch") = round3(timeMin3 {
         run(Similarity.semanticAdmission(batches.head, standing, 0.4))
       })
-      var persisted: org.apache.spark.sql.DataFrame = null
+      var persisted: Seq[org.apache.spark.sql.DataFrame] = Nil
       var parts: (org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = null
       results("semantic_standing_build") = round3(timeMin3 {
-        if (persisted != null) persisted.unpersist()
-        val (c, f, cells0) = Similarity.semanticStandingParts(standing)
-        persisted = cells0.persist(StorageLevel.MEMORY_AND_DISK)
-        parts = (c, f, persisted)
-        run(persisted) // materialize the standing cells
+        persisted.foreach(_.unpersist())
+        // persist ALL THREE standing frames, exactly as the streaming
+        // twin does — coarse/fmap lineage carries the centroid
+        // selection's corpus scans
+        val (c0, f0, cells0) = Similarity.semanticStandingParts(standing)
+        val c = c0.persist(StorageLevel.MEMORY_AND_DISK)
+        val f = f0.persist(StorageLevel.MEMORY_AND_DISK)
+        val cells = cells0.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = Seq(c, f, cells)
+        parts = (c, f, cells)
+        run(c); run(f); run(cells) // materialize the standing side
       })
       results("semantic_per_batch") = round3(batches.map(b => timeMin3 {
         run(Similarity.semanticAdmissionAgainst(b, parts._1, parts._2,
           parts._3, 0.4))
       }).min)
-      persisted.unpersist(); ()
+      persisted.foreach(_.unpersist()); ()
     }
 
     // --- NB admission (trained-classifier gate) ---

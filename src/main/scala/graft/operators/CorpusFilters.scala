@@ -480,6 +480,12 @@ object CorpusFilters {
         sink(nbScoreAgainst(batch, counts, classConst, labelCol), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    val query =
+      checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    // release the trained frames when the query terminates — the
+    // shared-JVM stranded-cache hazard, streaming edition
+    Similarity.releaseOnTermination(model.sparkSession, query,
+      Seq(counts, classConst))
+    query
   }
 }

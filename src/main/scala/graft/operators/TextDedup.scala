@@ -713,17 +713,24 @@ object TextDedup {
       // died between its last table commit and its marker wrote both
       // tables in one call), so committing it IS the resume. A table
       // counts as complete when the committer's _SUCCESS marker is
-      // present, or — for committers configured not to write one
-      // (mapreduce.fileoutputcommitter.marksuccessfuljobs=false,
-      // common on object stores) — when the dir holds at least one
-      // parquet part file and no leftover _temporary staging dir (the
-      // committer removes _temporary at job commit, so its presence
-      // means the write died mid-flight). A partial build is left for
-      // the next install's post-commit sweep.
+      // present, or — ONLY when this job's committer is actually
+      // configured not to write one (marksuccessfuljobs=false, common
+      // on object stores) — when the dir holds parquet part files and
+      // no leftover _temporary staging dir. The config gate matters:
+      // under the DEFAULT config a complete table always has
+      // _SUCCESS, so a parquet-files heuristic would AUTO-COMMIT a
+      // v2-committer partial write (task-committed part files, no
+      // _temporary after job abort) that the _SUCCESS check correctly
+      // leaves for the sweep; with marksuccessfuljobs=false that
+      // residual v2-crash ambiguity is the config owner's documented
+      // trade. A partial build is left for the next install's
+      // post-commit sweep.
       val v0 = p(s"$path/v000000")
+      val successMarkersOff = !spark.sparkContext.hadoopConfiguration
+        .getBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
       def tableComplete(t: org.apache.hadoop.fs.Path): Boolean =
         fs.exists(new org.apache.hadoop.fs.Path(t, "_SUCCESS")) ||
-          (fs.exists(t) &&
+          (successMarkersOff && fs.exists(t) &&
             !fs.exists(new org.apache.hadoop.fs.Path(t, "_temporary")) &&
             fs.listStatus(t).exists(_.getPath.getName.endsWith(".parquet")))
       if (tableComplete(p(s"$v0/sets")) && tableComplete(p(s"$v0/bands")) &&

@@ -294,39 +294,6 @@ object TextStats {
       }
     }
 
-  /** Per-language UNSEEN-gram penalty in micro-nats:
-    * `round(ln(1/denom_l)·10⁶)` — exactly the [[trigramProfile]] value
-    * of any gram the language's lexicon never saw (n = 0 makes the
-    * add-one numerator 1). The constant the sparse scorer folds. */
-  val trigramPenalty: Seq[(String, Long)] = trigramLangs.map(l =>
-    l -> math.round(math.log(1.0 / trigramDenom(l)) * 1e6))
-
-  /** SPARSE profile rows — only the (gram, lang) pairs the lexicon
-    * actually saw, with `delta = s_l(g) − penalty_l` (an exact integer
-    * subtraction of two already-quantized micro-nat values — no new
-    * rounding anywhere) and `cnt` marking exactly ONE entry per gram
-    * (the matched-gram counter's ride-along). Identity the scorer
-    * folds on:
-    *
-    *   s_l(doc) = Σ_{matched g} s_l(g)
-    *            = Σ_{matched g seen by l} delta_l(g) + n_matched · penalty_l
-    *
-    * because an unseen gram's s_l(g) IS penalty_l exactly. ~18× fewer
-    * entries than the dense vocab × 36 table (most grams are
-    * script-exclusive — a Cyrillic trigram carries no Latin-language
-    * rows — so the fold prunes cross-script dead weight automatically,
-    * and same-script sparsity too). */
-  val trigramSparse: Seq[(String, String, Long, Boolean)] = {
-    val penalty = trigramPenalty.toMap
-    trigramVocab.flatMap { g =>
-      val seen = trigramLangs.filter(l => trigramCounts(l).contains(g))
-      seen.zipWithIndex.map { case (l, i) =>
-        val sLg = math.round(math.log(
-          (trigramCounts(l)(g) + 1L).toDouble / trigramDenom(l)) * 1e6)
-        (g, l, sLg - penalty(l), i == 0)
-      }
-    }
-  }
 
   /** Confidence margin for [[langIdNgram]], in micro-nats: abstain
     * ("und") when `best − second < margin` — the confidence rule a
@@ -366,32 +333,20 @@ object TextStats {
     * (degenerating to the tie-break), but still carries hundreds of
     * characteristic character transitions (spec-pinned fixture).
     *
-    * The profile frames are built GENERICALLY from [[trigramLangs]] —
+    * The profile frame is built GENERICALLY from [[trigramLangs]] —
     * the lexicon is the single source of arity, so adding a language
     * to [[seedLexicon]] regenerates the scorer (and the interpolated
     * oracle) with no code change here.
     *
-    * Scoring runs in the SPARSE folded-penalty form ([[trigramSparse]]
-    * — the same fold [[CorpusFilters.nbClassifyAgainst]] uses for its
-    * class denominators): the corpus gram stream joins only the
-    * (gram, lang) entries the lexicon saw, so a Latin-script document
-    * never touches the 30 non-Latin languages' rows (the r16 dense
-    * form summed all 36 smoothed columns for every matched gram —
-    * measured 1.65× the 4-language wall-time; most of that was
-    * cross-script dead weight), and every language's exact score
-    * reassembles as `Σ delta + n_matched · penalty_l`. Bitwise the
-    * SAME integers as the dense form — the r16 oracle replays
-    * unchanged, which is itself a cross-formulation certificate.
-    *
-    * Scale shape: one narrow pass (lower + token explode + trigram
-    * explode — output rows ≈ corpus characters), one BROADCAST join
-    * against the sparse entry table (output ≈ matched grams × seen
-    * langs, ~2 rows per gram), a (doc, lang)-keyed aggregate, then a
-    * 36-rows-per-doc assembly (docs × broadcast penalty frame) whose
-    * argmax + runner-up is one per-doc window over ≤ 36 rows — the
-    * [[CorpusFilters.nbClassifyAgainst]] plan shape, replacing the r16
-    * 36-column staged `greatest` projections. No corpus shuffle except
-    * the doc-keyed aggregate and window. */
+    * Scale shape: the gram stream collapses AT THE ROW to a
+    * per-document histogram (the native
+    * [[graft.expressions.TrigramCounts]] expression — one (gram, k)
+    * row per DISTINCT in-document trigram instead of one per corpus
+    * character), then one BROADCAST equi-join against the dense
+    * profile table and ONE doc-keyed aggregate of 36 k-weighted sums
+    * (s_l(doc) = Σ_distinct k·s_l(g), exact integers) — the only
+    * corpus shuffle. Two alternative spellings were measured and
+    * rejected; see the inline note. */
   def langIdNgram(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.expressions.GraftFunctions.register(spark)

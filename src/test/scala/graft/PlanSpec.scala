@@ -477,13 +477,11 @@ class PlanSpec extends SparkSpec {
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
     }
     // language ID is pure equi-join machinery: trigram explode +
-    // broadcast sparse-profile join + doc-keyed aggregate; the
-    // 36-row penalty frame rides a bounded broadcast nest by design
-    // (the nbClassify class-constant shape) — anything unhinted
-    // (corpus × corpus) is an accident
+    // row-local trigram histogram + broadcast profile equi-join +
+    // doc-keyed aggregate — nothing may fall to a nested loop
     for (q <- Seq("q_lang_id", "q_langid_eval")) {
       val s = planString(q)
-      assert(!s.contains("CartesianProduct"),
+      assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$s")
     }
   }
