@@ -500,4 +500,54 @@ class NullRobustnessSpec extends SparkSpec {
     assert(lex.forall(r => !degenerate(r.getLong(1))),
       "a shingle-less doc surfaced as a lexical candidate")
   }
+
+  test("cdc strip: rows conserved through degenerate texts; shared dup fully stripped") {
+    val out = TrainPrep.cdcStripShared(corpus).orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // every input doc keeps exactly one output row
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    val byId = out.map(r => r._1 -> r).toMap
+    // the two identical docs share EVERY chunk -> all boilerplate ->
+    // both strip to empty, every chunk counted dropped
+    assert(byId(1L)._2 === "" && byId(1L)._3 >= 1L)
+    assert(byId(6L)._2 === "" && byId(6L)._3 === byId(1L)._3)
+    // null / empty / whitespace texts: no chunks, nothing to drop
+    Seq(2L, 3L, 4L).foreach(id =>
+      assert(byId(id) === ((id, "", 0L)), s"doc $id mangled"))
+    // the unique doc survives untouched
+    assert(byId(5L) === ((5L, "one", 0L)))
+    // drop counts are never negative anywhere
+    assert(out.forall(_._3 >= 0L))
+  }
+
+  test("pq: degenerate embeddings (null, zero, null-element) encode and search without error") {
+    import graft.operators.Similarity
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = Seq((0L, v), (4L, v), (2L, Array.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(Tuple1(1L)).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+      .unionByName(Seq((3L, Array[java.lang.Float](null) ++
+          Array.fill(63)(java.lang.Float.valueOf(1.0f))))
+        .toDF("vec_id", "embedding"))
+    val codes = Similarity.pqEncode(emb, Similarity.pqCodebook(emb))
+      .as[(Long, Seq[Long])].collect()
+    // every vector (degenerate or not) gets a full, bounded code word
+    assert(codes.length === 5)
+    assert(codes.forall(c => c._2.length === Similarity.PqM &&
+      c._2.forall(j => j >= 0 && j < Similarity.PqK)))
+    // the search runs end to end; degenerate rows never crash it.
+    // Pinned degenerate ordering (identical in Spark and DuckDB, so
+    // oracles would agree even here): the ZERO vector's cosine is
+    // 0/0 = NaN, and IEEE total order ranks NaN above every real —
+    // q_vector_audit exists precisely to flag zero-norm vectors
+    // BEFORE they reach a ranking; the NULL embedding's cosine is
+    // NULL and sorts last.
+    val got = Similarity.pqTopK(emb, k = 3).filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.map(g => (g._2, g._3)).toSeq === Seq((2L, 1L), (4L, 2L), (1L, 3L)))
+    assert(got(0)._4.exists(_.isNaN), "zero vector must read NaN")
+    assert(got(1)._4.exists(_ > 0.999999), "exact dup keeps cosine 1.0")
+    assert(got(2)._4.isEmpty, "null embedding must read NULL, ranked last")
+  }
 }
