@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   *
   * Why custom: the composed spelling (token explode → pad → sequence +
   * transform + substring → gram explode) emits ONE ROW PER CORPUS
-  * CHARACTER into the join/aggregate machinery — at 100 TB that is the
-  * dominant data-proportional term of language ID (measured at sf0.1:
-  * ~55% of q_lang_id wall-time before any scoring work). This
+  * CHARACTER into the join/aggregate machinery — the dominant
+  * data-proportional term of language ID (measured at sf0.1 in
+  * matched same-session runs: composed form 1.65 s, this histogram
+  * 1.11 s — and the r16 SCALING slope fell 2.89× → 1.43× because the
+  * per-character term left everything downstream). This
   * expression walks the same windows in one tight JVM loop and emits
   * one (gram, count) entry per DISTINCT in-document gram (~5–8× fewer
   * rows on natural text), with no shuffle and no new exchange — the
