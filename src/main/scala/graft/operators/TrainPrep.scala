@@ -330,31 +330,54 @@ object TrainPrep {
   def writeCdcIndex(docs: DataFrame, path: String,
                     divisor: Int = CdcDivisor): Unit = {
     TextDedup.installIndexVersion(docs.sparkSession, path) { dir =>
-      cdcFpStats(docs, divisor)
-        .write.mode("overwrite").parquet(s"$dir/fps")
+      landCdcBatch(cdcFpStats(docs, divisor), s"$dir/fps")
     }
+  }
+
+  /** Land one batch of fp statistics under a CONTENT-ADDRESSED
+    * partition dir `fps/batch=<tag>/` — the replay-idempotence
+    * mechanism (the `streaming/Events.idempotentBatchWrite` convention
+    * applied to the index): the tag is a deterministic fingerprint of
+    * the batch's own rows (count + wrapped sum(fp) + a per-row
+    * xxhash64 fold), so re-running the SAME append overwrites its own
+    * directory exactly instead of double-landing sum-merged counts,
+    * and a crash mid-write leaves partial files the replay's overwrite
+    * clears. The fingerprint is count + a bit_xor fold of per-row
+    * xxhash64 (order-independent, overflow-free under ANSI, and rows
+    * are unique-per-fp so the xor never self-cancels). Cost: one extra
+    * bounded aggregate over the already-aggregated stats frame (cached
+    * for the tag + the write, the writeDedupIndex cache discipline).
+    * Tag collision between two DIFFERENT batches is a 2⁻⁶⁴-scale
+    * event, documented as the trade for a replay-safe append with no
+    * landing journal. */
+  private def landCdcBatch(stats: DataFrame, fpsDir: String): Unit = {
+    val st = stats.cache()
+    val r = st.agg(count(lit(1)),
+      bit_xor(xxhash64(col("fp"), col("n_docs"), col("n_occurrences"),
+        col("n_tokens")))).head()
+    val tag = f"n${r.getLong(0)}_h${java.lang.Long.toHexString(
+      if (r.isNullAt(1)) 0L else r.getLong(1))}"
+    st.write.mode("overwrite").parquet(s"$fpsDir/batch=$tag")
+    st.unpersist()
+    ()
   }
 
   /** Append an increment's fp statistics to the standing CDC index:
     * chunking runs ONLY over `newDocs`, and their per-fp rows land as
-    * new files inside the current committed version's `fps/` — the
-    * standing rows are never rewritten or re-read. A fp present in
-    * both sides temporarily holds two rows; every reader goes through
+    * a new content-addressed batch directory inside the current
+    * committed version's `fps/` ([[landCdcBatch]]) — the standing rows
+    * are never rewritten or re-read. A fp present in both sides
+    * temporarily holds two rows; every reader goes through
     * [[cdcIndexStats]]' merge, so answers are unchanged.
     * [[compactCdcIndex]] merges the rows away physically. Crash
-    * contract: a died append leaves at most orphan part files of ONE
-    * table write — re-running the same append replaces nothing and
-    * the compact merge keeps counts exact only if the replay did not
-    * double-land; recovery is therefore compact-from-scratch
-    * ([[writeCdcIndex]] over the union corpus) — cheap relative to
-    * the MinHash side because the stored rows are per-fp counts, not
-    * per-document sets. */
+    * contract: REPLAY-IDEMPOTENT — re-running the same append
+    * overwrites its own batch directory exactly (spec-pinned: append
+    * twice ≡ append once), so recovery from any died append is simply
+    * running it again. */
   def appendCdcIndex(spark: SparkSession, path: String, newDocs: DataFrame,
                      divisor: Int = CdcDivisor): Unit = {
     val live = TextDedup.currentIndexDir(spark, path)
-    cdcFpStats(newDocs, divisor)
-      .write.mode("append").parquet(s"$live/fps")
-    ()
+    landCdcBatch(cdcFpStats(newDocs, divisor), s"$live/fps")
   }
 
   /** The merged per-fp statistics of a standing CDC index — the
@@ -364,6 +387,9 @@ object TrainPrep {
   def cdcIndexStats(spark: SparkSession, path: String): DataFrame =
     spark.read
       .parquet(s"${TextDedup.currentIndexDir(spark, path)}/fps")
+      // the batch partition column is landing provenance, not data
+      .select(col("fp"), col("n_docs"), col("n_occurrences"),
+        col("n_tokens"))
       .groupBy(col("fp"))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_occurrences")).as("n_occurrences"),
@@ -386,8 +412,7 @@ object TrainPrep {
     // reads the CURRENT version, writes the NEXT — never in-place
     // (installIndexVersion's sweep retains the version being read)
     TextDedup.installIndexVersion(spark, path) { dir =>
-      cdcIndexStats(spark, path)
-        .write.mode("overwrite").parquet(s"$dir/fps")
+      landCdcBatch(cdcIndexStats(spark, path), s"$dir/fps")
     }
   }
 

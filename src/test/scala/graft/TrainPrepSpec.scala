@@ -1189,6 +1189,10 @@ class TrainPrepSpec extends SparkSpec {
     val rawShared = TrainPrep.cdcSharedChunks(d)
       .select("fp").as[Long].collect().toSet
     assert(banned === rawShared && banned.nonEmpty)
+    // REPLAY idempotence: re-running the SAME append overwrites its
+    // own content-addressed batch dir instead of double-landing counts
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    assert(stats() === oneShot, "a replayed append must not double-count")
     TrainPrep.compactCdcIndex(spark, path)
     assert(stats() === oneShot, "compaction must be answer-invariant")
     TrainPrep.compactCdcIndex(spark, path)
