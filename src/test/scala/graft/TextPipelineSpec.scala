@@ -2591,6 +2591,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(got.nonEmpty && got.head._2 === 700L && got.head._4 > 0.999999)
   }
 
+  test("property: auto centroid selection equals the sorted-rank reference on arbitrary id spaces") {
+    import org.scalacheck.Gen
+    // id-space generator: dense prefixes, offsets, multiplicative
+    // re-keys, and random holes — every shape the dense fast path and
+    // the rank path must agree on (the fast path fires only when it
+    // is provably the same selection)
+    val genIds = for {
+      n <- Gen.choose(5, 40)
+      mult <- Gen.oneOf(1L, 1L, 7L) // dense twice as often
+      off <- Gen.oneOf(0L, 0L, 3L, 1000L)
+      holes <- Gen.listOfN(n, Gen.choose(0, 9))
+    } yield (0 until n).zip(holes)
+      .filter { case (_, h) => mult != 1L || off != 0L || h > 1 }
+      .map { case (i, _) => i * mult + off }
+      .map(_.toLong).distinct
+    samples(genIds, 12).filter(_.size >= 2).foreach { ids =>
+      // distinct pseudo-random directions: cos(v, v) = 1 is the unique
+      // max, so every selected centroid owns itself and the distinct
+      // cell set IS the selected centroid-id set
+      val emb = ids.map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 13.7 + d * 2.3).toFloat)))
+        .toDF("vec_id", "embedding")
+      val n = ids.size.toLong
+      val (stride, c) = Similarity.autoCentroidParams(n)
+      val want = ids.sorted.zipWithIndex
+        .filter { case (_, r) => r % stride == 0 && r < stride * c }
+        .map(_._1).toSet
+      val got = Similarity.ivfCellsAuto(emb)
+        .select("cell").distinct().as[Long].collect().toSet
+      assert(got === want,
+        s"ids=${ids.sorted.mkString(",")} stride=$stride c=$c")
+    }
+  }
+
   // --- product quantization ---
 
   test("pq: codes are M nibbles from the codebook; append ≡ one-shot; exact dup retrieved at rk 1") {
