@@ -505,11 +505,15 @@ class PlanSpec extends SparkSpec {
     }
     // CDC containment is pure equi-join machinery (inverted fp index,
     // within-group self-join, doc-keyed count joins) — nothing may
-    // fall to a nested loop
-    val cc = planString("q_cdc_containment")
-    assert(!cc.contains("CartesianProduct") &&
-      !cc.contains("BroadcastNestedLoopJoin"),
-      s"q_cdc_containment degenerated to all-pairs:\n$cc")
+    // fall to a nested loop; the strip family (fp anti-join + doc-keyed
+    // re-assembly) likewise
+    for (q <- Seq("q_cdc_containment", "q_cdc_strip",
+        "q_cdc_strip_incremental")) {
+      val cc = planString(q)
+      assert(!cc.contains("CartesianProduct") &&
+        !cc.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$cc")
+    }
     // the projected-ANN candidate join must stay a hash equi-join on
     // (band, sig) — a nested loop here is the all-pairs degeneration
     // the banding exists to avoid
