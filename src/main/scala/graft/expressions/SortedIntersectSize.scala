@@ -188,10 +188,43 @@ object GraftFunctions {
     new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
     (children: Seq[Expression]) => TrigramCounts(children.head))
 
+  val pqEncode: Registration = (
+    FunctionIdentifier("pq_encode"),
+    new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+    (children: Seq[Expression]) => {
+      if (children.length != 6)
+        throw new IllegalArgumentException(
+          "pq_encode: expected pq_encode(array<float>, flat_codebook_lit, " +
+            s"lens_lit, m_lit, k_lit, subdim_lit), got ${children.length} argument(s)")
+      val flat = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _)) => arr.toLongArray()
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: flat codebook must be an array<long> literal, got $other")
+      }
+      val lens = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, _)) => arr.toIntArray()
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: lens must be an array<int> literal, got $other")
+      }
+      def intLit(e: Expression, what: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: $what must be an int literal, got $other")
+      }
+      PqEncode(children.head, flat, lens, intLit(children(3), "m"),
+        intLit(children(4), "k"), intLit(children(5), "subdim"))
+    })
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
       simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
-      deflateRatio, misraGries, rpProject, trigramCounts)
+      deflateRatio, misraGries, rpProject, trigramCounts, pqEncode)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

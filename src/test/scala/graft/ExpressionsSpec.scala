@@ -264,6 +264,65 @@ class ExpressionsSpec extends SparkSpec {
     assert(edge(1).getMap[String, Long](1).size === 2) // " ok" / "ok "
   }
 
+  test("pq_encode equals the composed explode/join/window argmin, degenerate inputs included") {
+    graft.expressions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // sane vectors + every degenerate shape: null embedding, zero
+    // vector, null element, SHORT vector — and, because every row of
+    // this tiny corpus becomes a TRAINING row, the codebook itself
+    // carries null/short codewords, exercising the sentinel bake
+    val sane = (0 until 6).map(i =>
+      (i.toLong, Array.tabulate(64)(d => math.cos(i * 64 + d).toFloat)))
+    val emb = (sane ++ Seq(
+        (20L, Array.fill(64)(0f)),
+        (22L, Array.tabulate(20)(d => (d + 1).toFloat))))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq((21L, Array[java.lang.Float](null) ++
+          Array.fill(63)(java.lang.Float.valueOf(1f))))
+        .toDF("vec_id", "embedding"))
+      .unionByName(Seq(Tuple1(23L)).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+    val cb = Similarity.pqCodebook(emb)
+    // composed reference: the r17 pre-expression spelling, verbatim
+    val microQ = (x: org.apache.spark.sql.Column) =>
+      floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    val subspaces = explode(array((0 until Similarity.PqM).map { mi =>
+      struct(lit(mi.toLong).as("m"),
+        transform(slice(col("embedding"),
+          mi * Similarity.PqSubDim + 1, Similarity.PqSubDim), microQ(_))
+          .as("sv"))
+    }: _*))
+    val subs = emb.select(col("vec_id"), subspaces.as("sub"))
+      .select(col("vec_id"), col("sub.m").as("m"), col("sub.sv").as("xq"))
+    val dist = aggregate(
+      zip_with(col("xq"), col("cw"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, d) => acc + d)
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("dist").asc_nulls_last, col("j").asc)
+    val composed = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("dist", dist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("j")))),
+        s => s.getField("j")).as("codes"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val native = Similarity.pqEncode(emb, cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native.keySet === ((0L until 6L).toSet ++ Set(20L, 21L, 22L, 23L)))
+    // composed drops no rows here (every vector emits subspace rows);
+    // codes must agree bit-for-bit on every vector, degenerate or not
+    assert(composed.keySet === native.keySet)
+    native.keySet.foreach { id =>
+      assert(native(id) === composed(id), s"vec $id codes diverge")
+    }
+    // map-only claim: the native encode plans NO exchange at all
+    val plan = Similarity.pqEncode(emb, cb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pq_encode grew a shuffle:\n$plan")
+  }
+
   test("misra_gries SQL registration: arity and literal-type errors are clear") {
     graft.expressions.GraftFunctions.register(spark)
     val df = Seq(Tuple1(Seq("a", "a", "b"))).toDF("toks")
