@@ -330,63 +330,105 @@ object TrainPrep {
   def writeCdcIndex(docs: DataFrame, path: String,
                     divisor: Int = CdcDivisor): Unit = {
     TextDedup.installIndexVersion(docs.sparkSession, path) { dir =>
-      landCdcBatch(cdcFpStats(docs, divisor), s"$dir/fps")
+      landCdcBatch(cdcFpStats(docs, divisor), s"$dir/fps",
+        cdcBatchTag(docs))
     }
   }
 
-  /** Land one batch of fp statistics under a CONTENT-ADDRESSED
+  /** Deterministic identity tag of a document batch: row count + a
+    * bit_xor fold of per-doc-id xxhash64 (order-independent,
+    * overflow-free under ANSI). Append batches carry DISJOINT doc-id
+    * sets (the lifecycle contract: new documents get new ids), so two
+    * different batches get different tags even when their TEXTS are
+    * identical (a re-crawl of the same pages — their fp-stats rows
+    * would be indistinguishable, which is exactly why the tag hashes
+    * ids, not stats), while a replay of the same batch reproduces the
+    * same tag. Accidental 64-bit collision between disjoint id sets is
+    * the 2⁻⁶⁴-scale trade for a journal-free idempotent append. One
+    * bounded aggregate over bare ids. */
+  private def cdcBatchTag(docs: DataFrame): String = {
+    val r = docs.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
+    f"n${r.getLong(0)}_h${java.lang.Long.toHexString(
+      if (r.isNullAt(1)) 0L else r.getLong(1))}"
+  }
+
+  /** Land one batch of fp statistics under an IDENTITY-ADDRESSED
     * partition dir `fps/batch=<tag>/` — the replay-idempotence
     * mechanism (the `streaming/Events.idempotentBatchWrite` convention
-    * applied to the index): the tag is a deterministic fingerprint of
-    * the batch's own rows (count + wrapped sum(fp) + a per-row
-    * xxhash64 fold), so re-running the SAME append overwrites its own
-    * directory exactly instead of double-landing sum-merged counts,
-    * and a crash mid-write leaves partial files the replay's overwrite
-    * clears. The fingerprint is count + a bit_xor fold of per-row
-    * xxhash64 (order-independent, overflow-free under ANSI, and rows
-    * are unique-per-fp so the xor never self-cancels). Cost: one extra
-    * bounded aggregate over the already-aggregated stats frame (cached
-    * for the tag + the write, the writeDedupIndex cache discipline).
-    * Tag collision between two DIFFERENT batches is a 2⁻⁶⁴-scale
-    * event, documented as the trade for a replay-safe append with no
-    * landing journal. */
-  private def landCdcBatch(stats: DataFrame, fpsDir: String): Unit = {
-    val st = stats.cache()
-    val r = st.agg(count(lit(1)),
-      bit_xor(xxhash64(col("fp"), col("n_docs"), col("n_occurrences"),
-        col("n_tokens")))).head()
-    val tag = f"n${r.getLong(0)}_h${java.lang.Long.toHexString(
-      if (r.isNullAt(1)) 0L else r.getLong(1))}"
-    st.write.mode("overwrite").parquet(s"$fpsDir/batch=$tag")
-    st.unpersist()
-    ()
+    * applied to the index, with [[cdcBatchTag]] playing the batch id).
+    * A batch whose directory already carries the committer's _SUCCESS
+    * is SKIPPED entirely — the common replay touches no files at all,
+    * so in-flight readers of the live version are never disturbed; only
+    * a replay after a mid-write crash (no _SUCCESS) rewrites the
+    * directory, and the partial files it clears were an undercounted
+    * batch no reader should trust anyway. Also migrates the transient
+    * pre-batch-dir flat layout (bare part files at fps/ root) into
+    * `batch=legacy/` first — mixing partition depths would break
+    * Spark's partition discovery for every reader. */
+  private def landCdcBatch(stats: DataFrame, fpsDir: String,
+                           tag: String): Unit = {
+    val spark = stats.sparkSession
+    migrateCdcFlatLayout(spark, fpsDir)
+    val fs = new org.apache.hadoop.fs.Path(fpsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$fpsDir/batch=$tag")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) {
+      stats.write.mode("overwrite").parquet(batchDir.toString)
+    }
+  }
+
+  /** One-shot migration of a flat `fps/` table (part files at the
+    * root — the layout a pre-batch-dir build landed) into
+    * `fps/batch=legacy/`: metadata-only renames, idempotent (nothing
+    * to move on a second call), and required before any batch dir may
+    * coexist — Spark's partition discovery rejects leaf files at two
+    * depths ("conflicting directory structures"). */
+  private def migrateCdcFlatLayout(spark: SparkSession,
+                                   fpsDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(fpsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).filter(st => st.isFile &&
+        (st.getPath.getName.endsWith(".parquet") ||
+          st.getPath.getName == "_SUCCESS"))
+      if (flat.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+        fs.mkdirs(legacy)
+        flat.foreach(st => fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
+      }
+    }
   }
 
   /** Append an increment's fp statistics to the standing CDC index:
     * chunking runs ONLY over `newDocs`, and their per-fp rows land as
-    * a new content-addressed batch directory inside the current
+    * a new identity-addressed batch directory inside the current
     * committed version's `fps/` ([[landCdcBatch]]) — the standing rows
     * are never rewritten or re-read. A fp present in both sides
     * temporarily holds two rows; every reader goes through
     * [[cdcIndexStats]]' merge, so answers are unchanged.
     * [[compactCdcIndex]] merges the rows away physically. Crash
-    * contract: REPLAY-IDEMPOTENT — re-running the same append
-    * overwrites its own batch directory exactly (spec-pinned: append
-    * twice ≡ append once), so recovery from any died append is simply
-    * running it again. */
+    * contract: REPLAY-IDEMPOTENT — a replayed append whose first
+    * attempt committed is a no-op (its batch directory already carries
+    * _SUCCESS; spec-pinned: append twice ≡ append once), and one that
+    * died mid-write rewrites only its own directory — so recovery from
+    * any died append is simply running it again. */
   def appendCdcIndex(spark: SparkSession, path: String, newDocs: DataFrame,
                      divisor: Int = CdcDivisor): Unit = {
     val live = TextDedup.currentIndexDir(spark, path)
-    landCdcBatch(cdcFpStats(newDocs, divisor), s"$live/fps")
+    landCdcBatch(cdcFpStats(newDocs, divisor), s"$live/fps",
+      cdcBatchTag(newDocs))
   }
 
   /** The merged per-fp statistics of a standing CDC index — the
     * single read-side resolution point (sums the disjoint-batch rows
     * appends accumulate; see [[cdcFpStats]] for why the merge is
     * exact). */
-  def cdcIndexStats(spark: SparkSession, path: String): DataFrame =
+  def cdcIndexStats(spark: SparkSession, path: String): DataFrame = {
+    val fps = s"${TextDedup.currentIndexDir(spark, path)}/fps"
+    migrateCdcFlatLayout(spark, fps)
     spark.read
-      .parquet(s"${TextDedup.currentIndexDir(spark, path)}/fps")
+      .parquet(fps)
       // the batch partition column is landing provenance, not data
       .select(col("fp"), col("n_docs"), col("n_occurrences"),
         col("n_tokens"))
@@ -394,6 +436,7 @@ object TrainPrep {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_occurrences")).as("n_occurrences"),
         min(col("n_tokens")).as("n_tokens"))
+  }
 
   /** The boilerplate readout of a standing index: fps carried by
     * ≥ `minDocs` documents — [[cdcSharedChunks]]' answer served from
@@ -412,7 +455,9 @@ object TrainPrep {
     // reads the CURRENT version, writes the NEXT — never in-place
     // (installIndexVersion's sweep retains the version being read)
     TextDedup.installIndexVersion(spark, path) { dir =>
-      landCdcBatch(cdcIndexStats(spark, path), s"$dir/fps")
+      // a compacted version holds exactly one batch in a FRESH dir, so
+      // a constant tag suffices (no conflation surface)
+      landCdcBatch(cdcIndexStats(spark, path), s"$dir/fps", "compacted")
     }
   }
 

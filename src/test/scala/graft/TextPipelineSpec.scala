@@ -2599,11 +2599,12 @@ class TextPipelineSpec extends SparkSpec {
     // is provably the same selection)
     val genIds = for {
       n <- Gen.choose(5, 40)
-      mult <- Gen.oneOf(1L, 1L, 7L) // dense twice as often
+      mult <- Gen.oneOf(1L, 1L, 7L) // dense-compatible twice as often
       off <- Gen.oneOf(0L, 0L, 3L, 1000L)
+      useHoles <- Gen.oneOf(false, false, true) // independent of mult/off
       holes <- Gen.listOfN(n, Gen.choose(0, 9))
     } yield (0 until n).zip(holes)
-      .filter { case (_, h) => mult != 1L || off != 0L || h > 1 }
+      .filter { case (_, h) => !useHoles || h > 1 }
       .map { case (i, _) => i * mult + off }
       .map(_.toLong).distinct
     samples(genIds, 12).filter(_.size >= 2).foreach { ids =>

@@ -1189,14 +1189,26 @@ class TrainPrepSpec extends SparkSpec {
     val rawShared = TrainPrep.cdcSharedChunks(d)
       .select("fp").as[Long].collect().toSet
     assert(banned === rawShared && banned.nonEmpty)
-    // REPLAY idempotence: re-running the SAME append overwrites its
-    // own content-addressed batch dir instead of double-landing counts
+    // REPLAY idempotence: re-running the SAME append is a no-op (its
+    // identity-addressed batch dir is already committed)
     TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
     assert(stats() === oneShot, "a replayed append must not double-count")
     TrainPrep.compactCdcIndex(spark, path)
     assert(stats() === oneShot, "compaction must be answer-invariant")
     TrainPrep.compactCdcIndex(spark, path)
     assert(stats() === oneShot, "compact ∘ compact ≡ compact")
+    // and two DIFFERENT batches with IDENTICAL texts (a re-crawl:
+    // disjoint doc ids, indistinguishable fp-stats) must BOTH count —
+    // the tag hashes doc ids, not content
+    val recrawl1 = cdcDoc((100L, "same recrawled page body here"))
+    val recrawl2 = cdcDoc((101L, "same recrawled page body here"))
+    TrainPrep.appendCdcIndex(spark, path, recrawl1)
+    TrainPrep.appendCdcIndex(spark, path, recrawl2)
+    val expect = TrainPrep.cdcFpStats(
+        d.unionByName(recrawl1).unionByName(recrawl2))
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats() === expect,
+      "identical-text batches with disjoint ids must both count")
   }
 
   test("cdc strip: a planted license block vanishes from every doc; unique text survives") {
