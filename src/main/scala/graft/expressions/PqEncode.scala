@@ -49,8 +49,14 @@ case class PqEncode(child: Expression, flat: Array[Long],
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    // array<double> admits RESIDUAL vectors (x − centroid reconstructed
+    // as exact micro-int differences scaled back by 1e-6 — see
+    // Similarity.ivfPqResidualTopK); micro-quantization below recovers
+    // the integer difference exactly (|err| ≪ 0.5 for any |diff| < 2⁵²)
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float>, got ${other.catalogString}")
+      s"$prettyName requires array<float> or array<double>, " +
+        s"got ${other.catalogString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -186,7 +186,13 @@ object GraftFunctions {
   val trigramCounts: Registration = (
     FunctionIdentifier("trigram_counts"),
     new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
-    (children: Seq[Expression]) => TrigramCounts(children.head))
+    (children: Seq[Expression]) => {
+      if (children.length != 1)
+        throw new IllegalArgumentException(
+          s"trigram_counts: expected trigram_counts(string), " +
+            s"got ${children.length} argument(s)")
+      TrigramCounts(children.head)
+    })
 
   val pqEncode: Registration = (
     FunctionIdentifier("pq_encode"),

@@ -797,6 +797,128 @@ object TextDedup {
     }
   }
 
+  // ----- identity-addressed batch landing (shared machinery) ----- //
+
+  /** Deterministic identity tag of a row batch: row count + a bit_xor
+    * fold of per-id xxhash64 (order-independent, overflow-free under
+    * ANSI). Append batches carry DISJOINT id sets (the lifecycle
+    * contract: new rows get new ids), so two different batches get
+    * different tags even when their PAYLOADS are identical (a re-crawl
+    * of the same pages — which is exactly why the tag hashes ids, not
+    * payload), while a replay of the same batch reproduces the same
+    * tag. Accidental 64-bit collision between disjoint id sets is the
+    * 2⁻⁶⁴-scale trade for a journal-free idempotent append. One
+    * bounded aggregate over bare ids. */
+  private[operators] def identityBatchTag(rows: DataFrame,
+                                          idCol: String): String = {
+    val r = rows.agg(count(lit(1)), bit_xor(xxhash64(col(idCol)))).head()
+    f"n${r.getLong(0)}_h${java.lang.Long.toHexString(
+      if (r.isNullAt(1)) 0L else r.getLong(1))}"
+  }
+
+  /** Land one batch of rows under an IDENTITY-ADDRESSED partition dir
+    * `<tableDir>/batch=<tag>/` — the replay-idempotence mechanism (the
+    * `streaming/Events.idempotentBatchWrite` convention applied to a
+    * standing index table, with [[identityBatchTag]] playing the batch
+    * id). A batch whose directory already carries the committer's
+    * _SUCCESS — or whose tag the table's [[landedBatchTags]] manifest
+    * records as landed in an EARLIER compacted-away version — is
+    * SKIPPED entirely: the common replay touches no files at all, so
+    * in-flight readers of the live version are never disturbed. Only a
+    * replay after a mid-write crash (no _SUCCESS, no manifest row)
+    * rewrites its own directory, and the partial files it clears were
+    * an undercounted batch no reader should trust anyway. Also
+    * migrates the transient pre-batch-dir flat layout (bare part files
+    * at the table root) into `batch=legacy/` first — mixing partition
+    * depths would break Spark's partition discovery for every reader.
+    * After landing, the tag is recorded in the manifest so a later
+    * compaction can carry it forward ([[carryBatchManifest]]). */
+  private[operators] def landIdentityBatch(rows: DataFrame, tableDir: String,
+                                           tag: String): Unit = {
+    val spark = rows.sparkSession
+    migrateFlatBatchLayout(spark, tableDir)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDir = new org.apache.hadoop.fs.Path(s"$tableDir/batch=$tag")
+    if (!landedBatchTags(spark, tableDir).contains(tag) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) {
+      rows.write.mode("overwrite").parquet(batchDir.toString)
+    }
+    recordBatchTags(spark, tableDir,
+      landedBatchTags(spark, tableDir) + tag)
+  }
+
+  /** The `_batches` manifest name — one landed tag per line, living at
+    * the table root next to the batch dirs. The manifest exists so a
+    * COMPACTION (which physically merges batch dirs away) can carry
+    * the landed-tag history into the new version: without it, a
+    * replayed append whose first attempt committed BEFORE an
+    * intervening compact would land as a fresh batch dir and silently
+    * double-count — the _SUCCESS probe only protects replays within
+    * one version's lifetime. */
+  private val BatchManifest = "_batches"
+
+  /** The set of batch tags the table's manifest records as landed
+    * (empty when no manifest exists — e.g. a pre-manifest layout,
+    * where the per-dir _SUCCESS probe still covers in-version
+    * replays). */
+  private[operators] def landedBatchTags(spark: SparkSession,
+                                         tableDir: String): Set[String] = {
+    val fs = indexFs(spark, tableDir)
+    val mf = new org.apache.hadoop.fs.Path(tableDir, BatchManifest)
+    if (!fs.exists(mf)) Set.empty
+    else {
+      val in = fs.open(mf)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      } finally in.close()
+    }
+  }
+
+  /** Rewrite the table's `_batches` manifest with `tags` (temp file +
+    * delete + rename — the crash window between delete and rename
+    * degrades to an absent manifest, which the per-dir _SUCCESS probe
+    * still covers for every replay except the already-rare
+    * replay-after-compact). */
+  private[operators] def recordBatchTags(spark: SparkSession,
+                                         tableDir: String,
+                                         tags: Set[String]): Unit = {
+    val fs = indexFs(spark, tableDir)
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    if (!fs.exists(root)) { fs.mkdirs(root); () }
+    val mf = new org.apache.hadoop.fs.Path(root, BatchManifest)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$BatchManifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(tags.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(mf)) { fs.delete(mf, false); () }
+    require(fs.rename(tmp, mf), s"could not install batch manifest $mf")
+  }
+
+  /** One-shot migration of a flat batch table (part files at the
+    * root — the layout a pre-batch-dir build landed) into
+    * `batch=legacy/`: metadata-only renames, idempotent (nothing to
+    * move on a second call), and required before any batch dir may
+    * coexist — Spark's partition discovery rejects leaf files at two
+    * depths ("conflicting directory structures"). */
+  private[operators] def migrateFlatBatchLayout(spark: SparkSession,
+                                                tableDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val flat = fs.listStatus(root).filter(st => st.isFile &&
+        (st.getPath.getName.endsWith(".parquet") ||
+          st.getPath.getName == "_SUCCESS"))
+      if (flat.nonEmpty) {
+        val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
+        fs.mkdirs(legacy)
+        flat.foreach(st => fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
+      }
+    }
+  }
+
   /** Probe a standing dedup index with a fresh increment: shingles and
     * bands are computed ONLY for `probe`; candidates come from
     * (band, sig) equality against the parquet band table; the verify

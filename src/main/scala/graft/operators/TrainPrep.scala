@@ -335,70 +335,20 @@ object TrainPrep {
     }
   }
 
-  /** Deterministic identity tag of a document batch: row count + a
-    * bit_xor fold of per-doc-id xxhash64 (order-independent,
-    * overflow-free under ANSI). Append batches carry DISJOINT doc-id
-    * sets (the lifecycle contract: new documents get new ids), so two
-    * different batches get different tags even when their TEXTS are
-    * identical (a re-crawl of the same pages — their fp-stats rows
-    * would be indistinguishable, which is exactly why the tag hashes
-    * ids, not stats), while a replay of the same batch reproduces the
-    * same tag. Accidental 64-bit collision between disjoint id sets is
-    * the 2⁻⁶⁴-scale trade for a journal-free idempotent append. One
-    * bounded aggregate over bare ids. */
-  private def cdcBatchTag(docs: DataFrame): String = {
-    val r = docs.agg(count(lit(1)), bit_xor(xxhash64(col("doc_id")))).head()
-    f"n${r.getLong(0)}_h${java.lang.Long.toHexString(
-      if (r.isNullAt(1)) 0L else r.getLong(1))}"
-  }
+  /** Deterministic identity tag of a document batch — the shared
+    * [[TextDedup.identityBatchTag]] over `doc_id` (see there for the
+    * id-not-payload rationale and the collision trade). */
+  private def cdcBatchTag(docs: DataFrame): String =
+    TextDedup.identityBatchTag(docs, "doc_id")
 
-  /** Land one batch of fp statistics under an IDENTITY-ADDRESSED
-    * partition dir `fps/batch=<tag>/` — the replay-idempotence
-    * mechanism (the `streaming/Events.idempotentBatchWrite` convention
-    * applied to the index, with [[cdcBatchTag]] playing the batch id).
-    * A batch whose directory already carries the committer's _SUCCESS
-    * is SKIPPED entirely — the common replay touches no files at all,
-    * so in-flight readers of the live version are never disturbed; only
-    * a replay after a mid-write crash (no _SUCCESS) rewrites the
-    * directory, and the partial files it clears were an undercounted
-    * batch no reader should trust anyway. Also migrates the transient
-    * pre-batch-dir flat layout (bare part files at fps/ root) into
-    * `batch=legacy/` first — mixing partition depths would break
-    * Spark's partition discovery for every reader. */
+  /** Land one batch of fp statistics under an identity-addressed
+    * `fps/batch=<tag>/` dir — the shared
+    * [[TextDedup.landIdentityBatch]] machinery (replay-idempotence via
+    * the per-dir _SUCCESS probe PLUS the `_batches` manifest that
+    * survives compaction; flat-layout migration included). */
   private def landCdcBatch(stats: DataFrame, fpsDir: String,
-                           tag: String): Unit = {
-    val spark = stats.sparkSession
-    migrateCdcFlatLayout(spark, fpsDir)
-    val fs = new org.apache.hadoop.fs.Path(fpsDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val batchDir = new org.apache.hadoop.fs.Path(s"$fpsDir/batch=$tag")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) {
-      stats.write.mode("overwrite").parquet(batchDir.toString)
-    }
-  }
-
-  /** One-shot migration of a flat `fps/` table (part files at the
-    * root — the layout a pre-batch-dir build landed) into
-    * `fps/batch=legacy/`: metadata-only renames, idempotent (nothing
-    * to move on a second call), and required before any batch dir may
-    * coexist — Spark's partition discovery rejects leaf files at two
-    * depths ("conflicting directory structures"). */
-  private def migrateCdcFlatLayout(spark: SparkSession,
-                                   fpsDir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(fpsDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(root)) {
-      val flat = fs.listStatus(root).filter(st => st.isFile &&
-        (st.getPath.getName.endsWith(".parquet") ||
-          st.getPath.getName == "_SUCCESS"))
-      if (flat.nonEmpty) {
-        val legacy = new org.apache.hadoop.fs.Path(root, "batch=legacy")
-        fs.mkdirs(legacy)
-        flat.foreach(st => fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(legacy, st.getPath.getName)))
-      }
-    }
-  }
+                           tag: String): Unit =
+    TextDedup.landIdentityBatch(stats, fpsDir, tag)
 
   /** Append an increment's fp statistics to the standing CDC index:
     * chunking runs ONLY over `newDocs`, and their per-fp rows land as
@@ -426,7 +376,7 @@ object TrainPrep {
     * exact). */
   def cdcIndexStats(spark: SparkSession, path: String): DataFrame = {
     val fps = s"${TextDedup.currentIndexDir(spark, path)}/fps"
-    migrateCdcFlatLayout(spark, fps)
+    TextDedup.migrateFlatBatchLayout(spark, fps)
     spark.read
       .parquet(fps)
       // the batch partition column is landing provenance, not data
@@ -450,15 +400,42 @@ object TrainPrep {
     * repeated appends accumulate and install the result as one atomic
     * new version — afterwards the layout is row-equivalent to a fresh
     * [[writeCdcIndex]] over the union corpus (spec-pinned), and
-    * compact∘compact ≡ compact. */
+    * compact∘compact ≡ compact. The landed-batch MANIFEST carries
+    * forward into the new version (landed tags ∪ its own "compacted"
+    * row), so a replayed append whose first attempt committed before
+    * this compact is STILL a no-op afterwards — without the carry, the
+    * replay would land as a fresh batch dir (its identity dir was
+    * physically merged away) and silently double-count
+    * n_docs/n_occurrences. The manifest lands inside the
+    * installIndexVersion block, i.e. BEFORE the _COMMITTED marker, so
+    * the carry is covered by the same atomic commit as the data. */
   def compactCdcIndex(spark: SparkSession, path: String): Unit = {
     // reads the CURRENT version, writes the NEXT — never in-place
     // (installIndexVersion's sweep retains the version being read)
+    val liveFps = s"${TextDedup.currentIndexDir(spark, path)}/fps"
+    val carried = TextDedup.landedBatchTags(spark, liveFps) ++
+      liveBatchDirTags(spark, liveFps)
     TextDedup.installIndexVersion(spark, path) { dir =>
       // a compacted version holds exactly one batch in a FRESH dir, so
       // a constant tag suffices (no conflation surface)
       landCdcBatch(cdcIndexStats(spark, path), s"$dir/fps", "compacted")
+      TextDedup.recordBatchTags(spark, s"$dir/fps", carried + "compacted")
     }
+  }
+
+  /** The batch tags physically present as `batch=<tag>/` dirs under a
+    * table root — the pre-manifest history [[compactCdcIndex]] also
+    * carries (a layout whose appends predate the manifest still gets
+    * its landed tags preserved across the compact). */
+  private def liveBatchDirTags(spark: SparkSession,
+                               tableDir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch="))
+      .toSet
   }
 
   /** Harness entry for the full CDC-index lifecycle: build on the odd
@@ -567,19 +544,30 @@ object TrainPrep {
     * frozen boilerplate index — the removal-side twin of
     * [[streamingCdcAdmission]] (that gate REPORTS the clean chunks;
     * this one emits whole cleaned documents). Stateless foreachBatch,
-    * same reasoning; spec pins streamed ≡ batch under any slicing. */
+    * same reasoning; spec pins streamed ≡ batch under any slicing.
+    * The banned-fp frame PERSISTS before the query starts (and
+    * releases on termination — [[Similarity.releaseOnTermination]]):
+    * its lineage may contain a standing-corpus chunk-and-aggregate
+    * (e.g. a [[cdcSharedChunks]] caller), and leaving it lazy would
+    * re-pay that corpus scan on EVERY micro-batch — the same
+    * K-batches-pay-K-standing-builds hazard the semantic and NB
+    * admission gates close the same way. */
   def streamingCdcStrip(streamDocs: DataFrame, bannedFps: DataFrame,
                         divisor: Int = CdcDivisor,
                         checkpoint: Option[String] = None)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     val banned = bannedFps.select(col("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val writer = streamDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         sink(cdcStripAgainst(batch, banned, divisor), id)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    val query =
+      checkpoint.fold(writer)(c => writer.option("checkpointLocation", c)).start()
+    Similarity.releaseOnTermination(streamDocs.sparkSession, query, Seq(banned))
+    query
   }
 
   // --- vocabulary construction ---

@@ -2683,6 +2683,17 @@ class TextPipelineSpec extends SparkSpec {
     val probe2 = pqProbeIndex(spark, p2, queryVectors(emb), 3)
       .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
     assert(probe1.toSeq === probe2.toSeq)
+    // REPLAY idempotence: re-running the SAME append is a no-op (its
+    // identity-addressed batch dir is already committed) — a bare
+    // mode(append) would land duplicate vec_id rows, doubling both ADC
+    // sums (adc × √2) and emitting duplicate result rows per query
+    appendPqIndex(spark, p2, emb.filter(isNew))
+    assert(landed(p2) === landed(p1),
+      "a replayed PQ append must not duplicate code rows")
+    val probe2r = pqProbeIndex(spark, p2, queryVectors(emb), 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(probe2r.toSeq === probe1.toSeq,
+      "probe answers must be unchanged after a replayed append")
   }
 
   // --- cluster-balanced diversity sampling ---

@@ -1209,6 +1209,16 @@ class TrainPrepSpec extends SparkSpec {
       .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
     assert(stats() === expect,
       "identical-text batches with disjoint ids must both count")
+    // REPLAY AFTER COMPACT: the landed-tag manifest carries through
+    // compaction, so a replayed append whose first attempt committed
+    // BEFORE the compact is STILL a no-op — without the carry, the
+    // replay would land as a fresh batch dir (its identity dir was
+    // physically merged away) and silently double-count
+    TrainPrep.compactCdcIndex(spark, path)
+    TrainPrep.appendCdcIndex(spark, path, recrawl1)
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    assert(stats() === expect,
+      "a replayed append after an intervening compact must be a no-op")
   }
 
   test("cdc strip: a planted license block vanishes from every doc; unique text survives") {
