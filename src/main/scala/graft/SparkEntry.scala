@@ -147,6 +147,8 @@ object SparkEntry {
     "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
     "q_similar_pq"         -> (Similarity.qSimilarPq _),
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
+    "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
+    "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
@@ -246,6 +248,7 @@ object SparkEntry {
     "q_classifier_score"   -> (CorpusFilters.qClassifierScore _),
     "q_curate_v6"          -> (Curate.qCurateV6 _),
     "q_curate_v7"          -> (Curate.qCurateV7 _),
+    "q_curate_v8"          -> (Curate.qCurateV8 _),
     "q_skew_audit"         -> (ScaleJoins.qSkewAudit _),
     "q_mix_budget"         -> (TrainPrep.qMixBudget _),
     "q_mix_sample"         -> (TrainPrep.qMixSample _),
@@ -275,6 +278,7 @@ object SparkEntry {
     "q_cdc_containment"    -> (TrainPrep.qCdcContainment _),
     "q_cdc_persisted"      -> (TrainPrep.qCdcPersisted _),
     "q_cdc_strip"          -> (TrainPrep.qCdcStrip _),
+    "q_cdc_strip_frac"     -> (TrainPrep.qCdcStripFrac _),
     "q_cdc_strip_incremental" -> (TrainPrep.qCdcStripIncremental _),
   )
 
@@ -759,20 +763,13 @@ object SparkEntry {
   private def cosineSql(q: String, e: String): String =
     s"${dotSql(q, e)} / (${normSql(q)} * ${normSql(e)})"
 
-  /** Shared PQ BASE CTEs (DuckDB): rank-stride codebook training rows,
-    * per-subspace micro-int codewords, exact L2² encode (unrolled
-    * 8-term integer sums), the per-query ADC lookup table and query
-    * norms — ends with `pq_code`/`pq_lut`/`pq_qn`; [[pqTailSql]]
-    * finishes the chain. Interpolate after `WITH`. */
-  private lazy val pqBaseSql: String = {
+  /** The PQ SCAFFOLD (DuckDB): corpus count, training stride, rank
+    * frame, rank-stride training rows, the STRIDE codebook as
+    * `pq_cb0`, and the per-(vec, subspace) micro sub-vectors `pq_x`.
+    * A chain then defines `pq_cb` (verbatim pq_cb0, or the Lloyd
+    * refinement) and appends [[pqAfterCbSql]]. */
+  private lazy val pqScaffoldSql: String = {
     import Similarity._
-    def micro(x: String) =
-      s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
-    val l2 = (1 to PqSubDim).map(d =>
-      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
-    val dotp = (1 to PqSubDim).map(d => s"q.qq[$d] * c.cw[$d]").mkString(" + ")
-    val cwn2 = (1 to PqSubDim).map(d => s"c.cw[$d] * c.cw[$d]").mkString(" + ")
-    val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
     s"""pq_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
        pq_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
            greatest(1, n // greatest(1, least($PqK, n))) AS stride FROM pq_n),
@@ -782,15 +779,31 @@ object SparkEntry {
            WHERE vrk % stride = 0 AND vrk < stride * kk),
        pq_cw0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j,
            embedding FROM pq_train),
-       pq_cb AS (SELECT CAST(ms.m AS BIGINT) AS m, j,
+       pq_cb0 AS (SELECT CAST(ms.m AS BIGINT) AS m, j,
            list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
-             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS cw
+             ms.m * $PqSubDim + $PqSubDim), x -> ${pqMicroSql("x")}) AS cw
          FROM pq_cw0, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
        pq_x AS (SELECT vec_id, CAST(ms.m AS BIGINT) AS m,
            list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
-             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS xq
-         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
-       pq_d AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+             ms.m * $PqSubDim + $PqSubDim), x -> ${pqMicroSql("x")}) AS xq
+         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m))"""
+  }
+
+  private def pqMicroSql(x: String): String =
+    s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+
+  /** The encode/LUT/norms CTEs downstream of a defined `pq_cb`:
+    * exact L2² encode (unrolled integer sums), the per-query ADC
+    * lookup table and query norms — ends with
+    * `pq_code`/`pq_lut`/`pq_qn`; [[pqTailSql]] finishes the chain. */
+  private lazy val pqAfterCbSql: String = {
+    import Similarity._
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    val dotp = (1 to PqSubDim).map(d => s"q.qq[$d] * c.cw[$d]").mkString(" + ")
+    val cwn2 = (1 to PqSubDim).map(d => s"c.cw[$d] * c.cw[$d]").mkString(" + ")
+    val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
+    s"""pq_d AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
          FROM pq_x x JOIN pq_cb c ON x.m = c.m),
        pq_code AS (SELECT vec_id, m, j FROM (
            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
@@ -798,7 +811,7 @@ object SparkEntry {
          WHERE rk = 1),
        pq_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
            list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
-             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS qq
+             ms.m * $PqSubDim + $PqSubDim), x -> ${pqMicroSql("x")}) AS qq
          FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
          WHERE $isQuerySql),
        pq_lut AS (SELECT q.query_id, q.m, c.j,
@@ -807,6 +820,13 @@ object SparkEntry {
        pq_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
          FROM pq_qs GROUP BY query_id)"""
   }
+
+  /** Shared PQ BASE CTEs — the stride-codebook chain: scaffold,
+    * `pq_cb` = the stride codebook verbatim, encode/LUT/norms. */
+  private lazy val pqBaseSql: String =
+    s"""$pqScaffoldSql,
+       pq_cb AS (SELECT m, j, cw FROM pq_cb0),
+       $pqAfterCbSql"""
 
   /** The ADC/shortlist/re-rank tail over [[pqBaseSql]]'s frames —
     * unrestricted (brute ADC over every code) when `cand` is None,
@@ -858,6 +878,176 @@ object SparkEntry {
     * `pq_ranked(query_id, vec_id, rk, cosine)`. */
   private lazy val pqChainSql: String =
     s"$pqBaseSql,\n       ${pqTailSql(None)}"
+
+  /** LEARNED-codebook PQ chain ([[graft.operators.Similarity
+    * .pqTopKLloyd]]): the [[Similarity.PqLloydIters]] Lloyd rounds
+    * unrolled — per round, the exact integer L2² assignment (the same
+    * argmin CTEs as the encode) and the INTEGER-mean update
+    * floor(Σ/n) spelled (s − ((s % n) + n) % n) // n, the DuckDB twin
+    * of Spark's (s − pmod(s, n)) div n. Everything integer, so the
+    * learned codebook hash-certifies — unlike float k-means. */
+  private lazy val pqLloydOracle: String = {
+    import Similarity._
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    val iterCtes = (0 until PqLloydIters).map { i =>
+      val prev = if (i == 0) "pq_cb0" else s"lcb_$i"
+      s"""ld_$i AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+           FROM pq_x x JOIN $prev c ON x.m = c.m),
+         lcode_$i AS (SELECT vec_id, m, j FROM (
+             SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM ld_$i)
+           WHERE rk = 1),
+         lflat_$i AS (SELECT c.m, c.j, CAST(ds.d AS BIGINT) AS dim,
+             x.xq[ds.d + 1] AS v
+           FROM lcode_$i c JOIN pq_x x ON x.vec_id = c.vec_id AND x.m = c.m,
+           UNNEST(generate_series(0, ${PqSubDim - 1})) AS ds(d)),
+         lmean_$i AS (SELECT m, j, dim,
+             CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+               // count(*) AS BIGINT) AS cwd
+           FROM lflat_$i GROUP BY m, j, dim),
+         lcb_${i + 1} AS (SELECT m, j,
+             list_transform(list_sort(list({'dim': dim, 'cwd': cwd})),
+               s -> s.cwd) AS cw
+           FROM lmean_$i GROUP BY m, j)"""
+    }.mkString(",\n       ")
+    s"""WITH $pqScaffoldSql,
+       $iterCtes,
+       pq_cb AS (SELECT m, j, cw FROM lcb_$PqLloydIters),
+       $pqAfterCbSql,
+       ${pqTailSql(None)}
+       SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+  }
+
+  /** The query-side probed-cell CTEs of the IVF-PQ composites (coarse
+    * rank-1, fine rank ≤ nprobe=2) over [[twoLevelCellsSql]]'s
+    * structures — ends with `pq_qcell(query_id, cell)`. */
+  private lazy val ivfPqQCellSql: String =
+    s"""pq_vgq AS (SELECT vec_id, embedding, coarse_id FROM (
+             SELECT e.vec_id, e.embedding, g.coarse_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC,
+                   g.coarse_id) AS grk
+             FROM (SELECT vec_id, embedding FROM embeddings
+                   WHERE $isQuerySql) e
+             CROSS JOIN coarse g) WHERE grk = 1),
+         pq_qcell AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+             SELECT v.vec_id, f.centroid_id,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC,
+                   f.centroid_id) AS rk
+             FROM pq_vgq v JOIN fmap f ON v.coarse_id = f.coarse_id)
+           WHERE rk <= 2)"""
+
+  /** Residual IVF-PQ twin ([[graft.operators.Similarity
+    * .ivfPqResidualTopK]]): two-level cells, per-(vec, subspace)
+    * micro-int RESIDUALS against the vector's own cell centroid, a
+    * residual codebook over the same rank-stride training ids, exact
+    * integer encode, the per-(query, probed cell) effective-codeword
+    * LUT (cs + cw), ADC, shortlist, exact re-rank. Everything below
+    * the one float→micro quantization is integer arithmetic, so the
+    * residual form hash-certifies exactly like the raw one. */
+  private lazy val ivfPqResidualOracle: String = {
+    import Similarity._
+    def micro(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    val dotp = (1 to PqSubDim).map(d =>
+      s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    val cwn2 = (1 to PqSubDim).map(d =>
+      s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       pq_cand AS (SELECT q.query_id, a.vec_id, a.cell
+         FROM a JOIN pq_qcell q ON a.cell = q.cell
+         WHERE a.vec_id <> q.query_id),
+       -- per-cell micro sub-vectors of the fine centroids (the decode
+       -- table: a code reconstructs to cs + cw)
+       cell_sub AS (SELECT f.centroid_id AS cell, CAST(ms.m AS BIGINT) AS m,
+           list_transform(list_slice(f.cv, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS cs
+         FROM fmap f, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
+       -- per-(vec, subspace) micro-int residual against its own cell
+       res_x AS (SELECT a.vec_id, a.cell, s.m,
+           list_transform(list_slice(a.embedding,
+               CAST(s.m * $PqSubDim + 1 AS INT),
+               CAST(s.m * $PqSubDim + $PqSubDim AS INT)),
+             (x, i) -> ${micro("x")} - s.cs[i]) AS xq
+         FROM a JOIN cell_sub s ON a.cell = s.cell),
+       -- residual codebook at the raw codebook's stride but a
+       -- MID-STRIDE rank offset (offset-0 rows can coincide with the
+       -- fine centroids, whose self-residuals are zero — see
+       -- Similarity.ivfPqResidualTopK); rank == vec_id on the dense
+       -- fixture
+       res_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       res_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
+           greatest(1, n // greatest(1, least($PqK, n))) AS stride,
+           greatest(1, n // greatest(1, least($PqK, n))) // 2 AS off
+         FROM res_n),
+       res_train AS (SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS j
+         FROM tl_rnk, res_kp
+         WHERE vrk % stride = off AND vrk < stride * kk + off),
+       res_cb AS (SELECT r.m, t.j, r.xq AS cw
+         FROM res_train t JOIN res_x r ON r.vec_id = t.vec_id),
+       -- exact integer L2² encode, ties -> smallest j
+       res_d AS (SELECT x.vec_id, x.cell, x.m, c.j, $l2 AS dist
+         FROM res_x x JOIN res_cb c ON x.m = c.m),
+       res_code AS (SELECT vec_id, cell, m, j FROM (
+           SELECT vec_id, cell, m, j, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY dist ASC NULLS LAST, j ASC) AS rk
+           FROM res_d)
+         WHERE rk = 1),
+       -- query micro sub-vectors + norms (queries are NOT residualized:
+       -- ADC compares raw q against the reconstruction cs + cw)
+       res_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
+           list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS qq
+         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
+         WHERE $isQuerySql),
+       res_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
+         FROM res_qs GROUP BY query_id),
+       -- the per-(query, probed cell) effective-codeword LUT
+       res_lut AS (SELECT qc.query_id, qc.cell, q.m, c.j,
+           CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
+         FROM pq_qcell qc
+         JOIN res_qs q ON q.query_id = qc.query_id
+         JOIN cell_sub s ON s.cell = qc.cell AND s.m = q.m
+         JOIN res_cb c ON c.m = q.m),
+       res_adc AS (SELECT cd.query_id, cd.vec_id,
+           CAST(sum(l.dotp) AS BIGINT) AS num,
+           CAST(sum(l.cwn2) AS BIGINT) AS nsq
+         FROM pq_cand cd
+         JOIN res_code v ON v.vec_id = cd.vec_id AND v.cell = cd.cell
+         JOIN res_lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+           AND l.m = v.m AND l.j = v.j
+         GROUP BY cd.query_id, cd.vec_id),
+       res_sc AS (SELECT a.query_id, a.vec_id,
+           CASE WHEN a.nsq = 0 OR n.qn2 = 0 THEN 0.0
+                ELSE CAST(a.num AS DOUBLE)
+                  / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
+           END AS adc
+         FROM res_adc a JOIN res_qn n ON a.query_id = n.query_id
+         WHERE a.vec_id <> a.query_id),
+       res_short AS (SELECT query_id, vec_id FROM (
+           SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+             ORDER BY adc DESC, vec_id) AS srk FROM res_sc)
+         WHERE srk <= $PqShortlist),
+       res_rr AS (SELECT s.query_id, s.vec_id,
+           ${cosineSql("qe.embedding", "e.embedding")} AS cosine
+         FROM res_short s
+         JOIN embeddings e ON e.vec_id = s.vec_id
+         JOIN embeddings qe ON qe.vec_id = s.query_id),
+       res_ranked AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk, cosine
+         FROM res_rr)
+       SELECT query_id, vec_id, rk, cosine FROM res_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+  }
 
   /** DuckDB twins of [[Similarity.isQueryId]] / [[Similarity.isCentroidId]]
     * — the bounded (O(K) at any corpus size) workload predicates. */
@@ -1380,6 +1570,61 @@ object SparkEntry {
        JOIN train USING (doc_id)
        LEFT JOIN emb e USING (doc_id)
        WHERE q.doc_id NOT IN (SELECT doc_id FROM neardrop)
+         AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
+       ORDER BY doc_id"""
+
+  /** Capstone v8 oracle — strip-then-curate: the CDC strip chain
+    * (shared-fp detection over the whole corpus, removal, chunk-order
+    * re-assembly) re-derived between the dedup CTEs and a quality
+    * derivation computed over the CLEAN text (`vq*` CTEs — the raw
+    * `quality` CTE of [[curateBaseCtes]] goes unreferenced and DuckDB
+    * never evaluates it). */
+  private def curateV8Oracle: String =
+    s"""WITH $minhashCtes,
+       $curateBaseCtes,
+       $cdcChunksSql,
+       sbanned AS (SELECT fp FROM cdc_out GROUP BY fp
+                   HAVING count(DISTINCT doc_id) >= 2),
+       skept AS (SELECT c.doc_id, c.chunk_id, c.chunk_text
+                 FROM cdc_out c LEFT JOIN sbanned b ON c.fp = b.fp
+                 WHERE b.fp IS NULL),
+       ska AS (SELECT doc_id,
+                 string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                   AS clean_text,
+                 CAST(count(*) AS BIGINT) AS n_kept
+               FROM skept GROUP BY doc_id),
+       stot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                FROM cdc_out GROUP BY doc_id),
+       stripped AS (SELECT d.doc_id,
+           coalesce(ska.clean_text, '') AS clean_text,
+           CAST(coalesce(stot.n_chunks, 0) - coalesce(ska.n_kept, 0)
+             AS BIGINT) AS n_dropped_chunks
+         FROM documents d
+         LEFT JOIN ska ON ska.doc_id = d.doc_id
+         LEFT JOIN stot ON stot.doc_id = d.doc_id),
+       vqt AS (SELECT doc_id, clean_text AS ctext,
+           ${toksSql("clean_text")} AS toks FROM stripped),
+       vqf AS (SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks) AS DOUBLE) AS n_tok_d,
+           CAST(len(list_filter(toks, w -> list_contains($stopsSqlEn, w))) AS DOUBLE) AS n_stop,
+           CAST(length(ctext) AS DOUBLE) AS n_chars_d,
+           CAST(length(ctext) - length(regexp_replace(ctext, '[^a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct
+         FROM vqt),
+       vquality AS (
+         SELECT doc_id, n_tokens,
+           (CASE WHEN n_tok_d = 0 THEN 0.0 ELSE n_stop / n_tok_d END) * 2.0
+             + (CASE WHEN n_tok_d >= 20 THEN 0.5 ELSE 0.0 END)
+             - (CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END) AS quality_score
+         FROM vqf)
+       SELECT s.doc_id, s.clean_text, s.n_dropped_chunks,
+         q.n_tokens, q.quality_score, e.emb_norm
+       FROM stripped s
+       JOIN vquality q USING (doc_id)
+       JOIN keep USING (doc_id)
+       JOIN train USING (doc_id)
+       LEFT JOIN emb e USING (doc_id)
+       WHERE s.doc_id NOT IN (SELECT doc_id FROM neardrop)
          AND q.quality_score >= ${graft.operators.Curate.QualityThreshold}
        ORDER BY doc_id"""
 
@@ -2776,21 +3021,7 @@ object SparkEntry {
     // the exact re-rank
     "q_similar_ivfpq" ->
       s"""WITH $twoLevelCellsSql,
-         pq_vgq AS (SELECT vec_id, embedding, coarse_id FROM (
-             SELECT e.vec_id, e.embedding, g.coarse_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC,
-                   g.coarse_id) AS grk
-             FROM (SELECT vec_id, embedding FROM embeddings
-                   WHERE $isQuerySql) e
-             CROSS JOIN coarse g) WHERE grk = 1),
-         pq_qcell AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
-             SELECT v.vec_id, f.centroid_id,
-               row_number() OVER (PARTITION BY v.vec_id
-                 ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC,
-                   f.centroid_id) AS rk
-             FROM pq_vgq v JOIN fmap f ON v.coarse_id = f.coarse_id)
-           WHERE rk <= 2),
+         $ivfPqQCellSql,
          pq_cand AS (SELECT q.query_id, a.vec_id
            FROM a JOIN pq_qcell q ON a.cell = q.cell
            WHERE a.vec_id <> q.query_id),
@@ -2798,6 +3029,15 @@ object SparkEntry {
          ${pqTailSql(Some("pq_cand"))}
          SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
          ORDER BY query_id, rk""",
+    // residual IVF-PQ (x − centroid(cell) encoded against a residual
+    // codebook, per-(query, cell) effective-codeword LUT) — integer
+    // micro arithmetic end to end, so it hash-certifies like the raw
+    // form despite being the FAISS-shape production encoding
+    "q_similar_ivfpq_res" -> ivfPqResidualOracle,
+    // learned (Lloyd) PQ codebook — integer-mean updates keep the
+    // whole training deterministic, so unlike float k-means this
+    // learned index hash-certifies end to end
+    "q_similar_pq_kmeans" -> pqLloydOracle,
     // recall of the PQ shortlist-then-re-rank vs brute force — both
     // rankings deterministic, so the fractions hash-certify
     "q_pq_recall" ->
@@ -3839,6 +4079,35 @@ object SparkEntry {
       s"""WITH $cdcChunksSql,
          banned AS (SELECT fp FROM cdc_out GROUP BY fp
                     HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT c.doc_id, c.chunk_id, c.chunk_text
+                  FROM cdc_out c LEFT JOIN banned b ON c.fp = b.fp
+                  WHERE b.fp IS NULL),
+         ka AS (SELECT doc_id,
+                  string_agg(chunk_text, ' ' ORDER BY chunk_id)
+                    AS clean_text,
+                  CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+                 FROM cdc_out GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+           CAST(coalesce(tot.n_chunks, 0) - coalesce(ka.n_kept, 0)
+             AS BIGINT) AS n_dropped_chunks
+         FROM documents d
+         LEFT JOIN ka ON ka.doc_id = d.doc_id
+         LEFT JOIN tot ON tot.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    // fraction-threshold strip: boilerplate = fps in >= CdcBoilerMinBp
+    // basis points of the corpus's distinct documents — the
+    // scale-invariant form of the absolute >= 2 gate (integer compare
+    // nd·10^4 >= bp·total on both engines)
+    "q_cdc_strip_frac" ->
+      s"""WITH $cdcChunksSql,
+         ftot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
+                  FROM documents),
+         banned AS (SELECT fp FROM cdc_out, ftot
+                    GROUP BY fp, n_total
+                    HAVING CAST(count(DISTINCT doc_id) AS BIGINT) * 10000
+                      >= ${TrainPrep.CdcBoilerMinBp} * n_total),
          kept AS (SELECT c.doc_id, c.chunk_id, c.chunk_text
                   FROM cdc_out c LEFT JOIN banned b ON c.fp = b.fp
                   WHERE b.fp IS NULL),
@@ -4922,6 +5191,9 @@ object SparkEntry {
          FROM d ORDER BY doc_id""",
     "q_curate_v6" -> curateV6Oracle,
     "q_curate_v7" -> curateV7Oracle,
+    // v8: strip-then-curate — the CDC boilerplate strip between the
+    // dedup stages and a quality gate that scores the CLEANED text
+    "q_curate_v8" -> curateV8Oracle,
     // skew audit: percentiles via the integer inverted-CDF over the
     // frequency-of-frequency frame — exact, no engine quantile function
     "q_skew_audit" ->

@@ -69,6 +69,11 @@ case class PqEncode(child: Expression, flat: Array[Long],
   private lazy val zeroCodes =
     new GenericArrayData(Array.fill[Any](m)(0L))
 
+  private lazy val elementIsDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) zeroCodes else nullSafeEval(v)
@@ -91,7 +96,8 @@ case class PqEncode(child: Expression, flat: Array[Long],
       while (ok && d < avail) {
         val idx = mi * subDim + d
         if (arr.isNullAt(idx)) ok = false
-        else xq(d) = math.floor(arr.getFloat(idx).toDouble * 1e6 + 0.5).toLong
+        else xq(d) = math.floor((if (elementIsDouble) arr.getDouble(idx)
+          else arr.getFloat(idx).toDouble) * 1e6 + 0.5).toLong
         d += 1
       }
       var best = 0L

@@ -316,6 +316,81 @@ object Curate {
       .orderBy(col("doc_id"))
   }
 
+  /** v8 — the STRIP-then-curate capstone: detection → removal →
+    * admission composed in the order a Lee et al. 2022-style pipeline
+    * actually runs them (the order [[TrainPrep.cdcStripShared]]'s own
+    * scaladoc cites). Between the dedup stages and the quality gate,
+    * every surviving document is STRIPPED of corpus-level boilerplate
+    * ([[TrainPrep.cdcStripAgainst]] against a frozen banned-fp set —
+    * in the harness entry, the readout of a LANDED CDC index,
+    * [[cdcBoilerFps]]), and the quality gate then scores the CLEANED
+    * text: a document whose raw form fails quality only because of
+    * navigation chrome / license blocks is correctly admitted once
+    * they are gone, and one whose apparent quality came FROM
+    * boilerplate stopwords is correctly rejected. Emits the clean
+    * text (that is what lands in the training shard), the drop count,
+    * and the clean-text quality features. Dedup still runs on the RAW
+    * text — exact/near duplicates must be caught before the strip
+    * makes near-identical carriers exactly identical.
+    *
+    * Scale shape: the strip is [[TrainPrep.cdcStripAgainst]]'s one
+    * doc-keyed exchange + fp anti-join; quality is a map-side pass
+    * over the re-assembled text; every gate stays a semi/anti/equi
+    * join on the chain's `doc_id` partitioning. */
+  def curateV8With(docs: DataFrame, embeddings: DataFrame,
+                   nearDrop: DataFrame, bannedFps: DataFrame): DataFrame = {
+    val stripped = TrainPrep.cdcStripAgainst(docs, bannedFps)
+    val quality = TextStats.qualityFeatures(
+        stripped.select(col("doc_id"), col("clean_text").as("text")))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val exactKeep = TextDedup.exactDedup(docs)
+      .select(col("keep_id").as("doc_id"))
+    val emb = embeddings
+      .select(col("vec_id").as("doc_id"), l2Norm(col("embedding")).as("emb_norm"))
+    docs.select(col("doc_id"))
+      .filter(TextStats.splitBucket(col("doc_id")) < 80)
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDrop, Seq("doc_id"), "left_anti")
+      .join(stripped, Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= QualityThreshold)
+      .join(emb, Seq("doc_id"), "left")
+  }
+
+  /** [[curateV8With]] with the banned set derived inline from the
+    * corpus itself ([[TrainPrep.cdcSharedChunks]] — fps in ≥ 2 docs),
+    * for callers without a landed index. */
+  def curateV8(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    curateV8With(docs, embeddings, minhashDrop(docs),
+      TrainPrep.cdcSharedChunks(docs).select(col("fp")))
+
+  private val cdcBoilerMemo = new PathMemo
+
+  /** The corpus's boilerplate fp set served from a LANDED CDC index —
+    * built ONCE per (JVM, input dir) through the real lifecycle
+    * ([[TrainPrep.writeCdcIndex]] → [[TrainPrep.cdcIndexBoilerplate]]),
+    * the production schedule where detection is paid per corpus
+    * snapshot and every curation job reads the O(|distinct fps|)
+    * readout. Row-identical to the inline [[TrainPrep.cdcSharedChunks]]
+    * derivation (the lifecycle specs pin landed ≡ one-shot), so the
+    * oracle re-derives from raw text. */
+  def cdcBoilerFps(spark: SparkSession, dir: String): DataFrame =
+    cdcBoilerMemo.read(spark, dir, "curate_cdc_boiler") { () =>
+      val idx = TextDedup.spillPath(spark, "curate_cdc_boiler_idx")
+      TrainPrep.writeCdcIndex(Tables.documents(spark, dir), idx)
+      val p = TextDedup.spillPath(spark, "curate_cdc_boiler")
+      TrainPrep.cdcIndexBoilerplate(spark, idx).select(col("fp"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+
+  def qCurateV8(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    curateV8With(Tables.documents(spark, dir), Tables.embeddings(spark, dir),
+      nearDropIds(spark, dir), cdcBoilerFps(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-shard capstone: the v5 emit packed into fixed-token-
     * budget sequences — curation's OUTPUT wired straight into train
     * prep's INPUT, the handoff a production pipeline schedules as one

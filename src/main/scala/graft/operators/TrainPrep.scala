@@ -516,6 +516,48 @@ object TrainPrep {
   def qCdcStrip(spark: SparkSession, dir: String): DataFrame =
     cdcStripShared(Tables.documents(spark, dir)).orderBy(col("doc_id"))
 
+  /** Fraction threshold for [[cdcStripSharedFrac]], in basis points of
+    * the corpus document count (100 bp = 1%). An ABSOLUTE `minDocs`
+    * does not survive scale-up: at 10¹⁰ documents, 2-document sharing
+    * is coincidence (a quoted paragraph), not boilerplate — the
+    * license block / navigation chrome signature is appearing in a
+    * FRACTION of the corpus, which is scale-invariant. 1% of a 10¹⁰-doc
+    * corpus is 10⁸ carriers: unambiguously corpus-level. */
+  val CdcBoilerMinBp = 100L
+
+  /** [[cdcStripShared]] with a DOCUMENT-FRACTION boilerplate threshold:
+    * a fingerprint is boilerplate iff it appears in ≥ `minBp` basis
+    * points of the corpus's distinct documents. The comparison is kept
+    * integer (nd·10⁴ ≥ minBp·total) so both engines decide identically;
+    * the 1-row total frame rides a broadcast cross join (the
+    * CorpusFilters 1-row-aggregate convention). Same removal/
+    * re-assembly tail as the absolute form. */
+  def cdcStripSharedFrac(docs: DataFrame, divisor: Int = CdcDivisor,
+                         minBp: Long = CdcBoilerMinBp): DataFrame = {
+    val chunks = cdcChunks(docs, divisor)
+    val total = docs.agg(countDistinct(col("doc_id")).as("n_total"))
+    val boiler = chunks.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .crossJoin(broadcast(total))
+      .filter(col("nd") * lit(10000L) >= lit(minBp) * col("n_total"))
+      .select(col("fp"))
+    stripWithBanned(docs, chunks, boiler)
+  }
+
+  /** The fraction-threshold boilerplate readout of a standing CDC
+    * index: fps carried by ≥ `minBp` basis points of `totalDocs` (the
+    * corpus size is lifecycle state the CALLER owns — the index stores
+    * per-fp stats, and a crawl scheduler always knows its snapshot's
+    * document count). */
+  def cdcIndexBoilerplateFrac(spark: SparkSession, path: String,
+                              totalDocs: Long,
+                              minBp: Long = CdcBoilerMinBp): DataFrame =
+    cdcIndexStats(spark, path)
+      .filter(col("n_docs") * lit(10000L) >= lit(minBp) * lit(totalDocs))
+
+  def qCdcStripFrac(spark: SparkSession, dir: String): DataFrame =
+    cdcStripSharedFrac(Tables.documents(spark, dir)).orderBy(col("doc_id"))
+
   /** STRIP against a FROZEN boilerplate set — the admission-time form:
     * chunks whose fp sits in `bannedFps` (typically
     * [[cdcIndexBoilerplate]] from a landed snapshot) are removed from

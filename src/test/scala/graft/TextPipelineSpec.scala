@@ -2091,6 +2091,67 @@ class TextPipelineSpec extends SparkSpec {
     v4.foreach { case (id, text) => assert(text === stripped(id)) }
   }
 
+  test("curate v8: a boilerplate-heavy doc's quality verdict flips once the boilerplate is stripped") {
+    import graft.operators.{Curate, TrainPrep, TextStats}
+    // marker-terminated punct-heavy license block: the marker makes the
+    // block's CDC chunks self-contained (byte-identical in every
+    // carrier — the TrainPrepSpec strip-test trick), and the punct
+    // density is what drags the RAW quality score under the gate
+    def isMarker(t: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$t".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TrainPrep.CdcDivisor == 0
+    }
+    val mk = (1 to 1000).map(i => s"mk$i").find(isMarker).get
+    val lic = ((1 to 40).map(i => s"@#$$x$i&*!") :+ mk).mkString(" ")
+    // stopword-rich core: clean quality = stop_ratio·2 + 0.5 ≫ 0.55
+    val core = "the cat sat on the mat and it was a good day for all of " +
+      "the cats to be out in the sun and they were happy to stay there"
+    // pick train-split carrier ids (splitBucket < 80) so the split
+    // stage cannot mask the quality flip
+    val trainIds = {
+      val probe = (0L until 40L).toDF("doc_id")
+      probe.filter(TextStats.splitBucket(col("doc_id")) < 80)
+        .orderBy("doc_id").as[Long].collect()
+    }
+    val Seq(a, b, c) = trainIds.take(3).toSeq
+    // the license leads each carrier: its terminal marker ends the
+    // chunk, so the block is a self-contained chunk byte-identical in
+    // both carriers (a mid-document block would fuse with whatever
+    // preceded it since the preceding text carries no marker)
+    val docs = Seq(
+      (a, s"$lic $core"), // the boilerplate-heavy carrier
+      (b, s"$lic entirely different unique tail words " +
+        (1 to 30).map(i => s"u$i").mkString(" ")), // second carrier
+      (c, s"$core plus some extra unique closing words"))
+      .toDF("doc_id", "text")
+    val emb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // the flip, measured directly: raw quality fails the gate, quality
+    // over the stripped text clears it
+    val rawQ = TextStats.qualityFeatures(docs)
+      .filter(col("doc_id") === a).select("quality_score").as[Double].head()
+    val banned = TrainPrep.cdcSharedChunks(docs).select(col("fp"))
+    val cleanQ = TextStats.qualityFeatures(
+        TrainPrep.cdcStripAgainst(docs, banned)
+          .select(col("doc_id"), col("clean_text").as("text")))
+      .filter(col("doc_id") === a).select("quality_score").as[Double].head()
+    assert(rawQ < Curate.QualityThreshold,
+      s"raw quality $rawQ must FAIL the ${Curate.QualityThreshold} gate")
+    assert(cleanQ >= Curate.QualityThreshold,
+      s"clean quality $cleanQ must PASS the ${Curate.QualityThreshold} gate")
+    // and the composed capstones agree: v1 (raw-quality gate) rejects
+    // the carrier, v8 (strip-then-gate) admits it with the clean text
+    val v1 = Curate.curate(docs, emb).select("doc_id").as[Long].collect().toSet
+    assert(!v1.contains(a), "raw-quality curate must reject the carrier")
+    val v8 = Curate.curateV8(docs, emb)
+      .select("doc_id", "clean_text", "n_dropped_chunks")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(v8.contains(a), "strip-then-curate must admit the carrier")
+    assert(v8(a)._3 > 0L, "the carrier must have dropped chunks")
+    assert(!v8(a)._2.contains("@#"), "the admitted text must be clean")
+  }
+
   test("curate config toggles remove gates: spammy doc survives without the repetition gate") {
     import graft.operators.Curate
     val cdocs = Seq(
@@ -2694,6 +2755,90 @@ class TextPipelineSpec extends SparkSpec {
       .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
     assert(probe2r.toSeq === probe1.toSeq,
       "probe answers must be unchanged after a replayed append")
+  }
+
+  /** 256 vectors in 16 tight direction clusters (cluster = id / 16,
+    * contiguous id blocks, so the rank-stride fine centroids land one
+    * per cluster — the honest IVF shape) with meaningful within-
+    * cluster offsets: the geometry where whole-vector stride codewords
+    * collapse every cluster member to near-ties while residual /
+    * learned codewords still resolve the within-cluster structure.
+    * Seeded, so assertions are stable. */
+  private def clusteredEmb: org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val bases = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    (0 until 256).map { i =>
+      val b = bases(i / 16)
+      (i.toLong,
+        Array.tabulate(64)(d => b(d) + 0.2f * rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Recall@3 of an approximate (query_id, vec_id, …) result against
+    * brute-force cosine top-3 over the same corpus. */
+  private def pqRecallOf(emb: org.apache.spark.sql.DataFrame,
+                         approx: org.apache.spark.sql.DataFrame): Double = {
+    import Similarity._
+    val exact = topK(emb, queryVectors(emb), 3)
+      .select(col("query_id"), col("vec_id"))
+    val hits = exact.join(approx.select(col("query_id"), col("vec_id")),
+      Seq("query_id", "vec_id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
+  test("residual IVF-PQ: deterministic, exact-dup at rk 1, recall >= the raw-codebook form on a clustered corpus") {
+    import Similarity._
+    val emb = clusteredEmb
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      pqRecallOf(emb, approx)
+    // determinism: two independent builds agree row for row
+    val r1 = ivfPqResidualTopK(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val r2 = ivfPqResidualTopK(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq === r2.toSeq)
+    // an exact duplicate of query 0 must surface at rk 1 with full-
+    // precision cosine 1.0 (residual of a duplicate lands in the same
+    // cell with the identical code; the re-rank scores it exactly)
+    val dup = emb.filter(col("vec_id") =!= 7L)
+      .unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(7L).as("vec_id"), col("embedding")))
+    val got = ivfPqResidualTopK(dup, k = 3, nprobe = 2)
+      .filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.head._2 === 7L && got.head._4 > 0.999999)
+    // the residual ADC must rank candidates at least as well as the
+    // raw-codebook ADC — same cells, same candidates, same shortlist
+    // width; only the code fidelity differs (Jégou et al.'s IVFADC
+    // argument: residual variance << raw variance at equal bits)
+    val rawRecall = recallOf(ivfPqTopK(emb, k = 3, nprobe = 2))
+    val resRecall = recallOf(ivfPqResidualTopK(emb, k = 3, nprobe = 2))
+    info(s"ivf-pq recall: raw=$rawRecall residual=$resRecall")
+    assert(resRecall >= rawRecall,
+      s"residual recall $resRecall must be >= raw recall $rawRecall")
+    assert(resRecall > 0.5, s"residual recall $resRecall not vacuous")
+  }
+
+  test("learned PQ codebook (integer-mean Lloyd): deterministic, recall >= the stride codebook") {
+    import Similarity._
+    val emb = clusteredEmb
+    // determinism: two independent trainings agree codeword for
+    // codeword — the integer-mean update (floor(Σ/n) in exact integer
+    // arithmetic) is partitioning-independent, unlike float k-means
+    def train() = pqCodebookLloyd(emb).orderBy("m", "j")
+      .as[(Long, Long, Seq[Long])].collect().toSeq
+    assert(train() === train())
+    // Lloyd refinement must not lose recall vs the stride seed it
+    // starts from (on this geometry it should strictly gain: stride
+    // codewords are 16 whole training vectors — one per cluster — so
+    // every cluster member encodes to near-ties, while learned means
+    // pull codewords toward the actual sub-vector mass)
+    val strideRecall = pqRecallOf(emb, pqTopK(emb, k = 3))
+    val lloydRecall = pqRecallOf(emb, pqTopKLloyd(emb, k = 3))
+    info(s"pq recall: stride=$strideRecall lloyd=$lloydRecall")
+    assert(lloydRecall >= strideRecall,
+      s"learned recall $lloydRecall must be >= stride recall $strideRecall")
+    assert(lloydRecall > 0.5, s"learned recall $lloydRecall not vacuous")
   }
 
   // --- cluster-balanced diversity sampling ---

@@ -1221,6 +1221,44 @@ class TrainPrepSpec extends SparkSpec {
       "a replayed append after an intervening compact must be a no-op")
   }
 
+  test("cdc strip frac: the fraction gate is scale-invariant where the absolute gate is not") {
+    def isMarker(t: String): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cdc:$t".getBytes("UTF-8"))
+      val hex = md.map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % TrainPrep.CdcDivisor == 0
+    }
+    val mk = (1 to 1000).map(i => s"mk$i").find(isMarker).get
+    val lic = ((1 to 20).map(i => s"lic$i") :+ mk).mkString(" ")
+    def carrier(id: Long) = (id, s"$lic body$id " +
+      (1 to 10).map(j => s"w$id-$j").mkString(" "))
+    def unique(id: Long) = (id, (1 to 12).map(j => s"u$id-$j").mkString(" "))
+    // LARGE corpus: 2 carriers of 300 docs = 66 bp < CdcBoilerMinBp
+    // (100 bp) — coincidental sharing, NOT boilerplate under the
+    // fraction gate; the absolute >= 2 gate strips it regardless
+    val large = cdcDoc((carrier(0L) +: carrier(1L) +:
+      (2L until 300L).map(unique)): _*)
+    val fracLarge = TrainPrep.cdcStripSharedFrac(large)
+      .filter(col("doc_id") === 0L)
+      .select("n_dropped_chunks").as[Long].head()
+    assert(fracLarge === 0L,
+      "66 bp sharing must survive the 100 bp fraction gate")
+    val absLarge = TrainPrep.cdcStripShared(large)
+      .filter(col("doc_id") === 0L)
+      .select("n_dropped_chunks").as[Long].head()
+    assert(absLarge > 0L, "the absolute >= 2 gate strips it regardless")
+    // SMALL corpus: the same 2 carriers of 40 docs = 500 bp >= 100 bp
+    // — now corpus-level boilerplate; both gates strip
+    val small = cdcDoc((carrier(0L) +: carrier(1L) +:
+      (2L until 40L).map(unique)): _*)
+    val fracSmall = TrainPrep.cdcStripSharedFrac(small)
+      .filter(col("doc_id") === 0L)
+      .select("n_dropped_chunks").as[Long].head()
+    assert(fracSmall > 0L, "500 bp sharing must be stripped")
+    // every input doc keeps a row in both forms
+    assert(TrainPrep.cdcStripSharedFrac(large).count() === 300L)
+  }
+
   test("cdc strip: a planted license block vanishes from every doc; unique text survives") {
     def isMarker(t: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
