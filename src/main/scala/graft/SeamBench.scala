@@ -146,6 +146,43 @@ object SeamBench {
       banned.unpersist(); ()
     }
 
+    // --- PQ serving seam (encode-against-frozen-codebook appends) ---
+    // The index the 100-TB story leans on hardest: standing_build =
+    // writePqIndex (codebook train + full corpus encode + landing),
+    // per_batch = appendPqIndex of one increment against the FROZEN
+    // codebook, pq_probe = serving one query set from the landed codes,
+    // naive_batch = pqTopK over standing ∪ batch (what a caller without
+    // the index pays per serving call: retrain + re-encode everything).
+    {
+      import graft.operators.TextDedup
+      val emb = Tables.embeddings(spark, sfDir)
+      val standing = emb.filter(col("vec_id") % 10 =!= 0)
+      val batches = (0 until 5).map(i =>
+        emb.filter(col("vec_id") % 10 === 0 && (col("vec_id") / 10) % 5 === i))
+      val queries = Similarity.queryVectors(emb)
+      val path = TextDedup.spillPath(spark, "seam_pq_index")
+      run(Similarity.pqTopK(standing.unionByName(batches.head), 3))
+      results("pq_naive_batch") = round3(timeMin3 {
+        run(Similarity.pqTopK(standing.unionByName(batches.head), 3))
+      })
+      // each timing run is a FULL rebuild (writePqIndex clears the
+      // codes layout first), so min-of-3 re-pays the build honestly
+      results("pq_standing_build") = round3(timeMin3 {
+        Similarity.writePqIndex(standing, path)
+      })
+      // appends are REPLAY-IDEMPOTENT (identity-addressed batch dirs),
+      // so a min-of-3 replay would time the no-op skip; instead each of
+      // the 5 batches is timed once on its FIRST landing, min reported
+      results("pq_per_batch") = round3(batches.map { b =>
+        val t0 = System.nanoTime()
+        Similarity.appendPqIndex(spark, path, b)
+        (System.nanoTime() - t0) / 1e9
+      }.min)
+      results("pq_probe") = round3(timeMin3 {
+        run(Similarity.pqProbeIndex(spark, path, queries, 3))
+      })
+    }
+
     def jstr(s: String) = "\"" + s + "\""
     val body = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
     val line = s"""{"sf":${jstr(sfDir)},$body}"""

@@ -548,4 +548,42 @@ class PlanSpec extends SparkSpec {
     assert(a.contains("BroadcastNestedLoopJoin") || a.contains("BroadcastExchange"),
       s"threshold frame did not broadcast:\n$a")
   }
+
+  test("bounded single-partition windows: the constants that cap them stay small") {
+    import Similarity._
+    import graft.operators.TrainPrep
+    // The engine tolerates a handful of UNPARTITIONED windows because
+    // each provably orders a bounded frame, never the corpus. The
+    // bounds are compile-time constants — so the guard belongs here: a
+    // future constant bump (PqK → 2¹⁶ for 16-bit codes, say) must fail
+    // THIS test, not ship a corpus-wide single-partition sort.
+    //  - pqCodebookRows: Window.orderBy(centroid_id) over the ≤ PqK
+    //    rank-stride training rows (its scaladoc cites this bound);
+    //  - pqEncodeColumn: bakes PqM·PqK·PqSubDim longs into the plan as
+    //    a flat literal — plan size, broadcast cost and the per-round
+    //    Lloyd collect all ride this product;
+    //  - withVecRank's bucket-offset window orders ≤
+    //    spark.sql.shuffle.partitions rows (conf-bound, not a
+    //    constant — its scaladoc cites the bound);
+    //  - vocabTopK's id window ranks only its limit(K) survivors.
+    assert(PqK <= 256,
+      "PqK caps pqCodebookRows' unpartitioned j-assignment window " +
+        "and the per-subspace codeword count of the PqEncode bake")
+    assert(PqM * PqK * PqSubDim <= 65536,
+      "the baked flat codebook must stay a small plan literal " +
+        "(collected per encode call under the driver-scalar ledger)")
+    assert(TrainPrep.VocabK <= 10000,
+      "vocabTopK's vocab-id window orders only the top-K survivors")
+    assert(MmrPoolK <= 1024,
+      "MMR's per-round driver lift is bounded by the pool size")
+    // runtime confirmation on a corpus larger than PqK: the codebook
+    // (= the window's output) carries exactly M rows per training row,
+    // min(PqK, n) training rows — the window input was the bounded
+    // training frame, not the corpus
+    import spark.implicits._
+    val emb = (0 until 100).map(i => (i.toLong,
+      Array.tabulate(64)(d => math.sin(i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.pqCodebook(emb).count() === (PqM * PqK).toLong)
+  }
 }
