@@ -149,6 +149,7 @@ object SparkEntry {
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
+    "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
@@ -3038,6 +3039,10 @@ object SparkEntry {
     // whole training deterministic, so unlike float k-means this
     // learned index hash-certifies end to end
     "q_similar_pq_kmeans" -> pqLloydOracle,
+    // the landed residual IVF-PQ index must be answer-invariant vs the
+    // rebuilt-per-call form — same oracle, word for word (placement
+    // and encode are per-vector pure against the frozen structures)
+    "q_similar_ivfpq_persisted" -> ivfPqResidualOracle,
     // recall of the PQ shortlist-then-re-rank vs brute force — both
     // rankings deterministic, so the fractions hash-certify
     "q_pq_recall" ->

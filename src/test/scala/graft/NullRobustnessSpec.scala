@@ -550,4 +550,27 @@ class NullRobustnessSpec extends SparkSpec {
     assert(got(1)._4.exists(_ > 0.999999), "exact dup keeps cosine 1.0")
     assert(got(2)._4.isEmpty, "null embedding must read NULL, ranked last")
   }
+
+  test("residual ivf-pq: degenerate embeddings place, residualize, encode and search without error") {
+    import graft.operators.Similarity
+    val v = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val emb = Seq((0L, v), (4L, v), (2L, Array.fill(64)(0f)))
+      .toDF("vec_id", "embedding")
+      .unionByName(Seq(Tuple1(1L)).toDF("vec_id")
+        .withColumn("embedding", lit(null).cast("array<float>")))
+      .unionByName(Seq((3L, Array[java.lang.Float](null) ++
+          Array.fill(63)(java.lang.Float.valueOf(1.0f))))
+        .toDF("vec_id", "embedding"))
+    // every row flows through placement (a null embedding still lands
+    // in SOME cell via the deterministic tie-break), the residual's
+    // zip_with (null components stay null), the double-input PqEncode
+    // (null component → code 0), ADC and re-rank — no crash anywhere,
+    // and the exact duplicate still surfaces at rk 1
+    val got = Similarity.ivfPqResidualTopK(emb, k = 3, nprobe = 2)
+      .filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Option[Double])].collect()
+    assert(got.nonEmpty, "residual search must return rows")
+    assert(got.exists(g => g._2 === 4L && g._4.exists(_ > 0.999999)),
+      "the exact duplicate must surface with full-precision cosine 1.0")
+  }
 }

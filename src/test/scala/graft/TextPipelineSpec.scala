@@ -2819,6 +2819,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(resRecall > 0.5, s"residual recall $resRecall not vacuous")
   }
 
+  test("residual IVF-PQ index: build+append ≡ rebuilt-per-call; replayed append is a no-op") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val isNew = col("vec_id") % 3 === 1
+    // structures train on the full corpus (the answer-invariance
+    // contract vs the rebuilt-per-call form); standing codes land at
+    // build, the increment goes through the append path
+    writeIvfPqStructures(emb, p)
+    landIvfPqCodes(spark, p, emb.filter(!isNew))
+    appendIvfPqIndex(spark, p, emb.filter(isNew))
+    def probe() = ivfPqProbeIndex(spark, p, queryVectors(emb), 3, 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val probed = probe()
+    val rebuilt = ivfPqResidualTopK(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(probed.toSeq === rebuilt.toSeq,
+      "the landed index must answer exactly like the rebuilt-per-call form")
+    // replayed append: the identity-addressed batch dir already carries
+    // _SUCCESS, so nothing lands twice
+    appendIvfPqIndex(spark, p, emb.filter(isNew))
+    assert(probe().toSeq === probed.toSeq,
+      "probe answers must be unchanged after a replayed append")
+    val codes = spark.read.parquet(s"$p/codes")
+    assert(codes.count() === 256L &&
+      codes.select("vec_id").distinct().count() === 256L,
+      "every vector's codes landed exactly once")
+  }
+
   test("learned PQ codebook (integer-mean Lloyd): deterministic, recall >= the stride codebook") {
     import Similarity._
     val emb = clusteredEmb
