@@ -2848,6 +2848,39 @@ class TextPipelineSpec extends SparkSpec {
       "every vector's codes landed exactly once")
   }
 
+  test("streaming IVF-PQ serving equals the one-shot landed-index probe") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream").toString
+    writeIvfPqIndex(emb, p)
+    // query micro-batches sliced one FILE per trigger (each id lands in
+    // its own file via the partitionBy below) — the landed index is
+    // frozen, so slicing cannot change answers
+    val queries = queryVectors(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-q")
+    queries.withColumn("slice", col("query_id") % 2)
+      .repartition(2, col("slice")).drop("slice")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(queries.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = streamingIvfPqSearch(spark, p, stream, k = 3, nprobe = 2) {
+      (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        got.synchronized { got ++= rows }; ()
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      val batch = ivfPqProbeIndex(spark, p, queries, 3, 2)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(got.sortBy(r => (r._1, r._3)).toSeq ===
+        batch.sortBy(r => (r._1, r._3)).toSeq,
+        "streamed serving must equal the one-shot landed-index probe")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("learned PQ codebook (integer-mean Lloyd): deterministic, recall >= the stride codebook") {
     import Similarity._
     val emb = clusteredEmb
