@@ -183,6 +183,38 @@ object SeamBench {
       })
     }
 
+    // --- residual IVF-PQ serving seam (the recommended index) ---
+    // Same columns as the flat-PQ block, over the residual layout:
+    // standing_build = writeIvfPqIndex (structures + full encode +
+    // landing), per_batch = appendIvfPqIndex (place into frozen cells,
+    // encode against the frozen residual codebook, land), probe =
+    // ivfPqProbeIndex, naive = ivfPqResidualTopK over standing ∪ batch.
+    {
+      import graft.operators.TextDedup
+      val emb = Tables.embeddings(spark, sfDir)
+      val standing = emb.filter(col("vec_id") % 10 =!= 0)
+      val batches = (0 until 5).map(i =>
+        emb.filter(col("vec_id") % 10 === 0 && (col("vec_id") / 10) % 5 === i))
+      val queries = Similarity.queryVectors(emb)
+      val path = TextDedup.spillPath(spark, "seam_ivfpq_index")
+      run(Similarity.ivfPqResidualTopK(standing.unionByName(batches.head), 3))
+      results("ivfpq_naive_batch") = round3(timeMin3 {
+        run(Similarity.ivfPqResidualTopK(standing.unionByName(batches.head), 3))
+      })
+      results("ivfpq_standing_build") = round3(timeMin3 {
+        Similarity.writeIvfPqIndex(standing, path)
+      })
+      // appends replay-idempotent → one timed FIRST landing per batch
+      results("ivfpq_per_batch") = round3(batches.map { b =>
+        val t0 = System.nanoTime()
+        Similarity.appendIvfPqIndex(spark, path, b)
+        (System.nanoTime() - t0) / 1e9
+      }.min)
+      results("ivfpq_probe") = round3(timeMin3 {
+        run(Similarity.ivfPqProbeIndex(spark, path, queries, 3))
+      })
+    }
+
     def jstr(s: String) = "\"" + s + "\""
     val body = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
     val line = s"""{"sf":${jstr(sfDir)},$body}"""
