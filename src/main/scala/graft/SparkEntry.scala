@@ -150,6 +150,7 @@ object SparkEntry {
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
+    "q_ivfpq_recall"       -> (Similarity.qIvfPqRecall _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
@@ -949,7 +950,12 @@ object SparkEntry {
     * LUT (cs + cw), ADC, shortlist, exact re-rank. Everything below
     * the one float→micro quantization is integer arithmetic, so the
     * residual form hash-certifies exactly like the raw one. */
-  private lazy val ivfPqResidualOracle: String = {
+  /** The residual CTE block — everything from the decode table through
+    * `res_ranked(query_id, vec_id, rk, cosine)`; assumes
+    * [[twoLevelCellsSql]] + [[ivfPqQCellSql]] + a 3-column
+    * `pq_cand(query_id, vec_id, cell)` precede it. Shared by the
+    * residual oracle and the recall-comparison oracle. */
+  private lazy val ivfPqResidualCtes: String = {
     import Similarity._
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
@@ -960,12 +966,7 @@ object SparkEntry {
     val cwn2 = (1 to PqSubDim).map(d =>
       s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
     val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
-    s"""WITH $twoLevelCellsSql,
-       $ivfPqQCellSql,
-       pq_cand AS (SELECT q.query_id, a.vec_id, a.cell
-         FROM a JOIN pq_qcell q ON a.cell = q.cell
-         WHERE a.vec_id <> q.query_id),
-       -- per-cell micro sub-vectors of the fine centroids (the decode
+    s"""-- per-cell micro sub-vectors of the fine centroids (the decode
        -- table: a code reconstructs to cs + cw)
        cell_sub AS (SELECT f.centroid_id AS cell, CAST(ms.m AS BIGINT) AS m,
            list_transform(list_slice(f.cv, ms.m * $PqSubDim + 1,
@@ -1045,10 +1046,74 @@ object SparkEntry {
        res_ranked AS (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id) AS rk, cosine
-         FROM res_rr)
+         FROM res_rr)"""
+  }
+
+  /** The shared 3-column candidate CTE of the IVF-PQ oracles. */
+  private lazy val ivfPqCandSql: String =
+    """pq_cand AS (SELECT q.query_id, a.vec_id, a.cell
+         FROM a JOIN pq_qcell q ON a.cell = q.cell
+         WHERE a.vec_id <> q.query_id)"""
+
+  /** Residual IVF-PQ twin ([[graft.operators.Similarity
+    * .ivfPqResidualTopK]]): two-level cells, per-(vec, subspace)
+    * micro-int RESIDUALS against the vector's own cell centroid, a
+    * residual codebook over the mid-stride rank rows, exact integer
+    * encode, the per-(query, probed cell) effective-codeword LUT
+    * (cs + cw), ADC, shortlist, exact re-rank. Everything below the
+    * one float→micro quantization is integer arithmetic, so the
+    * residual form hash-certifies exactly like the raw one. */
+  private lazy val ivfPqResidualOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       $ivfPqCandSql,
+       $ivfPqResidualCtes
        SELECT query_id, vec_id, rk, cosine FROM res_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
-  }
+
+  /** Recall@3 of BOTH IVF-PQ forms against brute force, per query —
+    * the raw chain (pq_*) and the residual chain (res_*) share the
+    * two-level cells, the probed query cells and the candidate set,
+    * so the comparison isolates CODE FIDELITY. All three rankings are
+    * deterministic; the fractions hash-certify. */
+  private lazy val ivfPqRecallOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       $ivfPqCandSql,
+       $pqBaseSql,
+       ${pqTailSql(Some("pq_cand"))},
+       $ivfPqResidualCtes,
+       rqx AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE $isQuerySql),
+       rscored AS (
+         SELECT rqx.query_id, e.vec_id,
+           ${cosineSql("rqx.qv", "e.embedding")} AS cosine
+         FROM embeddings e CROSS JOIN rqx WHERE e.vec_id <> rqx.query_id),
+       rranked AS (
+         SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM rscored),
+       rex AS (SELECT query_id, vec_id FROM rranked WHERE rk <= 3),
+       hraw AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                FROM rex e
+                JOIN (SELECT query_id, vec_id FROM pq_ranked WHERE rk <= 3) p
+                  ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+                GROUP BY e.query_id),
+       hres AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                FROM rex e
+                JOIN (SELECT query_id, vec_id FROM res_ranked WHERE rk <= 3) r
+                  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+                GROUP BY e.query_id)
+       SELECT q.query_id,
+         coalesce(hraw.n, 0) AS n_hit_raw,
+         coalesce(hres.n, 0) AS n_hit_res,
+         CAST(coalesce(hraw.n, 0) AS DOUBLE) / 3 AS recall_raw,
+         CAST(coalesce(hres.n, 0) AS DOUBLE) / 3 AS recall_res
+       FROM rqx q
+       LEFT JOIN hraw ON q.query_id = hraw.query_id
+       LEFT JOIN hres ON q.query_id = hres.query_id
+       ORDER BY q.query_id"""
 
   /** DuckDB twins of [[Similarity.isQueryId]] / [[Similarity.isCentroidId]]
     * — the bounded (O(K) at any corpus size) workload predicates. */
@@ -3043,6 +3108,10 @@ object SparkEntry {
     // rebuilt-per-call form — same oracle, word for word (placement
     // and encode are per-vector pure against the frozen structures)
     "q_similar_ivfpq_persisted" -> ivfPqResidualOracle,
+    // recall@3 of BOTH IVF-PQ forms vs brute force, per query — raw
+    // and residual share cells/candidates, so the columns isolate code
+    // fidelity; deterministic fractions hash-certify
+    "q_ivfpq_recall" -> ivfPqRecallOracle,
     // recall of the PQ shortlist-then-re-rank vs brute force — both
     // rankings deterministic, so the fractions hash-certify
     "q_pq_recall" ->
