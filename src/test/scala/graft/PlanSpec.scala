@@ -486,6 +486,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
+    // the residual IVF-PQ chain nests exactly its bounded broadcasts
+    // (coarse/fmap placement frames, the per-(query, cell) LUT); the
+    // frac-strip's only nested loop is the 1-row total frame. Any
+    // CartesianProduct — or a nested loop that is not a BuildRight of
+    // a broadcast — is a corpus×corpus accident.
+    for (q <- Seq("q_similar_ivfpq_res", "q_similar_ivfpq_persisted",
+        "q_similar_pq_kmeans", "q_ivfpq_recall", "q_cdc_strip_frac")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin Inner") &&
+        !s.contains("BroadcastNestedLoopJoin LeftOuter"),
+        s"$q has a non-bounded nested loop:\n$s")
+    }
+    // v8 is pure equi/semi/anti machinery end to end — dedup gates,
+    // strip anti-join, clean-text quality, embedding attach: nothing
+    // may fall to a nested loop at all
+    val v8 = planString("q_curate_v8")
+    assert(!v8.contains("CartesianProduct") &&
+      !v8.contains("BroadcastNestedLoopJoin"),
+      s"q_curate_v8 degenerated to all-pairs:\n$v8")
+  }
+
   test("round-16b queries: projection is one narrow pass; NB/ANN stay equi-joined") {
     // rp_project is a single scan + native expression: no join anywhere,
     // and the ONLY exchange is the final presentation sort's range
