@@ -2819,6 +2819,31 @@ class TextPipelineSpec extends SparkSpec {
     assert(resRecall > 0.5, s"residual recall $resRecall not vacuous")
   }
 
+  test("PROPERTY: residual micro roundtrip recovers the integer difference exactly") {
+    import org.scalacheck.Gen
+    // the exactness claim the residual chain's hash certification rests
+    // on: microQ((microQ(x) − microQ(c)) / 1e6) == microQ(x) − microQ(c)
+    // — the residual column stores the scaled-back double, and the
+    // downstream quantizer (pqSubspaces / PqEncode, both engines) must
+    // recover the integer difference for ANY float pair an embedding
+    // could carry (|roundtrip error| ≈ |diff|·2⁻⁵² ≪ ½)
+    val genF = Gen.oneOf(
+      Gen.choose(-1.0, 1.0),        // normalized embeddings
+      Gen.choose(-1000.0, 1000.0),  // unnormalized feature scales
+      Gen.oneOf(0.0, -0.0, 1e-9, -1e-9, 0.9999995, -0.9999995,
+        999.9999994, -999.9999994))
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    samples(Gen.listOfN(40, Gen.zip(genF, genF)), 30).flatten.foreach {
+      case (xd, cd) =>
+        val x = xd.toFloat
+        val c = cd.toFloat
+        val diff = micro(x.toDouble) - micro(c.toDouble)
+        val resid = diff.toDouble / 1e6 // the stored residual component
+        assert(micro(resid) === diff,
+          s"roundtrip broke for x=$x c=$c diff=$diff resid=$resid")
+    }
+  }
+
   test("residual IVF-PQ index: build+append ≡ rebuilt-per-call; replayed append is a no-op") {
     import Similarity._
     val emb = clusteredEmb
