@@ -151,6 +151,7 @@ object SparkEntry {
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
     "q_ivfpq_recall"       -> (Similarity.qIvfPqRecall _),
+    "q_pq_codebook_recall" -> (Similarity.qPqCodebookRecall _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
@@ -794,34 +795,38 @@ object SparkEntry {
   private def pqMicroSql(x: String): String =
     s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
 
-  /** The encode/LUT/norms CTEs downstream of a defined `pq_cb`:
-    * exact L2² encode (unrolled integer sums), the per-query ADC
-    * lookup table and query norms — ends with
-    * `pq_code`/`pq_lut`/`pq_qn`; [[pqTailSql]] finishes the chain. */
-  private lazy val pqAfterCbSql: String = {
+  /** The encode/LUT/norms CTEs downstream of a defined codebook CTE
+    * `$cb`: exact L2² encode (unrolled integer sums), the per-query
+    * ADC lookup table and query norms — ends with
+    * `${p}_code`/`${p}_lut`/`${p}_qn`; [[pqTailSqlP]] finishes the
+    * chain. The prefix lets TWO codebook chains (stride vs learned)
+    * coexist in one statement over the shared `pq_x`. */
+  private def pqAfterCbSqlP(p: String, cb: String): String = {
     import Similarity._
     val l2 = (1 to PqSubDim).map(d =>
       s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
     val dotp = (1 to PqSubDim).map(d => s"q.qq[$d] * c.cw[$d]").mkString(" + ")
     val cwn2 = (1 to PqSubDim).map(d => s"c.cw[$d] * c.cw[$d]").mkString(" + ")
     val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
-    s"""pq_d AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
-         FROM pq_x x JOIN pq_cb c ON x.m = c.m),
-       pq_code AS (SELECT vec_id, m, j FROM (
+    s"""${p}_d AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+         FROM pq_x x JOIN $cb c ON x.m = c.m),
+       ${p}_code AS (SELECT vec_id, m, j FROM (
            SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-             ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM pq_d)
+             ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM ${p}_d)
          WHERE rk = 1),
-       pq_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
+       ${p}_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
            list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
              ms.m * $PqSubDim + $PqSubDim), x -> ${pqMicroSql("x")}) AS qq
          FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
          WHERE $isQuerySql),
-       pq_lut AS (SELECT q.query_id, q.m, c.j,
+       ${p}_lut AS (SELECT q.query_id, q.m, c.j,
            CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
-         FROM pq_qs q JOIN pq_cb c ON q.m = c.m),
-       pq_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
-         FROM pq_qs GROUP BY query_id)"""
+         FROM ${p}_qs q JOIN $cb c ON q.m = c.m),
+       ${p}_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
+         FROM ${p}_qs GROUP BY query_id)"""
   }
+
+  private lazy val pqAfterCbSql: String = pqAfterCbSqlP("pq", "pq_cb")
 
   /** Shared PQ BASE CTEs — the stride-codebook chain: scaffold,
     * `pq_cb` = the stride codebook verbatim, encode/LUT/norms. */
@@ -834,45 +839,50 @@ object SparkEntry {
     * unrestricted (brute ADC over every code) when `cand` is None,
     * or restricted to a `(query_id, vec_id)` candidate CTE (the
     * IVF-PQ composition). Interpolate after pqBaseSql + ",". */
-  private def pqTailSql(cand: Option[String]): String = {
+  private def pqTailSql(cand: Option[String]): String =
+    pqTailSqlP("pq", cand)
+
+  /** Prefix-parameterized [[pqTailSql]] — reads `${p}_code`/`${p}_lut`/
+    * `${p}_qn` and ends with `${p}_ranked`. */
+  private def pqTailSqlP(p: String, cand: Option[String]): String = {
     import Similarity.PqShortlist
     val adcFrom = cand match {
       case Some(c) =>
         s"""FROM $c cd
-         JOIN pq_code v ON v.vec_id = cd.vec_id
-         JOIN pq_lut l ON l.query_id = cd.query_id
+         JOIN ${p}_code v ON v.vec_id = cd.vec_id
+         JOIN ${p}_lut l ON l.query_id = cd.query_id
            AND l.m = v.m AND l.j = v.j
          GROUP BY cd.query_id, cd.vec_id"""
       case None =>
-        s"""FROM pq_code v JOIN pq_lut l ON v.m = l.m AND v.j = l.j
+        s"""FROM ${p}_code v JOIN ${p}_lut l ON v.m = l.m AND v.j = l.j
          GROUP BY l.query_id, v.vec_id"""
     }
     val (qid, vid) = cand.fold(("l.query_id", "v.vec_id"))(_ =>
       ("cd.query_id", "cd.vec_id"))
-    s"""pq_adc AS (SELECT $qid AS query_id, $vid AS vec_id,
+    s"""${p}_adc AS (SELECT $qid AS query_id, $vid AS vec_id,
            CAST(sum(l.dotp) AS BIGINT) AS num,
            CAST(sum(l.cwn2) AS BIGINT) AS nsq
          $adcFrom),
-       pq_sc AS (SELECT a.query_id, a.vec_id,
+       ${p}_sc AS (SELECT a.query_id, a.vec_id,
            CASE WHEN a.nsq = 0 OR n.qn2 = 0 THEN 0.0
                 ELSE CAST(a.num AS DOUBLE)
                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
            END AS adc
-         FROM pq_adc a JOIN pq_qn n ON a.query_id = n.query_id
+         FROM ${p}_adc a JOIN ${p}_qn n ON a.query_id = n.query_id
          WHERE a.vec_id <> a.query_id),
-       pq_short AS (SELECT query_id, vec_id FROM (
+       ${p}_short AS (SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc DESC, vec_id) AS srk FROM pq_sc)
+             ORDER BY adc DESC, vec_id) AS srk FROM ${p}_sc)
          WHERE srk <= $PqShortlist),
-       pq_rr AS (SELECT s.query_id, s.vec_id,
+       ${p}_rr AS (SELECT s.query_id, s.vec_id,
            ${cosineSql("qe.embedding", "e.embedding")} AS cosine
-         FROM pq_short s
+         FROM ${p}_short s
          JOIN embeddings e ON e.vec_id = s.vec_id
          JOIN embeddings qe ON qe.vec_id = s.query_id),
-       pq_ranked AS (SELECT query_id, vec_id,
+       ${p}_ranked AS (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id) AS rk, cosine
-         FROM pq_rr)"""
+         FROM ${p}_rr)"""
   }
 
   /** The full unrestricted (brute-ADC) PQ chain — the twin of
@@ -888,7 +898,18 @@ object SparkEntry {
     * floor(Σ/n) spelled (s − ((s % n) + n) % n) // n, the DuckDB twin
     * of Spark's (s − pmod(s, n)) div n. Everything integer, so the
     * learned codebook hash-certifies — unlike float k-means. */
-  private lazy val pqLloydOracle: String = {
+  private lazy val pqLloydOracle: String =
+    s"""WITH $pqScaffoldSql,
+       $pqLloydCtes,
+       pq_cb AS (SELECT m, j, cw FROM lcb_${Similarity.PqLloydIters}),
+       $pqAfterCbSql,
+       ${pqTailSql(None)}
+       SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+
+  /** The unrolled Lloyd-round CTEs (assignment argmin + integer-mean
+    * update per round) from `pq_cb0`/`pq_x` to `lcb_<iters>`. */
+  private lazy val pqLloydCtes: String = {
     import Similarity._
     val l2 = (1 to PqSubDim).map(d =>
       s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
@@ -913,14 +934,53 @@ object SparkEntry {
                s -> s.cwd) AS cw
            FROM lmean_$i GROUP BY m, j)"""
     }.mkString(",\n       ")
-    s"""WITH $pqScaffoldSql,
-       $iterCtes,
-       pq_cb AS (SELECT m, j, cw FROM lcb_$PqLloydIters),
-       $pqAfterCbSql,
-       ${pqTailSql(None)}
-       SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
-       ORDER BY query_id, rk"""
+    iterCtes
   }
+
+  /** Recall@3 of the STRIDE vs the LEARNED (integer-mean Lloyd) PQ
+    * codebook against brute force, per query — both chains share the
+    * corpus sub-vectors (`pq_x`) and differ ONLY in the codebook, so
+    * the columns isolate what training buys. Deterministic end to
+    * end; the fractions hash-certify. */
+  private lazy val pqCodebookRecallOracle: String =
+    s"""WITH $pqScaffoldSql,
+       pq_cb AS (SELECT m, j, cw FROM pq_cb0),
+       $pqAfterCbSql,
+       ${pqTailSql(None)},
+       $pqLloydCtes,
+       ${pqAfterCbSqlP("lq", s"lcb_${Similarity.PqLloydIters}")},
+       ${pqTailSqlP("lq", None)},
+       cqx AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE $isQuerySql),
+       cscored AS (
+         SELECT cqx.query_id, e.vec_id,
+           ${cosineSql("cqx.qv", "e.embedding")} AS cosine
+         FROM embeddings e CROSS JOIN cqx WHERE e.vec_id <> cqx.query_id),
+       cranked AS (
+         SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM cscored),
+       cex AS (SELECT query_id, vec_id FROM cranked WHERE rk <= 3),
+       hstride AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                   FROM cex e
+                   JOIN (SELECT query_id, vec_id FROM pq_ranked WHERE rk <= 3) p
+                     ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+                   GROUP BY e.query_id),
+       hlloyd AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                  FROM cex e
+                  JOIN (SELECT query_id, vec_id FROM lq_ranked WHERE rk <= 3) l
+                    ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+                  GROUP BY e.query_id)
+       SELECT q.query_id,
+         coalesce(hstride.n, 0) AS n_hit_stride,
+         coalesce(hlloyd.n, 0) AS n_hit_lloyd,
+         CAST(coalesce(hstride.n, 0) AS DOUBLE) / 3 AS recall_stride,
+         CAST(coalesce(hlloyd.n, 0) AS DOUBLE) / 3 AS recall_lloyd
+       FROM cqx q
+       LEFT JOIN hstride ON q.query_id = hstride.query_id
+       LEFT JOIN hlloyd ON q.query_id = hlloyd.query_id
+       ORDER BY q.query_id"""
 
   /** The query-side probed-cell CTEs of the IVF-PQ composites (coarse
     * rank-1, fine rank ≤ nprobe=2) over [[twoLevelCellsSql]]'s
@@ -3112,6 +3172,8 @@ object SparkEntry {
     // and residual share cells/candidates, so the columns isolate code
     // fidelity; deterministic fractions hash-certify
     "q_ivfpq_recall" -> ivfPqRecallOracle,
+    // stride vs learned codebook recall — what integer-mean Lloyd buys
+    "q_pq_codebook_recall" -> pqCodebookRecallOracle,
     // recall of the PQ shortlist-then-re-rank vs brute force — both
     // rankings deterministic, so the fractions hash-certify
     "q_pq_recall" ->
