@@ -486,6 +486,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-19: ADC probes prune the code table BEFORE the ×M explode") {
+    // The IVF-PQ saving is candidate-volume pruning; it only survives
+    // the ADC if the prune sits BELOW the ×M posexplode of the code
+    // table. Assert every code-table Generate has the candidate /
+    // probed-cell join in its child subtree — a Generate whose child
+    // subtree has no join is exploding the full corpus ×8 before
+    // filtering, the round-18 scale wart (the prune must PRECEDE the
+    // explode).
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    for (q <- Seq("q_similar_ivfpq", "q_similar_ivfpq_res",
+        "q_similar_ivfpq_persisted")) {
+      val plan = physical(SparkEntry.queries(q)(spark, sf("sf0.001")))
+      val gens = plan.collect {
+        case g: GenerateExec if g.generator.toString.contains("codes") => g
+      }
+      assert(gens.nonEmpty, s"$q: no code-table Generate found")
+      gens.foreach { g =>
+        val prunes = g.child.collect { case j: BaseJoinExec => j }
+        assert(prunes.nonEmpty,
+          s"$q: code-table explode not preceded by the candidate join:\n$g")
+      }
+    }
+  }
+
   test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
     // the residual IVF-PQ chain nests exactly its bounded broadcasts
     // (coarse/fmap placement frames, the per-(query, cell) LUT); the
