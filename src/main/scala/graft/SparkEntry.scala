@@ -148,6 +148,9 @@ object SparkEntry {
     "q_similar_pq"         -> (Similarity.qSimilarPq _),
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
+    "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
+    "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
+    "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
     "q_ivfpq_recall"       -> (Similarity.qIvfPqRecall _),
@@ -909,30 +912,42 @@ object SparkEntry {
 
   /** The unrolled Lloyd-round CTEs (assignment argmin + integer-mean
     * update per round) from `pq_cb0`/`pq_x` to `lcb_<iters>`. */
-  private lazy val pqLloydCtes: String = {
+  private lazy val pqLloydCtes: String = lloydCtesSql("pq_x", "pq_cb0", "l")
+
+  /** Parameterized Lloyd unroll — the DuckDB twin of
+    * [[graft.operators.Similarity]]'s `lloydRounds`: per round, the
+    * exact integer L2² assignment over `$xCte`'s (vec_id, m, xq)
+    * sub-vectors (extra columns ignored) and the integer-mean update
+    * floor(Σ/n) = (s − ((s % n) + n) % n) // n, from seed `$seedCte`
+    * to `${p}cb_<PqLloydIters>`. The raw chain passes the corpus
+    * sub-vectors; the residual chain passes the residual
+    * sub-vectors. */
+  private def lloydCtesSql(xCte: String, seedCte: String,
+                           p: String): String = {
     import Similarity._
     val l2 = (1 to PqSubDim).map(d =>
       s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
     val iterCtes = (0 until PqLloydIters).map { i =>
-      val prev = if (i == 0) "pq_cb0" else s"lcb_$i"
-      s"""ld_$i AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
-           FROM pq_x x JOIN $prev c ON x.m = c.m),
-         lcode_$i AS (SELECT vec_id, m, j FROM (
+      val prev = if (i == 0) seedCte else s"${p}cb_$i"
+      s"""${p}d_$i AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+           FROM $xCte x JOIN $prev c ON x.m = c.m),
+         ${p}code_$i AS (SELECT vec_id, m, j FROM (
              SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
-               ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM ld_$i)
+               ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM ${p}d_$i)
            WHERE rk = 1),
-         lflat_$i AS (SELECT c.m, c.j, CAST(ds.d AS BIGINT) AS dim,
+         ${p}flat_$i AS (SELECT c.m, c.j, CAST(ds.d AS BIGINT) AS dim,
              x.xq[ds.d + 1] AS v
-           FROM lcode_$i c JOIN pq_x x ON x.vec_id = c.vec_id AND x.m = c.m,
+           FROM ${p}code_$i c
+           JOIN $xCte x ON x.vec_id = c.vec_id AND x.m = c.m,
            UNNEST(generate_series(0, ${PqSubDim - 1})) AS ds(d)),
-         lmean_$i AS (SELECT m, j, dim,
+         ${p}mean_$i AS (SELECT m, j, dim,
              CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
                // count(*) AS BIGINT) AS cwd
-           FROM lflat_$i GROUP BY m, j, dim),
-         lcb_${i + 1} AS (SELECT m, j,
+           FROM ${p}flat_$i GROUP BY m, j, dim),
+         ${p}cb_${i + 1} AS (SELECT m, j,
              list_transform(list_sort(list({'dim': dim, 'cwd': cwd})),
                s -> s.cwd) AS cw
-           FROM lmean_$i GROUP BY m, j)"""
+           FROM ${p}mean_$i GROUP BY m, j)"""
     }.mkString(",\n       ")
     iterCtes
   }
@@ -1015,16 +1030,18 @@ object SparkEntry {
     * [[twoLevelCellsSql]] + [[ivfPqQCellSql]] + a 3-column
     * `pq_cand(query_id, vec_id, cell)` precede it. Shared by the
     * residual oracle and the recall-comparison oracle. */
-  private lazy val ivfPqResidualCtes: String = {
+  private lazy val ivfPqResidualCtes: String =
+    s"""$ivfPqResidualScaffoldSql,
+       ${ivfPqResidualTailSql("res", "res_cb")}"""
+
+  /** The residual SCAFFOLD — decode table, per-(vec, subspace)
+    * micro-int residuals, the mid-stride seed codebook, query
+    * sub-vectors + norms — everything codebook-independent, shared by
+    * the mid-stride tail and the Lloyd-trained tail. */
+  private lazy val ivfPqResidualScaffoldSql: String = {
     import Similarity._
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
-    val l2 = (1 to PqSubDim).map(d =>
-      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
-    val dotp = (1 to PqSubDim).map(d =>
-      s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
-    val cwn2 = (1 to PqSubDim).map(d =>
-      s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
     val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
     s"""-- per-cell micro sub-vectors of the fine centroids (the decode
        -- table: a code reconstructs to cs + cw)
@@ -1055,14 +1072,6 @@ object SparkEntry {
          WHERE vrk % stride = off AND vrk < stride * kk + off),
        res_cb AS (SELECT r.m, t.j, r.xq AS cw
          FROM res_train t JOIN res_x r ON r.vec_id = t.vec_id),
-       -- exact integer L2² encode, ties -> smallest j
-       res_d AS (SELECT x.vec_id, x.cell, x.m, c.j, $l2 AS dist
-         FROM res_x x JOIN res_cb c ON x.m = c.m),
-       res_code AS (SELECT vec_id, cell, m, j FROM (
-           SELECT vec_id, cell, m, j, row_number() OVER (
-             PARTITION BY vec_id, m ORDER BY dist ASC NULLS LAST, j ASC) AS rk
-           FROM res_d)
-         WHERE rk = 1),
        -- query micro sub-vectors + norms (queries are NOT residualized:
        -- ADC compares raw q against the reconstruction cs + cw)
        res_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
@@ -1071,42 +1080,65 @@ object SparkEntry {
          FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
          WHERE $isQuerySql),
        res_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
-         FROM res_qs GROUP BY query_id),
+         FROM res_qs GROUP BY query_id)"""
+  }
+
+  /** The residual encode/LUT/ADC/re-rank TAIL downstream of a defined
+    * residual codebook CTE `$cb` — prefix-parameterized so the
+    * mid-stride chain (`res_*` over `res_cb`) and the Lloyd-trained
+    * chain (`rlq_*` over `rlcb_<iters>`) coexist in one statement over
+    * the shared scaffold; ends with `${p}_ranked`. */
+  private def ivfPqResidualTailSql(p: String, cb: String): String = {
+    import Similarity._
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    val dotp = (1 to PqSubDim).map(d =>
+      s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    val cwn2 = (1 to PqSubDim).map(d =>
+      s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    s"""-- exact integer L2² encode, ties -> smallest j
+       ${p}_d AS (SELECT x.vec_id, x.cell, x.m, c.j, $l2 AS dist
+         FROM res_x x JOIN $cb c ON x.m = c.m),
+       ${p}_code AS (SELECT vec_id, cell, m, j FROM (
+           SELECT vec_id, cell, m, j, row_number() OVER (
+             PARTITION BY vec_id, m ORDER BY dist ASC NULLS LAST, j ASC) AS rk
+           FROM ${p}_d)
+         WHERE rk = 1),
        -- the per-(query, probed cell) effective-codeword LUT
-       res_lut AS (SELECT qc.query_id, qc.cell, q.m, c.j,
+       ${p}_lut AS (SELECT qc.query_id, qc.cell, q.m, c.j,
            CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
          FROM pq_qcell qc
          JOIN res_qs q ON q.query_id = qc.query_id
          JOIN cell_sub s ON s.cell = qc.cell AND s.m = q.m
-         JOIN res_cb c ON c.m = q.m),
-       res_adc AS (SELECT cd.query_id, cd.vec_id,
+         JOIN $cb c ON c.m = q.m),
+       ${p}_adc AS (SELECT cd.query_id, cd.vec_id,
            CAST(sum(l.dotp) AS BIGINT) AS num,
            CAST(sum(l.cwn2) AS BIGINT) AS nsq
          FROM pq_cand cd
-         JOIN res_code v ON v.vec_id = cd.vec_id AND v.cell = cd.cell
-         JOIN res_lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+         JOIN ${p}_code v ON v.vec_id = cd.vec_id AND v.cell = cd.cell
+         JOIN ${p}_lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
            AND l.m = v.m AND l.j = v.j
          GROUP BY cd.query_id, cd.vec_id),
-       res_sc AS (SELECT a.query_id, a.vec_id,
+       ${p}_sc AS (SELECT a.query_id, a.vec_id,
            CASE WHEN a.nsq = 0 OR n.qn2 = 0 THEN 0.0
                 ELSE CAST(a.num AS DOUBLE)
                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
            END AS adc
-         FROM res_adc a JOIN res_qn n ON a.query_id = n.query_id
+         FROM ${p}_adc a JOIN res_qn n ON a.query_id = n.query_id
          WHERE a.vec_id <> a.query_id),
-       res_short AS (SELECT query_id, vec_id FROM (
+       ${p}_short AS (SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
-             ORDER BY adc DESC, vec_id) AS srk FROM res_sc)
+             ORDER BY adc DESC, vec_id) AS srk FROM ${p}_sc)
          WHERE srk <= $PqShortlist),
-       res_rr AS (SELECT s.query_id, s.vec_id,
+       ${p}_rr AS (SELECT s.query_id, s.vec_id,
            ${cosineSql("qe.embedding", "e.embedding")} AS cosine
-         FROM res_short s
+         FROM ${p}_short s
          JOIN embeddings e ON e.vec_id = s.vec_id
          JOIN embeddings qe ON qe.vec_id = s.query_id),
-       res_ranked AS (SELECT query_id, vec_id,
+       ${p}_ranked AS (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
              ORDER BY cosine DESC, vec_id) AS rk, cosine
-         FROM res_rr)"""
+         FROM ${p}_rr)"""
   }
 
   /** The shared 3-column candidate CTE of the IVF-PQ oracles. */
@@ -1130,6 +1162,93 @@ object SparkEntry {
        $ivfPqResidualCtes
        SELECT query_id, vec_id, rk, cosine FROM res_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
+
+  /** Lloyd-trained residual IVF-PQ twin ([[graft.operators.Similarity
+    * .ivfPqResidualTopKLloyd]] — full FAISS IVFADC training): the
+    * scaffold's mid-stride residual codebook seeds the unrolled
+    * integer-mean Lloyd rounds over the corpus RESIDUAL sub-vectors,
+    * then the unchanged encode/LUT/ADC/re-rank tail serves from the
+    * learned codebook. Integer arithmetic end to end below the one
+    * float→micro quantization, so it hash-certifies like both
+    * parents. */
+  private lazy val ivfPqLloydOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       $ivfPqCandSql,
+       $ivfPqResidualScaffoldSql,
+       ${lloydCtesSql("res_x", "res_cb", "rl")},
+       ${ivfPqResidualTailSql("rlq", s"rlcb_${Similarity.PqLloydIters}")}
+       SELECT query_id, vec_id, rk, cosine FROM rlq_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+
+  /** Recall@3 of the mid-stride vs the Lloyd-trained residual IVF-PQ
+    * against brute force — both chains share cells, probed cells,
+    * candidates AND the residual sub-vectors, differing only in
+    * codebook training, so the columns isolate what
+    * k-means-on-residuals buys. Deterministic; the fractions
+    * hash-certify. */
+  private lazy val ivfPqLloydRecallOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       $ivfPqCandSql,
+       $ivfPqResidualCtes,
+       ${lloydCtesSql("res_x", "res_cb", "rl")},
+       ${ivfPqResidualTailSql("rlq", s"rlcb_${Similarity.PqLloydIters}")},
+       rqx AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE $isQuerySql),
+       rscored AS (
+         SELECT rqx.query_id, e.vec_id,
+           ${cosineSql("rqx.qv", "e.embedding")} AS cosine
+         FROM embeddings e CROSS JOIN rqx WHERE e.vec_id <> rqx.query_id),
+       rranked AS (
+         SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM rscored),
+       rex AS (SELECT query_id, vec_id FROM rranked WHERE rk <= 3),
+       hres AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                FROM rex e
+                JOIN (SELECT query_id, vec_id FROM res_ranked WHERE rk <= 3) r
+                  ON e.query_id = r.query_id AND e.vec_id = r.vec_id
+                GROUP BY e.query_id),
+       hlloyd AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                  FROM rex e
+                  JOIN (SELECT query_id, vec_id FROM rlq_ranked
+                        WHERE rk <= 3) l
+                    ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+                  GROUP BY e.query_id)
+       SELECT q.query_id,
+         coalesce(hres.n, 0) AS n_hit_res,
+         coalesce(hlloyd.n, 0) AS n_hit_lloyd,
+         CAST(coalesce(hres.n, 0) AS DOUBLE) / 3 AS recall_res,
+         CAST(coalesce(hlloyd.n, 0) AS DOUBLE) / 3 AS recall_lloyd
+       FROM rqx q
+       LEFT JOIN hres ON q.query_id = hres.query_id
+       LEFT JOIN hlloyd ON q.query_id = hlloyd.query_id
+       ORDER BY q.query_id"""
+
+  /** Total squared residual-quantization error under the mid-stride
+    * seed vs the Lloyd-trained codebook — the k-means objective,
+    * certified as one integer row (the descent is the claim training
+    * actually guarantees; see [[graft.operators.Similarity
+    * .ivfPqLloydRecall]]'s metric-mismatch note). */
+  private lazy val ivfPqLloydMseOracle: String = {
+    import Similarity._
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqResidualScaffoldSql,
+       ${lloydCtesSql("res_x", "res_cb", "rl")},
+       eres AS (SELECT CAST(sum(d) AS BIGINT) AS sq_err_res FROM (
+           SELECT x.vec_id, x.m, min($l2) AS d
+           FROM res_x x JOIN res_cb c ON x.m = c.m
+           GROUP BY x.vec_id, x.m)),
+       elloyd AS (SELECT CAST(sum(d) AS BIGINT) AS sq_err_lloyd FROM (
+           SELECT x.vec_id, x.m, min($l2) AS d
+           FROM res_x x JOIN rlcb_${Similarity.PqLloydIters} c ON x.m = c.m
+           GROUP BY x.vec_id, x.m))
+       SELECT sq_err_res, sq_err_lloyd FROM eres, elloyd"""
+  }
 
   /** Recall@3 of BOTH IVF-PQ forms against brute force, per query —
     * the raw chain (pq_*) and the residual chain (res_*) share the
@@ -3160,6 +3279,9 @@ object SparkEntry {
     // micro arithmetic end to end, so it hash-certifies like the raw
     // form despite being the FAISS-shape production encoding
     "q_similar_ivfpq_res" -> ivfPqResidualOracle,
+    "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
+    "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
+    "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this
     // learned index hash-certifies end to end
