@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dedup_incremental"  -> (TextDedup.qDedupIncremental _),
     "q_dedup_persisted"    -> (TextDedup.qDedupPersisted _),
     "q_dedup_appended"     -> (TextDedup.qDedupAppended _),
+    "q_dedup_deleted"      -> (TextDedup.qDedupDeleted _),
     "q_bloom_dedup"        -> (BloomDedup.qBloomDedup _),
     "q_snapshot_diff"      -> (Snapshot.qSnapshotDiff _),
     "q_dedup_clusters"     -> (TextDedup.qDedupClusters _),
@@ -1363,13 +1364,25 @@ object SparkEntry {
     * candidates pair a probe-side band row with an index-side one. The
     * chain's self-join `cand`/`scored` CTEs go unreferenced and DuckDB
     * never evaluates them. */
-  private def dedupIncrementalOracle: String = {
+  private def dedupIncrementalOracle: String = dedupIncrementalOracleWhere("")
+
+  /** Tombstone twin: the index side additionally excludes the deleted
+    * slice — the oracle for the full build+append+delete+compact+probe
+    * lifecycle is simply "those docs were never indexed". */
+  private def dedupDeletedOracle: String = {
+    import TextDedup._
+    dedupIncrementalOracleWhere(
+      s" AND NOT (b.doc_id % $DeleteMod = $DeleteRem)")
+  }
+
+  private def dedupIncrementalOracleWhere(extraIndexPred: String): String = {
     import TextDedup._
     s"""WITH $minhashCtes,
        cand2 AS (
          SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS index_id
          FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-         WHERE a.doc_id % $IncrementMod = 0 AND b.doc_id % $IncrementMod <> 0),
+         WHERE a.doc_id % $IncrementMod = 0
+           AND b.doc_id % $IncrementMod <> 0$extraIndexPred),
        scored2 AS (
          SELECT probe_id, index_id,
            CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) AS inter,
@@ -2782,6 +2795,7 @@ object SparkEntry {
     // build(odd) + append(even) + compact covers the same standing
     // population — the whole lifecycle is answer-invariant too
     "q_dedup_appended" -> dedupIncrementalOracle,
+    "q_dedup_deleted" -> dedupDeletedOracle,
     "q_bloom_dedup" -> bloomDedupOracle,
     "q_snapshot_diff" -> snapshotDiffOracle,
     "q_dedup_clusters" -> dedupClustersOracle,

@@ -927,10 +927,74 @@ object TextDedup {
   def dedupProbeIndex(spark: SparkSession, path: String,
                       probe: DataFrame): DataFrame = {
     val live = currentIndexDir(spark, path)
+    // tombstone MASK: every landed delete is excluded from the answer
+    // by an anti-join on the emitted index ids — exact, because every
+    // jaccard is a function of the shingle SET, which deleting one
+    // member does not change. Empty when no tombstones exist (the
+    // anti-join is a no-op); grows with total-ever-deleted ids, never
+    // the corpus (deleted-stays-deleted retention — see
+    // [[compactDedupIndex]]).
     crossPairsFrom(collapseGroups(probe),
       spark.read.parquet(s"$live/bands"),
       spark.read.parquet(s"$live/sets"),
       MaxBandBucket)
+      .join(deletesIn(spark, live).select(col("doc_id").as("index_id")),
+        Seq("index_id"), "left_anti")
+      .select(col("probe_id"), col("index_id"), col("jaccard"))
+  }
+
+  /** Land a TOMBSTONE batch against a standing dedup index — the
+    * delete half of the lifecycle a 100-TB CDC-fed corpus needs
+    * (takedowns, re-crawl retractions): the doc ids to remove land as
+    * an identity-addressed `deletes/batch=<tag>/` dir inside the LIVE
+    * version ([[landIdentityBatch]] — replay-idempotent like every
+    * landing in this engine), are MASKED out of probe answers
+    * immediately ([[dedupProbeIndex]]) and physically APPLIED at the
+    * next [[compactDedupIndex]] (memberships pruned, fully-deleted
+    * sets dropped, bands rebuilt), after which the sets/bands layout
+    * is row-equivalent to a fresh build over the surviving corpus;
+    * the tombstone ids themselves are RETAINED across compacts
+    * (deleted-stays-deleted — see [[compactDedupIndex]] for the
+    * replayed-append hazard this closes). Standing sets/bands rows
+    * are never rewritten here — a delete is O(batch), not O(index).
+    *
+    * The one conservatism in the mask-vs-apply window: tombstoned
+    * rows still count toward the per-(band, sig) hot-bucket cap until
+    * compaction — the same more-exclusion-never-phantom-pairs
+    * direction as append's split reps, and gone after compact. */
+  def deleteDedupIndex(spark: SparkSession, path: String,
+                       docIds: DataFrame): Unit = {
+    val live = currentIndexDir(spark, path)
+    val ids = docIds.select(col("doc_id")).distinct()
+    landIdentityBatch(ids, s"$live/deletes", identityBatchTag(ids, "doc_id"))
+  }
+
+  /** The landed tombstones of a version dir, as a (doc_id) frame —
+    * empty (same schema) when none have been landed or all were
+    * applied by a compact (a post-compact `deletes/` holds only the
+    * carried manifest, no batch dirs). */
+  private def deletesIn(spark: SparkSession, versionDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$versionDir/deletes")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (hasBatches)
+      spark.read.parquet(dir.toString).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** The batch tags physically present as `batch=<tag>/` dirs under a
+    * table root (the [[TrainPrep.compactCdcIndex]] convention: carried
+    * across compacts alongside the manifest, so pre-manifest layouts
+    * keep their history too). */
+  private def batchDirTags(spark: SparkSession, tableDir: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.startsWith("batch=") =>
+        st.getPath.getName.stripPrefix("batch=")
+    }.toSet
   }
 
   /** Append an increment to a standing dedup index — the text twin of
@@ -981,10 +1045,31 @@ object TextDedup {
     * instant at which merged sets are readable against stale
     * bands. */
   def compactDedupIndex(spark: SparkSession, path: String): Unit = {
+    val live = currentIndexDir(spark, path)
+    // APPLY tombstones: deleted ids drop out of every membership (the
+    // anti-join below), and a set whose members all died vanishes from
+    // the explode→re-chunk — its band rows are simply never rebuilt.
+    // BOTH the tombstone ROWS and the delete-batch MANIFEST carry into
+    // the new version: the manifest (the compactCdcIndex convention)
+    // makes a replayed DELETE a no-op after its batch dir was
+    // consolidated away, and the carried rows keep the probe mask
+    // standing forever — DELETED-STAYS-DELETED even against a replayed
+    // APPEND (dedup appends are mode(append) with compact-as-recovery,
+    // so a retried old append CAN physically re-land a deleted doc's
+    // membership; the standing mask hides it and the next compact
+    // prunes it again). Retention cost: the tombstone list grows with
+    // total-ever-deleted ids — bare (doc_id) rows, bounded by delete
+    // volume, never corpus-proportional (ids are never reused per the
+    // lifecycle contract, so no tombstone can ever be retired by a
+    // later legitimate append).
+    val tombstones = deletesIn(spark, live)
+    val carriedDeleteTags = landedBatchTags(spark, s"$live/deletes") ++
+      batchDirTags(spark, s"$live/deletes")
     val merged = chunkMembers(
-      spark.read.parquet(s"${currentIndexDir(spark, path)}/sets")
+      spark.read.parquet(s"$live/sets")
         .select(col("hs"), explode(col("members")).as("doc_id"))
-        .distinct(),
+        .distinct()
+        .join(tombstones, Seq("doc_id"), "left_anti"),
       chunkSize(spark)).cache()
     installIndexVersion(spark, path) { dir =>
       merged.select(col("set_rep").as("doc_id"), col("hs"),
@@ -994,6 +1079,12 @@ object TextDedup {
           .select(col("set_rep").as("doc_id"), col("hs")))
         .select(col("doc_id"), col("band"), col("sig"))
         .write.mode("overwrite").parquet(s"$dir/bands")
+      if (carriedDeleteTags.nonEmpty) {
+        tombstones.write.mode("overwrite")
+          .parquet(s"$dir/deletes/batch=compacted")
+        recordBatchTags(spark, s"$dir/deletes",
+          carriedDeleteTags + "compacted")
+      }
     }
     merged.unpersist()
     ()
@@ -1011,6 +1102,37 @@ object TextDedup {
     val standing = docs.filter(col("doc_id") % IncrementMod =!= 0)
     writeDedupIndex(standing.filter(col("doc_id") % 2 === 1), path)
     appendDedupIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    compactDedupIndex(spark, path)
+    dedupProbeIndex(spark, path,
+        docs.filter(col("doc_id") % IncrementMod === 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** The tombstone slice of [[qDedupDeleted]]: standing docs with
+    * doc_id ≡ [[DeleteRem]] (mod [[DeleteMod]]) get deleted after the
+    * append — chosen to cut across both the build half (odd ids) and
+    * the append half (even ids), so the compact prunes memberships it
+    * landed through BOTH paths. */
+  val DeleteMod = 7
+  val DeleteRem = 3
+
+  /** Harness entry: build the index on the odd standing half, append
+    * the even half, DELETE the [[DeleteRem]] (mod [[DeleteMod]])
+    * slice, compact (tombstones applied), then probe with the 10%
+    * increment — the full delete lifecycle. The oracle re-derives
+    * [[crossCorpusPairs]] over the SURVIVING standing corpus, so
+    * landing, masking, application and the manifest carry must all be
+    * answer-invariant vs never having indexed the deleted docs at
+    * all. */
+  def qDedupDeleted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = spillPath(spark, "dedup_index_deleted")
+    val standing = docs.filter(col("doc_id") % IncrementMod =!= 0)
+    val isDel = col("doc_id") % DeleteMod === DeleteRem
+    writeDedupIndex(standing.filter(col("doc_id") % 2 === 1), path)
+    appendDedupIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    deleteDedupIndex(spark, path, standing.filter(isDel).select(col("doc_id")))
     compactDedupIndex(spark, path)
     dedupProbeIndex(spark, path,
         docs.filter(col("doc_id") % IncrementMod === 0))

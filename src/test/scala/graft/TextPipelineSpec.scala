@@ -164,6 +164,70 @@ class TextPipelineSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("dedup index delete: masks immediately, applies at compact; delete replay and delete-then-replay-append are safe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-del")
+    try {
+      val path = s"$dir/idx"; val pathB = s"$dir/fresh"
+      val probe = Seq((10L, base + " tonight")).toDF("doc_id", "text")
+      def rows(p: String) = TextDedup.dedupProbeIndex(spark, p, probe)
+        .select("probe_id", "index_id", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      def layout(p: String) = (
+        TextDedup.dedupIndexSets(spark, p)
+          .select(col("doc_id"), col("hs"), col("chunk_id"),
+            array_sort(col("members")))
+          .collect().map(_.toString).sorted.toSeq,
+        TextDedup.dedupIndexBands(spark, p)
+          .collect().map(_.toString).sorted.toSeq)
+      TextDedup.writeDedupIndex(docs.filter(col("doc_id").isin(1L, 3L)), path)
+      TextDedup.appendDedupIndex(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L, 5L)))
+      assert(rows(path).map(_._2).toSet === Set(1L, 2L, 4L))
+      // delete doc 2: masked IMMEDIATELY, before any compact
+      TextDedup.deleteDedupIndex(spark, path, Seq(2L).toDF("doc_id"))
+      val masked = rows(path)
+      assert(masked.map(_._2).toSet === Set(1L, 4L))
+      // replayed delete: identity-addressed no-op (answers + batch dirs)
+      TextDedup.deleteDedupIndex(spark, path, Seq(2L).toDF("doc_id"))
+      assert(rows(path) === masked)
+      val delDirs = new java.io.File(TextDedup.currentIndexDir(spark, path)
+          .stripPrefix("file:"), "deletes")
+        .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(delDirs.size === 1, s"replayed delete landed twice: $delDirs")
+      // compact APPLIES: sets/bands row-equivalent to a fresh build
+      // over the surviving corpus, probe answers unchanged
+      TextDedup.compactDedupIndex(spark, path)
+      assert(rows(path) === masked, "compaction changed masked answers")
+      TextDedup.writeDedupIndex(docs.filter(col("doc_id") =!= 2L), pathB)
+      assert(layout(path) === layout(pathB),
+        "post-compact layout must equal a fresh build over the survivors")
+      // replayed DELETE after the compact consolidated its batch away:
+      // the carried manifest makes it a no-op (no fresh batch dir)
+      TextDedup.deleteDedupIndex(spark, path, Seq(2L).toDF("doc_id"))
+      val delDirs2 = new java.io.File(TextDedup.currentIndexDir(spark, path)
+          .stripPrefix("file:"), "deletes")
+        .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+      assert(delDirs2 === Seq("batch=compacted"),
+        s"replay-after-compact re-landed: $delDirs2")
+      // delete-then-REPLAY-APPEND: a retried old append physically
+      // re-lands doc 2's membership (dedup appends are mode(append)
+      // with compact-as-recovery) — the RETAINED tombstones keep it
+      // masked, and the next compact prunes it again
+      TextDedup.appendDedupIndex(spark, path,
+        docs.filter(col("doc_id").isin(2L, 4L, 5L)))
+      // pre-compact the replay legitimately duplicates surviving pair
+      // rows (two reps per straddling set — the documented
+      // compact-as-recovery contract); the assertion is that doc 2
+      // stays OUT
+      assert(rows(path).map(_._2).toSet === Set(1L, 4L),
+        "a replayed append must not resurrect a deleted doc")
+      TextDedup.compactDedupIndex(spark, path)
+      assert(rows(path) === masked)
+      assert(layout(path) === layout(pathB),
+        "re-compact must prune the resurrected membership again")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("index install crash windows: reader keeps the old version; next lifecycle sweeps orphans, retains previous") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-crash")
     try {
