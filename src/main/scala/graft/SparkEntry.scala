@@ -152,6 +152,7 @@ object SparkEntry {
     "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
+    "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
     "q_ivfpq_recall"       -> (Similarity.qIvfPqRecall _),
@@ -1227,6 +1228,28 @@ object SparkEntry {
        LEFT JOIN hres ON q.query_id = hres.query_id
        LEFT JOIN hlloyd ON q.query_id = hlloyd.query_id
        ORDER BY q.query_id"""
+
+  /** IVF cell-occupancy audit twin — re-derives the two-level cell
+    * partition and aggregates occupancy: cell/vector counts, max/mean,
+    * and the mass + share of the hottest
+    * [[Similarity.CellAuditTopK]] cells (ties by cell id). */
+  private lazy val ivfCellAuditOracle: String = {
+    val k = Similarity.CellAuditTopK
+    s"""WITH $twoLevelCellsSql,
+       occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+               FROM a GROUP BY cell),
+       ranked AS (SELECT n,
+           row_number() OVER (ORDER BY n DESC, cell) AS rk FROM occ)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_vectors,
+         CAST(max(n) AS BIGINT) AS max_occ,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS BIGINT)
+           AS topk_mass,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
+           AS topk_share
+       FROM ranked"""
+  }
 
   /** Total squared residual-quantization error under the mid-stride
     * seed vs the Lloyd-trained codebook — the k-means objective,
@@ -3296,6 +3319,7 @@ object SparkEntry {
     "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
+    "q_ivf_cell_audit" -> ivfCellAuditOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this
     // learned index hash-certifies end to end

@@ -2925,6 +2925,29 @@ class TextPipelineSpec extends SparkSpec {
       "(cosine-ADC metric mismatch — see ivfPqLloydRecall scaladoc)")
   }
 
+  test("IVF cell audit: landed-index readout == one-shot partition; fixture occupancy is the honest 16×16") {
+    import Similarity._
+    val emb = clusteredEmb
+    val one = ivfCellAudit(emb).as[(Long, Long, Long, Double, Long, Double)]
+      .collect()(0)
+    // the clustered fixture places one fine centroid per tight cluster
+    // (contiguous id blocks): 16 cells, mean exactly 16 — but the
+    // centroids are SAMPLED members, so boundary vectors cross under
+    // cosine assignment and mild skew is the honest readout (max 20,
+    // top-4 share 0.30 vs the 0.25 a perfect split would give)
+    assert(one === ((16L, 256L, 20L, 16.0, 77L, 0.30078125)))
+    // the landed index's codes table reads back the SAME occupancy
+    // (build+append inherit the frozen placement)
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-audit").toString
+    writeIvfPqStructures(emb, p)
+    landIvfPqCodes(spark, p, emb.filter(col("vec_id") % 3 =!= 1))
+    appendIvfPqIndex(spark, p, emb.filter(col("vec_id") % 3 === 1))
+    val landed = ivfPqIndexCellAudit(spark, p)
+      .as[(Long, Long, Long, Double, Long, Double)].collect()(0)
+    assert(landed === one,
+      "landed-index audit must equal the one-shot partition audit")
+  }
+
   test("PROPERTY: residual micro roundtrip recovers the integer difference exactly") {
     import org.scalacheck.Gen
     // the exactness claim the residual chain's hash certification rests
