@@ -213,6 +213,14 @@ object SeamBench {
       results("ivfpq_probe") = round3(timeMin3 {
         run(Similarity.ivfPqProbeIndex(spark, path, queries, 3))
       })
+      // the nprobe COST curve — the partner of q_ivfpq_nprobe_curve's
+      // certified recall column: same landed index, same queries, the
+      // serving knob swept over its certified settings
+      Similarity.NprobeCurve.foreach { np =>
+        results(s"ivfpq_probe_np$np") = round3(timeMin3 {
+          run(Similarity.ivfPqProbeIndex(spark, path, queries, 3, np))
+        })
+      }
     }
 
     def jstr(s: String) = "\"" + s + "\""

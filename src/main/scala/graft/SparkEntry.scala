@@ -153,6 +153,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
     "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
+    "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
     "q_ivfpq_recall"       -> (Similarity.qIvfPqRecall _),
@@ -1002,8 +1003,12 @@ object SparkEntry {
   /** The query-side probed-cell CTEs of the IVF-PQ composites (coarse
     * rank-1, fine rank ≤ nprobe=2) over [[twoLevelCellsSql]]'s
     * structures — ends with `pq_qcell(query_id, cell)`. */
-  private lazy val ivfPqQCellSql: String =
-    s"""pq_vgq AS (SELECT vec_id, embedding, coarse_id FROM (
+  private lazy val ivfPqQCellSql: String = ivfPqQCellSqlAt("pq", 2)
+
+  /** Prefix/nprobe-parameterized probed-cell CTEs — the curve oracle
+    * instantiates one chain per nprobe over the shared structures. */
+  private def ivfPqQCellSqlAt(p: String, nprobe: Int): String =
+    s"""${p}_vgq AS (SELECT vec_id, embedding, coarse_id FROM (
              SELECT e.vec_id, e.embedding, g.coarse_id,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY ${cosineSql("e.embedding", "g.gv")} DESC,
@@ -1011,13 +1016,13 @@ object SparkEntry {
              FROM (SELECT vec_id, embedding FROM embeddings
                    WHERE $isQuerySql) e
              CROSS JOIN coarse g) WHERE grk = 1),
-         pq_qcell AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
+         ${p}_qcell AS (SELECT vec_id AS query_id, centroid_id AS cell FROM (
              SELECT v.vec_id, f.centroid_id,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY ${cosineSql("v.embedding", "f.cv")} DESC,
                    f.centroid_id) AS rk
-             FROM pq_vgq v JOIN fmap f ON v.coarse_id = f.coarse_id)
-           WHERE rk <= 2)"""
+             FROM ${p}_vgq v JOIN fmap f ON v.coarse_id = f.coarse_id)
+           WHERE rk <= $nprobe)"""
 
   /** Residual IVF-PQ twin ([[graft.operators.Similarity
     * .ivfPqResidualTopK]]): two-level cells, per-(vec, subspace)
@@ -1090,14 +1095,18 @@ object SparkEntry {
     * mid-stride chain (`res_*` over `res_cb`) and the Lloyd-trained
     * chain (`rlq_*` over `rlcb_<iters>`) coexist in one statement over
     * the shared scaffold; ends with `${p}_ranked`. */
-  private def ivfPqResidualTailSql(p: String, cb: String): String = {
+  private def ivfPqResidualTailSql(p: String, cb: String): String =
+    s"""${ivfPqResidualEncodeSql(p, cb)},
+       ${ivfPqResidualProbeSql(p, cb, s"${p}_code", "pq_qcell", "pq_cand")}"""
+
+  /** The codebook-dependent, nprobe-INDEPENDENT encode half: exact
+    * integer L2² argmin over the shared residual sub-vectors — ends
+    * with `${p}_code`. Factored out so the nprobe-curve oracle's three
+    * probe chains share ONE encode. */
+  private def ivfPqResidualEncodeSql(p: String, cb: String): String = {
     import Similarity._
     val l2 = (1 to PqSubDim).map(d =>
       s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
-    val dotp = (1 to PqSubDim).map(d =>
-      s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
-    val cwn2 = (1 to PqSubDim).map(d =>
-      s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
     s"""-- exact integer L2² encode, ties -> smallest j
        ${p}_d AS (SELECT x.vec_id, x.cell, x.m, c.j, $l2 AS dist
          FROM res_x x JOIN $cb c ON x.m = c.m),
@@ -1105,19 +1114,31 @@ object SparkEntry {
            SELECT vec_id, cell, m, j, row_number() OVER (
              PARTITION BY vec_id, m ORDER BY dist ASC NULLS LAST, j ASC) AS rk
            FROM ${p}_d)
-         WHERE rk = 1),
-       -- the per-(query, probed cell) effective-codeword LUT
+         WHERE rk = 1)"""
+  }
+
+  /** The probe half downstream of an encode (`$codeCte`), a probed-cell
+    * frame (`$qcell`) and a candidate frame (`$cand`) — LUT, ADC,
+    * shortlist, exact re-rank; ends with `${p}_ranked`. */
+  private def ivfPqResidualProbeSql(p: String, cb: String, codeCte: String,
+                                    qcell: String, cand: String): String = {
+    import Similarity._
+    val dotp = (1 to PqSubDim).map(d =>
+      s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    val cwn2 = (1 to PqSubDim).map(d =>
+      s"(s.cs[$d] + c.cw[$d]) * (s.cs[$d] + c.cw[$d])").mkString(" + ")
+    s"""-- the per-(query, probed cell) effective-codeword LUT
        ${p}_lut AS (SELECT qc.query_id, qc.cell, q.m, c.j,
            CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
-         FROM pq_qcell qc
+         FROM $qcell qc
          JOIN res_qs q ON q.query_id = qc.query_id
          JOIN cell_sub s ON s.cell = qc.cell AND s.m = q.m
          JOIN $cb c ON c.m = q.m),
        ${p}_adc AS (SELECT cd.query_id, cd.vec_id,
            CAST(sum(l.dotp) AS BIGINT) AS num,
            CAST(sum(l.cwn2) AS BIGINT) AS nsq
-         FROM pq_cand cd
-         JOIN ${p}_code v ON v.vec_id = cd.vec_id AND v.cell = cd.cell
+         FROM $cand cd
+         JOIN $codeCte v ON v.vec_id = cd.vec_id AND v.cell = cd.cell
          JOIN ${p}_lut l ON l.query_id = cd.query_id AND l.cell = cd.cell
            AND l.m = v.m AND l.j = v.j
          GROUP BY cd.query_id, cd.vec_id),
@@ -1144,9 +1165,11 @@ object SparkEntry {
   }
 
   /** The shared 3-column candidate CTE of the IVF-PQ oracles. */
-  private lazy val ivfPqCandSql: String =
-    """pq_cand AS (SELECT q.query_id, a.vec_id, a.cell
-         FROM a JOIN pq_qcell q ON a.cell = q.cell
+  private lazy val ivfPqCandSql: String = ivfPqCandSqlAt("pq")
+
+  private def ivfPqCandSqlAt(p: String): String =
+    s"""${p}_cand AS (SELECT q.query_id, a.vec_id, a.cell
+         FROM a JOIN ${p}_qcell q ON a.cell = q.cell
          WHERE a.vec_id <> q.query_id)"""
 
   /** Residual IVF-PQ twin ([[graft.operators.Similarity
@@ -1228,6 +1251,46 @@ object SparkEntry {
        LEFT JOIN hres ON q.query_id = hres.query_id
        LEFT JOIN hlloyd ON q.query_id = hlloyd.query_id
        ORDER BY q.query_id"""
+
+  /** The nprobe recall/cost curve twin: three probe chains (nprobe 1,
+    * 2, 4) over ONE shared scaffold + encode, each scored against the
+    * brute-force top-3 — one row per nprobe. */
+  private lazy val ivfPqNprobeCurveOracle: String = {
+    val k = 3
+    val chains = Similarity.NprobeCurve.map { np =>
+      s"""${ivfPqQCellSqlAt(s"n$np", np)},
+       ${ivfPqCandSqlAt(s"n$np")},
+       ${ivfPqResidualProbeSql(s"c$np", "res_cb", "res_code",
+          s"n${np}_qcell", s"n${np}_cand")},
+       h$np AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM rex e
+         JOIN (SELECT query_id, vec_id FROM c${np}_ranked WHERE rk <= $k) p
+           ON e.query_id = p.query_id AND e.vec_id = p.vec_id)"""
+    }.mkString(",\n       ")
+    val rows = Similarity.NprobeCurve.map { np =>
+      s"""SELECT CAST($np AS BIGINT) AS nprobe, h$np.n_hit,
+         CAST(h$np.n_hit AS DOUBLE) / (nq.nq * $k) AS recall
+       FROM h$np, nq"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqResidualScaffoldSql,
+       ${ivfPqResidualEncodeSql("res", "res_cb")},
+       rqx AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE $isQuerySql),
+       rscored AS (
+         SELECT rqx.query_id, e.vec_id,
+           ${cosineSql("rqx.qv", "e.embedding")} AS cosine
+         FROM embeddings e CROSS JOIN rqx WHERE e.vec_id <> rqx.query_id),
+       rranked AS (
+         SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM rscored),
+       rex AS (SELECT query_id, vec_id FROM rranked WHERE rk <= $k),
+       nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM rqx),
+       $chains
+       $rows
+       ORDER BY nprobe"""
+  }
 
   /** IVF cell-occupancy audit twin — re-derives the two-level cell
     * partition and aggregates occupancy: cell/vector counts, max/mean,
@@ -3320,6 +3383,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
     "q_ivf_cell_audit" -> ivfCellAuditOracle,
+    "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this
     // learned index hash-certifies end to end

@@ -2925,6 +2925,26 @@ class TextPipelineSpec extends SparkSpec {
       "(cosine-ADC metric mismatch — see ivfPqLloydRecall scaladoc)")
   }
 
+  test("nprobe curve: recall rises with probed cells on the clustered fixture; np=2 equals the one-point chain") {
+    import Similarity._
+    val emb = clusteredEmb
+    val curve = ivfPqNprobeCurve(emb).as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    info(s"nprobe curve: ${curve.mkString(" ")}")
+    assert(curve.map(_._1).toSeq === Seq(1L, 2L, 4L))
+    // the knob must buy recall on the clustered geometry (neighbors
+    // concentrate in the query's own + adjacent cells)
+    assert(curve.last._3 >= curve.head._3,
+      s"nprobe=4 recall below nprobe=1: $curve")
+    assert(curve.last._3 > 0.5, "vacuous curve")
+    // the np=2 point re-derives the certified one-point chain exactly
+    val oneHits = topK(emb, queryVectors(emb), 3)
+      .select(col("query_id"), col("vec_id"))
+      .join(ivfPqResidualTopK(emb, 3, 2).select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_semi").count()
+    assert(curve(1)._2 === oneHits)
+  }
+
   test("IVF cell audit: landed-index readout == one-shot partition; fixture occupancy is the honest 16×16") {
     import Similarity._
     val emb = clusteredEmb
