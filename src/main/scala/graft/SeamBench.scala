@@ -221,6 +221,22 @@ object SeamBench {
           run(Similarity.ivfPqProbeIndex(spark, path, queries, 3, np))
         })
       }
+      // per-batch LISTING growth: the streaming twin re-reads codes/
+      // per micro-batch (ivfPqProbeIndex IS the per-batch body), and
+      // while the DATA read stays pruned, the file listing + parquet
+      // footer reads grow with landed batch-dir count. Land 20
+      // single-vector appends (data +~4%, dirs 6 → 26) and re-time the
+      // probe — the delta prices what K micro-batches of appends cost
+      // every subsequent serving trigger.
+      val one = emb.filter(col("vec_id") === 0L)
+      (1 to 20).foreach { i =>
+        Similarity.appendIvfPqIndex(spark, path,
+          one.select((col("vec_id") + lit(1000000L + i)).as("vec_id"),
+            col("embedding")))
+      }
+      results("ivfpq_probe_26dirs") = round3(timeMin3 {
+        run(Similarity.ivfPqProbeIndex(spark, path, queries, 3))
+      })
     }
 
     def jstr(s: String) = "\"" + s + "\""

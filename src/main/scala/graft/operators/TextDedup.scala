@@ -840,12 +840,12 @@ object TextDedup {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val batchDir = new org.apache.hadoop.fs.Path(s"$tableDir/batch=$tag")
-    if (!landedBatchTags(spark, tableDir).contains(tag) &&
+    val landed = landedBatchTags(spark, tableDir)
+    if (!landed.contains(tag) &&
         !fs.exists(new org.apache.hadoop.fs.Path(batchDir, "_SUCCESS"))) {
       rows.write.mode("overwrite").parquet(batchDir.toString)
     }
-    recordBatchTags(spark, tableDir,
-      landedBatchTags(spark, tableDir) + tag)
+    recordBatchTags(spark, tableDir, landed + tag)
   }
 
   /** The `_batches` manifest name — one landed tag per line, living at
