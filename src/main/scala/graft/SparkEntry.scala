@@ -150,6 +150,7 @@ object SparkEntry {
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
+    "q_similar_ivfpq_deleted" -> (Similarity.qSimilarIvfPqDeleted _),
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
     "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
@@ -1184,6 +1185,23 @@ object SparkEntry {
     s"""WITH $twoLevelCellsSql,
        $ivfPqQCellSql,
        $ivfPqCandSql,
+       $ivfPqResidualCtes
+       SELECT query_id, vec_id, rk, cosine FROM res_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+
+  /** Delete-lifecycle twin: the residual chain with the tombstoned
+    * slice excluded from the CANDIDATES only — structures, residuals
+    * and codebook still derive from the full corpus (the
+    * frozen-structure contract: a takedown removes answers, not
+    * history until the next rebuild). */
+  private lazy val ivfPqDeletedOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       pq_cand AS (SELECT q.query_id, a.vec_id, a.cell
+         FROM a JOIN pq_qcell q ON a.cell = q.cell
+         WHERE a.vec_id <> q.query_id
+           AND NOT (a.vec_id % ${Similarity.IvfDeleteMod}
+             = ${Similarity.IvfDeleteRem})),
        $ivfPqResidualCtes
        SELECT query_id, vec_id, rk, cosine FROM res_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
@@ -3380,6 +3398,7 @@ object SparkEntry {
     // form despite being the FAISS-shape production encoding
     "q_similar_ivfpq_res" -> ivfPqResidualOracle,
     "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
+    "q_similar_ivfpq_deleted" -> ivfPqDeletedOracle,
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
     "q_ivf_cell_audit" -> ivfCellAuditOracle,

@@ -3022,6 +3022,58 @@ class TextPipelineSpec extends SparkSpec {
       "every vector's codes landed exactly once")
   }
 
+  test("residual IVF-PQ delete: masks one-shot and streaming probes immediately; replay no-op; rebuild applies and clears") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-del").toString
+    writeIvfPqIndex(emb, p)
+    val queries = queryVectors(emb)
+    def probe() = ivfPqProbeIndex(spark, p, queries, 3, 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val before = probe()
+    val victim = before.head._2
+    deleteIvfPqIndex(spark, p, Seq(victim).toDF("vec_id"))
+    val after = probe()
+    assert(!after.exists(_._2 == victim), "deleted vector still served")
+    assert(after.map(_._1).distinct === before.map(_._1).distinct,
+      "a delete must not lose queries — replacements promote")
+    // replayed delete: identity-addressed no-op
+    deleteIvfPqIndex(spark, p, Seq(victim).toDF("vec_id"))
+    assert(probe() === after)
+    val delDirs = new java.io.File(s"$p/deletes")
+      .listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq
+    assert(delDirs.size === 1, s"replayed delete landed twice: $delDirs")
+    // the streaming twin serves the MASKED view (its snapshot gate
+    // covers the tombstone manifest)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-del-q")
+    queries.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(queries.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = streamingIvfPqSearch(spark, p, stream, k = 3, nprobe = 2) {
+      (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        got.synchronized { got ++= rows }; ()
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      assert(got.sortBy(r => (r._1, r._3)).toSeq === after,
+        "streaming twin must serve the tombstone-masked view")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+    // a rebuild over the post-takedown corpus APPLIES: tombstones
+    // cleared with the codes, the victim gone physically
+    writeIvfPqIndex(emb.filter(col("vec_id") =!= victim), p)
+    assert(!new java.io.File(s"$p/deletes").exists(),
+      "rebuild must clear the applied tombstones")
+    val rebuilt = probe()
+    assert(!rebuilt.exists(_._2 == victim))
+    assert(spark.read.parquet(s"$p/codes")
+      .filter(col("vec_id") === victim).count() === 0L,
+      "rebuild must not re-land the deleted vector")
+  }
+
   test("streaming IVF-PQ serving equals the one-shot landed-index probe") {
     import Similarity._
     val emb = clusteredEmb
