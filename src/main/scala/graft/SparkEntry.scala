@@ -287,6 +287,7 @@ object SparkEntry {
     "q_cdc_shared"         -> (TrainPrep.qCdcShared _),
     "q_cdc_containment"    -> (TrainPrep.qCdcContainment _),
     "q_cdc_persisted"      -> (TrainPrep.qCdcPersisted _),
+    "q_cdc_deleted"        -> (TrainPrep.qCdcDeleted _),
     "q_cdc_strip"          -> (TrainPrep.qCdcStrip _),
     "q_cdc_strip_frac"     -> (TrainPrep.qCdcStripFrac _),
     "q_cdc_strip_incremental" -> (TrainPrep.qCdcStripIncremental _),
@@ -4439,6 +4440,22 @@ object SparkEntry {
     // standing boilerplate (fps in ≥ 2 standing docs) from the raw
     // corpus in one shot — build(odd) + append(even) + compact over
     // the same standing population must be answer-invariant
+    // delete-lifecycle twin: the boilerplate gate re-derived over the
+    // standing corpus MINUS the takedown slice
+    "q_cdc_deleted" ->
+      s"""WITH $cdcChunksSql,
+         std AS (SELECT * FROM cdc_out
+                 WHERE doc_id % ${TextDedup.IncrementMod} <> 0
+                   AND NOT (doc_id % ${TrainPrep.CdcDeleteMod}
+                     = ${TrainPrep.CdcDeleteRem})),
+         banned AS (SELECT fp FROM std GROUP BY fp
+                    HAVING count(DISTINCT doc_id) >= 2),
+         probe AS (SELECT * FROM cdc_out
+                   WHERE doc_id % ${TextDedup.IncrementMod} = 0)
+         SELECT p.doc_id, p.chunk_id, p.n_tokens, p.fp
+         FROM probe p LEFT JOIN banned b ON p.fp = b.fp
+         WHERE b.fp IS NULL
+         ORDER BY doc_id, chunk_id""",
     "q_cdc_persisted" ->
       s"""WITH $cdcChunksSql,
          std AS (SELECT * FROM cdc_out

@@ -370,10 +370,41 @@ object TrainPrep {
       cdcBatchTag(newDocs))
   }
 
+  /** Land a TOMBSTONE batch against the standing CDC index — the
+    * delete half for takedowns. The per-fp stats are pre-aggregated
+    * WITHOUT doc ids, so a document's contribution can only be
+    * re-derived from its text: the caller passes the takedown
+    * documents themselves (same frame shape as an append), their text
+    * re-chunks, and the stats land NEGATED —
+    * (fp, −n_docs, −n_occurrences, n_tokens) — under an
+    * identity-addressed `fps/batch=del_<tag>/` dir. The `del_` prefix
+    * matters: a takedown of exactly one earlier append batch's
+    * documents would otherwise reproduce that batch's id-derived tag
+    * and be skipped as already landed. [[cdcIndexStats]]' sum merge
+    * subtracts the contribution EXACTLY (disjoint-batch n_docs sums,
+    * and n_tokens is constant per fp — same fp ⟹ same chunk text —
+    * so the min is neutral), so every reader masks IMMEDIATELY;
+    * [[compactCdcIndex]] applies physically (zero-count fps dropped).
+    * Replay-idempotent like every landing; deleting a document that
+    * was never appended is a caller-contract violation (it would
+    * drive counts negative — [[cdcIndexStats]] floors the readout at
+    * absent rather than surfacing a negative row). */
+  def deleteCdcIndex(spark: SparkSession, path: String, docs: DataFrame,
+                     divisor: Int = CdcDivisor): Unit = {
+    val live = TextDedup.currentIndexDir(spark, path)
+    landCdcBatch(
+      cdcFpStats(docs, divisor)
+        .select(col("fp"), (-col("n_docs")).as("n_docs"),
+          (-col("n_occurrences")).as("n_occurrences"), col("n_tokens")),
+      s"$live/fps", s"del_${cdcBatchTag(docs)}")
+  }
+
   /** The merged per-fp statistics of a standing CDC index — the
     * single read-side resolution point (sums the disjoint-batch rows
-    * appends accumulate; see [[cdcFpStats]] for why the merge is
-    * exact). */
+    * appends accumulate and SUBTRACTS landed tombstone rows; see
+    * [[cdcFpStats]] for why the merge is exact and [[deleteCdcIndex]]
+    * for the negation). Fully-deleted fps (merged count 0) read as
+    * absent. */
   def cdcIndexStats(spark: SparkSession, path: String): DataFrame = {
     val fps = s"${TextDedup.currentIndexDir(spark, path)}/fps"
     TextDedup.migrateFlatBatchLayout(spark, fps)
@@ -386,6 +417,7 @@ object TrainPrep {
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_occurrences")).as("n_occurrences"),
         min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") > 0)
   }
 
   /** The boilerplate readout of a standing index: fps carried by
@@ -444,6 +476,39 @@ object TrainPrep {
     * standing index saw in ≥ 2 documents are dropped). The oracle
     * re-derives end-to-end from the raw corpus — persistence, append
     * and compaction must all be answer-invariant. */
+  /** The takedown slice of [[qCdcDeleted]] — standing docs with
+    * doc_id ≡ [[CdcDeleteRem]] (mod [[CdcDeleteMod]]), cutting across
+    * both the build and the append halves; sized so that fps actually
+    * fall UNDER the 2-doc threshold at sf0.01 (the gate admits 3 more
+    * probe chunks than [[qCdcPersisted]] — the delete is exercised,
+    * not vacuous). */
+  val CdcDeleteMod = 3
+  val CdcDeleteRem = 1
+
+  /** Harness entry: build(odd standing) + append(even) + DELETE the
+    * takedown slice + compact + gate the increment — the full CDC
+    * delete lifecycle. The oracle re-derives the boilerplate gate
+    * over the SURVIVING standing corpus, so the negated-stat landing,
+    * the immediate mask, the physical application and the manifest
+    * carry must all be answer-invariant vs never having indexed the
+    * deleted docs. */
+  def qCdcDeleted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = TextDedup.spillPath(spark, "cdc_index_deleted")
+    val standing = docs.filter(col("doc_id") % TextDedup.IncrementMod =!= 0)
+    val isDel = col("doc_id") % CdcDeleteMod === CdcDeleteRem
+    writeCdcIndex(standing.filter(col("doc_id") % 2 === 1), path)
+    appendCdcIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    deleteCdcIndex(spark, path, standing.filter(isDel))
+    compactCdcIndex(spark, path)
+    val banned = cdcIndexBoilerplate(spark, path).select(col("fp"))
+    cdcChunks(docs.filter(col("doc_id") % TextDedup.IncrementMod === 0))
+      .join(banned, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("fp"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def qCdcPersisted(spark: SparkSession, dir: String): DataFrame = {
     graft.expressions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)

@@ -1221,6 +1221,48 @@ class TrainPrepSpec extends SparkSpec {
       "a replayed append after an intervening compact must be a no-op")
   }
 
+  test("cdc index delete: negated stats mask immediately; compact applies; replays are no-ops") {
+    val boiler = (1 to 60).map(i => s"b$i").mkString(" ")
+    val d = cdcDoc(
+      (1L, s"alpha one two $boiler"),
+      (3L, "odd half unique content here entirely"),
+      (2L, s"beta other words $boiler"),
+      (4L, "even half unique content too and more"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cdc-del").toString
+    TrainPrep.writeCdcIndex(d.filter(col("doc_id") % 2 === 1), path)
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    def stats() = TrainPrep.cdcIndexStats(spark, path)
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(TrainPrep.cdcIndexBoilerplate(spark, path).count() > 0L,
+      "vacuous fixture: the boilerplate run must be banned pre-delete")
+    // TAKEDOWN of doc 2 (one of the two boilerplate carriers): the
+    // negated batch drops the shared fp back under the 2-doc
+    // threshold IMMEDIATELY — no compact needed — and stats equal the
+    // surviving corpus's one-shot aggregate exactly
+    val survivors = d.filter(col("doc_id") =!= 2L)
+    TrainPrep.deleteCdcIndex(spark, path, d.filter(col("doc_id") === 2L))
+    val expect = TrainPrep.cdcFpStats(survivors)
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats() === expect,
+      "negated landing must subtract the doc's contribution exactly")
+    assert(TrainPrep.cdcIndexBoilerplate(spark, path).count() === 0L,
+      "the un-banned fp must leave the boilerplate readout")
+    // replayed delete: identity-addressed no-op (the del_ prefix keeps
+    // it distinct from doc 2's ORIGINAL append batch tag)
+    TrainPrep.deleteCdcIndex(spark, path, d.filter(col("doc_id") === 2L))
+    assert(stats() === expect, "a replayed delete must not double-subtract")
+    // compact APPLIES: zero-count fps drop physically, stats unchanged
+    TrainPrep.compactCdcIndex(spark, path)
+    assert(stats() === expect, "compaction must be answer-invariant")
+    // replay-after-compact, both directions: the carried manifest
+    // blocks the delete; identity addressing blocks the append
+    TrainPrep.deleteCdcIndex(spark, path, d.filter(col("doc_id") === 2L))
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    assert(stats() === expect,
+      "replayed delete/append after compact must be no-ops")
+  }
+
   test("cdc strip frac: the fraction gate is scale-invariant where the absolute gate is not") {
     def isMarker(t: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
