@@ -511,6 +511,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-19 queries: no cartesian products; nested loops only as bounded broadcast builds") {
+    // the Lloyd/curve/audit/delete chains nest exactly their bounded
+    // broadcasts (coarse/fmap placement frames, per-(query,cell) LUTs,
+    // 1-row count frames); an unhinted CartesianProduct anywhere is a
+    // corpus×corpus accident
+    for (q <- Seq("q_similar_ivfpq_lloyd", "q_ivfpq_lloyd_recall",
+        "q_ivfpq_lloyd_mse", "q_ivfpq_nprobe_curve", "q_ivf_cell_audit",
+        "q_similar_ivfpq_deleted")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin Inner") &&
+        !s.contains("BroadcastNestedLoopJoin LeftOuter"),
+        s"$q has a non-bounded nested loop:\n$s")
+    }
+    // the delete lifecycles are pure equi/semi/anti machinery — the
+    // tombstone masks must stay anti-joins, never nested loops
+    for (q <- Seq("q_dedup_deleted", "q_cdc_deleted")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to all-pairs:\n$s")
+    }
+  }
+
   test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
     // the residual IVF-PQ chain nests exactly its bounded broadcasts
     // (coarse/fmap placement frames, the per-(query, cell) LUT); the
