@@ -80,6 +80,33 @@ object LifecycleBench {
       run(TextDedup.dedupProbeIndex(spark, path, probe))
     })
 
+    // --- delete-lifecycle phases (q_dedup_deleted's additions) ---
+    // q_dedup_deleted = build + append + DELETE + compact(tombstoned)
+    // + probe(masked); the first two phases are shared with the table
+    // above, so only the delete-specific steps are timed here, each
+    // against honestly re-seeded state.
+    val delSlice = standing
+      .filter(col("doc_id") % TextDedup.DeleteMod === TextDedup.DeleteRem)
+      .select(col("doc_id"))
+    def reseed(): Unit = {
+      TextDedup.writeDedupIndex(odd, path)
+      TextDedup.appendDedupIndex(spark, path, even)
+    }
+    results("delete_slice") = round3((1 to 3).map { _ =>
+      reseed()
+      timeOnce { TextDedup.deleteDedupIndex(spark, path, delSlice) }
+    }.min)
+    results("compact_tombstoned") = round3((1 to 3).map { _ =>
+      reseed()
+      TextDedup.deleteDedupIndex(spark, path, delSlice)
+      timeOnce { TextDedup.compactDedupIndex(spark, path) }
+    }.min)
+    // masked probe on stable post-compact state (tombstones carried,
+    // so the anti-join mask is live even after application)
+    results("probe_masked") = round3(timeMin3 {
+      run(TextDedup.dedupProbeIndex(spark, path, probe))
+    })
+
     def jstr(s: String) = "\"" + s + "\""
     val body = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString(",")
     val line = s"""{"sf":${jstr(sfDir)},$body}"""
