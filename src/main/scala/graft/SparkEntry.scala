@@ -154,6 +154,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
     "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
+    "q_ivf_cell_drift"     -> (Similarity.qIvfCellDrift _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1331,6 +1332,30 @@ object SparkEntry {
          CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
            AS topk_share
        FROM ranked"""
+  }
+
+  /** Occupancy-drift twin: the audit aggregate per side (standing
+    * alone / with the increment placed into the same frozen cells). */
+  private lazy val ivfCellDriftOracle: String = {
+    import Similarity._
+    val k = CellAuditTopK
+    def sideSql(label: String, pred: String) =
+      s"""SELECT '$label' AS phase, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_vectors,
+         CAST(max(n) AS BIGINT) AS max_occ,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS BIGINT)
+           AS topk_mass,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
+           AS topk_share
+       FROM (SELECT n, row_number() OVER (ORDER BY n DESC, cell) AS rk
+             FROM (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                   FROM a WHERE $pred GROUP BY cell))"""
+    s"""WITH $twoLevelCellsSql
+       ${sideSql("standing", s"NOT (vec_id % $IvfAppendMod = $IvfAppendRem)")}
+       UNION ALL
+       ${sideSql("with_increment", "TRUE")}
+       ORDER BY phase"""
   }
 
   /** Total squared residual-quantization error under the mid-stride
@@ -3403,6 +3428,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
     "q_ivf_cell_audit" -> ivfCellAuditOracle,
+    "q_ivf_cell_drift" -> ivfCellDriftOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this

@@ -2966,6 +2966,15 @@ class TextPipelineSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Long, Double)].collect()(0)
     assert(landed === one,
       "landed-index audit must equal the one-shot partition audit")
+    // the drift readout: its with_increment side IS the full audit
+    // (same frozen structures, whole corpus placed)
+    val drift = ivfCellDrift(emb)
+      .as[(String, Long, Long, Long, Double, Long, Double)].collect()
+    assert(drift.map(_._1).toSeq === Seq("standing", "with_increment"))
+    assert((drift(1)._2, drift(1)._3, drift(1)._4, drift(1)._5,
+      drift(1)._6, drift(1)._7) === one,
+      "with_increment must equal the one-shot audit")
+    assert(drift(0)._3 < drift(1)._3, "standing side must be smaller")
   }
 
   test("PROPERTY: residual micro roundtrip recovers the integer difference exactly") {
