@@ -162,6 +162,7 @@ object SparkEntry {
     "q_pq_codebook_recall" -> (Similarity.qPqCodebookRecall _),
     "q_pq_recall"          -> (Similarity.qPqRecall _),
     "q_embed_neardup_persisted" -> (Similarity.qEmbedNearDupPersisted _),
+    "q_embed_neardup_deleted" -> (Similarity.qEmbedNearDupDeleted _),
     "q_embed_neardup_appended"  -> (Similarity.qEmbedNearDupAppended _),
     // no oracle entry (learned centroids: distributed float means are
     // partitioning-dependent in the last ULP): rows-only gate
@@ -1683,11 +1684,22 @@ object SparkEntry {
     * `q_embed_incremental` (bands computed in-query both sides) and
     * `q_embed_neardup_persisted` (index side landed to parquet first):
     * persistence is answer-invariant. */
-  private def embedIncrementalOracle: String = {
+  private def embedIncrementalOracle: String = embedIncrementalOracleWhere("")
+
+  /** Delete-lifecycle twin: the index side additionally excludes the
+    * takedown slice. */
+  private def embedNearDupDeletedOracle: String = {
+    import Similarity._
+    embedIncrementalOracleWhere(
+      s" AND NOT (vec_id % $EmbedDeleteMod = $EmbedDeleteRem)")
+  }
+
+  private def embedIncrementalOracleWhere(extraIndexPred: String): String = {
     val m = Similarity.EmbedIncrementMod
     s"""WITH bands AS ($bandedIndexSql),
        pb AS (SELECT vec_id AS probe_id, band, sig FROM bands WHERE vec_id % $m = 0),
-       ib AS (SELECT vec_id AS index_id, band, sig FROM bands WHERE vec_id % $m <> 0),
+       ib AS (SELECT vec_id AS index_id, band, sig FROM bands
+              WHERE vec_id % $m <> 0$extraIndexPred),
        cand AS (SELECT DISTINCT p.probe_id, i.index_id
                 FROM pb p JOIN ib i ON p.band = i.band AND p.sig = i.sig),
        scored AS (
@@ -3471,6 +3483,7 @@ object SparkEntry {
          FROM qx q LEFT JOIN hits h ON q.query_id = h.query_id
          ORDER BY q.query_id""",
     "q_embed_neardup_persisted" -> embedIncrementalOracle,
+    "q_embed_neardup_deleted" -> embedNearDupDeletedOracle,
     // build(odd) + append(even) covers the same standing population —
     // banding is per-vector, so the append is answer-invariant too
     "q_embed_neardup_appended" -> embedIncrementalOracle,

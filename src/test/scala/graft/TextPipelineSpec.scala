@@ -122,6 +122,40 @@ class TextPipelineSpec extends SparkSpec {
     assert(one.nonEmpty)
   }
 
+  test("band index delete: masks immediately and exactly; replays safe; rebuild applies and clears") {
+    import Similarity._
+    import graft.tables.Tables
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-band-del").toString
+    val standing = emb.filter(col("vec_id") % EmbedIncrementMod =!= 0)
+    val probe = emb.filter(col("vec_id") % EmbedIncrementMod === 0)
+    writeBandIndex(standing, path)
+    def rows() = bandProbeIndex(spark, path, probe, 0.4)
+      .select("probe_id", "index_id").as[(Long, Long)]
+      .collect().sortBy(identity).toSeq
+    val before = rows()
+    assert(before.nonEmpty, "vacuous fixture")
+    val victim = before.head._2
+    deleteBandIndex(spark, path, Seq(victim).toDF("vec_id"))
+    val after = rows()
+    assert(after === before.filterNot(_._2 == victim),
+      "the mask must remove exactly the victim's pairs")
+    // replayed delete: identity-addressed no-op
+    deleteBandIndex(spark, path, Seq(victim).toDF("vec_id"))
+    assert(rows() === after)
+    // a replayed append RE-LANDS the victim's band rows (band appends
+    // are mode(append)) — the standing mask must keep it invisible
+    appendBandIndex(spark, path, emb.filter(col("vec_id") === victim))
+    assert(rows() === after,
+      "a replayed append must not resurrect a deleted vector")
+    // rebuild over the survivors applies and clears the tombstones
+    writeBandIndex(standing.filter(col("vec_id") =!= victim), path)
+    assert(!new java.io.File(s"$path/deletes").exists(),
+      "rebuild must clear applied tombstones")
+    assert(rows() === after)
+  }
+
   test("dedup index append+compact: lifecycle == one-shot build, probes agree") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-life")
     try {
