@@ -220,6 +220,7 @@ object SparkEntry {
     "q_temperature_mix"    -> (CorpusAnalytics.qTemperatureMix _),
     "q_stats_merge"        -> (CorpusAnalytics.qSourceStatsMerge _),
     "q_setsim_join"        -> (TextDedup.qSetSimJoin _),
+    "q_containment_join"   -> (TextDedup.qContainmentJoin _),
     "q_strip_spans"        -> (TextDedup.qStripSpans _),
     "q_paragraph_dedup"    -> (TextDedup.qParagraphDedup _),
     "q_paragraph_incremental" -> (TextDedup.qParagraphIncremental _),
@@ -5282,6 +5283,25 @@ object SparkEntry {
     // set-similarity EXACTNESS contract: the oracle is brute force —
     // prefix filtering promises zero recall loss, so the banded Spark
     // plan must equal the all-pairs ground truth bit for bit
+    // containment-join exactness: brute-force ground truth — the
+    // asymmetric prefix filter may not lose a single subset-dup pair
+    "q_containment_join" -> {
+      import TextDedup._
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+               FROM shs WHERE len(hs) > 0),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sa, b.sz AS sb
+               FROM v a JOIN v b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, inter,
+           CAST(inter AS DOUBLE) / least(sa, sb) AS containment
+         FROM p
+         WHERE CAST(inter AS DOUBLE) / least(sa, sb)
+           >= $ContainmentThreshold
+         ORDER BY doc_a, doc_b"""
+    },
     "q_setsim_join" -> {
       import TextDedup._
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

@@ -474,8 +474,9 @@ object TextDedup {
     * all-pairs), different verify. Catches quote-style subset dups down
     * to the banding's Jaccard operating point (~0.5 at 4×4 bands);
     * below that the pair never collides in a band, and the honest fix
-    * is an asymmetric blocking (per-prefix minhash of the SHORT side),
-    * not a bigger threshold — documented, not implemented. */
+    * is an asymmetric blocking of the SHORT side — implemented as
+    * [[containmentJoin]] (exact prefix×postings filtering, zero recall
+    * loss); this banded form stays as the cheap screening pass. */
   def containmentPairs(docs: DataFrame,
                        threshold: Double = ContainmentThreshold): DataFrame =
     expandScored(docs, MaxBandBucket,
@@ -2584,6 +2585,76 @@ object TextDedup {
 
   def qSetSimJoin(spark: SparkSession, dir: String): DataFrame =
     setSimilarityJoin(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** EXACT containment join via asymmetric prefix filtering — the
+    * honest fix [[containmentPairs]]' scaladoc promised: the banded
+    * form inherits minhash-LSH's ~0.5 JACCARD operating point, so a
+    * short document quoted inside a long one (containment 1.0, Jaccard
+    * → 0 as the length ratio grows) never collides in a band and is
+    * structurally invisible to it. Zero recall loss here instead:
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ t implies |A∩B| ≥ ⌈t·m⌉ for the
+    * SMALLER set's size m, so by pigeonhole the pair must share an
+    * element among the smaller set's first m − ⌈t·m⌉ + 1 elements
+    * under any one global order — its containment PREFIX. The larger
+    * side has no such prefix (the witness can sit anywhere in it), so
+    * candidates come from prefix(X) ⋈ ALL-elements(Y): each doc emits
+    * its own prefix (not knowing per pair whether it is the smaller
+    * side costs only extra candidates, never recall — the smaller
+    * side's prefix hits the larger's full posting list). The exact
+    * verify then leaves precisely the brute-force thresholded pairs,
+    * and the oracle computes ground truth by brute force, so equality
+    * IS the exactness proof.
+    *
+    * Scale shape: the full-elements side is a plain inverted index
+    * (linear in corpus tokens), and every candidate key is a PREFIX
+    * element — the (set-frequency ASC, hash) order makes those each
+    * doc's RAREST shingles, so per-key fan-out is bounded by
+    * rare-shingle document frequencies, the same skew defense as
+    * [[setSimilarityJoin]]. At t = 0.9 a prefix is ~10% of each set.
+    * One frequency aggregate, one rank window, one prefix×postings
+    * equi-join, one verify join — nothing all-pairs. */
+  def containmentJoin(docs: DataFrame,
+                      t: Double = ContainmentThreshold): DataFrame = {
+    graft.expressions.GraftFunctions.register(docs.sparkSession)
+    val sets = docs
+      .select(col("doc_id"),
+        call_function("hashed_shingle_set", col("text"), lit(ShingleN))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .where(col("sz") > 0L)
+    val elems = sets.select(col("doc_id"), col("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = elems.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val prefixes = elems
+      .join(dfreq, "h")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1L))
+      .select(col("doc_id"), col("h"))
+    val cand = prefixes.select(col("doc_id").as("doc_p"), col("h"))
+      .join(elems.select(col("doc_id").as("doc_o"), col("h")), "h")
+      .where(col("doc_p") =!= col("doc_o"))
+      .select(least(col("doc_p"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_p"), col("doc_o")).as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("sz").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("sz").as("sb")), "doc_b")
+      .withColumn("inter",
+        call_function("sorted_intersect_size", col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sa"), col("sb")).cast("double"))
+      .where(col("containment") >= t)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("containment"))
+  }
+
+  def qContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoin(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Incremental (probe vs index) form of [[setSimilarityJoin]] — the

@@ -73,6 +73,46 @@ class TextPipelineSpec extends SparkSpec {
       "fixture no longer demonstrates the Jaccard blind spot")
   }
 
+  test("containment JOIN catches the deep subset-dup the banded form structurally misses") {
+    import spark.implicits._
+    // a short doc wholly quoted inside a MUCH longer host: containment
+    // 1.0 but Jaccard ≈ |short|/|host| ≪ the 4×4 banding's ~0.5
+    // operating point — no band collides, so the banded containment
+    // pass is structurally blind to it; the exact prefix×postings
+    // filter may not lose it
+    val short_ = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 400).map(i => s"w$i unique$i").mkString(" ")
+    val fix = Seq(
+      (1L, short_),
+      (2L, s"$filler $short_"),
+      (3L, "entirely unrelated content on another subject matter"))
+      .toDF("doc_id", "text")
+    val exact = TextDedup.containmentJoin(fix)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(exact.contains((1L, 2L)), s"deep subset pair missing: $exact")
+    assert(exact((1L, 2L)) === 1.0)
+    val banded = TextDedup.containmentPairs(fix)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!banded.contains((1L, 2L)),
+      "fixture no longer demonstrates the banding blind spot")
+    // exactness: equals brute force over the fixture
+    val hs = fix.select(col("doc_id"),
+      org.apache.spark.sql.functions.call_function("hashed_shingle_set",
+        col("text"), lit(TextDedup.ShingleN)).as("hs"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def contain(a: Long, b: Long): Double = {
+      val (x, y) = (hs(a).toSet, hs(b).toSet)
+      (x & y).size.toDouble / math.min(x.size, y.size)
+    }
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys; if a < b
+      if contain(a, b) >= TextDedup.ContainmentThreshold
+    } yield (a, b)).toSet
+    assert(exact.keySet === brute, "prefix filter must equal brute force")
+  }
+
   test("cross-corpus near-dup pairs the probe against the index only") {
     val probe = docs.filter(col("doc_id") === 2L)
     val index = docs.filter(col("doc_id") =!= 2L)
