@@ -231,6 +231,7 @@ object SparkEntry {
     "q_winnow_boiler"      -> (TextDedup.qWinnowBoiler _),
     "q_winnow_attribution" -> (TextDedup.qWinnowAttribution _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
+    "q_containment_incremental" -> (TextDedup.qContainmentIncremental _),
     "q_survivorship"       -> (CorpusAnalytics.qSurvivorship _),
     "q_dup_degree"         -> (CorpusAnalytics.qDupDegree _),
     "q_last_touch"         -> (Analytics.qLastTouch _),
@@ -5320,6 +5321,24 @@ object SparkEntry {
     },
     // incremental setsim exactness: brute force probe×index ground
     // truth again — the filter may not lose a cross pair either
+    "q_containment_incremental" -> {
+      import TextDedup._
+      s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         shs AS (SELECT doc_id, ${hashedShinglesSql(ShingleN)} AS hs FROM t),
+         v AS (SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz
+               FROM shs WHERE len(hs) > 0),
+         p AS (SELECT a.doc_id AS probe_id, b.doc_id AS index_id,
+                 CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+                 a.sz AS sa, b.sz AS sb
+               FROM v a JOIN v b
+                 ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0)
+         SELECT probe_id, index_id, inter,
+           CAST(inter AS DOUBLE) / least(sa, sb) AS containment
+         FROM p
+         WHERE CAST(inter AS DOUBLE) / least(sa, sb)
+           >= $ContainmentThreshold
+         ORDER BY probe_id, index_id"""
+    },
     "q_setsim_incremental" -> {
       import TextDedup._
       s"""WITH t AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),

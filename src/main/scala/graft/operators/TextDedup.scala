@@ -2657,6 +2657,76 @@ object TextDedup {
     containmentJoin(Tables.documents(spark, dir))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental (probe vs index) form of [[containmentJoin]] — the
+    * nightly-increment shape every dedup paradigm here ships. The
+    * asymmetry doubles: a probe doc can be the SMALLER side (its
+    * prefix must hit the index's full postings) or the LARGER side (an
+    * index doc's prefix must hit the probe's full postings), so
+    * candidates are the UNION of prefix(probe)×all(index) and
+    * prefix(index)×all(probe) — still zero recall loss, still keyed by
+    * prefix (rare) elements. Element frequencies come from the union
+    * (the one-global-order requirement, the
+    * [[setSimilarityIncremental]] argument); the index-side prefix and
+    * postings tables are stable modulo that order and should be
+    * pre-materialized by the caller at scale. */
+  def containmentIncremental(probe: DataFrame, index: DataFrame,
+                             t: Double = ContainmentThreshold): DataFrame = {
+    graft.expressions.GraftFunctions.register(probe.sparkSession)
+    def sets(df: DataFrame) = df
+      .select(col("doc_id"),
+        call_function("hashed_shingle_set", col("text"), lit(ShingleN))
+          .as("hs"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .where(col("sz") > 0L)
+    val ps = sets(probe)
+    val is = sets(index)
+    def elems(s: DataFrame) = s.select(col("doc_id"), col("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = elems(ps).select(col("h"))
+      .unionAll(elems(is).select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def prefixes(s: DataFrame) = {
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      elems(s)
+        .join(dfreq, "h")
+        .withColumn("rk", row_number().over(byRarity))
+        .where(col("rk") <= col("sz") - ceil(lit(t) * col("sz")) + lit(1L))
+        .select(col("doc_id"), col("h"))
+    }
+    val cand = prefixes(ps).select(col("doc_id").as("probe_id"), col("h"))
+      .join(elems(is).select(col("doc_id").as("index_id"), col("h")), "h")
+      .select(col("probe_id"), col("index_id"))
+      .unionAll(
+        prefixes(is).select(col("doc_id").as("index_id"), col("h"))
+          .join(elems(ps).select(col("doc_id").as("probe_id"), col("h")), "h")
+          .select(col("probe_id"), col("index_id")))
+      .distinct()
+    cand
+      .join(ps.select(col("doc_id").as("probe_id"),
+        col("hs").as("ha"), col("sz").as("sa")), "probe_id")
+      .join(is.select(col("doc_id").as("index_id"),
+        col("hs").as("hb"), col("sz").as("sb")), "index_id")
+      .withColumn("inter",
+        call_function("sorted_intersect_size", col("ha"), col("hb"))
+          .cast("long"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("sa"), col("sb")).cast("double"))
+      .where(col("containment") >= t)
+      .select(col("probe_id"), col("index_id"), col("inter"),
+        col("containment"))
+  }
+
+  /** Probe = every 5th doc, index = the rest — the
+    * [[qSetSimIncremental]] split. */
+  def qContainmentIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    containmentIncremental(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0))
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
   /** Incremental (probe vs index) form of [[setSimilarityJoin]] — the
     * same zero-recall-loss prefix filter, but candidates pair a PROBE
     * batch's prefixes against a standing INDEX's prefixes: the

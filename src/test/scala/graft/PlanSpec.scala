@@ -525,14 +525,22 @@ class PlanSpec extends SparkSpec {
         !s.contains("BroadcastNestedLoopJoin LeftOuter"),
         s"$q has a non-bounded nested loop:\n$s")
     }
-    // the delete lifecycles are pure equi/semi/anti machinery — the
-    // tombstone masks must stay anti-joins, never nested loops
-    for (q <- Seq("q_dedup_deleted", "q_cdc_deleted")) {
+    // the delete lifecycles and the containment prefix filters are
+    // pure equi/semi/anti machinery — the tombstone masks must stay
+    // anti-joins and the prefix candidates equi-joins, never nested
+    // loops
+    for (q <- Seq("q_dedup_deleted", "q_cdc_deleted",
+        "q_embed_neardup_deleted", "q_containment_join",
+        "q_containment_incremental")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct") &&
         !s.contains("BroadcastNestedLoopJoin"),
         s"$q degenerated to all-pairs:\n$s")
     }
+    // the drift readout nests only its bounded placement broadcasts
+    val drift = planString("q_ivf_cell_drift")
+    assert(!drift.contains("CartesianProduct"),
+      s"q_ivf_cell_drift plans a cartesian:\n$drift")
   }
 
   test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
