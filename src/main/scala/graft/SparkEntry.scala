@@ -150,6 +150,7 @@ object SparkEntry {
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
+    "q_similar_kmeans_int" -> (Similarity.qSimilarKmeansInt _),
     "q_similar_ivfpq_deleted" -> (Similarity.qSimilarIvfPqDeleted _),
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
@@ -1335,6 +1336,69 @@ object SparkEntry {
          CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
            AS topk_share
        FROM ranked"""
+  }
+
+  /** Integer-mean k-means IVF twin ([[graft.operators.Similarity
+    * .ivfTopKKmeansInt]]): the [[Similarity.KmeansIters]] Lloyd rounds
+    * unrolled — per round, the exact integer L2² argmin assignment
+    * over micro-quantized vectors (ties → smallest cluster_id) and the
+    * floor(Σ/n) integer-mean update, then same-cell candidates ranked
+    * by full-precision cosine. All integer below the one float→micro
+    * quantization, so the learned IVF partition hash-certifies where
+    * the float form (q_similar_kmeans) is a pinned rows-only
+    * exemption. */
+  private lazy val kmeansIntOracle: String = {
+    import Similarity._
+    val dims = PqM * PqSubDim
+    def micro(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val l2 = (1 to dims).map(d =>
+      s"(m.xq[$d] - c.cm[$d]) * (m.xq[$d] - c.cm[$d])").mkString(" + ")
+    val rounds = (1 to KmeansIters).map { r =>
+      val prev = if (r == 1) "kc_0" else s"kc_${r - 1}"
+      s"""ka_$r AS (SELECT vec_id, cluster_id FROM (
+           SELECT m.vec_id, c.cluster_id, row_number() OVER (
+             PARTITION BY m.vec_id ORDER BY $l2 ASC, c.cluster_id) AS rk
+           FROM kmx m CROSS JOIN $prev c) WHERE rk = 1),
+         kflat_$r AS (SELECT a.cluster_id, CAST(ds.d AS BIGINT) AS dim,
+             m.xq[ds.d + 1] AS v
+           FROM ka_$r a JOIN kmx m ON m.vec_id = a.vec_id,
+           UNNEST(generate_series(0, ${dims - 1})) AS ds(d)),
+         kmean_$r AS (SELECT cluster_id, dim,
+             CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+               // count(*) AS BIGINT) AS mv
+           FROM kflat_$r GROUP BY cluster_id, dim),
+         kc_$r AS (SELECT cluster_id, list_transform(
+               list_sort(list({'dim': dim, 'mv': mv})), s -> s.mv) AS cm
+           FROM kmean_$r GROUP BY cluster_id)"""
+    }.mkString(",\n       ")
+    s"""WITH kmx AS (SELECT vec_id,
+           list_transform(embedding, x -> ${micro("x")}) AS xq
+         FROM embeddings),
+       kc_0 AS (SELECT vec_id AS cluster_id,
+           list_transform(embedding, x -> ${micro("x")}) AS cm
+         FROM (SELECT vec_id, embedding FROM embeddings
+               ORDER BY vec_id LIMIT $KmeansK)),
+       $rounds,
+       kcell AS (SELECT vec_id, cluster_id AS cell FROM (
+           SELECT m.vec_id, c.cluster_id, row_number() OVER (
+             PARTITION BY m.vec_id ORDER BY $l2 ASC, c.cluster_id) AS rk
+           FROM kmx m CROSS JOIN kc_$KmeansIters c) WHERE rk = 1),
+       kq AS (SELECT vec_id AS query_id, q, cell FROM (
+           SELECT k.vec_id, e.embedding AS q, k.cell
+           FROM kcell k JOIN embeddings e ON e.vec_id = k.vec_id)
+         WHERE $isQuerySql),
+       kcand AS (SELECT q.query_id, k.vec_id,
+           ${cosineSql("q.q", "e.embedding")} AS cosine
+         FROM kcell k
+         JOIN kq q ON k.cell = q.cell AND k.vec_id <> q.query_id
+         JOIN embeddings e ON e.vec_id = k.vec_id),
+       kranked AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk, cosine
+         FROM kcand)
+       SELECT query_id, vec_id, rk, cosine FROM kranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
   }
 
   /** Occupancy-drift twin: the audit aggregate per side (standing
@@ -3438,6 +3502,7 @@ object SparkEntry {
     // form despite being the FAISS-shape production encoding
     "q_similar_ivfpq_res" -> ivfPqResidualOracle,
     "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
+    "q_similar_kmeans_int" -> kmeansIntOracle,
     "q_similar_ivfpq_deleted" -> ivfPqDeletedOracle,
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,

@@ -2999,6 +2999,28 @@ class TextPipelineSpec extends SparkSpec {
       "(cosine-ADC metric mismatch — see ivfPqLloydRecall scaladoc)")
   }
 
+  test("integer-mean k-means IVF: deterministic across runs; recall reported vs the float form, floored") {
+    import Similarity._
+    val emb = clusteredEmb
+    val r1 = ivfTopKKmeansInt(emb, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val r2 = ivfTopKKmeansInt(emb, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq === r2.toSeq, "integer training must be deterministic")
+    assert(r1.nonEmpty)
+    // recall: the integer form assigns by L2 (textbook Lloyd, exact in
+    // integers) where the float form assigns by cosine — legitimately
+    // different partitions, so recall is REPORTED and floored, not
+    // forced ≥ (measured: 0.89 vs 1.0 on this fixture — one boundary
+    // neighbor lands across a cell seam under L2 placement; the trade
+    // buys a hash-certified partition and a map-only assignment with
+    // no corpus×K window shuffle)
+    val intRecall = pqRecallOf(emb, ivfTopKKmeansInt(emb, k = 3))
+    val floatRecall = pqRecallOf(emb, ivfTopKKmeans(emb, k = 3))
+    info(s"kmeans IVF recall: int=$intRecall float=$floatRecall")
+    assert(intRecall > 0.8, s"integer partition recall $intRecall collapsed")
+  }
+
   test("nprobe curve: recall rises with probed cells on the clustered fixture; np=2 equals the one-point chain") {
     import Similarity._
     val emb = clusteredEmb
