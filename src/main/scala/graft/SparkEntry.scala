@@ -151,6 +151,7 @@ object SparkEntry {
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
     "q_similar_kmeans_int" -> (Similarity.qSimilarKmeansInt _),
+    "q_similar_ivfpq_learned" -> (Similarity.qSimilarIvfPqLearned _),
     "q_similar_ivfpq_deleted" -> (Similarity.qSimilarIvfPqDeleted _),
     "q_ivfpq_lloyd_recall" -> (Similarity.qIvfPqLloydRecall _),
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
@@ -1110,14 +1111,17 @@ object SparkEntry {
     * integer L2² argmin over the shared residual sub-vectors — ends
     * with `${p}_code`. Factored out so the nprobe-curve oracle's three
     * probe chains share ONE encode. */
-  private def ivfPqResidualEncodeSql(p: String, cb: String): String = {
+  private def ivfPqResidualEncodeSql(p: String, cb: String,
+                                     xCte: String = "res_x",
+                                     materialized: Boolean = false): String = {
     import Similarity._
+    val mat = if (materialized) " MATERIALIZED" else ""
     val l2 = (1 to PqSubDim).map(d =>
       s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
     s"""-- exact integer L2² encode, ties -> smallest j
        ${p}_d AS (SELECT x.vec_id, x.cell, x.m, c.j, $l2 AS dist
-         FROM res_x x JOIN $cb c ON x.m = c.m),
-       ${p}_code AS (SELECT vec_id, cell, m, j FROM (
+         FROM $xCte x JOIN $cb c ON x.m = c.m),
+       ${p}_code AS$mat (SELECT vec_id, cell, m, j FROM (
            SELECT vec_id, cell, m, j, row_number() OVER (
              PARTITION BY vec_id, m ORDER BY dist ASC NULLS LAST, j ASC) AS rk
            FROM ${p}_d)
@@ -1128,7 +1132,10 @@ object SparkEntry {
     * frame (`$qcell`) and a candidate frame (`$cand`) — LUT, ADC,
     * shortlist, exact re-rank; ends with `${p}_ranked`. */
   private def ivfPqResidualProbeSql(p: String, cb: String, codeCte: String,
-                                    qcell: String, cand: String): String = {
+                                    qcell: String, cand: String,
+                                    qs: String = "res_qs",
+                                    qn: String = "res_qn",
+                                    cellSub: String = "cell_sub"): String = {
     import Similarity._
     val dotp = (1 to PqSubDim).map(d =>
       s"q.qq[$d] * (s.cs[$d] + c.cw[$d])").mkString(" + ")
@@ -1138,8 +1145,8 @@ object SparkEntry {
        ${p}_lut AS (SELECT qc.query_id, qc.cell, q.m, c.j,
            CAST($dotp AS BIGINT) AS dotp, CAST($cwn2 AS BIGINT) AS cwn2
          FROM $qcell qc
-         JOIN res_qs q ON q.query_id = qc.query_id
-         JOIN cell_sub s ON s.cell = qc.cell AND s.m = q.m
+         JOIN $qs q ON q.query_id = qc.query_id
+         JOIN $cellSub s ON s.cell = qc.cell AND s.m = q.m
          JOIN $cb c ON c.m = q.m),
        ${p}_adc AS (SELECT cd.query_id, cd.vec_id,
            CAST(sum(l.dotp) AS BIGINT) AS num,
@@ -1154,7 +1161,7 @@ object SparkEntry {
                 ELSE CAST(a.num AS DOUBLE)
                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
            END AS adc
-         FROM ${p}_adc a JOIN res_qn n ON a.query_id = n.query_id
+         FROM ${p}_adc a JOIN $qn n ON a.query_id = n.query_id
          WHERE a.vec_id <> a.query_id),
        ${p}_short AS (SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
@@ -1347,18 +1354,21 @@ object SparkEntry {
     * quantization, so the learned IVF partition hash-certifies where
     * the float form (q_similar_kmeans) is a pinned rows-only
     * exemption. */
-  private lazy val kmeansIntOracle: String = {
+  /** The integer-k-means CTE block shared by [[kmeansIntOracle]] and
+    * the learned-IVFADC oracle: corpus micro-vectors `kmx`, the
+    * unrolled Lloyd rounds to `kc_<iters>`, the final `kcell`
+    * assignment. */
+  private lazy val kmeansIntCtes: String = {
     import Similarity._
     val dims = PqM * PqSubDim
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
-    val l2 = (1 to dims).map(d =>
-      s"(m.xq[$d] - c.cm[$d]) * (m.xq[$d] - c.cm[$d])").mkString(" + ")
     val rounds = (1 to KmeansIters).map { r =>
       val prev = if (r == 1) "kc_0" else s"kc_${r - 1}"
       s"""ka_$r AS (SELECT vec_id, cluster_id FROM (
            SELECT m.vec_id, c.cluster_id, row_number() OVER (
-             PARTITION BY m.vec_id ORDER BY $l2 ASC, c.cluster_id) AS rk
+             PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
+             AS rk
            FROM kmx m CROSS JOIN $prev c) WHERE rk = 1),
          kflat_$r AS (SELECT a.cluster_id, CAST(ds.d AS BIGINT) AS dim,
              m.xq[ds.d + 1] AS v
@@ -1368,22 +1378,32 @@ object SparkEntry {
              CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
                // count(*) AS BIGINT) AS mv
            FROM kflat_$r GROUP BY cluster_id, dim),
-         kc_$r AS (SELECT cluster_id, list_transform(
+         kc_$r AS MATERIALIZED (SELECT cluster_id, list_transform(
                list_sort(list({'dim': dim, 'mv': mv})), s -> s.mv) AS cm
            FROM kmean_$r GROUP BY cluster_id)"""
     }.mkString(",\n       ")
-    s"""WITH kmx AS (SELECT vec_id,
+    s"""kmx AS MATERIALIZED (SELECT vec_id,
            list_transform(embedding, x -> ${micro("x")}) AS xq
          FROM embeddings),
-       kc_0 AS (SELECT vec_id AS cluster_id,
+       kc_0 AS MATERIALIZED (SELECT vec_id AS cluster_id,
            list_transform(embedding, x -> ${micro("x")}) AS cm
          FROM (SELECT vec_id, embedding FROM embeddings
                ORDER BY vec_id LIMIT $KmeansK)),
        $rounds,
-       kcell AS (SELECT vec_id, cluster_id AS cell FROM (
+       kcell AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM (
            SELECT m.vec_id, c.cluster_id, row_number() OVER (
-             PARTITION BY m.vec_id ORDER BY $l2 ASC, c.cluster_id) AS rk
-           FROM kmx m CROSS JOIN kc_$KmeansIters c) WHERE rk = 1),
+             PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
+             AS rk
+           FROM kmx m CROSS JOIN kc_$KmeansIters c) WHERE rk = 1)"""
+  }
+
+  /** 64-term exact integer L2² between `m.xq` and `c.cm`. */
+  private lazy val kmeansIntL2: String =
+    (1 to Similarity.PqM * Similarity.PqSubDim).map(d =>
+      s"(m.xq[$d] - c.cm[$d]) * (m.xq[$d] - c.cm[$d])").mkString(" + ")
+
+  private lazy val kmeansIntOracle: String = {
+    s"""WITH $kmeansIntCtes,
        kq AS (SELECT vec_id AS query_id, q, cell FROM (
            SELECT k.vec_id, e.embedding AS q, k.cell
            FROM kcell k JOIN embeddings e ON e.vec_id = k.vec_id)
@@ -1398,6 +1418,75 @@ object SparkEntry {
              ORDER BY cosine DESC, vec_id) AS rk, cosine
          FROM kcand)
        SELECT query_id, vec_id, rk, cosine FROM kranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+  }
+
+  /** FULLY-LEARNED IVFADC twin ([[graft.operators.Similarity
+    * .ivfPqResidualTopKLearned]]): the integer-k-means cells
+    * ([[kmeansIntCtes]]) feed the residual chain — cell decode table
+    * straight from the integer centroids (already micro), per-vector
+    * residuals against the LEARNED cell, mid-stride residual codebook,
+    * exact encode, top-nprobe query placement by the same integer L2,
+    * per-cell effective-codeword LUT, ADC, exact re-rank. */
+  private lazy val ivfPqLearnedOracle: String = {
+    import Similarity._
+    def micro(x: String) =
+      s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
+    s"""WITH $kmeansIntCtes,
+       -- decode table: the learned centroids ARE micro ints — slice
+       lcell_sub AS MATERIALIZED (SELECT cluster_id AS cell, CAST(ms.m AS BIGINT) AS m,
+           list_slice(cm, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim) AS cs
+         FROM kc_$KmeansIters, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
+       -- per-(vec, subspace) micro-int residual against the LEARNED cell
+       lres_x AS MATERIALIZED (SELECT k.vec_id, k.cell, s.m,
+           list_transform(list_slice(e.embedding,
+               CAST(s.m * $PqSubDim + 1 AS INT),
+               CAST(s.m * $PqSubDim + $PqSubDim AS INT)),
+             (x, i) -> ${micro("x")} - s.cs[i]) AS xq
+         FROM kcell k
+         JOIN embeddings e ON e.vec_id = k.vec_id
+         JOIN lcell_sub s ON s.cell = k.cell),
+       -- mid-stride residual codebook (the ivfPqResidualParts recipe)
+       lres_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       lres_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
+           greatest(1, n // greatest(1, least($PqK, n))) AS stride,
+           greatest(1, n // greatest(1, least($PqK, n))) // 2 AS off
+         FROM lres_n),
+       lrnk AS (SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS vrk FROM embeddings),
+       lres_train AS (SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS j
+         FROM lrnk, lres_kp
+         WHERE vrk % stride = off AND vrk < stride * kk + off),
+       lres_cb AS MATERIALIZED (SELECT r.m, t.j, r.xq AS cw
+         FROM lres_train t JOIN lres_x r ON r.vec_id = t.vec_id),
+       -- query micro sub-vectors + norms
+       lres_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
+           list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
+             ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS qq
+         FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
+         WHERE $isQuerySql),
+       lres_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
+         FROM lres_qs GROUP BY query_id),
+       -- top-nprobe query placement by the same integer L2
+       lq_x AS (SELECT vec_id,
+           list_transform(embedding, x -> ${micro("x")}) AS xq
+         FROM embeddings WHERE $isQuerySql),
+       lqcell AS MATERIALIZED (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+           SELECT m.vec_id, c.cluster_id, row_number() OVER (
+             PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
+             AS rk
+           FROM lq_x m CROSS JOIN kc_$KmeansIters c) WHERE rk <= 2),
+       lcand AS MATERIALIZED (SELECT q.query_id, k.vec_id, k.cell
+         FROM kcell k JOIN lqcell q ON k.cell = q.cell
+         WHERE k.vec_id <> q.query_id),
+       ${ivfPqResidualEncodeSql("lres", "lres_cb", "lres_x",
+          materialized = true)},
+       ${ivfPqResidualProbeSql("lrq", "lres_cb", "lres_code",
+          "lqcell", "lcand", "lres_qs", "lres_qn", "lcell_sub")}
+       SELECT query_id, vec_id, rk, cosine FROM lrq_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
   }
 
@@ -3503,6 +3592,7 @@ object SparkEntry {
     "q_similar_ivfpq_res" -> ivfPqResidualOracle,
     "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
     "q_similar_kmeans_int" -> kmeansIntOracle,
+    "q_similar_ivfpq_learned" -> ivfPqLearnedOracle,
     "q_similar_ivfpq_deleted" -> ivfPqDeletedOracle,
     "q_ivfpq_lloyd_recall" -> ivfPqLloydRecallOracle,
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,

@@ -3021,6 +3021,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(intRecall > 0.8, s"integer partition recall $intRecall collapsed")
   }
 
+  test("fully-learned IVFADC: deterministic; exact dup at rk 1; recall reported vs the rank-stride chain") {
+    import Similarity._
+    val emb = clusteredEmb
+    val r1 = ivfPqResidualTopKLearned(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val r2 = ivfPqResidualTopKLearned(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq === r2.toSeq, "learned training must be deterministic")
+    // an exact duplicate of query 0 places in the same learned cell
+    // with the identical residual code and re-ranks to cosine 1.0
+    val dup = emb.filter(col("vec_id") =!= 7L)
+      .unionByName(emb.filter(col("vec_id") === 0L)
+        .select(lit(7L).as("vec_id"), col("embedding")))
+    val got = ivfPqResidualTopKLearned(dup, k = 3, nprobe = 2)
+      .filter(col("query_id") === 0L)
+      .orderBy("rk").as[(Long, Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.head._2 === 7L && got.head._4 > 0.999999)
+    // recall vs the rank-stride two-level residual chain: REPORTED and
+    // floored — K=8 learned cells vs ~16 rank cells are different
+    // partitions with different probe budgets; the learned form's win
+    // is that its partition is data-located AND certified
+    val learned = pqRecallOf(emb, ivfPqResidualTopKLearned(emb, 3, 2))
+    val stride = pqRecallOf(emb, ivfPqResidualTopK(emb, 3, 2))
+    info(s"IVFADC recall: learned=$learned rank-stride=$stride")
+    assert(learned > 0.5, s"learned recall $learned collapsed")
+  }
+
   test("nprobe curve: recall rises with probed cells on the clustered fixture; np=2 equals the one-point chain") {
     import Similarity._
     val emb = clusteredEmb
