@@ -157,6 +157,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_mse"    -> (Similarity.qIvfPqLloydMse _),
     "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
     "q_ivf_cell_drift"     -> (Similarity.qIvfCellDrift _),
+    "q_kmeans_cell_audit"  -> (Similarity.qKmeansCellAudit _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1488,6 +1489,27 @@ object SparkEntry {
           "lqcell", "lcand", "lres_qs", "lres_qn", "lcell_sub")}
        SELECT query_id, vec_id, rk, cosine FROM lrq_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
+  }
+
+  /** Learned-partition occupancy audit twin: the
+    * [[ivfCellAuditOracle]] aggregate over the integer-k-means
+    * assignment instead of the two-level rank partition. */
+  private lazy val kmeansCellAuditOracle: String = {
+    val k = Similarity.CellAuditTopK
+    s"""WITH $kmeansIntCtes,
+       kocc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+               FROM kcell GROUP BY cell),
+       kranked AS (SELECT n,
+           row_number() OVER (ORDER BY n DESC, cell) AS rk FROM kocc)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_vectors,
+         CAST(max(n) AS BIGINT) AS max_occ,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS BIGINT)
+           AS topk_mass,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
+           AS topk_share
+       FROM kranked"""
   }
 
   /** Occupancy-drift twin: the audit aggregate per side (standing
@@ -3598,6 +3620,7 @@ object SparkEntry {
     "q_ivfpq_lloyd_mse" -> ivfPqLloydMseOracle,
     "q_ivf_cell_audit" -> ivfCellAuditOracle,
     "q_ivf_cell_drift" -> ivfCellDriftOracle,
+    "q_kmeans_cell_audit" -> kmeansCellAuditOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this
