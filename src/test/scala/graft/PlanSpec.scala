@@ -519,7 +519,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_similar_ivfpq_lloyd", "q_ivfpq_lloyd_recall",
         "q_ivfpq_lloyd_mse", "q_ivfpq_nprobe_curve", "q_ivf_cell_audit",
         "q_similar_ivfpq_deleted", "q_similar_kmeans_int",
-        "q_similar_ivfpq_learned")) {
+        "q_similar_ivfpq_learned", "q_kmeans_cell_audit")) {
       val s = planString(q)
       assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
       assert(!s.contains("BroadcastNestedLoopJoin Inner") &&
