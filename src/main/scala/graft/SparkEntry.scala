@@ -158,6 +158,8 @@ object SparkEntry {
     "q_ivf_cell_audit"     -> (Similarity.qIvfCellAudit _),
     "q_ivf_cell_drift"     -> (Similarity.qIvfCellDrift _),
     "q_kmeans_cell_audit"  -> (Similarity.qKmeansCellAudit _),
+    "q_similar_kmeans_auto" -> (Similarity.qSimilarKmeansAuto _),
+    "q_kmeans_cell_audit_auto" -> (Similarity.qKmeansCellAuditAuto _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1359,44 +1361,57 @@ object SparkEntry {
     * the learned-IVFADC oracle: corpus micro-vectors `kmx`, the
     * unrolled Lloyd rounds to `kc_<iters>`, the final `kcell`
     * assignment. */
-  private lazy val kmeansIntCtes: String = {
+  private lazy val kmeansIntCtes: String =
+    kmeansIntCtesFor("k", Similarity.KmeansK.toString)
+
+  /** The integer-k-means CTE block, parameterized: `p` prefixes every
+    * CTE name (so two differently-sized trainings can share one
+    * statement) and `kSql` is the seed-count expression — a literal
+    * for the fixed workload K, a scalar subquery
+    * (`ceil(sqrt(count(*)))`) for the √N-sized auto partition. */
+  private def kmeansIntCtesFor(p: String, kSql: String): String = {
     import Similarity._
     val dims = PqM * PqSubDim
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
     val rounds = (1 to KmeansIters).map { r =>
-      val prev = if (r == 1) "kc_0" else s"kc_${r - 1}"
-      s"""ka_$r AS (SELECT vec_id, cluster_id FROM (
+      val prev = if (r == 1) s"${p}c_0" else s"${p}c_${r - 1}"
+      s"""${p}a_$r AS (SELECT vec_id, cluster_id FROM (
            SELECT m.vec_id, c.cluster_id, row_number() OVER (
              PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
              AS rk
-           FROM kmx m CROSS JOIN $prev c) WHERE rk = 1),
-         kflat_$r AS (SELECT a.cluster_id, CAST(ds.d AS BIGINT) AS dim,
+           FROM ${p}mx m CROSS JOIN $prev c) WHERE rk = 1),
+         ${p}flat_$r AS (SELECT a.cluster_id, CAST(ds.d AS BIGINT) AS dim,
              m.xq[ds.d + 1] AS v
-           FROM ka_$r a JOIN kmx m ON m.vec_id = a.vec_id,
+           FROM ${p}a_$r a JOIN ${p}mx m ON m.vec_id = a.vec_id,
            UNNEST(generate_series(0, ${dims - 1})) AS ds(d)),
-         kmean_$r AS (SELECT cluster_id, dim,
+         ${p}mean_$r AS (SELECT cluster_id, dim,
              CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
                // count(*) AS BIGINT) AS mv
-           FROM kflat_$r GROUP BY cluster_id, dim),
-         kc_$r AS MATERIALIZED (SELECT cluster_id, list_transform(
+           FROM ${p}flat_$r GROUP BY cluster_id, dim),
+         ${p}c_$r AS MATERIALIZED (SELECT cluster_id, list_transform(
                list_sort(list({'dim': dim, 'mv': mv})), s -> s.mv) AS cm
-           FROM kmean_$r GROUP BY cluster_id)"""
+           FROM ${p}mean_$r GROUP BY cluster_id)"""
     }.mkString(",\n       ")
-    s"""kmx AS MATERIALIZED (SELECT vec_id,
+    s"""${p}mx AS MATERIALIZED (SELECT vec_id,
            list_transform(embedding, x -> ${micro("x")}) AS xq
          FROM embeddings),
-       kc_0 AS MATERIALIZED (SELECT vec_id AS cluster_id,
+       ${p}c_0 AS MATERIALIZED (SELECT vec_id AS cluster_id,
            list_transform(embedding, x -> ${micro("x")}) AS cm
          FROM (SELECT vec_id, embedding FROM embeddings
-               ORDER BY vec_id LIMIT $KmeansK)),
+               ORDER BY vec_id LIMIT $kSql)),
        $rounds,
-       kcell AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM (
+       ${p}cell AS MATERIALIZED (SELECT vec_id, cluster_id AS cell FROM (
            SELECT m.vec_id, c.cluster_id, row_number() OVER (
              PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
              AS rk
-           FROM kmx m CROSS JOIN kc_$KmeansIters c) WHERE rk = 1)"""
+           FROM ${p}mx m CROSS JOIN ${p}c_$KmeansIters c) WHERE rk = 1)"""
   }
+
+  /** √N seed count for the auto-sized learned partition — the SQL
+    * twin of [[graft.operators.Similarity.kmeansAutoK]]. */
+  private val kmeansAutoKSql: String =
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings)"
 
   /** 64-term exact integer L2² between `m.xq` and `c.cm`. */
   private lazy val kmeansIntL2: String =
@@ -1510,6 +1525,50 @@ object SparkEntry {
          CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
            AS topk_share
        FROM kranked"""
+  }
+
+  /** √N-sized learned-partition IVF twin ([[graft.operators
+    * .Similarity.ivfTopKKmeansAuto]]): [[kmeansIntOracle]] with
+    * K = ceil(sqrt(N)) Lloyd seeds instead of the fixed workload
+    * K=8 — the same unrolled integer Lloyd rounds, sized by one
+    * scalar count subquery. */
+  private lazy val kmeansAutoOracle: String = {
+    s"""WITH ${kmeansIntCtesFor("ak", kmeansAutoKSql)},
+       akq AS (SELECT vec_id AS query_id, q, cell FROM (
+           SELECT k.vec_id, e.embedding AS q, k.cell
+           FROM akcell k JOIN embeddings e ON e.vec_id = k.vec_id)
+         WHERE $isQuerySql),
+       akcand AS (SELECT q.query_id, k.vec_id,
+           ${cosineSql("q.q", "e.embedding")} AS cosine
+         FROM akcell k
+         JOIN akq q ON k.cell = q.cell AND k.vec_id <> q.query_id
+         JOIN embeddings e ON e.vec_id = k.vec_id),
+       akranked AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk, cosine
+         FROM akcand)
+       SELECT query_id, vec_id, rk, cosine FROM akranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+  }
+
+  /** Occupancy audit at the √N learned partition
+    * ([[graft.operators.Similarity.kmeansCellAuditAuto]]). */
+  private lazy val kmeansCellAuditAutoOracle: String = {
+    val k = Similarity.CellAuditTopK
+    s"""WITH ${kmeansIntCtesFor("ak", kmeansAutoKSql)},
+       akocc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+               FROM akcell GROUP BY cell),
+       akranked AS (SELECT n,
+           row_number() OVER (ORDER BY n DESC, cell) AS rk FROM akocc)
+       SELECT CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n) AS BIGINT) AS n_vectors,
+         CAST(max(n) AS BIGINT) AS max_occ,
+         CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS BIGINT)
+           AS topk_mass,
+         CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
+           AS topk_share
+       FROM akranked"""
   }
 
   /** Occupancy-drift twin: the audit aggregate per side (standing
@@ -3621,6 +3680,8 @@ object SparkEntry {
     "q_ivf_cell_audit" -> ivfCellAuditOracle,
     "q_ivf_cell_drift" -> ivfCellDriftOracle,
     "q_kmeans_cell_audit" -> kmeansCellAuditOracle,
+    "q_similar_kmeans_auto" -> kmeansAutoOracle,
+    "q_kmeans_cell_audit_auto" -> kmeansCellAuditAutoOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this

@@ -227,10 +227,27 @@ object GraftFunctions {
         intLit(children(4), "k"), intLit(children(5), "subdim"))
     })
 
+  val kmeansTopCells: Registration = (
+    FunctionIdentifier("kmeans_top_cells"),
+    new ExpressionInfo(classOf[KmeansTopCells].getName, "kmeans_top_cells"),
+    (children: Seq[Expression]) => {
+      if (children.length != 3)
+        throw new IllegalArgumentException(
+          "kmeans_top_cells: expected kmeans_top_cells(array<float|double>, " +
+            s"cents, n_lit), got ${children.length} argument(s)")
+      val n = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"kmeans_top_cells: n must be an int literal, got $other")
+      }
+      KmeansTopCells(children(0), children(1), n)
+    })
+
   val all: Seq[Registration] =
     Seq(sortedIntersectSize, minhashSignature, hashedShingleSet, cosineSim,
       simhash16, tokenProfile, rollingFingerprint, shinglePosHashes, simhash60,
-      deflateRatio, misraGries, rpProject, trigramCounts, pqEncode)
+      deflateRatio, misraGries, rpProject, trigramCounts, pqEncode,
+      kmeansTopCells)
 
   def register(spark: SparkSession): Unit = all.foreach { r =>
     spark.sessionState.functionRegistry.registerFunction(r._1, r._2, r._3)

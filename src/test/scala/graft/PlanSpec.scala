@@ -544,6 +544,35 @@ class PlanSpec extends SparkSpec {
       s"q_ivf_cell_drift plans a cartesian:\n$drift")
   }
 
+  test("round-20: learned-partition assignment is data-shaped — plan size O(1) in K") {
+    // The K-scalability contract: centroids travel as ONE broadcast
+    // row of array<struct<cid,cm>> (data), never as K baked expression
+    // literals. A regression to the baked least(struct…K…) shape shows
+    // up as plan text growing linearly with K — guard by comparing the
+    // physical plan at K=8 vs K=32 (4×): any K-proportional expression
+    // would grow the string by ~4×; the data shape keeps it flat.
+    val emb = graft.tables.Tables.embeddings(spark, sf("sf0.001"))
+    def planLen(kc: Int): Int =
+      Similarity.ivfTopKKmeansInt(emb, 3, kc)
+        .queryExecution.executedPlan.toString().length
+    val p8 = planLen(8)
+    val p32 = planLen(32)
+    assert(math.abs(p32 - p8) <= p8 / 10,
+      s"assignment plan grows with K (K=8: $p8 chars, K=32: $p32) — " +
+        "centroids are baking into the expression tree again")
+    // and the √N queries keep the bounded-broadcast discipline: the
+    // only nested loop is the 1-row centroid Cross build
+    for (q <- Seq("q_similar_kmeans_auto", "q_kmeans_cell_audit_auto")) {
+      val s = planString(q)
+      assert(!s.contains("least("),
+        s"$q bakes a K-literal argmin:\n$s")
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin Inner") &&
+        !s.contains("BroadcastNestedLoopJoin LeftOuter"),
+        s"$q has a non-bounded nested loop:\n$s")
+    }
+  }
+
   test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
     // the residual IVF-PQ chain nests exactly its bounded broadcasts
     // (coarse/fmap placement frames, the per-(query, cell) LUT); the

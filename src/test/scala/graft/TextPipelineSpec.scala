@@ -3021,6 +3021,28 @@ class TextPipelineSpec extends SparkSpec {
     assert(intRecall > 0.8, s"integer partition recall $intRecall collapsed")
   }
 
+  test("√N auto-K learned partition: sizing rule, determinism, learns the planted structure") {
+    import Similarity._
+    // the sizing rule: K = ⌈√N⌉, floored at 1
+    assert(kmeansAutoK(500L) === 23)
+    assert(kmeansAutoK(2000L) === 45)
+    assert(kmeansAutoK(256L) === 16)
+    assert(kmeansAutoK(1L) === 1 && kmeansAutoK(0L) === 1)
+    assert(kmeansAutoK(1000000000L) === 31623)
+    // on the planted fixture N=256 → K=16 = exactly the planted
+    // cluster count: the auto-sized partition should rediscover it
+    val emb = clusteredEmb
+    val r1 = ivfTopKKmeansAuto(emb, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val r2 = ivfTopKKmeansAuto(emb, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq === r2.toSeq, "auto-K training must be deterministic")
+    assert(r1.nonEmpty)
+    val recall = pqRecallOf(emb, ivfTopKKmeansAuto(emb, k = 3))
+    info(s"auto-K (K=16) recall: $recall")
+    assert(recall > 0.5, s"auto-sized partition recall $recall collapsed")
+  }
+
   test("fully-learned IVFADC: deterministic; exact dup at rk 1; recall reported vs the rank-stride chain") {
     import Similarity._
     val emb = clusteredEmb
