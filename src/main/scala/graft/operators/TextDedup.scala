@@ -929,12 +929,18 @@ object TextDedup {
                       probe: DataFrame): DataFrame = {
     val live = currentIndexDir(spark, path)
     // tombstone MASK: every landed delete is excluded from the answer
-    // by an anti-join on the emitted index ids — exact, because every
-    // jaccard is a function of the shingle SET, which deleting one
-    // member does not change. Empty when no tombstones exist (the
-    // anti-join is a no-op); grows with total-ever-deleted ids, never
-    // the corpus (deleted-stays-deleted retention — see
-    // [[compactDedupIndex]]).
+    // by an anti-join on the emitted index ids — each SURVIVING
+    // pair's jaccard is exact (a function of the two shingle SETs,
+    // which deleting a third doc does not change). One conservative
+    // edge in the delete-to-compact window: tombstoned rows still
+    // occupy per-(band, sig) hot-bucket cap slots until the next
+    // compact rebuilds the bands (see the cap note at
+    // [[deleteDedupIndex]]), so a pre-compact probe can drop
+    // candidate pairs a never-indexed corpus would keep — the same
+    // documented conservatism the cap itself carries. Empty when no
+    // tombstones exist (the anti-join is a no-op); grows with
+    // total-ever-deleted ids, never the corpus (deleted-stays-deleted
+    // retention — see [[compactDedupIndex]]).
     crossPairsFrom(collapseGroups(probe),
       spark.read.parquet(s"$live/bands"),
       spark.read.parquet(s"$live/sets"),
@@ -987,8 +993,10 @@ object TextDedup {
   /** The batch tags physically present as `batch=<tag>/` dirs under a
     * table root (the [[TrainPrep.compactCdcIndex]] convention: carried
     * across compacts alongside the manifest, so pre-manifest layouts
-    * keep their history too). */
-  private def batchDirTags(spark: SparkSession, tableDir: String): Set[String] = {
+    * keep their history too). Shared with [[TrainPrep]] — one listing
+    * convention, one implementation. */
+  private[operators] def batchDirTags(spark: SparkSession,
+                                      tableDir: String): Set[String] = {
     val root = new org.apache.hadoop.fs.Path(tableDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Set.empty

@@ -385,18 +385,56 @@ object TrainPrep {
     * and n_tokens is constant per fp — same fp ⟹ same chunk text —
     * so the min is neutral), so every reader masks IMMEDIATELY;
     * [[compactCdcIndex]] applies physically (zero-count fps dropped).
-    * Replay-idempotent like every landing; deleting a document that
-    * was never appended is a caller-contract violation (it would
-    * drive counts negative — [[cdcIndexStats]] floors the readout at
-    * absent rather than surfacing a negative row). */
+    *
+    * Deletes are SET-SEMANTIC, not additive: because the landed stats
+    * are negated COUNTS, a doc re-submitted in a second overlapping
+    * takedown batch (operators routinely submit cumulative lists —
+    * {A} then {A, B}) would double-subtract its contribution,
+    * silently corrupting merged counts for fps still carried by live
+    * docs. So every takedown doc id is also recorded in a
+    * `deleted_ids/` ledger ([[cdcDeletedIds]] — carried across
+    * compacts like the dedup family's tombstones), the incoming batch
+    * de-duplicates internally and anti-joins the ledger, and only the
+    * FRESH docs' stats land. The stats batch lands BEFORE the ledger
+    * batch: a crash between the two replays safely (the ledger still
+    * lacks the ids, so the retry recomputes the same fresh set and
+    * the identity-addressed stats dir makes the re-land a no-op),
+    * whereas the opposite order would drop the stats forever.
+    * Replay-idempotent like every landing — a replayed takedown is
+    * now a no-op by the anti-join alone. The remaining caller
+    * contract (the dedup family's deleted-stays-deleted): deleting a
+    * document that was never appended, or RE-APPENDING a deleted doc
+    * id, drives counts wrong — [[cdcIndexStats]] floors the readout
+    * at absent rather than surfacing a negative row. */
   def deleteCdcIndex(spark: SparkSession, path: String, docs: DataFrame,
                      divisor: Int = CdcDivisor): Unit = {
     val live = TextDedup.currentIndexDir(spark, path)
-    landCdcBatch(
-      cdcFpStats(docs, divisor)
-        .select(col("fp"), (-col("n_docs")).as("n_docs"),
-          (-col("n_occurrences")).as("n_occurrences"), col("n_tokens")),
-      s"$live/fps", s"del_${cdcBatchTag(docs)}")
+    val fresh = docs.dropDuplicates("doc_id")
+      .join(cdcDeletedIds(spark, live), Seq("doc_id"), "left_anti")
+    if (!fresh.isEmpty) {
+      val tag = s"del_${cdcBatchTag(fresh)}"
+      landCdcBatch(
+        cdcFpStats(fresh, divisor)
+          .select(col("fp"), (-col("n_docs")).as("n_docs"),
+            (-col("n_occurrences")).as("n_occurrences"), col("n_tokens")),
+        s"$live/fps", tag)
+      TextDedup.landIdentityBatch(fresh.select(col("doc_id")),
+        s"$live/deleted_ids", tag)
+    }
+  }
+
+  /** The deleted-doc-id ledger of a standing CDC index — the set that
+    * makes [[deleteCdcIndex]] set-semantic under overlapping takedown
+    * batches. Tombstone-sized (one long per deleted doc), read once
+    * per delete/compact. */
+  private def cdcDeletedIds(spark: SparkSession, liveDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$liveDir/deleted_ids")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(dir) && fs.listStatus(dir).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (hasBatches)
+      spark.read.parquet(dir.toString).select(col("doc_id")).distinct()
+    else spark.range(0).select(col("id").as("doc_id"))
   }
 
   /** The merged per-fp statistics of a standing CDC index — the
@@ -444,30 +482,26 @@ object TrainPrep {
   def compactCdcIndex(spark: SparkSession, path: String): Unit = {
     // reads the CURRENT version, writes the NEXT — never in-place
     // (installIndexVersion's sweep retains the version being read)
-    val liveFps = s"${TextDedup.currentIndexDir(spark, path)}/fps"
+    val live = TextDedup.currentIndexDir(spark, path)
+    val liveFps = s"$live/fps"
     val carried = TextDedup.landedBatchTags(spark, liveFps) ++
-      liveBatchDirTags(spark, liveFps)
+      TextDedup.batchDirTags(spark, liveFps)
+    val deleted = cdcDeletedIds(spark, live)
+    val hasDeleted = !deleted.isEmpty
     TextDedup.installIndexVersion(spark, path) { dir =>
       // a compacted version holds exactly one batch in a FRESH dir, so
       // a constant tag suffices (no conflation surface)
       landCdcBatch(cdcIndexStats(spark, path), s"$dir/fps", "compacted")
       TextDedup.recordBatchTags(spark, s"$dir/fps", carried + "compacted")
+      // the deleted-doc-id ledger carries across versions
+      // (deleted-stays-deleted, the dedup-family retention): without
+      // the carry, a post-compact re-submission of an old takedown
+      // list would re-subtract docs whose stats the compact already
+      // dropped
+      if (hasDeleted)
+        TextDedup.landIdentityBatch(deleted, s"$dir/deleted_ids",
+          "compacted")
     }
-  }
-
-  /** The batch tags physically present as `batch=<tag>/` dirs under a
-    * table root — the pre-manifest history [[compactCdcIndex]] also
-    * carries (a layout whose appends predate the manifest still gets
-    * its landed tags preserved across the compact). */
-  private def liveBatchDirTags(spark: SparkSession,
-                               tableDir: String): Set[String] = {
-    val root = new org.apache.hadoop.fs.Path(tableDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Set.empty
-    else fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-      .map(_.getPath.getName.stripPrefix("batch="))
-      .toSet
   }
 
   /** Harness entry for the full CDC-index lifecycle: build on the odd

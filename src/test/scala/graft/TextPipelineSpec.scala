@@ -3228,6 +3228,48 @@ class TextPipelineSpec extends SparkSpec {
       "rebuild must not re-land the deleted vector")
   }
 
+  test("streaming IVF-PQ serving masks a TORN tombstone landing (dir committed, manifest row lost)") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-ivfpq-torn").toString
+    writeIvfPqIndex(emb, p)
+    val queries = queryVectors(emb)
+    def probe() = ivfPqProbeIndex(spark, p, queries, 3, 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val before = probe()
+    val v1 = before.head._2
+    val v2 = before.find(_._2 != v1).get._2
+    // one CLEAN delete (dir + manifest row), then a TORN one: the
+    // batch dir lands committed but the crash happens before its
+    // manifest row — exactly the window where one-shot probes (which
+    // scan physical dirs) already mask the victim; the stream's
+    // delete gate lists physical dirs for the same reason, so the two
+    // read paths must agree
+    deleteIvfPqIndex(spark, p, Seq(v1).toDF("vec_id"))
+    Seq(v2).toDF("vec_id").write.mode("overwrite")
+      .parquet(s"$p/deletes/batch=torn")
+    val masked = probe()
+    assert(!masked.exists(r => r._2 == v1 || r._2 == v2),
+      "one-shot probe must mask both the clean and the torn tombstone")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-torn-q")
+    queries.coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(queries.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = streamingIvfPqSearch(spark, p, stream, k = 3, nprobe = 2) {
+      (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        got.synchronized { got ++= rows }; ()
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      assert(got.sortBy(r => (r._1, r._3)).toSeq === masked,
+        "the stream snapshot must see the torn tombstone a one-shot probe masks")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("streaming IVF-PQ serving equals the one-shot landed-index probe") {
     import Similarity._
     val emb = clusteredEmb

@@ -1263,6 +1263,57 @@ class TrainPrepSpec extends SparkSpec {
       "replayed delete/append after compact must be no-ops")
   }
 
+  test("cdc index delete: overlapping takedown batches are set-semantic, not additive") {
+    // operators routinely submit CUMULATIVE takedown lists ({2} then
+    // {2,3}); with the landed stats being negated counts, re-deleting
+    // doc 2 would double-subtract its contribution and silently drop
+    // fps still carried by live docs — the deleted_ids ledger makes
+    // the delete set-semantic
+    val boiler = (1 to 60).map(i => s"c$i").mkString(" ")
+    val d = cdcDoc(
+      (1L, s"alpha one two $boiler"),
+      (3L, s"gamma three four $boiler"),
+      (2L, s"beta other words $boiler"),
+      (4L, "even half unique content too and more"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-cdc-del-overlap").toString
+    TrainPrep.writeCdcIndex(d.filter(col("doc_id") % 2 === 1), path)
+    TrainPrep.appendCdcIndex(spark, path, d.filter(col("doc_id") % 2 === 0))
+    def stats() = TrainPrep.cdcIndexStats(spark, path)
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    // {2}, then the cumulative {2, 3}
+    TrainPrep.deleteCdcIndex(spark, path, d.filter(col("doc_id") === 2L))
+    TrainPrep.deleteCdcIndex(spark, path,
+      d.filter(col("doc_id") === 2L || col("doc_id") === 3L))
+    val expect = TrainPrep.cdcFpStats(
+        d.filter(col("doc_id") =!= 2L && col("doc_id") =!= 3L))
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats() === expect,
+      "the cumulative list must subtract doc 2 exactly once")
+    // the boilerplate fp is still carried by the live doc 1: the r19
+    // additive semantics would have driven it to 3−1−2 = 0 and
+    // silently dropped it from the readout
+    assert(TrainPrep.cdcIndexBoilerplate(spark, path, minDocs = 1L)
+        .count() > 0L,
+      "a live doc's fp must survive an overlapping takedown")
+    // the ledger carries across a compact (deleted-stays-deleted):
+    // the same cumulative list replayed afterwards is a full no-op
+    TrainPrep.compactCdcIndex(spark, path)
+    TrainPrep.deleteCdcIndex(spark, path,
+      d.filter(col("doc_id") === 2L || col("doc_id") === 3L))
+    assert(stats() === expect,
+      "a replayed cumulative takedown after compact must be a no-op")
+    // a batch that mixes already-deleted, duplicate, and fresh rows
+    // subtracts exactly the fresh doc once
+    TrainPrep.deleteCdcIndex(spark, path,
+      d.filter(col("doc_id") === 3L || col("doc_id") === 4L)
+        .union(d.filter(col("doc_id") === 4L)))
+    val expect2 = TrainPrep.cdcFpStats(d.filter(col("doc_id") === 1L))
+      .orderBy("fp").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(stats() === expect2,
+      "mixed stale+duplicate+fresh batch must subtract only the fresh doc, once")
+  }
+
   test("cdc strip frac: the fraction gate is scale-invariant where the absolute gate is not") {
     def isMarker(t: String): Boolean = {
       val md = java.security.MessageDigest.getInstance("MD5")
