@@ -1074,11 +1074,21 @@ object TextDedup {
     val tombstones = deletesIn(spark, live)
     val carriedDeleteTags = landedBatchTags(spark, s"$live/deletes") ++
       batchDirTags(spark, s"$live/deletes")
+    // gate the mask on tombstone BATCH DIRS existing (one FS listing
+    // we already paid above): a delete-free index — the common
+    // lifecycle — skips the anti-join entirely instead of trusting
+    // PropagateEmptyRelation to fold the 0-row side out (measured in
+    // SCALING.md's round-20 creep adjudication: the ungated join's
+    // cost is ~30 ms, but the gate makes the no-delete compact plan
+    // IDENTICAL to the pre-lifecycle r18 shape by construction)
+    val hasTombstoneBatches = batchDirTags(spark, s"$live/deletes").nonEmpty
+    val exploded = spark.read.parquet(s"$live/sets")
+      .select(col("hs"), explode(col("members")).as("doc_id"))
+      .distinct()
     val merged = chunkMembers(
-      spark.read.parquet(s"$live/sets")
-        .select(col("hs"), explode(col("members")).as("doc_id"))
-        .distinct()
-        .join(tombstones, Seq("doc_id"), "left_anti"),
+      if (hasTombstoneBatches)
+        exploded.join(tombstones, Seq("doc_id"), "left_anti")
+      else exploded,
       chunkSize(spark)).cache()
     installIndexVersion(spark, path) { dir =>
       merged.select(col("set_rep").as("doc_id"), col("hs"),
