@@ -150,6 +150,7 @@ object SparkEntry {
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
     "q_similar_ivfpq_res"  -> (Similarity.qSimilarIvfPqRes _),
     "q_similar_ivfpq_lloyd" -> (Similarity.qSimilarIvfPqLloyd _),
+    "q_similar_ivfpq_spherical" -> (Similarity.qSimilarIvfPqSpherical _),
     "q_similar_kmeans_int" -> (Similarity.qSimilarKmeansInt _),
     "q_similar_ivfpq_learned" -> (Similarity.qSimilarIvfPqLearned _),
     "q_similar_ivfpq_deleted" -> (Similarity.qSimilarIvfPqDeleted _),
@@ -966,6 +967,68 @@ object SparkEntry {
     iterCtes
   }
 
+  /** Parameterized SPHERICAL Lloyd unroll — the DuckDB twin of
+    * [[graft.operators.Similarity]]'s `lloydRoundsSpherical`: the same
+    * exact integer L2² assignment and integer-mean update, plus the
+    * norm-restoring rescale — each mean codeword scaled to its
+    * cluster's RMS member norm via the one deterministic-double leaf
+    * floor(cwd · √(msq/mn2) + ½). Member squared-norm sums ride
+    * DuckDB's exact HUGEINT SUM (the Spark side's decimal(38,0));
+    * msq = Σ‖x‖² // n_members floors identically (both sides
+    * non-negative). */
+  private def lloydSphericalCtesSql(xCte: String, seedCte: String,
+                                    p: String): String = {
+    import Similarity._
+    val l2 = (1 to PqSubDim).map(d =>
+      s"(x.xq[$d] - c.cw[$d]) * (x.xq[$d] - c.cw[$d])").mkString(" + ")
+    (0 until PqLloydIters).map { i =>
+      val prev = if (i == 0) seedCte else s"${p}cb_$i"
+      s"""${p}d_$i AS (SELECT x.vec_id, x.m, c.j, $l2 AS dist
+           FROM $xCte x JOIN $prev c ON x.m = c.m),
+         ${p}code_$i AS (SELECT vec_id, m, j FROM (
+             SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY dist ASC NULLS LAST, j ASC) AS rk FROM ${p}d_$i)
+           WHERE rk = 1),
+         ${p}flat_$i AS (SELECT c.m, c.j, CAST(ds.d AS BIGINT) AS dim,
+             x.xq[ds.d + 1] AS v
+           FROM ${p}code_$i c
+           JOIN $xCte x ON x.vec_id = c.vec_id AND x.m = c.m,
+           UNNEST(generate_series(0, ${PqSubDim - 1})) AS ds(d)),
+         ${p}stat_$i AS (SELECT m, j, dim,
+             CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+               // count(*) AS BIGINT) AS cwd,
+             sum(v * v) AS sq, count(*) AS c
+           FROM ${p}flat_$i GROUP BY m, j, dim),
+         ${p}norm_$i AS (SELECT m, j,
+             list_transform(list_sort(list({'dim': dim, 'cwd': cwd})),
+               s -> s.cwd) AS mw,
+             CAST(sum(sq) // max(c) AS BIGINT) AS msq
+           FROM ${p}stat_$i GROUP BY m, j),
+         ${p}cb_${i + 1} AS (SELECT m, j,
+             CASE WHEN mn2 > 0 AND msq > 0 THEN
+               list_transform(mw, x -> CAST(floor(CAST(x AS DOUBLE)
+                 * sqrt(CAST(msq AS DOUBLE) / CAST(mn2 AS DOUBLE))
+                 + 0.5) AS BIGINT))
+             ELSE mw END AS cw
+           FROM (SELECT m, j, mw, msq,
+               list_aggregate(list_transform(mw, x -> x * x), 'sum') AS mn2
+             FROM ${p}norm_$i))"""
+    }.mkString(",\n       ")
+  }
+
+  /** Spherical-Lloyd residual IVF-PQ twin ([[graft.operators
+    * .Similarity.ivfPqResidualTopKSpherical]]): the Lloyd oracle with
+    * the norm-restoring rounds swapped in. */
+  private lazy val ivfPqSphericalOracle: String =
+    s"""WITH $twoLevelCellsSql,
+       $ivfPqQCellSql,
+       $ivfPqCandSql,
+       $ivfPqResidualScaffoldSql,
+       ${lloydSphericalCtesSql("res_x", "res_cb", "rs")},
+       ${ivfPqResidualTailSql("rsq", s"rscb_${Similarity.PqLloydIters}")}
+       SELECT query_id, vec_id, rk, cosine FROM rsq_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
+
   /** Recall@3 of the STRIDE vs the LEARNED (integer-mean Lloyd) PQ
     * codebook against brute force, per query — both chains share the
     * corpus sub-vectors (`pq_x`) and differ ONLY in the codebook, so
@@ -1253,6 +1316,8 @@ object SparkEntry {
        $ivfPqResidualCtes,
        ${lloydCtesSql("res_x", "res_cb", "rl")},
        ${ivfPqResidualTailSql("rlq", s"rlcb_${Similarity.PqLloydIters}")},
+       ${lloydSphericalCtesSql("res_x", "res_cb", "rs")},
+       ${ivfPqResidualTailSql("rsq", s"rscb_${Similarity.PqLloydIters}")},
        rqx AS (SELECT vec_id AS query_id, embedding AS qv
                FROM embeddings WHERE $isQuerySql),
        rscored AS (
@@ -1275,15 +1340,24 @@ object SparkEntry {
                   JOIN (SELECT query_id, vec_id FROM rlq_ranked
                         WHERE rk <= 3) l
                     ON e.query_id = l.query_id AND e.vec_id = l.vec_id
-                  GROUP BY e.query_id)
+                  GROUP BY e.query_id),
+       hsph AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n
+                FROM rex e
+                JOIN (SELECT query_id, vec_id FROM rsq_ranked
+                      WHERE rk <= 3) s
+                  ON e.query_id = s.query_id AND e.vec_id = s.vec_id
+                GROUP BY e.query_id)
        SELECT q.query_id,
          coalesce(hres.n, 0) AS n_hit_res,
          coalesce(hlloyd.n, 0) AS n_hit_lloyd,
+         coalesce(hsph.n, 0) AS n_hit_spherical,
          CAST(coalesce(hres.n, 0) AS DOUBLE) / 3 AS recall_res,
-         CAST(coalesce(hlloyd.n, 0) AS DOUBLE) / 3 AS recall_lloyd
+         CAST(coalesce(hlloyd.n, 0) AS DOUBLE) / 3 AS recall_lloyd,
+         CAST(coalesce(hsph.n, 0) AS DOUBLE) / 3 AS recall_spherical
        FROM rqx q
        LEFT JOIN hres ON q.query_id = hres.query_id
        LEFT JOIN hlloyd ON q.query_id = hlloyd.query_id
+       LEFT JOIN hsph ON q.query_id = hsph.query_id
        ORDER BY q.query_id"""
 
   /** The nprobe recall/cost curve twin: three probe chains (nprobe 1,
@@ -3672,6 +3746,7 @@ object SparkEntry {
     // form despite being the FAISS-shape production encoding
     "q_similar_ivfpq_res" -> ivfPqResidualOracle,
     "q_similar_ivfpq_lloyd" -> ivfPqLloydOracle,
+    "q_similar_ivfpq_spherical" -> ivfPqSphericalOracle,
     "q_similar_kmeans_int" -> kmeansIntOracle,
     "q_similar_ivfpq_learned" -> ivfPqLearnedOracle,
     "q_similar_ivfpq_deleted" -> ivfPqDeletedOracle,

@@ -2999,6 +2999,27 @@ class TextPipelineSpec extends SparkSpec {
       "(cosine-ADC metric mismatch — see ivfPqLloydRecall scaladoc)")
   }
 
+  test("spherical-Lloyd residual codebook: deterministic; recall recovers the mid-stride baseline") {
+    import Similarity._
+    val emb = clusteredEmb
+    val r1 = ivfPqResidualTopKSpherical(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    val r2 = ivfPqResidualTopKSpherical(emb, k = 3, nprobe = 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect()
+    assert(r1.toSeq === r2.toSeq, "spherical training must be deterministic")
+    assert(r1.nonEmpty)
+    val mid = pqRecallOf(emb, ivfPqResidualTopK(emb, k = 3, nprobe = 2))
+    val lloyd = pqRecallOf(emb, ivfPqResidualTopKLloyd(emb, k = 3, nprobe = 2))
+    val sph = pqRecallOf(emb, ivfPqResidualTopKSpherical(emb, k = 3, nprobe = 2))
+    info(s"residual recall: mid-stride=$mid lloyd=$lloyd spherical=$sph")
+    // the r19 honest negative's own prescription: restoring codeword
+    // norms must recover what L2-mean shrinkage lost under cosine ADC
+    assert(sph >= lloyd,
+      s"spherical recall $sph must not lose to plain Lloyd $lloyd")
+    assert(sph >= mid,
+      s"spherical recall $sph must recover the mid-stride baseline $mid")
+  }
+
   test("integer-mean k-means IVF: deterministic across runs; recall reported vs the float form, floored") {
     import Similarity._
     val emb = clusteredEmb
