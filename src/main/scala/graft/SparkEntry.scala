@@ -145,6 +145,8 @@ object SparkEntry {
     "q_similar_ivf2"       -> (Similarity.qSimilarIvf2 _),
     "q_similar_ivf_persisted" -> (Similarity.qSimilarIvfPersisted _),
     "q_similar_ivf_appended" -> (Similarity.qSimilarIvfAppended _),
+    "q_similar_ivf_deleted" -> (Similarity.qSimilarIvfDeleted _),
+    "q_similar_pq_deleted" -> (Similarity.qSimilarPqDeleted _),
     "q_similar_ivf_quantized" -> (Similarity.qSimilarIvfQuantized _),
     "q_similar_pq"         -> (Similarity.qSimilarPq _),
     "q_similar_ivfpq"      -> (Similarity.qSimilarIvfPq _),
@@ -234,6 +236,7 @@ object SparkEntry {
     "q_winnow_overlap"     -> (TextDedup.qWinnowOverlap _),
     "q_winnow_probe"       -> (TextDedup.qWinnowProbe _),
     "q_winnow_persisted"   -> (TextDedup.qWinnowPersisted _),
+    "q_winnow_deleted"     -> (TextDedup.qWinnowDeleted _),
     "q_winnow_boiler"      -> (TextDedup.qWinnowBoiler _),
     "q_winnow_attribution" -> (TextDedup.qWinnowAttribution _),
     "q_setsim_incremental" -> (TextDedup.qSetSimIncremental _),
@@ -693,13 +696,16 @@ object SparkEntry {
   }
 
   /** Probe-vs-standing winnow overlap (shared by the direct and the
-    * landed-index spellings — persistence is answer-invariant). */
-  private lazy val winnowProbeOracle: String = {
+    * landed-index spellings — persistence is answer-invariant).
+    * `standingExtra` narrows the standing side (the delete-lifecycle
+    * twin's survivor filter — applied BEFORE the hot-fp cap, the
+    * survivor-exact mask contract). */
+  private def winnowProbeOracleWhere(standingExtra: String): String = {
     val m = graft.operators.TextDedup.IncrementMod
     val cap = graft.operators.TextDedup.WinnowPairCap
     val minShared = graft.operators.TextDedup.MinSharedFp
     s"""WITH $winnowSelSql,
-       ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0),
+       ssel AS (SELECT * FROM sel WHERE doc_id % $m <> 0$standingExtra),
        psel AS (SELECT * FROM sel WHERE doc_id % $m = 0),
        small AS (SELECT fp FROM ssel GROUP BY fp HAVING count(*) <= $cap),
        skept AS (SELECT ssel.doc_id, ssel.fp FROM ssel
@@ -710,6 +716,14 @@ object SparkEntry {
        GROUP BY 1, 2 HAVING count(*) >= $minShared
        ORDER BY probe_id, index_id"""
   }
+
+  private lazy val winnowProbeOracle: String = winnowProbeOracleWhere("")
+
+  /** Winnow delete-lifecycle twin: the probe overlap with the takedown
+    * slice excluded from the standing side. */
+  private lazy val winnowDeletedOracle: String = winnowProbeOracleWhere(
+    s" AND NOT (doc_id % ${graft.operators.TextDedup.WinnowDeleteMod}" +
+      s" = ${graft.operators.TextDedup.WinnowDeleteRem})")
 
   /** Shared MMR CTE chain (DuckDB): relevance pool → pool-pairwise
     * sims → the greedy rounds unrolled (`sel_r` the picked set, `m_r`
@@ -862,7 +876,8 @@ object SparkEntry {
 
   /** Prefix-parameterized [[pqTailSql]] — reads `${p}_code`/`${p}_lut`/
     * `${p}_qn` and ends with `${p}_ranked`. */
-  private def pqTailSqlP(p: String, cand: Option[String]): String = {
+  private def pqTailSqlP(p: String, cand: Option[String],
+                         scExtra: String = ""): String = {
     import Similarity.PqShortlist
     val adcFrom = cand match {
       case Some(c) =>
@@ -887,7 +902,7 @@ object SparkEntry {
                   / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(n.qn2 AS DOUBLE)))
            END AS adc
          FROM ${p}_adc a JOIN ${p}_qn n ON a.query_id = n.query_id
-         WHERE a.vec_id <> a.query_id),
+         WHERE a.vec_id <> a.query_id$scExtra),
        ${p}_short AS (SELECT query_id, vec_id FROM (
            SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
              ORDER BY adc DESC, vec_id) AS srk FROM ${p}_sc)
@@ -908,6 +923,17 @@ object SparkEntry {
     * `pq_ranked(query_id, vec_id, rk, cosine)`. */
   private lazy val pqChainSql: String =
     s"$pqBaseSql,\n       ${pqTailSql(None)}"
+
+  /** Plain-PQ delete-lifecycle twin: the brute-ADC chain with the
+    * tombstoned slice excluded from the scored candidates (codebook
+    * keeps full-corpus training — frozen until rebuild). */
+  private lazy val pqDeletedOracle: String =
+    s"""WITH $pqBaseSql,
+       ${pqTailSqlP("pq", None,
+        s" AND NOT (a.vec_id % ${Similarity.IvfDeleteMod}" +
+          s" = ${Similarity.IvfDeleteRem})")}
+       SELECT query_id, vec_id, rk, cosine FROM pq_ranked WHERE rk <= 3
+       ORDER BY query_id, rk"""
 
   /** LEARNED-codebook PQ chain ([[graft.operators.Similarity
     * .pqTopKLloyd]]): the [[Similarity.PqLloydIters]] Lloyd rounds
@@ -1934,7 +1960,12 @@ object SparkEntry {
     * (rebuild-per-call) and `q_similar_ivf_persisted` (standing parquet
     * index): the persistence layer is answer-invariant by contract, so
     * one SQL text pins both. */
-  private def ivfProbedOracle: String =
+  private def ivfProbedOracle: String = ivfProbedOracleWhere("")
+
+  /** The plain-IVF probe chain; `candExtra` narrows the candidate
+    * side (the delete-lifecycle twin's survivor filter — candidates
+    * only, per the frozen-structure contract). */
+  private def ivfProbedOracleWhere(candExtra: String): String =
     s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
                    WHERE $isCentroidSql),
        d AS (SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1948,12 +1979,18 @@ object SparkEntry {
        q AS (SELECT vec_id AS query_id, embedding AS qv, centroid_id AS cell
              FROM ranked WHERE $isQuerySql AND crk <= 2),
        s AS (SELECT q.query_id, a.vec_id, ${cosineSql("q.qv", "a.embedding")} AS cosine
-             FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id),
+             FROM a JOIN q ON a.cell = q.cell WHERE a.vec_id <> q.query_id$candExtra),
        r AS (SELECT query_id, vec_id, cosine,
                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
              FROM s)
        SELECT query_id, vec_id, rk, cosine FROM r WHERE rk <= 3
        ORDER BY query_id, rk"""
+
+  /** Plain-IVF delete-lifecycle twin: the probe with the tombstoned
+    * slice excluded from candidates. */
+  private lazy val ivfDeletedOracle: String = ivfProbedOracleWhere(
+    s" AND NOT (a.vec_id % ${Similarity.IvfDeleteMod}" +
+      s" = ${Similarity.IvfDeleteRem})")
 
   /** Quantized-IVF probe oracle: the multi-probe chain with the
     * candidate side scored on int8-reconstructed vectors — the same
@@ -3717,6 +3754,8 @@ object SparkEntry {
     "q_similar_ivf_persisted" -> ivfProbedOracle,
     // build+append must equal the all-at-once build — same oracle again
     "q_similar_ivf_appended" -> ivfProbedOracle,
+    "q_similar_ivf_deleted" -> ivfDeletedOracle,
+    "q_similar_pq_deleted" -> pqDeletedOracle,
     "q_similar_ivf_quantized" -> ivfQuantizedOracle,
     // PQ/ADC: codebook training rows, exact integer encode, the ADC
     // table, shortlist and exact re-rank all re-derive from the raw
@@ -5167,6 +5206,7 @@ object SparkEntry {
     "q_winnow_probe" -> winnowProbeOracle,
     // the landed-index probe is answer-invariant — same oracle
     "q_winnow_persisted" -> winnowProbeOracle,
+    "q_winnow_deleted" -> winnowDeletedOracle,
     // provenance attribution: the probe's best-matching standing doc
     // (max shared prints, ties to lowest id) + probe-side coverage
     "q_winnow_attribution" -> {

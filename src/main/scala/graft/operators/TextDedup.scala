@@ -2240,29 +2240,76 @@ object TextDedup {
   }
 
   /** Land the standing corpus's winnow index: ONE parquet of
-    * `(doc_id, fp)` — fingerprint selection is per-document, so the
-    * landed rows ARE `winnowFingerprints(standing)` and every future
-    * probe skips re-fingerprinting the standing side entirely (the
+    * `(doc_id, fp)` under `prints/` — fingerprint selection is
+    * per-document, so the landed rows ARE
+    * `winnowFingerprints(standing)` and every future probe skips
+    * re-fingerprinting the standing side entirely (the
     * `writeDedupIndex` lifecycle, minus the band/set split this
-    * simpler index doesn't need). */
+    * simpler index doesn't need). A rebuild clears standing tombstones
+    * (the band-index contract: the new corpus is the post-takedown
+    * truth). */
   def writeWinnowIndex(standing: DataFrame, path: String,
                        k: Int = WinnowK, w: Int = WinnowW): Unit = {
+    val spark = standing.sparkSession
+    val delDir = new org.apache.hadoop.fs.Path(s"$path/deletes")
+    val fs = delDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(delDir)) { fs.delete(delDir, true); () }
     winnowFingerprints(standing, k, w)
       .select(col("fp"), col("doc_id"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/prints")
     ()
   }
 
+  /** Append an increment to a standing winnow index: fingerprints are
+    * computed ONLY for `newDocs` and land mode(append) into `prints/`
+    * — the band-index convention (the probe reader's `distinct()`
+    * makes a replayed append answer-invariant, and a replayed append
+    * of DELETED docs stays masked by the standing tombstones;
+    * spec-pinned). */
+  def appendWinnowIndex(spark: SparkSession, path: String,
+                        newDocs: DataFrame,
+                        k: Int = WinnowK, w: Int = WinnowW): Unit = {
+    winnowFingerprints(newDocs, k, w)
+      .select(col("fp"), col("doc_id"))
+      .write.mode("append").parquet(s"$path/prints")
+    ()
+  }
+
+  /** Land a TOMBSTONE batch against a standing winnow index — the
+    * delete half attribution/takedown pipelines need most (a removed
+    * document must stop matching incoming probes IMMEDIATELY, not at
+    * the next rebuild): doc ids land identity-addressed under
+    * `deletes/batch=<tag>/` (replay-idempotent), [[winnowProbeIndex]]
+    * masks them with an anti-join BEFORE the hot-fp cap is computed —
+    * so a pre-rebuild probe equals a fresh build over the survivors
+    * EXACTLY (removing a doc can legitimately bring a hot fp back
+    * under the cap and surface new pairs for other docs; contrast the
+    * dedup index's documented pre-compact cap conservatism, which this
+    * layout avoids because prints are per-doc rows, not pre-banded
+    * buckets) — and the next [[writeWinnowIndex]] rebuild applies +
+    * clears them. */
+  def deleteWinnowIndex(spark: SparkSession, path: String,
+                        docIds: DataFrame): Unit = {
+    val ids = docIds.select(col("doc_id")).distinct()
+    landIdentityBatch(ids, s"$path/deletes", identityBatchTag(ids, "doc_id"))
+  }
+
   /** Probe a landed winnow index: identical semantics to
-    * [[winnowProbePairs]] (persistence is answer-invariant by
-    * construction — spec-pinned); only the probe side fingerprints. */
+    * [[winnowProbePairs]] over the SURVIVING standing docs
+    * (persistence is answer-invariant by construction — spec-pinned);
+    * only the probe side fingerprints. */
   def winnowProbeIndex(spark: SparkSession, path: String, probe: DataFrame,
                        k: Int = WinnowK, w: Int = WinnowW,
                        cap: Int = WinnowPairCap): DataFrame =
     winnowProbeFrom(
       winnowFingerprints(probe, k, w).select(col("fp"), col("doc_id"))
         .distinct(),
-      spark.read.parquet(path).select(col("fp"), col("doc_id")).distinct(),
+      // tombstone mask BEFORE distinct and before winnowProbeFrom's
+      // cap count — survivor-exact (see deleteWinnowIndex)
+      spark.read.parquet(s"$path/prints")
+        .select(col("fp"), col("doc_id"))
+        .join(deletesIn(spark, path), Seq("doc_id"), "left_anti")
+        .distinct(),
       cap)
 
   /** Harness entry: land the standing 90%'s winnow index, probe with
@@ -2278,11 +2325,39 @@ object TextDedup {
     val prints = winnowPrints(spark, dir)(Tables.documents(spark, dir))
     prints.filter(col("doc_id") % IncrementMod =!= 0)
       .select(col("fp"), col("doc_id"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(s"$path/prints")
     winnowProbeFrom(
         selOf(prints.filter(col("doc_id") % IncrementMod === 0)),
-        spark.read.parquet(path).select(col("fp"), col("doc_id")).distinct(),
+        spark.read.parquet(s"$path/prints")
+          .select(col("fp"), col("doc_id")).distinct(),
         WinnowPairCap)
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** The takedown slice of [[qWinnowDeleted]] — intersects 2 of the
+    * persisted entry's 6 sf0.01 answer rows (index ids 393 and 92),
+    * so the mask is exercised, not vacuous (probed in DuckDB before
+    * wiring, the round-19 discipline). */
+  val WinnowDeleteMod = 7
+  val WinnowDeleteRem = 1
+
+  /** Harness entry: build(odd standing) + append(even) + DELETE the
+    * takedown slice + probe — the winnow-index delete lifecycle; the
+    * oracle re-derives the probe overlap with the deleted docs
+    * excluded from the standing side (survivor-exact: the mask lands
+    * before the hot-fp cap). */
+  def qWinnowDeleted(spark: SparkSession, dir: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val path = spillPath(spark, "winnow_index_deleted")
+    val standing = docs.filter(col("doc_id") % IncrementMod =!= 0)
+    writeWinnowIndex(standing.filter(col("doc_id") % 2 === 1), path)
+    appendWinnowIndex(spark, path, standing.filter(col("doc_id") % 2 === 0))
+    deleteWinnowIndex(spark, path,
+      standing.filter(col("doc_id") % WinnowDeleteMod === WinnowDeleteRem)
+        .select(col("doc_id")))
+    winnowProbeIndex(spark, path,
+        docs.filter(col("doc_id") % IncrementMod === 0))
       .orderBy(col("probe_id"), col("index_id"))
   }
 

@@ -1151,6 +1151,52 @@ class TextPipelineSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("winnow index delete: masks immediately and survivor-exactly; replays safe; rebuild applies and clears") {
+    val passage = (1 to 30).map("pp" + _).mkString(" ")
+    val boiler = (1 to 40).map("qq" + _).mkString(" ")
+    val standing = Seq(
+      (1L, (1 to 10).map("a" + _).mkString(" ") + " " + passage),
+      (2L, passage + " " + (1 to 10).map("b" + _).mkString(" ")),
+      // a 4-doc clique ABOVE cap=3: deleting one member must bring
+      // the shared prints back under the cap and SURFACE the
+      // remaining pairs — the survivor-exact mask, not just row drops
+      (3L, boiler), (4L, boiler), (5L, boiler), (6L, boiler))
+      .toDF("doc_id", "text")
+    val probe = Seq((11L, passage), (13L, boiler)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-del")
+    val p = s"$dir/idx"
+    try {
+      TextDedup.writeWinnowIndex(standing.filter(col("doc_id") <= 3L), p)
+      TextDedup.appendWinnowIndex(spark, p,
+        standing.filter(col("doc_id") > 3L))
+      def pairs() = TextDedup.winnowProbeIndex(spark, p, probe, cap = 3)
+        .select("probe_id", "index_id").as[(Long, Long)].collect().toSet
+      assert(pairs() === Set((11L, 1L), (11L, 2L)),
+        "pre-delete: boiler clique capped out, passage pairs only")
+      // takedown doc 1 AND clique member 3: doc 1's pair vanishes,
+      // and the clique drops to 3 ≤ cap — probe 13's pairs SURFACE
+      TextDedup.deleteWinnowIndex(spark, p, Seq(1L, 3L).toDF("doc_id"))
+      val after = pairs()
+      assert(after === Set((11L, 2L), (13L, 4L), (13L, 5L), (13L, 6L)),
+        s"post-delete must equal a fresh build over survivors, got $after")
+      // replayed delete: identity-addressed no-op
+      TextDedup.deleteWinnowIndex(spark, p, Seq(1L, 3L).toDF("doc_id"))
+      assert(pairs() === after)
+      // replayed APPEND of a deleted doc: mode(append) physically
+      // re-lands rows; the standing mask must keep hiding them
+      TextDedup.appendWinnowIndex(spark, p,
+        standing.filter(col("doc_id") === 3L))
+      assert(pairs() === after,
+        "a replayed append must not resurrect a deleted doc")
+      // rebuild over survivors APPLIES: tombstones cleared, answers keep
+      TextDedup.writeWinnowIndex(
+        standing.filter(col("doc_id") =!= 1L && col("doc_id") =!= 3L), p)
+      assert(!new java.io.File(s"$p/deletes").exists(),
+        "rebuild must clear the applied tombstones")
+      assert(pairs() === after)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("winnow attribution picks the strongest standing match, ties to lowest id") {
     val x = (1 to 30).map("x" + _).mkString(" ")
     val standing = Seq(
@@ -3247,6 +3293,53 @@ class TextPipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$p/codes")
       .filter(col("vec_id") === victim).count() === 0L,
       "rebuild must not re-land the deleted vector")
+  }
+
+  test("plain PQ index delete: masks immediately; replay no-op; rebuild applies and clears") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-pq-del").toString
+    writePqIndex(emb, p)
+    val queries = queryVectors(emb)
+    def probe() = pqProbeIndex(spark, p, queries, 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val before = probe()
+    val victim = before.head._2
+    deletePqIndex(spark, p, Seq(victim).toDF("vec_id"))
+    val after = probe()
+    assert(!after.exists(_._2 == victim), "deleted vector still served")
+    assert(after.map(_._1).distinct === before.map(_._1).distinct,
+      "a delete must not lose queries — replacements promote")
+    deletePqIndex(spark, p, Seq(victim).toDF("vec_id"))
+    assert(probe() === after, "replayed delete must be a no-op")
+    writePqIndex(emb.filter(col("vec_id") =!= victim), p)
+    assert(!new java.io.File(s"$p/deletes").exists(),
+      "rebuild must clear the applied tombstones")
+    assert(!probe().exists(_._2 == victim))
+  }
+
+  test("plain IVF index delete: masks immediately; replay no-op; rebuild applies and clears") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-del").toString
+    writeIvfIndex(emb, p)
+    val queries = queryVectors(emb)
+      .select(col("query_id"), col("q"))
+    def probe() = ivfProbeIndex(spark, p, queries, 3, 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val before = probe()
+    val victim = before.head._2
+    deleteIvfIndex(spark, p, Seq(victim).toDF("vec_id"))
+    val after = probe()
+    assert(!after.exists(_._2 == victim), "deleted vector still served")
+    assert(after.map(_._1).distinct === before.map(_._1).distinct,
+      "a delete must not lose queries — replacements promote")
+    deleteIvfIndex(spark, p, Seq(victim).toDF("vec_id"))
+    assert(probe() === after, "replayed delete must be a no-op")
+    writeIvfIndex(emb.filter(col("vec_id") =!= victim), p)
+    assert(!new java.io.File(s"$p/deletes").exists(),
+      "rebuild must clear the applied tombstones")
+    assert(!probe().exists(_._2 == victim))
   }
 
   test("streaming IVF-PQ serving masks a TORN tombstone landing (dir committed, manifest row lost)") {
