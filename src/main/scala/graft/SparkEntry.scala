@@ -163,6 +163,7 @@ object SparkEntry {
     "q_kmeans_cell_audit"  -> (Similarity.qKmeansCellAudit _),
     "q_similar_kmeans_auto" -> (Similarity.qSimilarKmeansAuto _),
     "q_kmeans_cell_audit_auto" -> (Similarity.qKmeansCellAuditAuto _),
+    "q_kmeans_trade"       -> (Similarity.qKmeansTrade _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1669,6 +1670,70 @@ object SparkEntry {
          CAST(sum(CASE WHEN rk <= $k THEN n ELSE 0 END) AS DOUBLE) / sum(n)
            AS topk_share
        FROM akranked"""
+  }
+
+  /** Learned-K trade-table twin ([[graft.operators.Similarity
+    * .kmeansTradeTable]]): three full integer-Lloyd trainings (K = 8,
+    * ⌈√N⌉/2, ⌈√N⌉ — each its own prefixed CTE block) sharing one
+    * brute-force reference; per K, the occupancy aggregate and the
+    * same-cell-probe recall@3, one row each, unioned. */
+  private lazy val kmeansTradeOracle: String = {
+    val topK = Similarity.CellAuditTopK
+    val kHalfSql = s"greatest(1, $kmeansAutoKSql // 2)"
+    def block(p: String, kValSql: String) =
+      s"""${p}q AS (SELECT vec_id AS query_id, q, cell FROM (
+           SELECT k.vec_id, e.embedding AS q, k.cell
+           FROM ${p}cell k JOIN embeddings e ON e.vec_id = k.vec_id)
+         WHERE $isQuerySql),
+       ${p}cand AS (SELECT q.query_id, k.vec_id,
+           ${cosineSql("q.q", "e.embedding")} AS cosine
+         FROM ${p}cell k
+         JOIN ${p}q q ON k.cell = q.cell AND k.vec_id <> q.query_id
+         JOIN embeddings e ON e.vec_id = k.vec_id),
+       ${p}rk AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM ${p}cand),
+       ${p}hit AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+         FROM tex e JOIN (SELECT query_id, vec_id FROM ${p}rk WHERE rk <= 3) a
+           ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+       ${p}occ AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+         FROM ${p}cell GROUP BY cell),
+       ${p}occr AS (SELECT n,
+           row_number() OVER (ORDER BY n DESC, cell) AS rk FROM ${p}occ),
+       ${p}_row AS (SELECT CAST(($kValSql) AS BIGINT) AS k_cells,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(max(n) AS BIGINT) AS max_occ,
+           CAST(sum(n) AS DOUBLE) / count(*) AS mean_occ,
+           CAST(sum(CASE WHEN rk <= $topK THEN n ELSE 0 END) AS DOUBLE)
+             / sum(n) AS topk_share,
+           (SELECT n_hit FROM ${p}hit) AS n_hit,
+           CAST((SELECT n_hit FROM ${p}hit) AS DOUBLE)
+             / (SELECT n_exact FROM texn) AS recall
+         FROM ${p}occr)"""
+    s"""WITH ${kmeansIntCtesFor("t8", Similarity.KmeansK.toString)},
+       ${kmeansIntCtesFor("th", kHalfSql)},
+       ${kmeansIntCtesFor("ta", kmeansAutoKSql)},
+       tqx AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE $isQuerySql),
+       tscored AS (SELECT tqx.query_id, e.vec_id,
+           ${cosineSql("tqx.qv", "e.embedding")} AS cosine
+         FROM embeddings e CROSS JOIN tqx WHERE e.vec_id <> tqx.query_id),
+       tranked AS (SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, vec_id) AS rk
+         FROM tscored),
+       tex AS MATERIALIZED (SELECT query_id, vec_id FROM tranked
+             WHERE rk <= 3),
+       texn AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM tex),
+       ${block("t8", Similarity.KmeansK.toString)},
+       ${block("th", kHalfSql)},
+       ${block("ta", kmeansAutoKSql)}
+       SELECT * FROM t8_row
+       UNION ALL SELECT * FROM th_row
+       UNION ALL SELECT * FROM ta_row
+       ORDER BY k_cells"""
   }
 
   /** Occupancy-drift twin: the audit aggregate per side (standing
@@ -3796,6 +3861,7 @@ object SparkEntry {
     "q_kmeans_cell_audit" -> kmeansCellAuditOracle,
     "q_similar_kmeans_auto" -> kmeansAutoOracle,
     "q_kmeans_cell_audit_auto" -> kmeansCellAuditAutoOracle,
+    "q_kmeans_trade" -> kmeansTradeOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this

@@ -3110,6 +3110,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(recall > 0.5, s"auto-sized partition recall $recall collapsed")
   }
 
+  test("learned-K trade table: one row per K, shared reference, occupancy tightens as K grows") {
+    import Similarity._
+    val emb = clusteredEmb
+    val t = kmeansTradeTable(emb).orderBy("k_cells")
+      .as[(Long, Long, Long, Long, Double, Double, Long, Double)]
+      .collect().toSeq
+    assert(t.size === 3, s"one row per K, got $t")
+    // every partition covers the whole corpus
+    assert(t.map(_._3).distinct === Seq(emb.count()))
+    // more cells → the hottest cell can only shrink (trained spread)
+    assert(t.map(_._4) === t.map(_._4).sorted.reverse,
+      s"max_occ must be non-increasing in K: $t")
+    // the table is a real trade readout: recall populated everywhere
+    assert(t.forall(_._8 >= 0.0) && t.exists(_._8 > 0.0))
+  }
+
   test("fully-learned IVFADC: deterministic; exact dup at rk 1; recall reported vs the rank-stride chain") {
     import Similarity._
     val emb = clusteredEmb
