@@ -3311,6 +3311,59 @@ class TextPipelineSpec extends SparkSpec {
       "rebuild must not re-land the deleted vector")
   }
 
+  test("IndexJob.maintainIvfPq: a skewed append stream triggers exactly one rebuild; tombstones applied; probes green throughout") {
+    import Similarity._
+    val emb = clusteredEmb
+    val standing = emb.filter(col("vec_id") < 200L)
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-retrain").toString
+    writeIvfPqIndex(standing, p)
+    def probe() = ivfPqProbeIndex(spark, p, queryVectors(standing), 3, 2)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    // a takedown lands BEFORE the skew arrives: the rebuild the policy
+    // eventually triggers must apply it
+    val victim = probe().head._2
+    deleteIvfPqIndex(spark, p, Seq(victim).toDF("vec_id"))
+    // skewed append stream: every batch's vectors sit in one tight
+    // value cluster (deterministic), so they all place into the same
+    // frozen cell and occupancy degrades monotonically until retrain
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def skewBatch(b: Int) = (0 until 30).map { i =>
+      (1000L + b * 100 + i,
+        Array.tabulate(64)(d => base(d) + 0.01f * (b * 31 + i + d)))
+    }.toDF("vec_id", "embedding")
+    var corpus = standing
+    var rebuilds = 0
+    for (b <- 0 until 4) {
+      val batch = skewBatch(b)
+      appendIvfPqIndex(spark, p, batch)
+      corpus = corpus.unionByName(batch)
+      val served = probe()
+      assert(served.nonEmpty, s"probe went dark at batch $b")
+      assert(!served.exists(_._2 == victim),
+        s"victim served at batch $b (${if (rebuilds > 0) "post" else "pre"}-rebuild)")
+      val audit = ivfPqIndexCellAudit(spark, p).head()
+      info(s"batch $b: top4_share=${audit.getAs[Double]("topk_share")} " +
+        s"max/mean=${audit.getAs[Long]("max_occ")}/${audit.getAs[Double]("mean_occ")}")
+      // budget sits between the healthy regime (this fixture reads
+      // ~3.0× max/mean right after a retrain) and the degraded one
+      // (4.4× after two skewed batches)
+      if (IndexJob.maintainIvfPq(spark, corpus, p,
+          RetrainPolicy(maxTopKShare = 0.6, maxOccRatio = 4.0))) rebuilds += 1
+    }
+    assert(rebuilds === 1,
+      s"the skewed stream must trigger exactly one rebuild, got $rebuilds")
+    // the rebuild applied the tombstone: cleared, physically absent,
+    // and still unserved
+    assert(!new java.io.File(s"$p/deletes").exists(),
+      "rebuild must clear the applied tombstones")
+    assert(spark.read.parquet(s"$p/codes")
+      .filter(col("vec_id") === victim).count() === 0L,
+      "rebuild must not re-land the deleted vector")
+    assert(!probe().exists(_._2 == victim))
+  }
+
   test("plain PQ index delete: masks immediately; replay no-op; rebuild applies and clears") {
     import Similarity._
     val emb = clusteredEmb
