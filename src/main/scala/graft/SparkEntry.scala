@@ -164,6 +164,7 @@ object SparkEntry {
     "q_similar_kmeans_auto" -> (Similarity.qSimilarKmeansAuto _),
     "q_kmeans_cell_audit_auto" -> (Similarity.qKmeansCellAuditAuto _),
     "q_kmeans_trade"       -> (Similarity.qKmeansTrade _),
+    "q_similar_ivfpq_learned_auto" -> (Similarity.qSimilarIvfPqLearnedAuto _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1545,65 +1546,80 @@ object SparkEntry {
     * residuals against the LEARNED cell, mid-stride residual codebook,
     * exact encode, top-nprobe query placement by the same integer L2,
     * per-cell effective-codeword LUT, ADC, exact re-rank. */
-  private lazy val ivfPqLearnedOracle: String = {
+  private lazy val ivfPqLearnedOracle: String =
+    ivfPqLearnedOracleFor(kmeansIntCtes, "k", "l")
+
+  /** Fully-learned IVFADC at the √N-SIZED coarse partition — the
+    * complete 100× shape composed: K = ceil(sqrt(N)) learned cells
+    * (one scalar count subquery) feeding the same residual chain. */
+  private lazy val ivfPqLearnedAutoOracle: String =
+    ivfPqLearnedOracleFor(kmeansIntCtesFor("ak", kmeansAutoKSql),
+      "ak", "al")
+
+  /** The fully-learned IVFADC twin, parameterized: `kmCtes`/`km` name
+    * the integer-k-means block (workload K or √N auto), `p` prefixes
+    * this chain's own CTEs so two sizes can coexist. */
+  private def ivfPqLearnedOracleFor(kmCtes: String, km: String,
+                                    p: String): String = {
     import Similarity._
     def micro(x: String) =
       s"CAST(floor(CAST($x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
     val qqn2 = (1 to PqSubDim).map(d => s"qq[$d] * qq[$d]").mkString(" + ")
-    s"""WITH $kmeansIntCtes,
+    s"""WITH $kmCtes,
        -- decode table: the learned centroids ARE micro ints — slice
-       lcell_sub AS MATERIALIZED (SELECT cluster_id AS cell, CAST(ms.m AS BIGINT) AS m,
+       ${p}cell_sub AS MATERIALIZED (SELECT cluster_id AS cell, CAST(ms.m AS BIGINT) AS m,
            list_slice(cm, ms.m * $PqSubDim + 1,
              ms.m * $PqSubDim + $PqSubDim) AS cs
-         FROM kc_$KmeansIters, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
+         FROM ${km}c_$KmeansIters, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)),
        -- per-(vec, subspace) micro-int residual against the LEARNED cell
-       lres_x AS MATERIALIZED (SELECT k.vec_id, k.cell, s.m,
+       ${p}res_x AS MATERIALIZED (SELECT k.vec_id, k.cell, s.m,
            list_transform(list_slice(e.embedding,
                CAST(s.m * $PqSubDim + 1 AS INT),
                CAST(s.m * $PqSubDim + $PqSubDim AS INT)),
              (x, i) -> ${micro("x")} - s.cs[i]) AS xq
-         FROM kcell k
+         FROM ${km}cell k
          JOIN embeddings e ON e.vec_id = k.vec_id
-         JOIN lcell_sub s ON s.cell = k.cell),
+         JOIN ${p}cell_sub s ON s.cell = k.cell),
        -- mid-stride residual codebook (the ivfPqResidualParts recipe)
-       lres_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-       lres_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
+       ${p}res_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       ${p}res_kp AS (SELECT greatest(1, least($PqK, n)) AS kk,
            greatest(1, n // greatest(1, least($PqK, n))) AS stride,
            greatest(1, n // greatest(1, least($PqK, n))) // 2 AS off
-         FROM lres_n),
-       lrnk AS (SELECT vec_id,
+         FROM ${p}res_n),
+       ${p}rnk AS (SELECT vec_id,
            row_number() OVER (ORDER BY vec_id) - 1 AS vrk FROM embeddings),
-       lres_train AS (SELECT vec_id,
+       ${p}res_train AS (SELECT vec_id,
            row_number() OVER (ORDER BY vec_id) - 1 AS j
-         FROM lrnk, lres_kp
+         FROM ${p}rnk, ${p}res_kp
          WHERE vrk % stride = off AND vrk < stride * kk + off),
-       lres_cb AS MATERIALIZED (SELECT r.m, t.j, r.xq AS cw
-         FROM lres_train t JOIN lres_x r ON r.vec_id = t.vec_id),
+       ${p}res_cb AS MATERIALIZED (SELECT r.m, t.j, r.xq AS cw
+         FROM ${p}res_train t JOIN ${p}res_x r ON r.vec_id = t.vec_id),
        -- query micro sub-vectors + norms
-       lres_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
+       ${p}res_qs AS (SELECT vec_id AS query_id, CAST(ms.m AS BIGINT) AS m,
            list_transform(list_slice(embedding, ms.m * $PqSubDim + 1,
              ms.m * $PqSubDim + $PqSubDim), x -> ${micro("x")}) AS qq
          FROM embeddings, UNNEST(generate_series(0, ${PqM - 1})) AS ms(m)
          WHERE $isQuerySql),
-       lres_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
-         FROM lres_qs GROUP BY query_id),
+       ${p}res_qn AS (SELECT query_id, CAST(sum($qqn2) AS BIGINT) AS qn2
+         FROM ${p}res_qs GROUP BY query_id),
        -- top-nprobe query placement by the same integer L2
-       lq_x AS (SELECT vec_id,
+       ${p}q_x AS (SELECT vec_id,
            list_transform(embedding, x -> ${micro("x")}) AS xq
          FROM embeddings WHERE $isQuerySql),
-       lqcell AS MATERIALIZED (SELECT vec_id AS query_id, cluster_id AS cell FROM (
+       ${p}qcell AS MATERIALIZED (SELECT vec_id AS query_id, cluster_id AS cell FROM (
            SELECT m.vec_id, c.cluster_id, row_number() OVER (
              PARTITION BY m.vec_id ORDER BY $kmeansIntL2 ASC, c.cluster_id)
              AS rk
-           FROM lq_x m CROSS JOIN kc_$KmeansIters c) WHERE rk <= 2),
-       lcand AS MATERIALIZED (SELECT q.query_id, k.vec_id, k.cell
-         FROM kcell k JOIN lqcell q ON k.cell = q.cell
+           FROM ${p}q_x m CROSS JOIN ${km}c_$KmeansIters c) WHERE rk <= 2),
+       ${p}cand AS MATERIALIZED (SELECT q.query_id, k.vec_id, k.cell
+         FROM ${km}cell k JOIN ${p}qcell q ON k.cell = q.cell
          WHERE k.vec_id <> q.query_id),
-       ${ivfPqResidualEncodeSql("lres", "lres_cb", "lres_x",
+       ${ivfPqResidualEncodeSql(s"${p}res", s"${p}res_cb", s"${p}res_x",
           materialized = true)},
-       ${ivfPqResidualProbeSql("lrq", "lres_cb", "lres_code",
-          "lqcell", "lcand", "lres_qs", "lres_qn", "lcell_sub")}
-       SELECT query_id, vec_id, rk, cosine FROM lrq_ranked WHERE rk <= 3
+       ${ivfPqResidualProbeSql(s"${p}rq", s"${p}res_cb", s"${p}res_code",
+          s"${p}qcell", s"${p}cand", s"${p}res_qs", s"${p}res_qn",
+          s"${p}cell_sub")}
+       SELECT query_id, vec_id, rk, cosine FROM ${p}rq_ranked WHERE rk <= 3
        ORDER BY query_id, rk"""
   }
 
@@ -3862,6 +3878,7 @@ object SparkEntry {
     "q_similar_kmeans_auto" -> kmeansAutoOracle,
     "q_kmeans_cell_audit_auto" -> kmeansCellAuditAutoOracle,
     "q_kmeans_trade" -> kmeansTradeOracle,
+    "q_similar_ivfpq_learned_auto" -> ivfPqLearnedAutoOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this

@@ -411,8 +411,11 @@ object TrainPrep {
     val live = TextDedup.currentIndexDir(spark, path)
     val fresh = docs.dropDuplicates("doc_id")
       .join(cdcDeletedIds(spark, live), Seq("doc_id"), "left_anti")
-    if (!fresh.isEmpty) {
-      val tag = s"del_${cdcBatchTag(fresh)}"
+    // the identity tag's n<count>_ prefix doubles as the emptiness
+    // check — one action instead of an isEmpty job + a tag job
+    val idTag = cdcBatchTag(fresh)
+    if (!idTag.startsWith("n0_")) {
+      val tag = s"del_$idTag"
       landCdcBatch(
         cdcFpStats(fresh, divisor)
           .select(col("fp"), (-col("n_docs")).as("n_docs"),
