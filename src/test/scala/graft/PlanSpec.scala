@@ -573,6 +573,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-20 queries: no cartesian products; nested loops only as bounded broadcast builds") {
+    // the spherical/trade/learned-auto chains nest exactly their
+    // bounded broadcasts (centroid rows, per-(query,cell) LUTs, 1-row
+    // count frames); the delete lifecycles stay equi/anti machinery
+    for (q <- Seq("q_similar_ivfpq_spherical", "q_kmeans_trade",
+        "q_similar_ivfpq_learned_auto", "q_ivfpq_lloyd_recall")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin Inner") &&
+        !s.contains("BroadcastNestedLoopJoin LeftOuter"),
+        s"$q has a non-bounded nested loop:\n$s")
+    }
+    for (q <- Seq("q_winnow_deleted", "q_similar_pq_deleted",
+        "q_similar_ivf_deleted")) {
+      val s = planString(q)
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian:\n$s")
+    }
+  }
+
   test("round-18 queries: no cartesian products; nested loops only as bounded broadcast builds") {
     // the residual IVF-PQ chain nests exactly its bounded broadcasts
     // (coarse/fmap placement frames, the per-(query, cell) LUT); the
