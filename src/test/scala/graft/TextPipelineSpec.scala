@@ -3088,6 +3088,49 @@ class TextPipelineSpec extends SparkSpec {
     assert(intRecall > 0.8, s"integer partition recall $intRecall collapsed")
   }
 
+  test("PROPERTY: kmeans_top_cells == the composed HOF argmin/top-n, ties and truncation included") {
+    // the native expression's parity contract against the composed
+    // spelling it replaced (the PqEncode bit-parity discipline):
+    // identical micro-quantization, identical (dist, cid)
+    // lexicographic order — exercised on random vectors against a
+    // centroid table that CONTAINS exact duplicates (forced ties,
+    // broken by cid) and probed past K (truncation)
+    graft.expressions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val cents0 = (0 until 6).map(cid =>
+      (cid.toLong, Array.fill(dims)(rnd.nextInt(4000000).toLong - 2000000L)))
+    // duplicate centroid values under new ids: exact distance ties
+    val cents = cents0 ++ Seq((6L, cents0(2)._2.clone()),
+      (7L, cents0(0)._2.clone()))
+    val emb = (0 until 200).map(i =>
+      (i.toLong, Array.fill(dims)(rnd.nextFloat() * 4f - 2f)))
+      .toDF("vec_id", "embedding")
+    val centsRow = Seq(Tuple1(cents.map { case (c, m) => (c, m.toSeq) }))
+      .toDF("_c")
+      .select(col("_c").cast("array<struct<cid:bigint,cm:array<bigint>>>")
+        .as("_cents"))
+    val microed = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val scored = transform(col("_cents"), c =>
+      struct(
+        aggregate(zip_with(microed, c.getField("cm"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, d) => acc + d).as("d"),
+        c.getField("cid").as("cid")))
+    for (n <- Seq(1, 3, 20)) { // argmin, top-n, n > K truncation
+      val both = emb.crossJoin(broadcast(centsRow))
+        .select(col("vec_id"),
+          call_function("kmeans_top_cells",
+            col("embedding"), col("_cents"), lit(n)).as("native"),
+          transform(slice(array_sort(scored), 1, n),
+            s => s.getField("cid")).as("composed"))
+        .filter(not(col("native") <=> col("composed")))
+      assert(both.isEmpty,
+        s"n=$n: native diverges from composed:\n" +
+          both.limit(3).collect().mkString("\n"))
+    }
+  }
+
   test("√N auto-K learned partition: sizing rule, determinism, learns the planted structure") {
     import Similarity._
     // the sizing rule: K = ⌈√N⌉, floored at 1
