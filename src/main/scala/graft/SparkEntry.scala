@@ -165,6 +165,8 @@ object SparkEntry {
     "q_kmeans_cell_audit_auto" -> (Similarity.qKmeansCellAuditAuto _),
     "q_kmeans_trade"       -> (Similarity.qKmeansTrade _),
     "q_similar_ivfpq_learned_auto" -> (Similarity.qSimilarIvfPqLearnedAuto _),
+    "q_similar_kmeans_landed" -> (Similarity.qSimilarKmeansLanded _),
+    "q_similar_kmeans_deleted" -> (Similarity.qSimilarKmeansDeleted _),
     "q_ivfpq_nprobe_curve" -> (Similarity.qIvfPqNprobeCurve _),
     "q_similar_pq_kmeans"  -> (Similarity.qSimilarPqKmeans _),
     "q_similar_ivfpq_persisted" -> (Similarity.qSimilarIvfPqPersisted _),
@@ -1649,7 +1651,11 @@ object SparkEntry {
     * K = ceil(sqrt(N)) Lloyd seeds instead of the fixed workload
     * K=8 — the same unrolled integer Lloyd rounds, sized by one
     * scalar count subquery. */
-  private lazy val kmeansAutoOracle: String = {
+  private lazy val kmeansAutoOracle: String = kmeansAutoOracleWhere("")
+
+  /** The √N learned-partition chain; `candExtra` narrows the
+    * candidate side (the landed index's delete-lifecycle twin). */
+  private def kmeansAutoOracleWhere(candExtra: String): String = {
     s"""WITH ${kmeansIntCtesFor("ak", kmeansAutoKSql)},
        akq AS (SELECT vec_id AS query_id, q, cell FROM (
            SELECT k.vec_id, e.embedding AS q, k.cell
@@ -1658,7 +1664,7 @@ object SparkEntry {
        akcand AS (SELECT q.query_id, k.vec_id,
            ${cosineSql("q.q", "e.embedding")} AS cosine
          FROM akcell k
-         JOIN akq q ON k.cell = q.cell AND k.vec_id <> q.query_id
+         JOIN akq q ON k.cell = q.cell AND k.vec_id <> q.query_id$candExtra
          JOIN embeddings e ON e.vec_id = k.vec_id),
        akranked AS (SELECT query_id, vec_id,
            row_number() OVER (PARTITION BY query_id
@@ -1667,6 +1673,12 @@ object SparkEntry {
        SELECT query_id, vec_id, rk, cosine FROM akranked WHERE rk <= 3
        ORDER BY query_id, rk"""
   }
+
+  /** Landed learned-index delete twin: the √N chain with the
+    * tombstoned slice excluded from candidates. */
+  private lazy val kmeansDeletedOracle: String = kmeansAutoOracleWhere(
+    s" AND NOT (k.vec_id % ${Similarity.IvfDeleteMod}" +
+      s" = ${Similarity.IvfDeleteRem})")
 
   /** Occupancy audit at the √N learned partition
     * ([[graft.operators.Similarity.kmeansCellAuditAuto]]). */
@@ -3879,6 +3891,8 @@ object SparkEntry {
     "q_kmeans_cell_audit_auto" -> kmeansCellAuditAutoOracle,
     "q_kmeans_trade" -> kmeansTradeOracle,
     "q_similar_ivfpq_learned_auto" -> ivfPqLearnedAutoOracle,
+    "q_similar_kmeans_landed" -> kmeansAutoOracle,
+    "q_similar_kmeans_deleted" -> kmeansDeletedOracle,
     "q_ivfpq_nprobe_curve" -> ivfPqNprobeCurveOracle,
     // learned (Lloyd) PQ codebook — integer-mean updates keep the
     // whole training deterministic, so unlike float k-means this

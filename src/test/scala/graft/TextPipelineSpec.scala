@@ -3153,6 +3153,42 @@ class TextPipelineSpec extends SparkSpec {
     assert(recall > 0.5, s"auto-sized partition recall $recall collapsed")
   }
 
+  test("landed integer-learned index: probe == rebuilt-per-call; replays safe; delete masks; rebuild applies") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-int-idx").toString
+    writeKmeansIntStructures(emb, p) // K = ⌈√256⌉ = 16, trained on all
+    appendKmeansIntIndex(spark, p, emb.filter(col("vec_id") % 2 === 1))
+    appendKmeansIntIndex(spark, p, emb.filter(col("vec_id") % 2 === 0))
+    def probe() = kmeansIntProbeIndex(spark, p, queryVectors(emb), 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    val landed = probe()
+    val oneShot = ivfTopKKmeansAuto(emb, k = 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(landed === oneShot,
+      "the landed index must answer exactly like the rebuilt-per-call form")
+    // replayed append: identity-addressed no-op
+    appendKmeansIntIndex(spark, p, emb.filter(col("vec_id") % 2 === 0))
+    assert(probe() === landed,
+      "a replayed append must not change answers")
+    assert(spark.read.parquet(s"$p/cells")
+      .select("vec_id").distinct().count() === 256L,
+      "every vector's cell row landed exactly once")
+    // delete masks immediately; replay no-op; rebuild applies + clears
+    val victim = landed.head._2
+    deleteIvfIndex(spark, p, Seq(victim).toDF("vec_id"))
+    val after = probe()
+    assert(!after.exists(_._2 == victim), "deleted vector still served")
+    deleteIvfIndex(spark, p, Seq(victim).toDF("vec_id"))
+    assert(probe() === after)
+    writeKmeansIntStructures(emb.filter(col("vec_id") =!= victim), p)
+    appendKmeansIntIndex(spark, p, emb.filter(col("vec_id") =!= victim))
+    assert(!new java.io.File(s"$p/deletes").exists(),
+      "rebuild must clear the applied tombstones")
+    assert(!probe().exists(_._2 == victim))
+  }
+
   test("learned-K trade table: one row per K, shared reference, occupancy tightens as K grows") {
     import Similarity._
     val emb = clusteredEmb
