@@ -3189,6 +3189,46 @@ class TextPipelineSpec extends SparkSpec {
     assert(!probe().exists(_._2 == victim))
   }
 
+  test("streaming learned-index serving equals the one-shot landed probe, tombstones masked") {
+    import Similarity._
+    val emb = clusteredEmb
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-kmeans-int-stream").toString
+    writeKmeansIntStructures(emb, p)
+    appendKmeansIntIndex(spark, p, emb)
+    val queries = queryVectors(emb)
+    val victim = kmeansIntProbeIndex(spark, p, queries, 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)]
+      .collect().head._2
+    deleteIvfIndex(spark, p, Seq(victim).toDF("vec_id"))
+    val expected = kmeansIntProbeIndex(spark, p, queries, 3)
+      .orderBy("query_id", "rk").as[(Long, Long, Long, Double)]
+      .collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-int-q")
+    queries.withColumn("slice", col("query_id") % 2)
+      .repartition(2, col("slice")).drop("slice")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema(queries.schema).parquet(s"$dir/in")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = streamingKmeansIntSearch(spark, p, stream, k = 3) {
+      (res, _) =>
+        val rows = res.as[(Long, Long, Long, Double)].collect()
+        got.synchronized { got ++= rows }; ()
+    }
+    try {
+      assert(q.awaitTermination(120000), "streaming query did not finish")
+      assert(got.sortBy(r => (r._1, r._3)).toSeq ===
+        expected.sortBy(r => (r._1, r._3)),
+        "streamed serving must equal the masked one-shot landed probe")
+      assert(got.nonEmpty && !got.exists(_._2 == victim))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
+
   test("learned-K trade table: one row per K, shared reference, occupancy tightens as K grows") {
     import Similarity._
     val emb = clusteredEmb
